@@ -1,0 +1,104 @@
+"""Text-analysis column functions for large-scale document pipelines.
+
+All pure `pyspark.sql.functions` compositions — JVM-side, whole-stage
+codegen'd, no Python UDFs — so they vectorize over 100 TB of documents
+exactly like any built-in expression.  Hashing is md5-based (not
+Spark's xxhash) so the DuckDB differential oracle can reproduce every
+value bit-for-bit.
+
+Generalizes the reference's string surface (header normalization at
+/root/reference/load_quality.py:102, value maps at :103-105) into the
+document-pipeline operators the 100 TB target needs: tokenization,
+fingerprinting, quality scoring, language-ID heuristics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (single-space; matches oracle string_split)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.split(col, " ")
+
+
+def distinct_tokens(col: Column | str) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def unique_token_count(col: Column | str) -> Column:
+    return F.size(distinct_tokens(col))
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for near-dup fingerprinting: lowercase, strip
+    non-alphanumerics, collapse whitespace."""
+    col = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(col), "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(cleaned, " +", " "))
+
+
+def normalize_text_sql(expr: str) -> str:
+    # DuckDB regexp_replace needs the 'g' flag for replace-all semantics
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({expr}), '[^a-z0-9 ]', '', 'g'),"
+        f" ' +', ' ', 'g'))"
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """128-bit content fingerprint (md5 hex) of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5({normalize_text_sql(expr)})"
+
+
+def hex_hash64(col: Column, salt: str = "") -> Column:
+    """Deterministic 60-bit integer hash portable across engines.
+
+    md5 -> first 15 hex digits -> bigint.  Used as the hash family for
+    MinHash/SimHash so oracle SQL can recompute identical signatures.
+    """
+    salted = F.concat(F.lit(salt), F.lit("|"), col) if salt else col
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def hex_hash64_sql(expr: str, salt: str = "") -> str:
+    salted = f"'{salt}' || '|' || ({expr})" if salt else f"({expr})"
+    return f"CAST(('0x' || substr(md5({salted}), 1, 15)) AS BIGINT)"
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Character n-gram shingles of the normalized text (distinct)."""
+    norm = normalize_text(col)
+    # positions 1 .. len-n+1
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+            lambda i: norm.substr(i, F.lit(n)),
+        )
+    )
+
+
+def quality_columns(text_col: str = "text") -> dict[str, Column]:
+    """Heuristic document-quality signals (all integer/ratio, portable)."""
+    n_tok = token_count(text_col)
+    n_uni = unique_token_count(text_col)
+    n_chr = F.length(F.col(text_col))
+    return {
+        "n_chars_m": n_chr,
+        "n_tokens": n_tok,
+        "n_unique": n_uni,
+        "uniq_ratio": F.round(n_uni.cast("double") / n_tok.cast("double"), 6),
+        "mean_token_len": F.round(
+            (n_chr - (n_tok - F.lit(1))).cast("double") / n_tok.cast("double"), 6
+        ),
+    }

@@ -1,0 +1,284 @@
+"""Deduplication operator family (SURVEY.md §2.3 D1-D4 + LLM-pipeline
+near-dup extensions).
+
+Exact dedup generalizes the reference's per-row duplicate probes
+(/root/reference/load_hhs.py:8-32, load_quality.py:13-31) into
+set-based anti-joins and first-wins key dedup.  Near-dup (MinHash/LSH,
+SimHash, n-gram Jaccard, embedding cosine) is the 100 TB extension: the
+all-pairs O(N^2) comparison is replaced by banding/bucketing so the
+shuffle key is the bucket id and comparisons happen only within
+buckets.
+
+All hashes are md5-derived (functions.text.hex_hash64) — portable, so
+the DuckDB oracle reproduces signatures exactly.
+
+Scale notes:
+- ``dedup_first_wins`` is a single hash-aggregate (map-side combined).
+- ``anti_join_new`` prunes the probe to touched partitions when the
+  target is partitioned on the key's date component, and Spark/AQE
+  broadcasts the smaller side automatically.
+- MinHash banding: r rows x b bands; a pair agreeing on any band
+  collides.  The band-bucket groupBy shuffles the *signatures* (tiny),
+  never the documents.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from ..functions.text import distinct_tokens, fingerprint, hex_hash64, normalize_text
+from ..functions.vector import cosine
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (D1-D4)
+# ---------------------------------------------------------------------------
+
+def dedup_first_wins(df: DataFrame, keys: Sequence[str], order_by: Sequence[str]) -> DataFrame:
+    """Keep exactly one row per key, deterministically.
+
+    The reference's first-wins semantics (insert-if-absent inside a file,
+    /root/reference/load_hhs.py:75-82) depend on CSV row order; the
+    deterministic Spark equivalent orders by an explicit tiebreak and
+    takes row_number()==1.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def anti_join_new(batch: DataFrame, target: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Rows of ``batch`` whose key is absent from ``target`` (D4 upsert
+    probe: replaces one SELECT round-trip per row in the reference)."""
+    return batch.join(target.select(*keys), list(keys), "left_anti")
+
+
+def semi_join_existing(batch: DataFrame, target: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Rows of ``batch`` already present in ``target`` (the reference's
+    'duplicate' bucket, load_quality.py:122-126)."""
+    return batch.join(target.select(*keys), list(keys), "left_semi")
+
+
+def exact_content_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-content dedup groups: md5 fingerprint -> (keeper, count)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup: MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per document over its distinct-token set.
+
+    sig_i = min over tokens of hex_hash64(token, salt=i).  Computed as a
+    per-row array expression (no explode, no shuffle).
+    """
+    toks = distinct_tokens(text_col)
+
+    def hasher(salt: str):
+        # single-arg closure: a two-arg lambda would be (element, index)
+        # to F.transform and silently shadow the salt
+        return lambda t: hex_hash64(t, salt=salt)
+
+    cols = [F.col(id_col)]
+    for i in range(num_hashes):
+        sig = F.array_min(F.transform(toks, hasher(f"mh{i}")))
+        cols.append(sig.alias(f"sig{i}"))
+    return df.select(*cols)
+
+
+def lsh_band_buckets(
+    signatures: DataFrame, id_col: str = "doc_id", band_size: int = 2, num_hashes: int = 8
+) -> DataFrame:
+    """Band the signature and emit (band_id, bucket_hash, doc ids...).
+
+    Docs sharing any band bucket are near-dup *candidates*; downstream
+    verification (exact Jaccard) runs only within buckets.
+    """
+    assert num_hashes % band_size == 0
+    bands = []
+    for b in range(num_hashes // band_size):
+        sig_cols = [F.col(f"sig{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in sig_cols])).alias("bucket"),
+            )
+        )
+    all_bands = bands[0]
+    for extra in bands[1:]:
+        all_bands = all_bands.unionAll(extra)
+    return (
+        all_bands.groupBy("band", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("min_doc"),
+            F.max(id_col).alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", band_size: int = 2, num_hashes: int = 8
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) colliding on >= 1 LSH band.
+
+    Self-join is on the band bucket (tiny shuffle key), not on content.
+    """
+    assert num_hashes % band_size == 0
+    bands = []
+    for b in range(num_hashes // band_size):
+        sig_cols = [F.col(f"sig{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            signatures.select(
+                F.col(id_col),
+                F.md5(
+                    F.concat_ws(",", F.lit(b), *[c.cast("string") for c in sig_cols])
+                ).alias("bucket"),
+            )
+        )
+    exploded = bands[0]
+    for extra in bands[1:]:
+        exploded = exploded.unionAll(extra)
+    left = exploded.select(F.col("bucket"), F.col(id_col).alias("id_a"))
+    right = exploded.select(F.col("bucket"), F.col(id_col).alias("id_b"))
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup: SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash over distinct tokens: per-bit majority vote of token hashes.
+
+    Expressed as explode -> conditional sums -> bit pack.  The groupBy key
+    is the document id, so partial aggregation combines map-side; token
+    rows never hit the shuffle at full width (two long columns only).
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(distinct_tokens(text_col)).alias("tok"))
+        .withColumn("h", hex_hash64(F.col("tok")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    voted = toks.groupBy(id_col).agg(*votes)
+    packed = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return voted.select(F.col(id_col), packed.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Pairs within a Hamming radius. Bucketed by the top byte to avoid a
+    full cross join (docs differing in the top byte by > radius can still
+    collide — this is the standard multi-probe tradeoff; exact variant
+    would use bit-permutation tables)."""
+    a = sim.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return joined.select("id_a", "id_b", dist.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup: n-gram / token Jaccard
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact token-set Jaccard for pairs within a blocking key.
+
+    Blocking bounds the quadratic blowup: at 100 TB the block would be an
+    LSH bucket (see lsh_candidate_pairs); here any low-cardinality column
+    works.  Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    base = df.select(
+        F.col(id_col), distinct_tokens(text_col).alias("toks"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    join_cond = [block_col] if block_col else []
+    a = base.select(
+        *([F.col(block_col)] if block_col else []),
+        F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"),
+    )
+    b = base.select(
+        *([F.col(block_col)] if block_col else []),
+        F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"),
+    )
+    joined = a.join(b, join_cond) if join_cond else a.crossJoin(b)
+    joined = joined.filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    jac = F.round(inter / union, 6)
+    return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= min_jaccard
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup: embedding cosine
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+    min_cosine: float = 0.99,
+) -> DataFrame:
+    """Embedding near-duplicates: cosine >= threshold within a block.
+
+    Blocked (e.g. by an IVF/LSH bucket) to avoid all-pairs; with no
+    block this is the exact quadratic baseline for small N.
+    """
+    cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
+    base = df.select(*cols)
+    a = base.select(
+        *([F.col(block_col)] if block_col else []),
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+    )
+    b = base.select(
+        *([F.col(block_col)] if block_col else []),
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+    )
+    joined = a.join(b, [block_col]) if block_col else a.crossJoin(b)
+    joined = joined.filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    return joined.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= min_cosine
+    )

@@ -1,0 +1,71 @@
+"""Similarity search over embedding columns (LLM-pipeline extension).
+
+Brute-force cosine top-k is the exact baseline: one narrow pass over N
+vectors (the query side is broadcast), a per-row JVM expression for the
+dot product, and TakeOrderedAndProject for the top-k — no shuffle of the
+embedding table at all.
+
+The scale path is IVF-style bucketing: assign each vector to a coarse
+cell (here: a provided bucket column, or a hash of the quantized
+vector), search only the query's probe cells.  At 100 TB the bucket
+column is also the parquet partition key, so cell probes become
+partition pruning at the scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from ..functions.vector import cosine
+
+
+def _with_query(df: DataFrame, query: DataFrame, vec_col: str) -> DataFrame:
+    """Attach the (single-row) query vector to every row via broadcast."""
+    return df.crossJoin(F.broadcast(query))
+
+
+def cosine_scores(
+    df: DataFrame, query: DataFrame, vec_col: str = "embedding",
+    query_col: str = "qv", out_col: str = "sim", scale: int = 6,
+) -> DataFrame:
+    scored = _with_query(df, query, vec_col)
+    return scored.withColumn(out_col, F.round(cosine(F.col(vec_col), F.col(query_col)), scale))
+
+
+def brute_force_top_k(
+    df: DataFrame, query: DataFrame, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id", query_col: str = "qv",
+) -> DataFrame:
+    """Exact cosine top-k against a broadcast query vector.
+
+    Ranking uses the *rounded* similarity plus the id tiebreak so results
+    are stable across engines and runs.
+    """
+    scored = cosine_scores(df, query, vec_col, query_col)
+    return (
+        scored.select(F.col(id_col), F.col("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_top_k(
+    df: DataFrame, query: DataFrame, k: int = 3,
+    bucket_col: str = "label", vec_col: str = "embedding",
+    id_col: str = "vec_id", query_col: str = "qv",
+) -> DataFrame:
+    """IVF-shaped search: top-k *within each coarse cell*.
+
+    A real IVF assigns cells by nearest centroid; the cell column here is
+    caller-provided (testdata uses ``label`` as the precomputed cell).
+    Probing a subset of cells = filtering on ``bucket_col``, which prunes
+    partitions when the table is partitioned by it.
+    """
+    scored = cosine_scores(df, query, vec_col, query_col)
+    w = Window.partitionBy(bucket_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.select(F.col(bucket_col), F.col(id_col), F.col("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

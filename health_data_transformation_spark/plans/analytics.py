@@ -1,0 +1,934 @@
+"""Driver-facing query registry: every operator family from SURVEY.md §2
+expressed over the testdata tables, each paired with a DuckDB oracle.
+
+Naming map to the reference dashboard (/root/reference/Reporting.py):
+  q01/q02 <- display_weekly_records      (Reporting.py:29-41)
+  q03/q04 <- display_bed_statistics      (Reporting.py:59-96)
+  q05     <- display_quality_ratings     (Reporting.py:115-124)
+  q06     <- display_total_bed_usage     (Reporting.py:144-156)
+  q07     <- emergency_services_comparison (Reporting.py:182-196)
+  q08a    <- bed_usage_by_ownership      (Reporting.py:213-221)
+  q08b    <- top_and_bottom_rating       (Reporting.py:243-263)
+  q1x-q2x <- loader operator families    (load_hhs.py / load_quality.py:
+             dedup D1-D4, validation P9, cleaning P2-P8, set ops, windows)
+  q3x-q4x <- LLM-pipeline extensions     (dedup, similarity search,
+             text analysis, multimodal, streaming)
+
+Determinism contract (drives every design choice here):
+- double aggregations go through fixed-scale DECIMAL (functions.deterministic)
+- computed temporal columns are emitted as strings
+- every LIMIT has a total-order tiebreak
+- all hashes are md5-derived so DuckDB can recompute them
+- integer result types are matched (Spark int vs DuckDB BIGINT casts)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.deterministic import (
+    bucket_str,
+    bucket_str_sql,
+    dec_avg,
+    dec_avg_sql,
+    dec_ratio,
+    dec_ratio_sql,
+    dec_sum,
+    dec_sum_sql,
+    week_str,
+    week_str_sql,
+)
+from ..functions.text import (
+    fingerprint,
+    fingerprint_sql,
+    hex_hash64_sql,
+    normalize_text,
+)
+from ..functions import text as T
+from ..functions.vector import cosine, cosine_sql
+from ..operators import dedup as D
+from ..operators import similarity as SIM
+from ..operators import topk as K
+from ..sources.tables import load_table
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def _ts_lit(df: DataFrame, col: str, value: str):
+    """Literal timestamp matching the column's (ntz vs ltz) type."""
+    return F.lit(value).cast(dict(df.dtypes)[col])
+
+
+# ---------------------------------------------------------------------------
+# reference dashboard analogues (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+WEEK_LO, WEEK_HI = "2024-01-08", "2024-01-15"
+EVENTS_CUTOFF = "2024-01-22"
+EVENTS_CUM_CUTOFF = "2024-01-25"
+SHIP_CUTOFF = "1998-09-02"
+UPSERT_SPLIT = "1999-01-01"
+
+
+@register(
+    "q01_week_count",
+    f"""SELECT count(*) AS n_records FROM events
+        WHERE ts >= TIMESTAMP '{WEEK_LO}' AND ts < TIMESTAMP '{WEEK_HI}'""",
+    "scalar COUNT(*) with week equality filter (Reporting.py:29-33)",
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.filter(
+        (F.col("ts") >= _ts_lit(ev, "ts", WEEK_LO)) & (F.col("ts") < _ts_lit(ev, "ts", WEEK_HI))
+    ).agg(F.count("*").alias("n_records"))
+
+
+@register(
+    "q02_weekly_counts",
+    f"""SELECT {week_str_sql('ts')} AS week, count(*) AS n_records
+        FROM events WHERE ts < TIMESTAMP '{EVENTS_CUTOFF}'
+        GROUP BY 1 ORDER BY 1""",
+    "filter < week, GROUP BY week, COUNT (Reporting.py:36-41)",
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.filter(F.col("ts") < _ts_lit(ev, "ts", EVENTS_CUTOFF))
+        .groupBy(week_str("ts").alias("week"))
+        .agg(F.count("*").alias("n_records"))
+        .orderBy("week")
+    )
+
+
+@register(
+    "q03_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+               {dec_sum_sql('l_quantity', 2)} AS sum_qty,
+               {dec_sum_sql('l_extendedprice', 2)} AS sum_base_price,
+               {dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+               {dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+               {dec_avg_sql('l_quantity', 2)} AS avg_qty,
+               {dec_avg_sql('l_extendedprice', 2)} AS avg_price,
+               {dec_avg_sql('l_discount', 4)} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
+        GROUP BY l_returnflag, l_linestatus""",
+    "flagship scan+agg: the Q3 'bed statistics' shape generalized to "
+    "TPC-H Q1 form (Reporting.py:59-67)",
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ts_lit(li, "l_shipdate", SHIP_CUTOFF))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", 2).alias("sum_qty"),
+            dec_sum("l_extendedprice", 2).alias("sum_base_price"),
+            dec_sum(disc_price, 4).alias("sum_disc_price"),
+            # scale 6: the 3-factor product has 6 exact decimals; a coarser
+            # scale hits true halfway points where Spark (HALF_UP) and the
+            # oracle (half-even) round differently
+            dec_sum(charge, 6).alias("sum_charge"),
+            dec_avg("l_quantity", 2).alias("avg_qty"),
+            dec_avg("l_extendedprice", 2).alias("avg_price"),
+            dec_avg("l_discount", 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q04_recent_weeks",
+    f"""SELECT {week_str_sql('l_shipdate')} AS week,
+               {dec_sum_sql('l_quantity', 2)} AS sum_qty,
+               {dec_sum_sql('l_extendedprice', 2)} AS sum_price,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY 1 ORDER BY week DESC LIMIT 4""",
+    "groupBy week, agg, ORDER BY DESC LIMIT 4 top-k (Reporting.py:84-96)",
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    grouped = li.groupBy(week_str("l_shipdate").alias("week")).agg(
+        dec_sum("l_quantity", 2).alias("sum_qty"),
+        dec_sum("l_extendedprice", 2).alias("sum_price"),
+        F.count("*").alias("n_lines"),
+    )
+    return K.top_k(grouped, [F.col("week").desc()], 4)
+
+
+@register(
+    "q05_priority_ratio",
+    f"""SELECT o.o_orderpriority,
+               {dec_ratio_sql('l.l_extendedprice * (1 - l.l_discount)', 'l.l_quantity', 4, 2)} AS util_ratio,
+               count(*) AS n_lines
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority""",
+    "equi join + groupBy + SUM/SUM ratio (Reporting.py:115-124)",
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("o_orderpriority").agg(
+        dec_ratio(disc_price, F.col("l_quantity"), 4, 2).alias("util_ratio"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q06_cumulative_usage",
+    f"""SELECT {week_str_sql('ts')} AS week,
+               {dec_sum_sql('value', 2)} AS total_value,
+               count(*) AS n_events
+        FROM events WHERE ts <= TIMESTAMP '{EVENTS_CUM_CUTOFF}'
+        GROUP BY 1 ORDER BY 1""",
+    "filter <= week, groupBy week, sums (Reporting.py:144-156)",
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.filter(F.col("ts") <= _ts_lit(ev, "ts", EVENTS_CUM_CUTOFF))
+        .groupBy(week_str("ts").alias("week"))
+        .agg(dec_sum("value", 2).alias("total_value"), F.count("*").alias("n_events"))
+        .orderBy("week")
+    )
+
+
+@register(
+    "q07_top_nations",
+    """SELECT r.r_name, n.n_name, count(*) AS n_customers
+       FROM customer c
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE c.c_acctbal > 0
+       GROUP BY r.r_name, n.n_name
+       ORDER BY n_customers DESC, n_name LIMIT 20""",
+    "3-way dim join + boolean filter + groupBy count + top-20 "
+    "(Reporting.py:182-196)",
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    joined = (
+        c.filter(F.col("c_acctbal") > 0)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    grouped = joined.groupBy("r_name", "n_name").agg(F.count("*").alias("n_customers"))
+    return K.top_k(grouped, [F.col("n_customers").desc(), F.col("n_name")], 20)
+
+
+@register(
+    "q08a_segment_week_ratio",
+    f"""SELECT {week_str_sql('o.o_orderdate')} AS week,
+               {dec_ratio_sql("CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice ELSE 0 END",
+                              'o.o_totalprice', 2, 2)} AS fulfilled_ratio,
+               count(*) AS n_orders
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY 1 ORDER BY 1""",
+    "join + equality filter + 2-col groupBy + conditional sum ratio "
+    "(Reporting.py:213-221)",
+)
+def q08a(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    joined = c.filter(F.col("c_mktsegment") == "BUILDING").join(
+        o, c.c_custkey == o.o_custkey
+    )
+    fulfilled = F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        joined.groupBy(week_str("o_orderdate").alias("week"))
+        .agg(
+            dec_ratio(fulfilled, F.col("o_totalprice"), 2, 2).alias("fulfilled_ratio"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("week")
+    )
+
+
+@register(
+    "q08b_top_bottom_nations",
+    f"""WITH per_nation AS (
+          SELECT n.n_name, {dec_avg_sql('c.c_acctbal', 2)} AS avg_bal
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name)
+        (SELECT n_name, avg_bal, 'top' AS side FROM per_nation
+         ORDER BY avg_bal DESC, n_name LIMIT 10)
+        UNION ALL
+        (SELECT n_name, avg_bal, 'bottom' AS side FROM per_nation
+         ORDER BY avg_bal ASC, n_name LIMIT 10)""",
+    "join + groupBy avg + top-10 ∪ bottom-10 (Reporting.py:243-263, done "
+    "fully engine-side instead of client-side pandas)",
+)
+def q08b(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dec_avg("c_acctbal", 2).alias("avg_bal"))
+    )
+    return K.top_and_bottom(per_nation, "avg_bal", "n_name", 10)
+
+
+# ---------------------------------------------------------------------------
+# loader operator families (SURVEY.md §2.1-2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_dedup_exact",
+    """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id,
+              count(*) AS n_copies
+       FROM documents GROUP BY 1""",
+    "exact-content dedup groups: hash-groupBy with deterministic keeper "
+    "(generalizes load_hhs.py:8-32 dup probes)",
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_content_groups(load_table(spark, sf, "documents"))
+
+
+@register(
+    "q11_anti_join",
+    """SELECT c.c_custkey, c.c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 300000)""",
+    "left-anti join: new-keys probe (D1/D4, load_hhs.py:75); filtered "
+    "build side keeps the result non-empty/discriminating",
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return D.anti_join_new(c, big, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@register(
+    "q12_semi_join",
+    """SELECT c.c_custkey, c.c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
+    "left-semi join: existing-keys probe (D3, load_quality.py:122-126)",
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    existing = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return D.semi_join_existing(c, existing, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@register(
+    "q13_json_sentinel_clean",
+    """SELECT event_type,
+              sum(CASE WHEN k_clean IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_suppressed,
+              CAST(SUM(k_clean) AS BIGINT) AS sum_k,
+              ROUND(CAST(SUM(k_clean) AS DOUBLE) / CAST(COUNT(k_clean) AS DOUBLE), 6) AS avg_k
+       FROM (SELECT event_type,
+                    NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k_clean
+             FROM events)
+       GROUP BY event_type""",
+    "semi-structured extract + sentinel->NULL (P3/P5, load_hhs.py:49, "
+    "load_quality.py:103)",
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    k_clean = F.when(k == 0, F.lit(None)).otherwise(k)
+    return (
+        ev.select("event_type", k_clean.alias("k_clean"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("k_clean").isNull(), 1).otherwise(0)).alias("n_suppressed"),
+            F.sum("k_clean").alias("sum_k"),
+            F.round(
+                F.sum("k_clean").cast("double") / F.count("k_clean").cast("double"), 6
+            ).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "q14_validation_split",
+    """SELECT CASE WHEN l_quantity >= 1 AND l_discount BETWEEN 0 AND 0.05
+                     AND l_tax >= 0
+              THEN 'valid' ELSE 'invalid' END AS status,
+              count(*) AS n
+       FROM lineitem GROUP BY 1""",
+    "validation predicate split (P9, load_hhs.py:104-127 quarantine shape)",
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    ok = (
+        (F.col("l_quantity") >= 1)
+        & F.col("l_discount").between(0, 0.05)
+        & (F.col("l_tax") >= 0)
+    )
+    return (
+        li.select(F.when(ok, "valid").otherwise("invalid").alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q15_orders_per_customer",
+    f"""SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+               COALESCE({dec_sum_sql('o.o_totalprice', 2)}, 0.0) AS total_spent
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey""",
+    "left outer join + null-skipping count + coalesce (outer-join family)",
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dec_sum("o_totalprice", 2), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q16_topk_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "global top-k -> TakeOrderedAndProject (Reporting.py:196 nlargest)",
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return K.top_k(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    )
+
+
+@register(
+    "q17_top3_per_customer",
+    """SELECT o_custkey, o_orderkey, CAST(rank AS INTEGER) AS rank FROM (
+         SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rank
+         FROM orders) WHERE rank <= 3""",
+    "grouped top-k via rank window (the idiomatic form of "
+    "Reporting.py:94's LIMIT-per-group need)",
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return K.top_k_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    ).select("o_custkey", "o_orderkey", "rank")
+
+
+@register(
+    "q18_running_user_totals",
+    """SELECT user_id, event_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              AS running_value
+       FROM events""",
+    "running-total window (cumulative usage, Reporting.py:144-156 as a "
+    "window instead of re-aggregation)",
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    return ev.select("user_id", "event_id", running.alias("running_value"))
+
+
+@register(
+    "q19_rollup_counts",
+    f"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+               {dec_sum_sql('l_quantity', 2)} AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "hierarchical rollup aggregation (grouping-sets family)",
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dec_sum("l_quantity", 2).alias("sum_qty")
+    )
+
+
+@register(
+    "q20_distinct_per_segment",
+    """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+              count(*) AS n_customers
+       FROM customer GROUP BY c_mktsegment""",
+    "distinct aggregation",
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "q21_intersect",
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 0
+       INTERSECT
+       SELECT o_custkey AS c_custkey FROM orders""",
+    "INTERSECT set op",
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.filter(F.col("c_acctbal") > 0).select("c_custkey").intersect(
+        o.select(F.col("o_custkey").alias("c_custkey"))
+    )
+
+
+@register(
+    "q22_except",
+    """SELECT c_custkey FROM customer
+       EXCEPT
+       SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'""",
+    "EXCEPT set op (set-based form of the D1 anti probe); filtered right "
+    "side keeps the result non-empty/discriminating",
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    pending = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.select("c_custkey").exceptAll(pending).distinct()
+
+
+@register(
+    "q23_balance_buckets",
+    f"""SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket,
+               count(*) AS n, {dec_sum_sql('c_acctbal', 2)} AS total_bal
+        FROM customer GROUP BY 1""",
+    "numeric bucketing (CASE/floor family, P12 arithmetic exprs)",
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "customer")
+        .groupBy(F.floor(F.col("c_acctbal") / 1000).alias("bucket"))
+        .agg(F.count("*").alias("n"), dec_sum("c_acctbal", 2).alias("total_bal"))
+    )
+
+
+@register(
+    "q24_normalize_strings",
+    """SELECT lower(replace(c_mktsegment, ' ', '_')) AS segment_norm,
+              CAST(sum(CASE WHEN CAST(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT)
+                                 = c_custkey THEN 1 ELSE 0 END) AS BIGINT) AS n_id_match,
+              count(*) AS n
+       FROM customer GROUP BY 1""",
+    "string normalization + regex extraction (P2/P13, load_quality.py:102)",
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    seg_norm = F.lower(F.regexp_replace("c_mktsegment", " ", "_"))
+    extracted = F.regexp_replace("c_name", "[^0-9]", "").cast("long")
+    return (
+        c.select(
+            seg_norm.alias("segment_norm"),
+            F.when(extracted == F.col("c_custkey"), 1).otherwise(0).alias("m"),
+        )
+        .groupBy("segment_norm")
+        .agg(F.sum("m").alias("n_id_match"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q25_date_parts",
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+              CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mo,
+              count(*) AS n_orders
+       FROM orders GROUP BY 1, 2""",
+    "temporal part extraction (P7 date family)",
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q26_union_append",
+    """SELECT o_orderstatus, count(*) AS n FROM (
+         SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+         UNION ALL
+         SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+       ) GROUP BY 1""",
+    "UNION ALL append semantics (S4 batched-append shape)",
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    u = o.filter(F.col("o_orderstatus") == "O").select("o_orderstatus").unionAll(
+        o.filter(F.col("o_orderstatus") == "F").select("o_orderstatus")
+    )
+    return u.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q27_idempotent_upsert",
+    f"""WITH existing AS (
+          SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{UPSERT_SPLIT}'),
+        merged AS (
+          SELECT * FROM existing
+          UNION ALL
+          SELECT * FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM existing e
+                            WHERE e.o_orderkey = o.o_orderkey))
+        SELECT o_orderstatus, count(*) AS n,
+               {dec_sum_sql('o_totalprice', 2)} AS total
+        FROM merged GROUP BY 1""",
+    "first-wins idempotent upsert: target ∪ (batch anti target) == full "
+    "set when re-delivered (D4, load_hhs.py:75-82 semantics)",
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    existing = o.filter(F.col("o_orderdate") < _ts_lit(o, "o_orderdate", UPSERT_SPLIT))
+    merged = existing.unionAll(D.anti_join_new(o, existing, ["o_orderkey"]))
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), dec_sum("o_totalprice", 2).alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q30_token_stats",
+    """SELECT lang,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+              CAST(max(len(list_distinct(string_split(text, ' ')))) AS INTEGER) AS max_unique,
+              ROUND(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 6) AS avg_tokens,
+              count(*) AS n_docs
+       FROM documents GROUP BY lang""",
+    "token counting over the documents table (whitespace tokenizer)",
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    n_tok = T.token_count("text")
+    return (
+        d.select("lang", n_tok.alias("n_tok"), T.unique_token_count("text").alias("n_uni"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tok").alias("sum_tokens"),
+            F.max("n_uni").alias("max_unique"),
+            F.round(F.sum("n_tok").cast("double") / F.count("*").cast("double"), 6).alias(
+                "avg_tokens"
+            ),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "q31_quality_scores",
+    """SELECT doc_id,
+              CAST(length(text) AS INTEGER) AS n_chars_m,
+              CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+              ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS uniq_ratio
+       FROM documents WHERE doc_id < 100""",
+    "per-document quality scoring (length / lexical-diversity signals)",
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    q = T.quality_columns("text")
+    return d.select(
+        "doc_id",
+        q["n_chars_m"].alias("n_chars_m"),
+        q["n_tokens"].alias("n_tokens"),
+        q["uniq_ratio"].alias("uniq_ratio"),
+    )
+
+
+@register(
+    "q32_langid_heuristic",
+    """SELECT lang,
+              CASE WHEN list_contains(string_split(text, ' '), 'the')
+                     OR list_contains(string_split(text, ' '), 'a')
+                   THEN 'en' ELSE 'other' END AS predicted,
+              count(*) AS n
+       FROM documents GROUP BY 1, 2""",
+    "language-ID heuristic (marker-token n-gram scoring)",
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = T.tokens("text")
+    predicted = F.when(
+        F.array_contains(toks, "the") | F.array_contains(toks, "a"), "en"
+    ).otherwise("other")
+    return d.groupBy("lang", predicted.alias("predicted")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "q33_normalized_fingerprint",
+    f"""SELECT {fingerprint_sql('text')} AS fingerprint,
+               min(doc_id) AS keeper_id, count(*) AS n_copies
+        FROM documents GROUP BY 1""",
+    "document fingerprinting on normalized text (near-dup canonical form)",
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(fingerprint("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "q34_jaccard_pairs",
+    """WITH toks AS (
+         SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS t
+         FROM documents WHERE doc_id < 100)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                    / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE),
+                    6) AS jaccard
+       FROM toks a JOIN toks b
+         ON a.source = b.source AND a.doc_id < b.doc_id""",
+    "n-gram/token Jaccard near-dup pairs within a blocking key "
+    "(exact verification stage of the dedup pipeline)",
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return D.jaccard_pairs(d, block_col="source").select("id_a", "id_b", "jaccard")
+
+
+@register(
+    "q35_minhash_signatures",
+    "WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t\n"
+    "              FROM documents WHERE doc_id < 100)\n"
+    "SELECT doc_id,\n"
+    + ",\n".join(
+        f"       list_min(list_transform(t, x -> {hex_hash64_sql('x', f'mh{i}')})) AS sig{i}"
+        for i in range(4)
+    )
+    + "\nFROM toks",
+    "MinHash signatures (md5 hash family, portable across engines)",
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return D.minhash_signatures(d, num_hashes=4)
+
+
+@register(
+    "q36_lsh_buckets",
+    "WITH sigs AS (\n"
+    "  SELECT doc_id,\n"
+    + ",\n".join(
+        f"         list_min(list_transform(list_distinct(string_split(text, ' ')),"
+        f" x -> {hex_hash64_sql('x', f'mh{i}')})) AS sig{i}"
+        for i in range(4)
+    )
+    + "\n  FROM documents),\n"
+    "bands AS (\n"
+    "  SELECT doc_id, 0 AS band, md5(CAST(sig0 AS VARCHAR) || ',' || CAST(sig1 AS VARCHAR)) AS bucket FROM sigs\n"
+    "  UNION ALL\n"
+    "  SELECT doc_id, 1 AS band, md5(CAST(sig2 AS VARCHAR) || ',' || CAST(sig3 AS VARCHAR)) AS bucket FROM sigs)\n"
+    "SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS min_doc,\n"
+    "       max(doc_id) AS max_doc\n"
+    "FROM bands GROUP BY band, bucket HAVING count(*) >= 2",
+    "MinHash-LSH banding: shingle->minhash->band->bucket candidate groups",
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    sigs = D.minhash_signatures(d, num_hashes=4)
+    return D.lsh_band_buckets(sigs, band_size=2, num_hashes=4)
+
+
+SIMHASH_BITS = 16
+
+
+def _simhash_oracle() -> str:
+    h = hex_hash64_sql("tok")
+    votes = ",\n".join(
+        f"       CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return (
+        "WITH tok_rows AS (\n"
+        "  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok\n"
+        "  FROM documents WHERE doc_id < 100),\n"
+        f"hashed AS (SELECT doc_id, {h} AS h FROM tok_rows),\n"
+        f"voted AS (SELECT doc_id,\n{votes}\n  FROM hashed GROUP BY doc_id)\n"
+        f"SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM voted"
+    )
+
+
+@register(
+    "q37_simhash",
+    _simhash_oracle(),
+    "SimHash signatures: per-bit majority vote over token hashes",
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return D.simhash(d, bits=SIMHASH_BITS)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q38_cosine_topk",
+    f"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                  WHERE vec_id = 0)
+        SELECT e.vec_id, ROUND({cosine_sql('e.embedding', 'q.qv')}, 6) AS sim
+        FROM embeddings e CROSS JOIN q
+        ORDER BY sim DESC, e.vec_id LIMIT 10""",
+    "brute-force cosine top-k ANN baseline (broadcast query vector; "
+    "no shuffle of the embedding table)",
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return SIM.brute_force_top_k(e, query, k=10)
+
+
+@register(
+    "q39_embedding_norms",
+    f"""SELECT label,
+               CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                   CAST(embedding AS DOUBLE[])))
+                             AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm,
+               count(*) AS n
+        FROM embeddings GROUP BY label""",
+    "vector-norm aggregation per class (JVM-side higher-order functions)",
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vector import norm
+
+    e = load_table(spark, sf, "embeddings")
+    return (
+        e.select("label", norm("embedding").alias("nrm"))
+        .groupBy("label")
+        .agg(dec_sum("nrm", 6).alias("sum_norm"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q40_ivf_topk",
+    f"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                  WHERE vec_id = 0),
+        scored AS (
+          SELECT e.label, e.vec_id,
+                 ROUND({cosine_sql('e.embedding', 'q.qv')}, 6) AS sim
+          FROM embeddings e CROSS JOIN q),
+        ranked AS (
+          SELECT label, vec_id, sim,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM scored)
+        SELECT label, vec_id, sim, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3""",
+    "IVF-shaped ANN: per-cell top-k (cell filter = partition pruning at "
+    "scale)",
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return SIM.ivf_top_k(e, query, k=3).select("label", "vec_id", "sim", "rank")
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: multimodal + streaming
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q41_multimodal_meta",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+              CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 640 AS width,
+              CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 480 AS height
+       FROM documents""",
+    "multimodal column plumbing: opaque binary payload + typed metadata "
+    "(decode itself is stubbed; see multimodal.py)",
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    from ..multimodal import with_fake_media_meta
+
+    d = load_table(spark, sf, "documents")
+    return with_fake_media_meta(d).select("doc_id", "n_bytes", "width", "height")
+
+
+@register(
+    "q42_stream_window_counts",
+    f"""SELECT {bucket_str_sql('ts', 15)} AS window_start,
+               count(*) AS n_events,
+               {dec_sum_sql('value', 2)} AS total_value
+        FROM events GROUP BY 1""",
+    "Structured Streaming: file source -> 15-min tumbling windows -> "
+    "memory sink (Trigger.AvailableNow); oracle is the batch equivalent",
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.windows import stream_window_counts
+
+    return stream_window_counts(spark, sf)

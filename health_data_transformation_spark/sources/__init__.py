@@ -1,0 +1,1 @@
+from .tables import TESTDATA_TABLES, load_table, register_views  # noqa: F401

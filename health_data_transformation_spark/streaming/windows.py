@@ -1,0 +1,89 @@
+"""Structured Streaming surface (SURVEY.md §2.5, §7.1 step 6).
+
+The reference's ingest is manual per-file CLI (README.md:26-46); its
+natural Spark mapping is a file-source stream with
+``Trigger.AvailableNow`` — process everything currently present as one
+bounded run, exactly the reference's batch cadence but restartable and
+incremental via checkpoint.
+
+``stream_window_counts`` is the driver-facing demonstration: parquet
+file source -> event-time tumbling windows -> memory sink.  Its result
+is deterministically equal to the batch GROUP BY (the oracle), proving
+the streaming plan computes the same aggregation.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.deterministic import bucket_str, dec_sum
+from ..session import ensure_compat
+
+
+def stream_window_counts(
+    spark: SparkSession, sf_dir: str, minutes: int = 15, timeout_sec: int = 300
+) -> DataFrame:
+    """events parquet as a *stream* -> 15-min tumbling counts/sums.
+
+    Complete-mode memory sink: fine for a bounded AvailableNow run with
+    a small aggregate state (one row per window).  Production sinks
+    would be parquet/Delta with append mode + watermark.
+    """
+    ensure_compat(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file-stream source requires a *directory*; stage a symlink dir
+    # (read-only testdata cannot be rearranged)
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="hdt_stream_events_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(static.schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    agg = stream.groupBy(bucket_str("ts", minutes).alias("window_start")).agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value", 2).alias("total_value"),
+    )
+
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_sec)
+    finally:
+        query.stop()
+    return spark.table(name)
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    keys: list[str],
+    event_time_col: str,
+    watermark: str = "7 days",
+) -> DataFrame:
+    """Streaming exactly-once-per-key ingest plan (D4 as a stream).
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state: a key
+    re-delivered within the watermark is dropped, state older than the
+    watermark is evicted — the streaming form of the reference's
+    duplicate probe (load_hhs.py:8-32) with O(keys-in-window) state
+    instead of O(all-history).
+    """
+    stream = spark.readStream.schema(schema).option("header", True).csv(source_dir)
+    return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -1,0 +1,114 @@
+"""Local differential harness mimicking the driver's correctness gate.
+
+Runs every `__spark_entry__.queries()` entry on Spark and its
+`oracle_sql()` twin on DuckDB at the same scale factor, then compares:
+row count, sorted column names, dtype compatibility, and an
+order-insensitive multiset of canonicalized values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return repr(v)
+    if hasattr(v, "item"):  # numpy scalar
+        return canon_value(v.item())
+    if isinstance(v, (list, tuple)):
+        return tuple(canon_value(x) for x in v)
+    return v
+
+
+def canon_frame(pdf):
+    pdf = pdf[sorted(pdf.columns)]
+    rows = [tuple(canon_value(v) for v in row) for row in pdf.itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from health_data_transformation_spark.session import get_spark
+
+    spark = get_spark(app_name="check-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        spark_secs = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{spark_secs:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        else:
+            s_rows, o_rows = canon_frame(sdf), canon_frame(odf)
+            if s_rows != o_rows:
+                diff = [
+                    (a, b) for a, b in zip(s_rows, o_rows) if a != b
+                ][:3]
+                extra = abs(len(s_rows) - len(o_rows))
+                problems.append(f"values differ (first diffs: {diff}, len-delta {extra})")
+            sd = {c: str(sdf[c].dtype) for c in sdf.columns}
+            od = {c: str(odf[c].dtype) for c in odf.columns}
+            dt = {c: (sd[c], od[c]) for c in sd if sd[c] != od[c]}
+            if dt:
+                problems.append(f"dtype mismatch {dt}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"OK    {name}: {len(sdf)} rows [{spark_secs:.1f}s]")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("all queries match the oracle")
+
+
+if __name__ == "__main__":
+    main()

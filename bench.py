@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], timing full plan
+execution via the no-op sink (measures scan+compute+shuffle without
+driver-side collect costs).  Prints one JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def execute(df) -> None:
+    """Force full execution of the plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from health_data_transformation_spark.plans.analytics import REGISTRY
+    from health_data_transformation_spark.session import get_spark
+
+    spark = get_spark(app_name="hdt-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen path so per-query times measure the plan, not startup
+    execute(REGISTRY["q03_pricing_summary"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, spec in REGISTRY.items():
+        t0 = time.time()
+        try:
+            execute(spec.fn(spark, sf_dir))
+            dt = time.time() - t0
+        except Exception as e:  # a failing query must not hide the others
+            dt = time.time() - t0
+            print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total wall-clock of all registered queries (noop sink)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

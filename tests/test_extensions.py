@@ -1,0 +1,132 @@
+"""Similarity search, text functions, multimodal plumbing, streaming."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from health_data_transformation_spark import multimodal
+from health_data_transformation_spark.functions import text as T
+from health_data_transformation_spark.operators import similarity as S
+
+
+@pytest.fixture()
+def embeddings(spark):
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.1, 0.0], 0),
+            (2, [0.0, 1.0, 0.0], 1),
+            (3, [0.0, 0.9, 0.1], 1),
+            (4, [-1.0, 0.0, 0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_brute_force_top_k_exact_order(spark, embeddings):
+    query = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    rows = S.brute_force_top_k(embeddings, query, k=3).collect()
+    assert [r["vec_id"] for r in rows] == [0, 1, 2]
+    assert rows[0]["sim"] == 1.0
+
+
+def test_ivf_top_k_per_bucket(spark, embeddings):
+    query = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    rows = S.ivf_top_k(embeddings, query, k=1).collect()
+    best = {r["label"]: r["vec_id"] for r in rows}
+    assert best[0] == 0  # its own bucket: itself
+    assert best[1] in (2, 3)
+
+
+def test_tokens_and_fingerprint(spark):
+    df = spark.createDataFrame([("Hello,  WORLD hello",)], "text string")
+    row = df.select(
+        T.token_count("text").alias("n"),
+        T.unique_token_count("text").alias("u"),
+        T.normalize_text("text").alias("norm"),
+    ).collect()[0]
+    assert row["n"] == 4  # split on single space: ['Hello,', '', 'WORLD', 'hello']
+    assert row["norm"] == "hello world hello"
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([("abcd",)], "text string")
+    row = df.select(T.char_ngrams("text", 3).alias("g")).collect()[0]
+    assert row["g"] == ["abc", "bcd"]
+
+
+def test_multimodal_meta_and_decode(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "worlds")], "doc_id long, text string")
+    meta = multimodal.with_fake_media_meta(df)
+    rows = {r["doc_id"]: r for r in meta.collect()}
+    assert rows[1]["n_bytes"] == 5
+    assert 0 <= rows[1]["width"] < 640 and 0 <= rows[1]["height"] < 480
+    assert bytes(rows[1]["payload"]) == b"hello"
+
+    decoded = multimodal.decode_pipeline(
+        multimodal.with_payload(df), decode_fn=multimodal.fake_decode
+    )
+    out = {r["doc_id"]: r for r in decoded.collect()}
+    assert out[1]["n_bytes"] == 5
+    assert out[1]["feature_dim"] == 8
+    assert out[1]["feature_mean"] == pytest.approx(sum(b"hello") / 5, abs=1e-6)
+
+
+def test_multimodal_decode_stub_raises(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as task failure
+        multimodal.decode_pipeline(multimodal.with_payload(df)).collect()
+
+
+def test_stream_window_equals_batch(spark):
+    """The streaming windowed agg must equal the batch GROUP BY."""
+    from health_data_transformation_spark.functions.deterministic import (
+        bucket_str,
+        dec_sum,
+    )
+    from health_data_transformation_spark.streaming.windows import stream_window_counts
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = {
+        r["window_start"]: (r["n_events"], r["total_value"])
+        for r in stream_window_counts(spark, sf_dir).collect()
+    }
+    from health_data_transformation_spark.sources.tables import load_table
+
+    batch = {
+        r["window_start"]: (r["n_events"], r["total_value"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(bucket_str("ts", 15).alias("window_start"))
+        .agg(F.count("*").alias("n_events"), dec_sum("value", 2).alias("total_value"))
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_dedup_ingest(spark, tmp_path):
+    """Streaming D4: re-delivered keys within the watermark are dropped."""
+    from health_data_transformation_spark.streaming.windows import stream_dedup_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "k,ts,v\nk1,2024-01-01 00:00:00,1\nk1,2024-01-01 00:05:00,2\nk2,2024-01-01 00:01:00,3\n"
+    )
+    schema = "k string, ts timestamp, v int"
+    deduped = stream_dedup_ingest(spark, str(src), schema, ["k"], "ts")
+    out = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    out.stop()
+    rows = spark.table("dedup_test").collect()
+    assert sorted((r["k"], r["v"]) for r in rows) == [("k1", 1), ("k2", 3)]

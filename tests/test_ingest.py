@@ -1,0 +1,101 @@
+"""Golden end-to-end loader tests (SURVEY.md §5 layers 1-2, 4).
+
+Each assertion cites the reference behavior it preserves.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from health_data_transformation_spark.ingest import load_hhs, load_quality
+
+
+def test_load_hhs_golden(spark, warehouse, hhs_csv_1):
+    report = load_hhs(spark, hhs_csv_1, warehouse)
+
+    # 6 data rows; H4 rejected (negative metric, load_hhs.py:104); H1 week
+    # 2022-09-23 duplicated in-batch -> one winner
+    assert report.input_rows == 6
+    assert report.invalid_rows == 1
+    assert report.table_rows_added["hospitals"] == 3  # H1, H2, H3
+    assert report.table_rows_added["hospital_bed_information"] == 4
+
+    beds = warehouse.read("hospital_bed_information")
+    assert beds.count() == 4
+
+    # sentinel -999999 -> NULL, row retained (load_hhs.py:49)
+    h2 = beds.filter(F.col("hospital_fk") == "H2").collect()[0]
+    assert h2["all_adult_hospital_beds_7_day_avg"] is None
+    # empty metric -> NULL passes the >= 0 check (load_hhs.py:104 short-circuit)
+    h3 = beds.filter(F.col("hospital_fk") == "H3").collect()[0]
+    assert h3["all_adult_hospital_beds_7_day_avg"] is None
+    # negative-metric row quarantined entirely
+    assert beds.filter(F.col("hospital_fk") == "H4").count() == 0
+
+    # quarantine sink mirrors invalid_data/*.csv (load_hhs.py:152-155)
+    quarantined = spark.read.option("header", True).csv(
+        warehouse.root + "/invalid/hhs"
+    )
+    assert quarantined.count() == 1
+    assert quarantined.collect()[0]["hospital_pk"] == "H4"
+    assert "non_negative" in quarantined.collect()[0]["_failed_rules"]
+
+
+def test_load_hhs_first_wins_and_idempotency(spark, warehouse, hhs_csv_1, hhs_csv_2):
+    load_hhs(spark, hhs_csv_1, warehouse)
+    beds_before = (
+        warehouse.read("hospital_bed_information")
+        .filter((F.col("hospital_fk") == "H1"))
+        .orderBy("collection_week")
+        .collect()
+    )
+
+    report2 = load_hhs(spark, hhs_csv_2, warehouse)
+    # H1/2022-09-23 re-delivered -> dropped (first-wins, load_hhs.py:103);
+    # H5 is new
+    assert report2.table_rows_added["hospital_bed_information"] == 1
+    assert report2.duplicate_rows == 1
+
+    beds_after = (
+        warehouse.read("hospital_bed_information")
+        .filter((F.col("hospital_fk") == "H1"))
+        .orderBy("collection_week")
+        .collect()
+    )
+    assert [r.asDict() for r in beds_before] == [r.asDict() for r in beds_after]
+
+    # re-delivering the SAME file is a complete no-op (D4 idempotency)
+    report3 = load_hhs(spark, hhs_csv_2, warehouse)
+    assert report3.table_rows_added["hospital_bed_information"] == 0
+    assert report3.table_rows_added["hospitals"] == 0
+
+
+def test_load_quality_golden(spark, warehouse, cms_csv_1):
+    report = load_quality(spark, cms_csv_1, "2022-10-01", warehouse)
+
+    # 5 rows; H1 duplicated in-batch -> 4 appended, 1 duplicate
+    assert report.input_rows == 5
+    assert report.invalid_rows == 0
+    assert report.table_rows_added["hospital_quality_information"] == 4
+    assert report.duplicate_rows == 1
+
+    q = warehouse.read("hospital_quality_information")
+    rows = {r["facility_id"]: r for r in q.collect()}
+    # 'Not Available' -> 0 (load_quality.py:103)
+    assert rows["H2"]["hospital_overall_rating"] == 0.0
+    # empty rating -> NULL (lenient cast)
+    assert rows["H3"]["hospital_overall_rating"] is None
+    # Yes/No -> boolean (load_quality.py:105)
+    assert rows["H1"]["emergency_services"] is True
+    assert rows["H2"]["emergency_services"] is False
+    # data_date stamped on every row (load_quality.py:106-107)
+    assert str(rows["H1"]["data_date"]) == "2022-10-01"
+
+
+def test_load_quality_new_snapshot_same_facilities(spark, warehouse, cms_csv_1):
+    load_quality(spark, cms_csv_1, "2022-10-01", warehouse)
+    # same facilities at a NEW data_date are fresh rows, not duplicates
+    # (key is facility_id+data_date, load_quality.py:119-126)
+    report = load_quality(spark, cms_csv_1, "2023-01-01", warehouse)
+    assert report.table_rows_added["hospital_quality_information"] == 4
+    assert warehouse.read("hospital_quality_information").count() == 8

@@ -1,0 +1,167 @@
+"""Unit tests per operator family (SURVEY.md §5 layer 1)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from health_data_transformation_spark.operators import cleaning, dedup, topk, validate
+
+
+def test_replace_sentinel(spark):
+    df = spark.createDataFrame(
+        [(1, -999999.0), (2, 5.0), (3, None)], "id int, v double"
+    )
+    out = cleaning.replace_sentinel(df, ["v"], -999999.0)
+    vals = {r["id"]: r["v"] for r in out.collect()}
+    assert vals == {1: None, 2: 5.0, 3: None}
+
+
+def test_map_values_keep_and_null(spark):
+    df = spark.createDataFrame([("Yes",), ("No",), ("Maybe",)], "v string")
+    kept = cleaning.map_values(df, "v", {"Yes": "T", "No": "F"})
+    assert {r["v"] for r in kept.collect()} == {"T", "F", "Maybe"}
+    nulled = cleaning.map_values(df, "v", {"Yes": "T", "No": "F"}, otherwise="null")
+    assert {r["v"] for r in nulled.collect()} == {"T", "F", None}
+
+
+def test_normalize_headers(spark):
+    df = spark.createDataFrame([(1, 2)], ["Facility ID", "Hospital Type"])
+    assert cleaning.normalize_headers(df).columns == ["facility_id", "hospital_type"]
+
+
+def test_lenient_cast(spark):
+    df = spark.createDataFrame([("1.5",), ("oops",), (None,)], "v string")
+    out = cleaning.cast_columns(df, {"v": "double"})
+    assert [r["v"] for r in out.collect()] == [1.5, None, None]
+
+
+def test_validate_null_passes_bound_check(spark):
+    # NULL passes >= 0 (reference pd.isna short-circuit, load_hhs.py:104)
+    df = spark.createDataFrame([(1, None), (2, -1.0), (3, 3.0)], "id int, v double")
+    valid, invalid = validate.split_valid(df, validate.non_negative(["v"]))
+    assert {r["id"] for r in valid.collect()} == {1, 3}
+    bad = invalid.collect()
+    assert [r["id"] for r in bad] == [2]
+    assert bad[0]["_failed_rules"] == ["v_non_negative"]
+
+
+def test_validate_multiple_rules_reported(spark):
+    df = spark.createDataFrame([(1, -1.0, None)], "id int, a double, b string")
+    rules = validate.non_negative(["a"]) + validate.not_null(["b"])
+    _, invalid = validate.split_valid(df, rules)
+    assert invalid.collect()[0]["_failed_rules"] == ["a_non_negative", "b_not_null"]
+
+
+def test_dedup_first_wins_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k1", "2022-01-01", 10.0), ("k1", "2022-01-01", 99.0), ("k2", "2022-01-01", 5.0)],
+        "k string, wk string, v double",
+    )
+    out = dedup.dedup_first_wins(df, ["k", "wk"], ["v"])
+    vals = {r["k"]: r["v"] for r in out.collect()}
+    assert vals == {"k1": 10.0, "k2": 5.0}
+    # order of input rows must not matter
+    out2 = dedup.dedup_first_wins(
+        df.orderBy(F.col("v").desc()), ["k", "wk"], ["v"]
+    )
+    assert {r["k"]: r["v"] for r in out2.collect()} == vals
+
+
+def test_anti_semi_join(spark):
+    batch = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    target = spark.createDataFrame([("b",)], "k string")
+    assert {r["k"] for r in dedup.anti_join_new(batch, target, ["k"]).collect()} == {
+        "a",
+        "c",
+    }
+    assert {
+        r["k"] for r in dedup.semi_join_existing(batch, target, ["k"]).collect()
+    } == {"b"}
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "spark fast engine"), (2, "spark fast engine"), (3, "utterly different words")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: (r["sig0"], r["sig1"]) for r in
+            dedup.minhash_signatures(df, num_hashes=2).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_lsh_candidate_pairs_find_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely unrelated text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(df, num_hashes=8)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, band_size=2, num_hashes=8).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_close_for_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, bits=32).collect()}
+    ham_12 = bin(sh[1] ^ sh[2]).count("1")
+    ham_13 = bin(sh[1] ^ sh[3]).count("1")
+    assert ham_12 < ham_13
+
+
+def test_jaccard_pairs_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "x"), (2, "a b c e", "x"), (3, "a b", "y")],
+        "doc_id long, text string, src string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(df, block_col="src").collect()
+    }
+    # |{a,b,c}| / |{a,b,c,d,e}| = 0.6; blocking excludes doc 3
+    assert pairs == {(1, 2): 0.6}
+
+
+def test_embedding_near_dup_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(df, min_cosine=0.99).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", 1, 10.0), ("g1", 2, 30.0), ("g1", 3, 20.0), ("g2", 4, 5.0)],
+        "g string, id int, v double",
+    )
+    out = topk.top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], 2)
+    got = {(r["g"], r["id"], r["rank"]) for r in out.collect()}
+    assert got == {("g1", 2, 1), ("g1", 3, 2), ("g2", 4, 1)}
+
+
+def test_top_and_bottom(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "k string, v double"
+    )
+    out = topk.top_and_bottom(df, "v", "k", 1)
+    got = {(r["side"], r["k"]) for r in out.collect()}
+    assert got == {("top", "c"), ("bottom", "a")}

@@ -421,13 +421,17 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
 def q15(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
     o = load_table(spark, sf, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(dec_sum("o_totalprice", 2), F.lit(0.0)).alias("total_spent"),
-        )
+    # aggregate-before-join: shuffle two narrow agg columns instead of the
+    # full orders rows through the join; equivalent to the oracle's
+    # join-then-group because o_custkey is the join key
+    per_cust = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("o_orderkey").alias("n_orders"),
+        dec_sum("o_totalprice", 2).alias("total_spent"),
+    )
+    return c.select("c_custkey").join(per_cust, "c_custkey", "left").select(
+        "c_custkey",
+        F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("n_orders"),
+        F.coalesce(F.col("total_spent"), F.lit(0.0)).alias("total_spent"),
     )
 
 
@@ -644,6 +648,148 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
     merged = existing.unionAll(D.anti_join_new(o, existing, ["o_orderkey"]))
     return merged.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), dec_sum("o_totalprice", 2).alias("total")
+    )
+
+
+@register(
+    "q28_cube_counts",
+    f"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+               {dec_sum_sql('l_quantity', 2)} AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "CUBE aggregation (all grouping-set combinations)",
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dec_sum("l_quantity", 2).alias("sum_qty")
+    )
+
+
+@register(
+    "q29_pivot",
+    f"""SELECT l_returnflag,
+               {dec_sum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 2)} AS F,
+               {dec_sum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 2)} AS O
+        FROM lineitem GROUP BY l_returnflag""",
+    "pivot: long->wide reshaping (conditional-aggregation equivalent)",
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dec_sum("l_quantity", 2))
+    )
+
+
+@register(
+    "q45_asof_join",
+    """SELECT p.event_id, p.user_id, l.event_id AS login_event_id
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') l
+         ON p.user_id = l.user_id AND p.ts >= l.ts""",
+    "as-of join: each purchase matched to the user's most recent prior "
+    "login (union+carry-forward plan: one shuffle, no range blowup)",
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    logins = ev.filter(F.col("event_type") == "login").select(
+        "user_id", "ts", F.col("event_id").alias("login_event_id")
+    )
+    joined = asof_join(
+        purchases, logins, ["user_id"], "ts", "ts", ["login_event_id"],
+        tiebreak="event_id",
+    )
+    return joined.select("event_id", "user_id", "login_event_id")
+
+
+@register(
+    "q46_sessionize",
+    """WITH flagged AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sessions AS (
+         SELECT user_id, ts,
+                CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+                  AS session_idx
+         FROM flagged)
+       SELECT user_id, session_idx, count(*) AS n_events,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+       FROM sessions GROUP BY user_id, session_idx""",
+    "sessionization: per-user inactivity-gap sessions (30 min), batch "
+    "twin of streaming session windows",
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sessions import session_bounds
+
+    ev = load_table(spark, sf, "events")
+    return session_bounds(ev, ["user_id"], "ts", 30, tiebreak="event_id")
+
+
+@register(
+    "q47_percentiles",
+    """SELECT l_returnflag,
+              ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+              ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+              ROUND(quantile_cont(l_extendedprice, 0.90), 6) AS p90
+       FROM lineitem GROUP BY l_returnflag""",
+    "exact interpolated percentiles per group",
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.50, 0.90]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("p", 1), 6).alias("p25"),
+            F.round(F.element_at("p", 2), 6).alias("p50"),
+            F.round(F.element_at("p", 3), 6).alias("p90"),
+        )
+    )
+
+
+@register(
+    "q48_stats_moments",
+    """SELECT l_returnflag, n, mean_price, var_price, std_price FROM (
+         SELECT l_returnflag, count(*) AS n,
+                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*), 6) AS mean_price,
+                ROUND((CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE)
+                       - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                         * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                      / (count(*) - 1), 6) AS var_price,
+                ROUND(sqrt((CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE)
+                       - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                         * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                      / (count(*) - 1)), 6) AS std_price
+         FROM lineitem GROUP BY l_returnflag)""",
+    "sample variance/stddev from exact decimal moments — order-insensitive "
+    "(native stddev_samp is partial-aggregation-order-dependent in floats)",
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    sum1 = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    sum2 = F.sum(
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(24,4)")
+    ).cast("double")
+    n = F.count("*")
+    var = (sum2 - sum1 * sum1 / n) / (n - F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(sum1 / n, 6).alias("mean_price"),
+        F.round(var, 6).alias("var_price"),
+        F.round(F.sqrt(var), 6).alias("std_price"),
     )
 
 
@@ -895,6 +1041,43 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return SIM.ivf_top_k(e, query, k=3).select("label", "vec_id", "sim", "rank")
+
+
+@register(
+    "q43_embedding_near_dup",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.3""",
+    "embedding-cosine near-dup pairs within a blocking cell (the dedup "
+    "use of similarity; blocked to avoid all-pairs)",
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return D.embedding_near_dup_pairs(e, block_col="label", min_cosine=0.3)
+
+
+@register(
+    "q44_rolling_hash",
+    f"""SELECT doc_id,
+               list_reduce(
+                 list_prepend(0, list_transform(string_split(text, ' '),
+                                 x -> {hex_hash64_sql('x')} % 1000000007)),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+        FROM documents""",
+    "polynomial rolling-hash document fingerprint (order-sensitive, "
+    "unlike the set-based minhash)",
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import hex_hash64, tokens
+
+    d = load_table(spark, sf, "documents")
+    hashed = F.transform(tokens("text"), lambda t: hex_hash64(t) % 1000000007)
+    rhash = F.aggregate(
+        hashed, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % 1000000007
+    )
+    return d.select("doc_id", rhash.alias("rhash"))
 
 
 # ---------------------------------------------------------------------------

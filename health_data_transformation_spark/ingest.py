@@ -50,7 +50,12 @@ def load_hhs(spark: SparkSession, csv_path: str, warehouse: Warehouse) -> LoadRe
     - first-wins on every natural key: existing rows never updated
                                             (load_hhs.py:75-82,103)
     """
-    raw = read_hhs_csv(spark, csv_path)
+    return load_hhs_frame(read_hhs_csv(spark, csv_path), warehouse)
+
+
+def load_hhs_frame(raw, warehouse: Warehouse) -> LoadReport:
+    """Frame-level HHS loader: shared by the batch CSV path and the
+    Structured Streaming foreachBatch path (streaming/ingest.py)."""
     cleaned = cleaning.replace_sentinel(raw, BED_METRIC_COLS, HHS_SENTINEL)
     cleaned = cleaning.parse_dates(cleaned, ["collection_week"])
 

@@ -1,0 +1,84 @@
+"""Skew-mitigation operators: salting for hot keys (100 TB design note).
+
+AQE's skew-join splitting (on by default in session.py) handles most
+skew at runtime; explicit salting remains necessary when a *single*
+group key dominates an aggregation (AQE cannot split one hash-agg
+group) or when a non-AQE engine path is forced.
+
+``salted_aggregate`` runs combinable aggregations in two phases:
+  phase 1: groupBy(key, salt) — the hot key's rows spread over N
+           reducers instead of one
+  phase 2: groupBy(key) re-combines the partials
+Results are identical to the direct groupBy for decomposable
+aggregates (sum/count/min/max), which is proven by the q50 oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame:
+    """Uniform deterministic-per-row salt in [0, buckets).
+
+    Uses a hash of all columns rather than rand() so re-runs produce
+    identical partitioning (reproducible plans beat nondeterministic
+    ones for debugging at scale; any uniform spread works for load
+    balancing)."""
+    return df.withColumn(
+        col_name, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    sums: dict[str, Column],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation for decomposable aggregates.
+
+    ``sums`` maps output name -> phase-1 aggregate Column; phase 2
+    re-sums the partials and adds ``n`` (total row count).
+    """
+    keys = list(keys)
+    salted = with_salt(df, buckets)
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        F.count("*").alias("_n"),
+        *[c.alias(f"_p_{name}") for name, c in sums.items()],
+    )
+    return phase1.groupBy(*keys).agg(
+        F.sum("_n").alias("n"),
+        *[F.sum(f"_p_{name}").alias(name) for name in sums],
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    other: DataFrame,
+    key: str,
+    hot_keys: Sequence,
+    buckets: int = 16,
+) -> DataFrame:
+    """Hot-key-targeted salted equi join (both sides too large to
+    broadcast).
+
+    Rows with a hot key are salted on the big side and *replicated*
+    ``buckets``-fold on the other side (only those keys), then joined on
+    (key, salt); cold keys join normally.  The union of the two joins
+    equals the plain join — without one reducer owning an entire hot key.
+    """
+    hot = F.col(key).isin(list(hot_keys))
+    salt_dim = big.sparkSession.range(buckets).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+
+    big_hot = with_salt(big.filter(hot), buckets)
+    other_hot = other.filter(hot).crossJoin(F.broadcast(salt_dim))
+    hot_joined = big_hot.join(other_hot, [key, "_salt"]).drop("_salt")
+
+    cold_joined = big.filter(~hot).join(other.filter(~hot), key)
+    return hot_joined.unionByName(cold_joined)

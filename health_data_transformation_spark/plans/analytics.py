@@ -793,6 +793,66 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q49_salted_join",
+    """SELECT l.l_returnflag, count(*) AS n,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY l.l_returnflag""",
+    "hot-key salted equi join (big x big, neither broadcastable): hot keys "
+    "salted+replicated, cold keys joined plain; union equals the plain join",
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    # any key set works for correctness; in production these come from a
+    # pre-pass like `df.groupBy(key).count().orderBy(desc).limit(k)`
+    hot = [1, 2, 3, 32, 33, 34, 35, 36, 37, 38, 39]
+    joined = salted_join(li, orders, "l_orderkey", hot, buckets=8)
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dec_sum("l_extendedprice", 2).alias("sum_price"),
+    )
+
+
+@register(
+    "q50_salted_agg",
+    f"""SELECT l_returnflag, count(*) AS n,
+               {dec_sum_sql('l_quantity', 2)} AS sum_qty,
+               {dec_sum_sql('l_extendedprice', 2)} AS sum_price
+        FROM lineitem GROUP BY l_returnflag""",
+    "two-phase salted aggregation: groupBy(key, salt) partials re-combined "
+    "by groupBy(key); equals the direct groupBy for decomposable aggs",
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.deterministic import dec
+    from ..operators.skew import salted_aggregate
+
+    li = load_table(spark, sf, "lineitem")
+    # keep DECIMAL through BOTH phases (phase 2 re-sums partials; a double
+    # partial would reintroduce order-dependence) — cast once at the end
+    agged = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": F.sum(dec("l_quantity", 2)),
+            "sum_price": F.sum(dec("l_extendedprice", 2)),
+        },
+        buckets=16,
+    )
+    return agged.select(
+        "l_returnflag",
+        "n",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline extensions: text analysis
 # ---------------------------------------------------------------------------

@@ -1,0 +1,71 @@
+"""Structured Streaming ingest: the weekly-file cadence as a file-source
+stream (SURVEY.md §2.5, §7.1 step 6).
+
+The reference runs `python load_hhs.py <csv>` manually per file drop
+(README.md:26-46).  Streaming form: watch a landing directory, process
+newly arrived files exactly once (checkpointed source offsets),
+``Trigger.AvailableNow`` per run — same batch semantics, no manual
+bookkeeping of which files were loaded.  Each micro-batch reuses the
+*batch* loader via foreachBatch, so validation/dedup/idempotent-append
+semantics are identical by construction — and re-processing after a
+crash is safe because the append itself is an idempotent anti-join
+(D4), giving effectively-exactly-once end to end.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..catalog import Warehouse
+from ..ingest import LoadReport, load_hhs_frame
+from ..schemas import HHS_RAW_SCHEMA
+
+#: file-source streams require a declared schema; CSV schema matches by
+#: POSITION, so landing files must carry exactly these columns in order
+HHS_STREAM_SCHEMA = StructType(
+    [StructField(f.name, StringType()) for f in HHS_RAW_SCHEMA.fields]
+)
+
+
+def stream_load_hhs(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse: Warehouse,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> list[LoadReport]:
+    """Process all unseen files in ``landing_dir`` into the warehouse.
+
+    Returns one LoadReport per micro-batch.  Run repeatedly as new files
+    land; the checkpoint remembers processed files.
+    """
+    reports: list[LoadReport] = []
+
+    stream = (
+        spark.readStream.schema(HHS_STREAM_SCHEMA)
+        .option("header", True)
+        .csv(landing_dir)
+    )
+    typed = stream.select(
+        *[
+            F.col(f.name).try_cast(f.dataType).alias(f.name)
+            for f in HHS_RAW_SCHEMA.fields
+        ]
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        reports.append(load_hhs_frame(batch_df, warehouse))
+
+    query = (
+        typed.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_sec)
+    finally:
+        query.stop()
+    return reports

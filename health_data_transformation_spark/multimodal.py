@@ -59,10 +59,15 @@ def decode_media_stub(payload: bytes) -> dict:
 
 
 def fake_decode(payload: bytes) -> dict:
-    """Deterministic fake decoder: 'features' from the raw bytes."""
+    """Deterministic fake decoder: 'features' from the raw bytes.
+
+    feature_mean is the byte mean floor-quantized to 6 decimals via exact
+    integer arithmetic, so any engine (the DuckDB oracle included) can
+    recompute it bit-identically — no float-rounding-mode dependence.
+    """
     n = len(payload)
-    mean = (sum(payload) / n) if n else 0.0
-    return {"n_bytes": n, "feature_mean": round(mean, 6), "feature_dim": 8}
+    mean = ((sum(payload) * 1_000_000) // n) / 1e6 if n else 0.0
+    return {"n_bytes": n, "feature_mean": mean, "feature_dim": 8}
 
 
 def decode_pipeline(

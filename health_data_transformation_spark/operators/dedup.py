@@ -134,11 +134,21 @@ def lsh_band_buckets(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", band_size: int = 2, num_hashes: int = 8
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    band_size: int = 2,
+    num_hashes: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) colliding on >= 1 LSH band.
 
     Self-join is on the band bucket (tiny shuffle key), not on content.
+
+    ``max_bucket`` drops buckets larger than the cap before the pair
+    expansion — the standard guard at scale: a bucket of size n emits
+    n(n-1)/2 pairs, and oversized buckets come from low-information
+    shingle sets (boilerplate), so capping bounds the quadratic term
+    without losing real near-dups.
     """
     assert num_hashes % band_size == 0
     bands = []
@@ -155,6 +165,12 @@ def lsh_candidate_pairs(
     exploded = bands[0]
     for extra in bands[1:]:
         exploded = exploded.unionAll(extra)
+    if max_bucket is not None:
+        # windowed count beats a groupBy+join: one shuffle on the same key
+        sizes = Window.partitionBy("bucket")
+        exploded = exploded.withColumn("_bn", F.count("*").over(sizes)).filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
     left = exploded.select(F.col("bucket"), F.col(id_col).alias("id_a"))
     right = exploded.select(F.col("bucket"), F.col(id_col).alias("id_b"))
     return (
@@ -162,6 +178,40 @@ def lsh_candidate_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_size: int = 2,
+    num_hashes: int = 8,
+    min_jaccard: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection:
+    shingle -> minhash -> band -> bucket-join candidates -> exact-Jaccard
+    verify -> threshold.
+
+    Scale shape: the only joins are (a) the bucket self-join, whose key
+    cardinality ~= corpus size x bands / avg-bucket-size (tiny rows:
+    id + 32-byte bucket) and whose quadratic term is bounded by
+    ``max_bucket``, and (b) two id-equi joins rehydrating token
+    sets for the *candidate* pairs only — never a quadratic pass over
+    the corpus.  Output: (id_a, id_b, jaccard), id_a < id_b.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, band_size, num_hashes, max_bucket)
+    toks = df.select(F.col(id_col), distinct_tokens(text_col).alias("toks"))
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    jac = F.round(inter / union, 6)
+    return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= min_jaccard
     )
 
 

@@ -853,6 +853,77 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _lsh_near_dup_oracle(min_jaccard: float) -> str:
+    sig_exprs = ",\n".join(
+        f"         list_min(list_transform(t, x -> {hex_hash64_sql('x', f'mh{i}')})) AS sig{i}"
+        for i in range(8)
+    )
+
+    def band(b: int, lo: int) -> str:
+        concat = " || ',' || ".join(f"CAST(sig{j} AS VARCHAR)" for j in range(lo, lo + 4))
+        return f"  SELECT doc_id, md5('{b},' || {concat}) AS bucket FROM sigs\n"
+
+    return (
+        "WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t\n"
+        "              FROM documents),\n"
+        f"sigs AS (SELECT doc_id,\n{sig_exprs}\n  FROM toks),\n"
+        "bands AS (\n"
+        + band(0, 0)
+        + "  UNION ALL\n"
+        + band(1, 4)
+        + "),\n"
+        "capped AS (SELECT doc_id, bucket FROM (\n"
+        "    SELECT doc_id, bucket, count(*) OVER (PARTITION BY bucket) AS bn\n"
+        "    FROM bands) WHERE bn <= 50),\n"
+        "cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        "          FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),\n"
+        "verified AS (\n"
+        "  SELECT c.id_a, c.id_b,\n"
+        "         ROUND(CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)\n"
+        "               / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)) AS DOUBLE),\n"
+        "               6) AS jaccard\n"
+        "  FROM cands c JOIN toks ta ON c.id_a = ta.doc_id\n"
+        "               JOIN toks tb ON c.id_b = tb.doc_id)\n"
+        f"SELECT * FROM verified WHERE jaccard >= {min_jaccard}"
+    )
+
+
+@register(
+    "q51_lsh_near_dup",
+    _lsh_near_dup_oracle(0.4),
+    "end-to-end MinHash-LSH near-dup: shingle -> minhash -> band -> "
+    "bucket-size cap -> bucket-join candidates -> exact-Jaccard verify -> "
+    "threshold (candidate-only verification; never a quadratic corpus pass)",
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return D.lsh_near_dup_pairs(
+        d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
+    )
+
+
+@register(
+    "q53_multimodal_decode",
+    """SELECT doc_id,
+              CAST(strlen(text) AS INTEGER) AS n_bytes,
+              CAST((list_sum(list_transform(string_split(text, ''), x -> ord(x)))
+                    * 1000000) // strlen(text) AS DOUBLE) / 1000000 AS feature_mean,
+              CAST(8 AS INTEGER) AS feature_dim
+       FROM documents WHERE doc_id < 500 AND strlen(text) > 0""",
+    "Arrow-batched mapInPandas media-decode pipeline over an opaque binary "
+    "payload column (deterministic fake decoder; real decoder is the same "
+    "plumbing with an image/audio library)",
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    from .. import multimodal as MM
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter((F.col("doc_id") < 500) & (F.length("text") > 0))
+    )
+    return MM.decode_pipeline(MM.with_payload(d), decode_fn=MM.fake_decode)
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline extensions: text analysis
 # ---------------------------------------------------------------------------
@@ -1035,6 +1106,28 @@ def _simhash_oracle() -> str:
 def q37(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
     return D.simhash(d, bits=SIMHASH_BITS)
+
+
+def _simhash_pairs_oracle(max_hamming: int) -> str:
+    base = _simhash_oracle()  # doc_id, simhash for doc_id < 100
+    return (
+        f"WITH sim AS ({base})\n"
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+        "       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming\n"
+        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id\n"
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )
+
+
+@register(
+    "q52_simhash_near_pairs",
+    _simhash_pairs_oracle(3),
+    "SimHash near-dup pairs within Hamming radius 3 of the 16-bit signature",
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    sim = D.simhash(d, bits=16)
+    return D.simhash_near_pairs(sim, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

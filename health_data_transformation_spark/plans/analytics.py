@@ -903,6 +903,63 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q56_stateful_totals",
+    """SELECT user_id, count(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS total_cents
+       FROM events GROUP BY user_id""",
+    "custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running totals in explicit keyed state; AvailableNow run "
+    "equals the batch GROUP BY",
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.stateful import stateful_user_totals
+
+    return stateful_user_totals(spark, sf)
+
+
+@register(
+    "q54_range_join",
+    """WITH anchors AS (SELECT event_id AS anchor_id, user_id, ts
+                        FROM events WHERE event_type = 'purchase'),
+            priors AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+       SELECT a.anchor_id, a.user_id, count(p.user_id) AS n_prior
+       FROM anchors a LEFT JOIN priors p
+         ON p.user_id = a.user_id
+        AND epoch_us(p.ts) >= epoch_us(a.ts) - 1800000000
+        AND epoch_us(p.ts) <  epoch_us(a.ts)
+       GROUP BY a.anchor_id, a.user_id""",
+    "bucketed range join: per purchase, clicks by the same user in the "
+    "preceding 30 min (right side bucketed once, left exploded to <=2 "
+    "buckets -> plain equi join; no per-key cross product)",
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rangejoin import prior_events_count
+
+    ev = load_table(spark, sf, "events")
+    return prior_events_count(ev, "purchase", "click", window_s=1800)
+
+
+@register(
+    "q55_grouping_sets",
+    f"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+               {dec_sum_sql('l_quantity', 2)} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "GROUPING SETS: three groupings in one pass over the scan "
+    "(generalizes q19 rollup / q28 cube)",
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("q55_lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           FROM q55_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+    )
+
+
+@register(
     "q53_multimodal_decode",
     """SELECT doc_id,
               CAST(strlen(text) AS INTEGER) AS n_bytes,

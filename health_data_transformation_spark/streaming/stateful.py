@@ -1,0 +1,95 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §2.5 extension; the Spark primitive for operators the
+built-in windowed aggregations can't express).
+
+Demonstrated operator: per-user running totals with explicit state.
+The same skeleton carries any keyed accumulator (fraud scores, rate
+limiters, session feature vectors): state is a tuple per key, updates
+are Arrow-batched pandas, eviction is via GroupStateTimeout.
+
+Determinism: the monetary column is pre-quantized to integer cents
+JVM-side (decimal cast), so the Python-side sum is exact integer math —
+order-insensitive and bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..session import ensure_compat
+
+STATE_SCHEMA = "n LONG, total_cents LONG"
+OUTPUT_SCHEMA = "user_id LONG, n LONG, total_cents LONG"
+
+
+def stateful_user_totals(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 300
+) -> DataFrame:
+    """events parquet as a stream -> per-user (count, exact total) held in
+    explicit keyed state, emitted each trigger in update mode.
+
+    With Trigger.AvailableNow the bounded run ends after the data is
+    consumed, so the memory sink holds the final running total per user
+    — equal to the batch GROUP BY by construction.
+    """
+    ensure_compat(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    stage = tempfile.mkdtemp(prefix="hdt_stateful_events_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(static.schema).parquet(stage)
+
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    keyed = stream.select("user_id", cents.alias("cents")).groupBy("user_id")
+
+    def update(key, batches: Iterator["pd.DataFrame"], state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0)
+        for batch in batches:
+            n += len(batch)
+            total += int(batch["cents"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total_cents": [total]})
+
+    out = keyed.applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_sec)
+    finally:
+        query.stop()
+    # update mode appends one row per (key, trigger); keep the last emit
+    # per key (single AvailableNow trigger => already unique, but stay
+    # robust to multi-batch file splits)
+    memo = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        memo.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )

@@ -1,0 +1,76 @@
+"""Physical-plan audit: verify the scale-critical plan properties that
+SCALE.md §2 claims (broadcast joins on dims, filter pushdown, top-k via
+TakeOrderedAndProject, no cartesian/nested-loop joins).
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+Exit code 1 if a FORBIDDEN join strategy appears in an audited plan.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+DEFAULT_QUERIES = [
+    "q03_pricing_summary",
+    "q05_priority_ratio",
+    "q07_top_nations",
+    "q16_topk_orders",
+    "q51_lsh_near_dup",
+    "q54_range_join",
+    "q45_asof_join",
+]
+
+#: joins that must never appear (q52's bounded 100-doc pair scan is the
+#: single deliberate exception and is not in the default audit set)
+FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")
+JOIN_RE = re.compile(
+    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+    r"BroadcastNestedLoopJoin|CartesianProduct)"
+)
+
+
+def formatted_plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or DEFAULT_QUERIES
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as m
+
+    queries = m.queries()
+    failed = False
+    for name in names:
+        plan = formatted_plan(spark, queries[name](spark, sf_dir))
+        joins = JOIN_RE.findall(plan)
+        pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+        interesting = [p for p in pushed if p != "PushedFilters: []"][:3]
+        bad = [j for j in joins if j in FORBIDDEN]
+        status = "FORBIDDEN-JOIN" if bad else "ok"
+        print(
+            f"{status:14s} {name}: joins={joins or '-'} "
+            f"exchanges={plan.count('Exchange')} "
+            f"topk={'TakeOrderedAndProject' in plan}"
+        )
+        for p in interesting:
+            print(f"    {p[:110]}")
+        failed = failed or bool(bad)
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

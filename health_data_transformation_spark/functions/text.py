@@ -36,6 +36,24 @@ def unique_token_count(col: Column | str) -> Column:
     return F.size(distinct_tokens(col))
 
 
+#: BPE-style pre-tokenization: letter runs | digit runs | punctuation runs.
+#: Kept to RE2-compatible constructs so Spark (Java regex) and DuckDB (RE2)
+#: extract identical token streams.
+BPE_PRETOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+
+def regex_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenizer: the subword-merge *input* segmentation
+    (letters/digits/punct split), the standard first stage of
+    GPT-2/tiktoken-style tokenizers."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def regex_tokens_sql(expr: str) -> str:
+    return f"regexp_extract_all({expr}, '{BPE_PRETOKEN_RE}')"
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for near-dup fingerprinting: lowercase, strip
     non-alphanumerics, collapse whitespace."""

@@ -96,3 +96,46 @@ def decode_pipeline(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 16,
+    stride: int = 4,
+) -> DataFrame:
+    """Video-style frame sampling over an opaque binary payload.
+
+    Treats the payload as a sequence of ``frame_bytes``-sized frames and
+    emits every ``stride``-th frame's fingerprint — the shape of a
+    keyframe-extraction pipeline (N input rows -> variable output rows,
+    bounded by len/frame_bytes/stride).  Real video decode drops into
+    the same ``mapInPandas`` slot; the frame hash stands in for the
+    decoded tensor.
+    """
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload)
+                n_frames = math.ceil(len(payload) / frame_bytes)
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(
+                            payload[i * frame_bytes : (i + 1) * frame_bytes]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)

@@ -981,6 +981,51 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
     return MM.decode_pipeline(MM.with_payload(d), decode_fn=MM.fake_decode)
 
 
+@register(
+    "q57_regex_tokens",
+    """SELECT lang,
+              CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+'))) AS BIGINT)
+                AS sum_pretokens,
+              CAST(sum(len(list_filter(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+'),
+                                       x -> regexp_matches(x, '^[0-9]+$')))) AS BIGINT)
+                AS sum_digit_runs,
+              count(*) AS n_docs
+       FROM documents GROUP BY lang""",
+    "BPE-style regex pre-tokenization (letter/digit/punct runs): the "
+    "first stage of GPT-2/tiktoken tokenizers, JVM-side regex",
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = T.regex_tokens("text")
+    digit_runs = F.filter(toks, lambda x: x.rlike("^[0-9]+$"))
+    return d.groupBy("lang").agg(
+        F.sum(F.size(toks)).alias("sum_pretokens"),
+        F.sum(F.size(digit_runs)).alias("sum_digit_runs"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register(
+    "q58_frame_sample",
+    """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+              md5(substr(text, CAST(i AS INTEGER) * 16 + 1, 16)) AS frame_md5
+       FROM documents
+       CROSS JOIN UNNEST(range(0, CAST(ceil(strlen(text) / 16.0) AS BIGINT), 4)) AS t(i)
+       WHERE doc_id < 200 AND strlen(text) > 0""",
+    "multimodal frame sampling: payload -> every 4th 16-byte frame's "
+    "fingerprint via mapInPandas (keyframe-extraction plumbing; real "
+    "video decode drops into the same slot)",
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    from .. import multimodal as MM
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter((F.col("doc_id") < 200) & (F.length("text") > 0))
+    )
+    return MM.frame_sample(MM.with_payload(d), frame_bytes=16, stride=4)
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline extensions: text analysis
 # ---------------------------------------------------------------------------

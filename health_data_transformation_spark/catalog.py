@@ -86,6 +86,52 @@ class Warehouse:
             self.append(fresh, table)
         return n
 
+    def compact(self, table: str, target_file_mb: int = 128) -> int:
+        """Bin-pack small files: rewrite the table at ~target_file_mb per
+        file, preserving the partition layout.
+
+        Incremental appends (weekly loads) accrete one small file per
+        batch per partition; at warehouse scale the file-listing and
+        per-file open costs come to dominate scans long before data
+        volume does.  Rewrite-to-temp then atomic swap keeps readers
+        consistent (single-writer assumption, same as the reference's
+        per-file transaction).  Returns the resulting file count.
+        """
+        import shutil
+
+        if not self.exists(table):
+            return 0
+        df = self.read(table)
+        size_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(self.path(table))
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, round(size_bytes / (target_file_mb * 1024 * 1024)))
+
+        tmp = self.path(table) + ".compact_tmp"
+        cols = [f.name for f in TABLE_SCHEMAS[table].fields]
+        parts = TABLE_PARTITIONS.get(table, [])
+        # repartition by the partition columns so each output partition
+        # dir gets coalesced files (not one file per input task)
+        out = df.select(*cols)
+        out = out.repartition(n_files, *parts) if parts else out.repartition(n_files)
+        writer = out.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(tmp)
+
+        final = self.path(table)
+        shutil.rmtree(final)
+        os.rename(tmp, final)
+        return sum(
+            1
+            for _, _, files in os.walk(final)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
     def quarantine(self, df: DataFrame, name: str) -> None:
         """Write rejected input rows verbatim (plus _failed_rules) as CSV,
         mirroring invalid_data/*.csv (load_hhs.py:153-155)."""

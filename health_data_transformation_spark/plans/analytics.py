@@ -1026,6 +1026,83 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
     return MM.frame_sample(MM.with_payload(d), frame_bytes=16, stride=4)
 
 
+@register(
+    "q59_full_outer_join",
+    """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+            s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+                  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+       SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+       FROM c FULL OUTER JOIN s ON c.nk = s.nk""",
+    "full outer join with genuinely unmatched sides (high-balance "
+    "customers vs suppliers per nation) — completes the join-type family",
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "q60_lag_lead",
+    """SELECT event_id, user_id,
+              CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT) AS us_since_prev,
+              lead(event_type) OVER w AS next_type
+       FROM events WHERE user_id < 20
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "lag/lead window functions: inter-event gaps and next-event type "
+    "per user (one shuffle on the partition key)",
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("us_since_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "q61_unpivot",
+    f"""WITH agg AS (SELECT l_returnflag,
+                            {dec_sum_sql('l_quantity', 2)} AS sum_qty,
+                            {dec_sum_sql('l_extendedprice', 2)} AS sum_price
+                     FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM agg""",
+    "unpivot/melt: wide aggregate columns -> (metric, value) rows "
+    "(inverse of q29 pivot)",
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dec_sum("l_quantity", 2).alias("sum_qty"),
+        dec_sum("l_extendedprice", 2).alias("sum_price"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline extensions: text analysis
 # ---------------------------------------------------------------------------

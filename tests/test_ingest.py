@@ -99,3 +99,29 @@ def test_load_quality_new_snapshot_same_facilities(spark, warehouse, cms_csv_1):
     report = load_quality(spark, cms_csv_1, "2023-01-01", warehouse)
     assert report.table_rows_added["hospital_quality_information"] == 4
     assert warehouse.read("hospital_quality_information").count() == 8
+
+
+def test_compact_preserves_contents(spark, warehouse, hhs_csv_1, hhs_csv_2):
+    load_hhs(spark, hhs_csv_1, warehouse)
+    load_hhs(spark, hhs_csv_2, warehouse)
+    before = sorted(
+        tuple(r) for r in warehouse.read("hospital_bed_information").collect()
+    )
+    import glob
+    import os
+
+    files_before = len(
+        glob.glob(
+            os.path.join(warehouse.path("hospital_bed_information"), "**", "*.parquet"),
+            recursive=True,
+        )
+    )
+    n_files = warehouse.compact("hospital_bed_information")
+    after = sorted(
+        tuple(r) for r in warehouse.read("hospital_bed_information").collect()
+    )
+    assert after == before
+    assert n_files <= files_before
+    # idempotent append still works post-compaction
+    report = load_hhs(spark, hhs_csv_2, warehouse)
+    assert report.table_rows_added["hospital_bed_information"] == 0

@@ -1027,6 +1027,33 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q62_stream_session_windows",
+    """WITH flagged AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 900000000
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sessions AS (
+         SELECT user_id, ts,
+                SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+         FROM flagged)
+       SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              count(*) AS n_events
+       FROM sessions GROUP BY user_id, sidx""",
+    "built-in session_window on a stream (AvailableNow): dynamic "
+    "event-time windows merging within a 15-min gap; equals the batch "
+    "gap-sessionization (state = one interval per open session per key)",
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.windows import stream_session_windows
+
+    return stream_session_windows(spark, sf, gap_minutes=15)
+
+
+@register(
     "q59_full_outer_join",
     """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
                   FROM customer WHERE c_acctbal > 9000 GROUP BY 1),

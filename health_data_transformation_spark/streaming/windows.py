@@ -67,6 +67,58 @@ def stream_window_counts(
     return spark.table(name)
 
 
+def stream_session_windows(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 15, timeout_sec: int = 300
+) -> DataFrame:
+    """events parquet as a stream -> built-in ``session_window`` (dynamic
+    event-time windows that merge while events arrive within the gap).
+
+    The streaming twin of the batch sessionization operator
+    (operators/sessions.py, q46): same gap semantics (an event exactly
+    ``gap`` after the last starts a new session), state = one interval
+    per open session per key, merged incrementally.
+    """
+    ensure_compat(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    import os
+    import tempfile
+    import uuid
+
+    stage = tempfile.mkdtemp(prefix="hdt_stream_sessions_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(static.schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_sec)
+    finally:
+        query.stop()
+    return spark.table(name)
+
+
 def stream_dedup_ingest(
     spark: SparkSession,
     source_dir: str,

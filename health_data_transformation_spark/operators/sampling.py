@@ -1,0 +1,48 @@
+"""Deterministic sampling & split assignment for training-data pipelines.
+
+`df.sample()`/`sampleBy()` are seed-based but partition-layout-dependent
+(a repartition changes which rows are picked) — unacceptable for
+reproducible dataset builds at 100 TB, where the same document must land
+in the same split across reruns, engines, and cluster sizes.  The
+content-hash form used here (md5 of a stable id -> bucket in [0, 1000))
+is layout-independent, engine-portable (the DuckDB oracle recomputes it
+bit-for-bit), and O(1) per row with no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions.text import hex_hash64
+
+BUCKETS = 1000
+
+
+def hash_bucket(id_col: Column | str) -> Column:
+    """Stable bucket in [0, 1000) from a row id (not from layout/seed)."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(hex_hash64(col.cast("string")), F.lit(BUCKETS))
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Keep ~fraction of rows, deterministically by id hash."""
+    return df.filter(hash_bucket(id_col) < int(fraction * BUCKETS))
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    cuts: Sequence[tuple[str, int]] = (("train", 800), ("valid", 900), ("test", BUCKETS)),
+    out_col: str = "split",
+) -> DataFrame:
+    """Label rows train/valid/test (or any cumulative-cut scheme) by id
+    hash; the assignment survives reruns, repartitions, and engines."""
+    b = hash_bucket(id_col)
+    # build right-to-left: b < cut1 -> name1 elif b < cut2 -> name2 ... else last
+    expr: Column | None = None
+    for name, cut in reversed(list(cuts)):
+        expr = F.lit(name) if expr is None else F.when(b < cut, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

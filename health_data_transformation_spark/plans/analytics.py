@@ -1054,6 +1054,57 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q63_hash_split",
+    f"""SELECT split, count(*) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM (SELECT doc_id,
+                     CASE WHEN {hex_hash64_sql('CAST(doc_id AS VARCHAR)')} % 1000 < 800 THEN 'train'
+                          WHEN {hex_hash64_sql('CAST(doc_id AS VARCHAR)')} % 1000 < 900 THEN 'valid'
+                          ELSE 'test' END AS split
+              FROM documents)
+        GROUP BY split""",
+    "deterministic content-hash train/valid/test split: "
+    "layout/seed-independent (same doc -> same split across reruns, "
+    "engines, cluster sizes), no shuffle",
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import assign_split
+
+    d = load_table(spark, sf, "documents")
+    return (
+        assign_split(d, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "q64_profile",
+    """SELECT 'lang' AS column, count(*) AS n_rows,
+              count(*) - count(lang) AS n_null,
+              count(DISTINCT lang) AS n_distinct FROM documents
+       UNION ALL
+       SELECT 'source', count(*), count(*) - count(source),
+              count(DISTINCT source) FROM documents
+       UNION ALL
+       SELECT 'n_chars', count(*), count(*) - count(n_chars),
+              count(DISTINCT n_chars) FROM documents""",
+    "single-pass column profiler: rows/nulls/distincts per column in one "
+    "scan (Expand-planned multi-distinct), unpivoted to rows",
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profile import profile_columns
+
+    d = load_table(spark, sf, "documents")
+    return profile_columns(d, ["lang", "source", "n_chars"])
+
+
+@register(
     "q59_full_outer_join",
     """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
                   FROM customer WHERE c_acctbal > 9000 GROUP BY 1),

@@ -165,3 +165,24 @@ def test_top_and_bottom(spark):
     out = topk.top_and_bottom(df, "v", "k", 1)
     got = {(r["side"], r["k"]) for r in out.collect()}
     assert got == {("top", "c"), ("bottom", "a")}
+
+
+def test_hash_sample_is_layout_independent(spark):
+    from health_data_transformation_spark.operators.sampling import (
+        assign_split,
+        hash_sample,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.1).collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(df.repartition(17), "doc_id", 0.1).collect()
+    }
+    assert a == b  # layout must not affect membership
+    assert 0.05 < len(a) / 2000 < 0.15
+
+    splits = assign_split(df, "doc_id").groupBy("split").count().collect()
+    got = {r["split"]: r["count"] for r in splits}
+    assert set(got) == {"train", "valid", "test"}
+    assert got["train"] > got["valid"] and got["train"] > got["test"]

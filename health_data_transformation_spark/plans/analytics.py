@@ -1105,6 +1105,108 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q65_token_chunks",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents WHERE doc_id < 300),
+            ex AS (SELECT doc_id, t, CAST(off AS INTEGER) AS off
+                   FROM toks CROSS JOIN
+                        UNNEST(range(0, CAST(greatest(len(t) - 1, 0) AS BIGINT) + 1, 16))
+                          AS u(off))
+       SELECT doc_id, CAST(off / 16 AS INTEGER) AS chunk_idx,
+              CAST(len(list_slice(t, off + 1, least(off + 32, len(t)))) AS INTEGER)
+                AS n_tokens,
+              md5(array_to_string(list_slice(t, off + 1, least(off + 32, len(t))), ' '))
+                AS chunk_hash
+       FROM ex""",
+    "context-window chunking: overlapping 32-token windows, stride 16 "
+    "(JVM-side sequence+explode+slice — no Python in the hot path)",
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    toks = T.tokens("text")
+    offsets = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(16)
+    )
+    ex = d.select(
+        "doc_id", toks.alias("t"), F.explode(offsets).alias("off")
+    )
+    chunk = F.slice("t", F.col("off") + 1, F.lit(32))
+    return ex.select(
+        "doc_id",
+        (F.col("off") / 16).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+@register(
+    "q66_pack_bins",
+    """WITH sized AS (
+         SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+         FROM documents),
+       packed AS (
+         SELECT lang, doc_id, n_tok,
+                CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            - n_tok) / 2048.0) AS BIGINT) AS bin_id
+         FROM sized)
+       SELECT lang, bin_id, count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens
+       FROM packed GROUP BY lang, bin_id""",
+    "context-window packing: docs binned to ~2048-token bins per lang "
+    "via exclusive prefix sum (deterministic; one shuffle on lang)",
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    sized = d.select(
+        "lang", "doc_id", F.size(T.tokens("text")).alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = sized.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048.0).cast("long"),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "q67_corr_moments",
+    """SELECT l_returnflag, n,
+              ROUND((n * sxy - sx * sy)
+                    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+       FROM (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
+                    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS syy,
+                    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+             FROM lineitem GROUP BY l_returnflag)""",
+    "Pearson correlation from exact decimal moments (order-insensitive, "
+    "unlike native corr() over shuffled doubles); n emitted for audit",
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    agged = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(qty.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(price.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((qty * qty).cast("decimal(24,4)")).cast("double").alias("sxx"),
+        F.sum((price * price).cast("decimal(24,4)")).cast("double").alias("syy"),
+        F.sum((qty * price).cast("decimal(24,4)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agged.select("l_returnflag", "n", F.round(corr, 6).alias("corr"))
+
+
+@register(
     "q59_full_outer_join",
     """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
                   FROM customer WHERE c_acctbal > 9000 GROUP BY 1),

@@ -316,19 +316,28 @@ def embedding_near_dup_pairs(
     Blocked (e.g. by an IVF/LSH bucket) to avoid all-pairs; with no
     block this is the exact quadratic baseline for small N.
     """
+    from ..functions.vector import dot, norm
+
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
-    base = df.select(*cols)
+    # precompute each row's norm BEFORE the pair join: O(n) higher-order
+    # folds instead of O(pairs); dot/(na*nb) is bit-identical to the
+    # recomputed-cosine expression (same float ops, same order)
+    base = df.select(*cols).withColumn("_norm", norm(vec_col))
     a = base.select(
         *([F.col(block_col)] if block_col else []),
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        F.col("_norm").alias("_norm_a"),
     )
     b = base.select(
         *([F.col(block_col)] if block_col else []),
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        F.col("_norm").alias("_norm_b"),
     )
     joined = a.join(b, [block_col]) if block_col else a.crossJoin(b)
     joined = joined.filter(F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    sim = F.round(
+        dot(F.col("vec_a"), F.col("vec_b")) / (F.col("_norm_a") * F.col("_norm_b")), 6
+    )
     return joined.select("id_a", "id_b", sim.alias("cos_sim")).filter(
         F.col("cos_sim") >= min_cosine
     )

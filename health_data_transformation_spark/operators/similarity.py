@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from ..functions.vector import cosine
+from ..functions.vector import dot, norm
 
 
 def _with_query(df: DataFrame, query: DataFrame, vec_col: str) -> DataFrame:
@@ -29,8 +29,14 @@ def cosine_scores(
     df: DataFrame, query: DataFrame, vec_col: str = "embedding",
     query_col: str = "qv", out_col: str = "sim", scale: int = 6,
 ) -> DataFrame:
+    # query norm folded once into the broadcast row, not once per scanned
+    # row; dot/(nv*nq) is bit-identical to the recomputed-cosine expr
+    query = query.withColumn("_qnorm", norm(query_col))
     scored = _with_query(df, query, vec_col)
-    return scored.withColumn(out_col, F.round(cosine(F.col(vec_col), F.col(query_col)), scale))
+    sim = dot(F.col(vec_col), F.col(query_col)) / (
+        norm(F.col(vec_col)) * F.col("_qnorm")
+    )
+    return scored.withColumn(out_col, F.round(sim, scale))
 
 
 def brute_force_top_k(

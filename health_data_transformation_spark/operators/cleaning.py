@@ -62,6 +62,28 @@ def parse_dates(df: DataFrame, columns: Sequence[str], fmt: str = "yyyy-MM-dd") 
     return df.withColumns({c: F.to_date(F.col(c), fmt) for c in columns})
 
 
+def parse_point(df: DataFrame, column: str, out_col: str = "geo") -> DataFrame:
+    """Parse a WKT ``POINT (lon lat)`` string into
+    struct<lon:double, lat:double> (null on malformed input).
+
+    The reference stores `geocoded_hospital_address` as an opaque
+    VARCHAR(50) (design_table_schema.ipynb cell 1) and never parses it;
+    typed lon/lat enables distance predicates and geo bucketing
+    (SURVEY.md §7.4 extension).
+    """
+    lon = F.regexp_extract(F.col(column), r"POINT \((-?[\d.]+) (-?[\d.]+)\)", 1)
+    lat = F.regexp_extract(F.col(column), r"POINT \((-?[\d.]+) (-?[\d.]+)\)", 2)
+    return df.withColumn(
+        out_col,
+        F.when(
+            (lon != "") & (lat != ""),
+            F.struct(
+                lon.cast("double").alias("lon"), lat.cast("double").alias("lat")
+            ),
+        ),
+    )
+
+
 def stamp_literal(df: DataFrame, column: str, value, dtype: str | None = None) -> DataFrame:
     col = F.lit(value)
     if dtype:

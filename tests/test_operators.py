@@ -186,3 +186,14 @@ def test_hash_sample_is_layout_independent(spark):
     got = {r["split"]: r["count"] for r in splits}
     assert set(got) == {"train", "valid", "test"}
     assert got["train"] > got["valid"] and got["train"] > got["test"]
+
+
+def test_parse_point(spark):
+    from health_data_transformation_spark.operators.cleaning import parse_point
+
+    df = spark.createDataFrame(
+        [("POINT (-79.9 40.4)",), ("garbage",), (None,)], "g string"
+    )
+    rows = parse_point(df, "g").collect()
+    assert rows[0]["geo"]["lon"] == -79.9 and rows[0]["geo"]["lat"] == 40.4
+    assert rows[1]["geo"] is None and rows[2]["geo"] is None

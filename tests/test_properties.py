@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis): custom operators must equal their
+naive/built-in equivalents on arbitrary inputs, not just fixtures.
+
+Examples are kept small and few (each runs Spark jobs); the properties
+are the point — equivalence holds for *any* data, including empty
+groups, all-duplicate keys, and adversarial timestamp collisions.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_kv = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-1000, 1000)), min_size=0, max_size=40
+)
+
+
+@given(data=rows_kv)
+@settings(**SETTINGS)
+def test_salted_aggregate_equals_groupby(spark, data):
+    from health_data_transformation_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in data] or [(0, 0.0)], "k long, v double"
+    )
+    direct = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["s"])
+        for r in salted_aggregate(df, ["k"], {"s": F.sum("v")}, buckets=4).collect()
+    }
+    assert salted == direct
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), max_size=15),
+)
+@settings(**SETTINGS)
+def test_range_join_equals_naive(spark, left, right):
+    from health_data_transformation_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)]
+        or [(0, 0, base)],
+        "lid long, k long, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(right)]
+        or [(0, 0, base)],
+        "rid long, k long, rts timestamp",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in bucketed_range_join(ldf, rdf, ["k"], "lts", "rts", -10, 0).collect()
+    )
+    naive = sorted(
+        (r["lid"], r["rid"])
+        for r in ldf.join(
+            rdf,
+            (ldf.k == rdf.k)
+            & (rdf.rts >= ldf.lts - F.expr("INTERVAL 10 SECONDS"))
+            & (rdf.rts < ldf.lts),
+        ).collect()
+    )
+    assert got == naive
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 60)),
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_asof_join_equals_naive(spark, events):
+    """asof: each probe row gets the build row with the greatest ts <= its
+    ts for the same key (tiebroken by id), or null."""
+    from health_data_transformation_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, k, base + dt.timedelta(seconds=s), typ % 2 == 0)
+        for i, (k, s, typ) in enumerate(events)
+    ]
+    probes = [(i, k, ts) for i, k, ts, is_probe in rows if is_probe] or [
+        (0, 0, base)
+    ]
+    builds = [(i, k, ts) for i, k, ts, is_probe in rows if not is_probe] or [
+        (1, 0, base)
+    ]
+    pdf = spark.createDataFrame(probes, "pid long, k long, pts timestamp")
+    bdf = spark.createDataFrame(builds, "bid long, k long, bts timestamp")
+
+    got = {
+        r["pid"]: r["bid"]
+        for r in asof_join(
+            pdf.select("pid", "k", F.col("pts").alias("ts")),
+            bdf.select("k", F.col("bts").alias("ts"), "bid"),
+            ["k"],
+            "ts",
+            "ts",
+            ["bid"],
+            tiebreak="pid",
+        ).collect()
+    }
+    expected = {}
+    for pid, pk, pts in probes:
+        cands = [(bts, bid) for bid, bk, bts in builds if bk == pk and bts <= pts]
+        expected[pid] = max(cands)[1] if cands else None
+    assert got == expected

@@ -1207,6 +1207,87 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q68_ntile_buckets",
+    """SELECT q, count(*) AS n,
+              CAST(min(c_acctbal) AS DOUBLE) AS lo,
+              CAST(max(c_acctbal) AS DOUBLE) AS hi
+       FROM (SELECT c_acctbal,
+                    ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS q
+             FROM customer)
+       GROUP BY q""",
+    "ntile decile bucketing (total-order window, tiebroken for "
+    "determinism) + per-bucket bounds",
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).cast("long").alias("q"))
+        .groupBy("q")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").cast("double").alias("lo"),
+            F.max("c_acctbal").cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
+    "q69_levenshtein_pairs",
+    """WITH names AS (SELECT c_custkey, c_name, c_nationkey
+                      FROM customer WHERE c_custkey < 200)
+       SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+              CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+       FROM names a JOIN names b
+         ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+       WHERE levenshtein(a.c_name, b.c_name) <= 3""",
+    "edit-distance entity resolution: near-identical names within a "
+    "blocking key (the D1 dup-probe generalized to fuzzy matching; at "
+    "scale the block is an LSH bucket)",
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+    a = c.select(
+        F.col("c_nationkey"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = c.select(
+        F.col("c_nationkey"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    joined = a.join(b, "c_nationkey").filter(F.col("id_a") < F.col("id_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return joined.select("id_a", "id_b", dist.alias("dist")).filter(
+        F.col("dist") <= 3
+    )
+
+
+@register(
+    "q70_sorted_collect",
+    """SELECT c_mktsegment,
+              array_to_string(list_sort(list_distinct(list(c_nationkey))), ',')
+                AS nations
+       FROM customer GROUP BY c_mktsegment""",
+    "deterministic array aggregation: distinct+sorted collect per group "
+    "(plain collect_list order is partition-dependent; sort makes it "
+    "engine-stable), serialized for the value-hash comparator",
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("c_nationkey"))).alias(
+            "nations"
+        )
+    )
+
+
+@register(
     "q59_full_outer_join",
     """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
                   FROM customer WHERE c_acctbal > 9000 GROUP BY 1),

@@ -125,3 +125,66 @@ def test_compact_preserves_contents(spark, warehouse, hhs_csv_1, hhs_csv_2):
     # idempotent append still works post-compaction
     report = load_hhs(spark, hhs_csv_2, warehouse)
     assert report.table_rows_added["hospital_bed_information"] == 0
+
+
+def test_incremental_rollup_refresh(spark, warehouse, hhs_csv_1, hhs_csv_2, tmp_path):
+    """Continuous-aggregate maintenance: each load refreshes only the
+    collection_weeks it touched; untouched rollup partitions keep their
+    files (and contents equal a full recompute)."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from health_data_transformation_spark.operators.rollup import (
+        refresh_rollup,
+        touched_partitions,
+    )
+
+    rollup_path = str(tmp_path / "rollup_weekly_beds")
+
+    def weekly_agg(df):
+        return df.groupBy("collection_week").agg(
+            F.count("*").alias("n_hospitals"),
+            F.sum(F.col("total_icu_beds_7_day_avg").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("icu_beds"),
+        )
+
+    def refresh_after(load_report_weeks):
+        fact = warehouse.read("hospital_bed_information")
+        return refresh_rollup(
+            fact, rollup_path, "collection_week", load_report_weeks, weekly_agg
+        )
+
+    load_hhs(spark, hhs_csv_1, warehouse)
+    fact1 = warehouse.read("hospital_bed_information")
+    refresh_after(touched_partitions(fact1, "collection_week"))
+    first_files = {
+        p for p in glob.glob(os.path.join(rollup_path, "*", "*.parquet"))
+    }
+    mtimes = {p: os.path.getmtime(p) for p in first_files}
+
+    # second load touches only 2022-10-07 (H1 re-delivery is deduped away)
+    load_hhs(spark, hhs_csv_2, warehouse)
+    import datetime as dt
+
+    refresh_after([dt.date(2022, 10, 7)])
+
+    # untouched week partitions were not rewritten
+    for p, m in mtimes.items():
+        if "2022-10-07" not in p and os.path.exists(p):
+            assert os.path.getmtime(p) == m
+
+    # rollup equals a full recompute of the fact table
+    full = {
+        (str(r["collection_week"]), r["n_hospitals"], r["icu_beds"])
+        for r in weekly_agg(warehouse.read("hospital_bed_information")).collect()
+    }
+    stored = {
+        (str(r["collection_week"]), r["n_hospitals"], r["icu_beds"])
+        for r in spark.read.parquet(rollup_path)
+        .select("collection_week", "n_hospitals", "icu_beds")
+        .collect()
+    }
+    assert stored == full

@@ -70,17 +70,26 @@ def stateful_user_totals(
     )
 
     name = f"stateful_{uuid.uuid4().hex[:8]}"
-    query = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # each shuffle partition materializes a state-store instance; for a
+    # bounded keyed-state run the per-store fixed cost dominates, so run
+    # the stateful stage narrow (key count here is small; a production
+    # stream sizes this to keys x state-size / executor memory)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        query.awaitTermination(timeout_sec)
+        query = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(timeout_sec)
+        finally:
+            query.stop()
     finally:
-        query.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # update mode appends one row per (key, trigger); keep the last emit
     # per key (single AvailableNow trigger => already unique, but stay
     # robust to multi-batch file splits)

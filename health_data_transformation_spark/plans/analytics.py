@@ -1288,6 +1288,42 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q71_snapshot_diff",
+    f"""WITH old AS (SELECT user_id, count(*) AS n FROM events
+                     WHERE ts < TIMESTAMP '{EVENTS_CUTOFF}' GROUP BY user_id),
+            new AS (SELECT user_id, count(*) AS n FROM events
+                     WHERE ts < TIMESTAMP '{EVENTS_CUM_CUTOFF}' GROUP BY user_id)
+       SELECT COALESCE(old.user_id, new.user_id) AS user_id,
+              CASE WHEN old.user_id IS NULL THEN 'inserted'
+                   WHEN new.user_id IS NULL THEN 'deleted'
+                   WHEN old.n IS DISTINCT FROM new.n THEN 'changed'
+              END AS change_type
+       FROM old FULL OUTER JOIN new ON old.user_id = new.user_id
+       WHERE CASE WHEN old.user_id IS NULL THEN 'inserted'
+                  WHEN new.user_id IS NULL THEN 'deleted'
+                  WHEN old.n IS DISTINCT FROM new.n THEN 'changed'
+             END IS NOT NULL""",
+    "CDC between snapshots: per-user activity at two cutoffs diffed into "
+    "inserted/deleted/changed (one full-outer join, null-safe compare)",
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.scd import snapshot_diff
+
+    ev = load_table(spark, sf, "events")
+    old = (
+        ev.filter(F.col("ts") < _ts_lit(ev, "ts", EVENTS_CUTOFF))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    new = (
+        ev.filter(F.col("ts") < _ts_lit(ev, "ts", EVENTS_CUM_CUTOFF))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return snapshot_diff(old, new, ["user_id"], ["n"])
+
+
+@register(
     "q59_full_outer_join",
     """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
                   FROM customer WHERE c_acctbal > 9000 GROUP BY 1),

@@ -1,0 +1,97 @@
+"""CDC / SCD2 operator tests (operators/scd.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from health_data_transformation_spark.operators.scd import scd2_apply, snapshot_diff
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    old = spark.createDataFrame(
+        [("H1", 4.0), ("H2", 3.0), ("H3", None), ("H4", 2.0)],
+        "facility_id string, rating double",
+    )
+    new = spark.createDataFrame(
+        [("H1", 4.0), ("H2", 5.0), ("H3", 1.0), ("H5", 2.0)],
+        "facility_id string, rating double",
+    )
+    got = {
+        r["facility_id"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["facility_id"], ["rating"]).collect()
+    }
+    # H1 unchanged -> omitted; H3 null->1.0 is a change (null-safe compare)
+    assert got == {
+        "H2": "changed",
+        "H3": "changed",
+        "H4": "deleted",
+        "H5": "inserted",
+    }
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(
+        rows, "facility_id string, rating double, valid_from date, valid_to date"
+    )
+
+
+def test_scd2_apply_builds_history(spark):
+    d1, d2, d3 = dt.date(2024, 1, 1), dt.date(2024, 2, 1), dt.date(2024, 3, 1)
+    empty = _hist(spark, [])
+
+    snap1 = spark.createDataFrame(
+        [("H1", 4.0, d1), ("H2", 3.0, d1)],
+        "facility_id string, rating double, data_date date",
+    )
+    h1 = scd2_apply(empty, snap1, ["facility_id"], ["rating"], "data_date")
+    assert {(r["facility_id"], r["rating"], r["valid_from"], r["valid_to"])
+            for r in h1.collect()} == {("H1", 4.0, d1, None), ("H2", 3.0, d1, None)}
+
+    # snapshot 2: H1 changes, H2 unchanged, H3 appears
+    snap2 = spark.createDataFrame(
+        [("H1", 5.0, d2), ("H2", 3.0, d2), ("H3", 2.0, d2)],
+        "facility_id string, rating double, data_date date",
+    )
+    h2 = scd2_apply(h1, snap2, ["facility_id"], ["rating"], "data_date")
+    rows = {
+        (r["facility_id"], r["rating"], r["valid_from"], r["valid_to"])
+        for r in h2.collect()
+    }
+    assert rows == {
+        ("H1", 4.0, d1, d2),   # closed
+        ("H1", 5.0, d2, None),  # new open version
+        ("H2", 3.0, d1, None),  # untouched
+        ("H3", 2.0, d2, None),  # new key
+    }
+
+    # idempotent re-delivery of the same snapshot is a no-op
+    h2b = scd2_apply(h2, snap2, ["facility_id"], ["rating"], "data_date")
+    rows_b = {
+        (r["facility_id"], r["rating"], r["valid_from"], r["valid_to"])
+        for r in h2b.collect()
+    }
+    assert rows_b == rows
+
+    # point-in-time query: rating as of mid-February
+    asof = dt.date(2024, 2, 15)
+    import pyspark.sql.functions as F
+
+    current = h2.filter(
+        (F.col("valid_from") <= F.lit(asof))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(asof)))
+    )
+    got = {r["facility_id"]: r["rating"] for r in current.collect()}
+    assert got == {"H1": 5.0, "H2": 3.0, "H3": 2.0}
+
+    # snapshot 3: H3 disappears (no update -> stays open; deletions are
+    # modeled upstream via snapshot_diff if required)
+    snap3 = spark.createDataFrame(
+        [("H1", 5.0, d3), ("H2", 1.0, d3)],
+        "facility_id string, rating double, data_date date",
+    )
+    h3 = scd2_apply(h2, snap3, ["facility_id"], ["rating"], "data_date")
+    open_now = {
+        r["facility_id"]: r["rating"]
+        for r in h3.filter(F.col("valid_to").isNull()).collect()
+    }
+    assert open_now == {"H1": 5.0, "H2": 1.0, "H3": 2.0}

@@ -86,6 +86,55 @@ class Warehouse:
             self.append(fresh, table)
         return n
 
+    def upsert_last_wins(
+        self, df: DataFrame, table: str, keys: Sequence[str] | None = None
+    ) -> int:
+        """MERGE-style upsert: incoming rows REPLACE existing rows with
+        the same key (the complement of append_idempotent's first-wins).
+
+        Emulated without a table format: for a partitioned table, only
+        the partitions present in the batch are rewritten (anti-join of
+        the old partition contents against the batch keys, union the
+        batch, dynamic partition overwrite) — cost scales with the batch
+        partitions, not table history.  Unpartitioned tables rewrite
+        whole (they are dimension-sized by design).  Returns batch rows
+        applied.
+        """
+        keys = list(keys or TABLE_KEYS[table])
+        cols = [f.name for f in TABLE_SCHEMAS[table].fields]
+        batch = df.select(*cols).dropDuplicates(keys)
+        n = batch.count()
+        if not n:
+            return 0
+        if not self.exists(table):
+            self.append(batch, table)
+            return n
+
+        parts = TABLE_PARTITIONS.get(table, [])
+        existing = self.read(table)
+        if parts:
+            part_vals = batch.select(*parts).distinct()
+            touched = existing.join(F.broadcast(part_vals), parts, "left_semi")
+            survivors = touched.join(batch.select(*keys), keys, "left_anti")
+            # materialize BEFORE overwriting the path being read from
+            merged = survivors.unionByName(batch).localCheckpoint()
+            spark = df.sparkSession
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    merged.write.mode("overwrite")
+                    .partitionBy(*parts)
+                    .parquet(self.path(table))
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            survivors = existing.join(batch.select(*keys), keys, "left_anti")
+            merged = survivors.unionByName(batch).localCheckpoint()
+            merged.write.mode("overwrite").parquet(self.path(table))
+        return n
+
     def compact(self, table: str, target_file_mb: int = 128) -> int:
         """Bin-pack small files: rewrite the table at ~target_file_mb per
         file, preserving the partition layout.

@@ -1,1 +1,7 @@
-from .windows import stream_window_counts  # noqa: F401
+from .ingest import stream_load_hhs  # noqa: F401
+from .stateful import stateful_user_totals  # noqa: F401
+from .windows import (  # noqa: F401
+    stream_dedup_ingest,
+    stream_session_windows,
+    stream_window_counts,
+)

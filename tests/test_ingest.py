@@ -188,3 +188,47 @@ def test_incremental_rollup_refresh(spark, warehouse, hhs_csv_1, hhs_csv_2, tmp_
         .collect()
     }
     assert stored == full
+
+
+def test_upsert_last_wins(spark, warehouse, hhs_csv_1):
+    """The MERGE-style complement of first-wins: re-delivered keys
+    REPLACE the stored rows; untouched rows survive."""
+    import datetime as dt
+
+    from health_data_transformation_spark.schemas import TABLE_SCHEMAS
+
+    load_hhs(spark, hhs_csv_1, warehouse)
+    beds = warehouse.read("hospital_bed_information")
+    h1_before = beds.filter(
+        (F.col("hospital_fk") == "H1")
+        & (F.col("collection_week") == dt.date(2022, 9, 23))
+    ).collect()[0]
+    assert h1_before["all_adult_hospital_beds_7_day_avg"] == 100.0
+    n_before = beds.count()
+
+    # corrected re-delivery of H1/2022-09-23
+    fixed = h1_before.asDict()
+    fixed["all_adult_hospital_beds_7_day_avg"] = 123.0
+    batch = spark.createDataFrame(
+        [tuple(fixed[f.name] for f in TABLE_SCHEMAS["hospital_bed_information"].fields)],
+        TABLE_SCHEMAS["hospital_bed_information"],
+    )
+    applied = warehouse.upsert_last_wins(batch, "hospital_bed_information")
+    assert applied == 1
+
+    after = warehouse.read("hospital_bed_information")
+    assert after.count() == n_before  # replaced, not appended
+    h1_after = after.filter(
+        (F.col("hospital_fk") == "H1")
+        & (F.col("collection_week") == dt.date(2022, 9, 23))
+    ).collect()[0]
+    assert h1_after["all_adult_hospital_beds_7_day_avg"] == 123.0
+    # a row in the same partition but different key survives untouched
+    assert after.filter(
+        (F.col("hospital_fk") == "H2")
+        & (F.col("collection_week") == dt.date(2022, 9, 23))
+    ).count() == 1
+    # rows in other partitions untouched
+    assert after.filter(
+        F.col("collection_week") == dt.date(2022, 9, 30)
+    ).count() == 1

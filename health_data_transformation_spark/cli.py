@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     p_q.add_argument("csv")
     p_q.add_argument("--warehouse", required=True)
 
+    p_c = sub.add_parser(
+        "compact", help="bin-pack a table's small files (~128 MB targets)"
+    )
+    p_c.add_argument("table")
+    p_c.add_argument("--warehouse", required=True)
+    p_c.add_argument("--target-mb", type=int, default=128)
+
     p_r = sub.add_parser("report", help="run a dashboard query")
     p_r.add_argument(
         "query",
@@ -66,6 +73,11 @@ def main(argv: list[str] | None = None) -> int:
                           "invalid_rows": report.invalid_rows,
                           "duplicate_rows": report.duplicate_rows,
                           "rows_added": report.table_rows_added}))
+    elif args.cmd == "compact":
+        n_files = wh.compact(args.table, target_file_mb=args.target_mb)
+        print(json.dumps({"compact": args.table,
+                          "seconds": round(time.time() - t0, 2),
+                          "files": n_files}))
     else:
         from .plans import hospital_queries as Q
 

@@ -1324,6 +1324,66 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q72_top_customer_share",
+    f"""WITH rev AS (
+         SELECT c.c_nationkey, o.o_custkey,
+                {dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_nationkey, o.o_custkey),
+       ranked AS (
+         SELECT c_nationkey, o_custkey, revenue,
+                row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY revenue DESC, o_custkey) AS rk,
+                CAST(SUM(CAST(revenue AS DECIMAL(18,4)))
+                     OVER (PARTITION BY c_nationkey) AS DOUBLE) AS nation_rev
+         FROM rev)
+       SELECT c_nationkey, o_custkey AS top_custkey,
+              ROUND(revenue, 2) AS revenue,
+              ROUND(revenue / nation_rev, 6) AS share
+       FROM ranked WHERE rk = 1""",
+    "composite plan: 3-way join -> grouped agg -> dual window "
+    "(rank + partition total) -> filter; per-nation top customer and "
+    "revenue share in two shuffles past the joins",
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+    )
+    w_rank = Window.partitionBy("c_nationkey").orderBy(
+        F.col("revenue").desc(), "o_custkey"
+    )
+    w_total = Window.partitionBy("c_nationkey")
+    return (
+        rev.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "nation_rev",
+            F.sum(F.col("revenue").cast("decimal(18,4)"))
+            .over(w_total)
+            .cast("double"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_nationkey",
+            F.col("o_custkey").alias("top_custkey"),
+            F.round("revenue", 2).alias("revenue"),
+            F.round(F.col("revenue") / F.col("nation_rev"), 6).alias("share"),
+        )
+    )
+
+
+@register(
     "q59_full_outer_join",
     """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
                   FROM customer WHERE c_acctbal > 9000 GROUP BY 1),

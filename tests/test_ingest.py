@@ -232,3 +232,38 @@ def test_upsert_last_wins(spark, warehouse, hhs_csv_1):
     assert after.filter(
         F.col("collection_week") == dt.date(2022, 9, 30)
     ).count() == 1
+
+
+def test_load_hhs_header_only_file(spark, warehouse, tmp_path):
+    """An empty delivery (header, no rows) is a clean no-op load."""
+    from tests.conftest import HHS_HEADER, write_lines
+
+    path = write_lines(str(tmp_path / "empty.csv"), [HHS_HEADER])
+    report = load_hhs(spark, path, warehouse)
+    assert report.input_rows == 0
+    assert report.invalid_rows == 0
+    assert all(v == 0 for v in report.table_rows_added.values())
+
+
+def test_load_hhs_all_invalid_file(spark, warehouse, tmp_path):
+    """A file where every row fails validation quarantines everything
+    and appends nothing."""
+    from tests.conftest import HHS_HEADER, write_lines
+
+    rows = [
+        HHS_HEADER,
+        # negative metric -> quarantined
+        'B1,Bad One,TX,1 St,Austin,78701,48453,"POINT (-97.7 30.3)",'
+        "2022-09-23,-1,1,1,1,1,1,1,1,x",
+        # null hospital_pk -> quarantined
+        ',No Key,TX,2 St,Austin,78701,48453,"POINT (-97.7 30.3)",'
+        "2022-09-23,1,1,1,1,1,1,1,1,x",
+    ]
+    path = write_lines(str(tmp_path / "bad.csv"), rows)
+    report = load_hhs(spark, path, warehouse)
+    assert report.input_rows == 2
+    assert report.invalid_rows == 2
+    assert report.table_rows_added["hospital_bed_information"] == 0
+    assert not warehouse.exists("hospital_bed_information") or (
+        warehouse.read("hospital_bed_information").count() == 0
+    )

@@ -267,3 +267,20 @@ def test_load_hhs_all_invalid_file(spark, warehouse, tmp_path):
     assert not warehouse.exists("hospital_bed_information") or (
         warehouse.read("hospital_bed_information").count() == 0
     )
+
+
+def test_warehouse_scan_prunes_partitions(spark, warehouse, hhs_csv_1):
+    """A collection_week filter on the partitioned fact table must reach
+    the scan as a partition filter (pruning, not post-scan filtering)."""
+    import datetime as dt
+
+    load_hhs(spark, hhs_csv_1, warehouse)
+    df = warehouse.read("hospital_bed_information").filter(
+        F.col("collection_week") == dt.date(2022, 9, 23)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the partition predicate appears in PartitionFilters, and pruning
+    # leaves a single matching partition directory to read
+    assert plan.count("collection_week") >= 1
+    assert df.count() == 3  # H1, H2, H3 for that week

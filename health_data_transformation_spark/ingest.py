@@ -16,6 +16,8 @@ the only join, pruned to the batch's partitions/keys).
 
 from __future__ import annotations
 
+import logging
+import time
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -27,6 +29,11 @@ from .schemas import BED_METRIC_COLS, HHS_SENTINEL
 from .sources.csv import read_cms_csv, read_hhs_csv
 
 
+#: structured logging around Spark actions (the reference logs via its
+#: local logging_module, load_quality.py:7,73,145-146)
+logger = logging.getLogger("health_data_transformation_spark.ingest")
+
+
 @dataclass
 class LoadReport:
     """Counts the reference prints after each load (load_hhs.py:157-161,
@@ -36,6 +43,16 @@ class LoadReport:
     invalid_rows: int = 0
     duplicate_rows: int = 0
     input_rows: int = 0
+    seconds: float = 0.0
+
+    def log(self, source: str) -> "LoadReport":
+        logger.info(
+            "load=%s input_rows=%d invalid_rows=%d duplicate_rows=%d "
+            "rows_added=%s seconds=%.2f",
+            source, self.input_rows, self.invalid_rows, self.duplicate_rows,
+            self.table_rows_added, self.seconds,
+        )
+        return self
 
 
 def load_hhs(spark: SparkSession, csv_path: str, warehouse: Warehouse) -> LoadReport:
@@ -56,6 +73,7 @@ def load_hhs(spark: SparkSession, csv_path: str, warehouse: Warehouse) -> LoadRe
 def load_hhs_frame(raw, warehouse: Warehouse) -> LoadReport:
     """Frame-level HHS loader: shared by the batch CSV path and the
     Structured Streaming foreachBatch path (streaming/ingest.py)."""
+    t0 = time.time()
     cleaned = cleaning.replace_sentinel(raw, BED_METRIC_COLS, HHS_SENTINEL)
     cleaned = cleaning.parse_dates(cleaned, ["collection_week"])
 
@@ -93,7 +111,8 @@ def load_hhs_frame(raw, warehouse: Warehouse) -> LoadReport:
     if report.invalid_rows:
         warehouse.quarantine(invalid, "hhs")
     valid.unpersist()
-    return report
+    report.seconds = time.time() - t0
+    return report.log("hhs")
 
 
 def load_quality(
@@ -109,6 +128,7 @@ def load_quality(
     - set-based duplicate check on (facility_id, data_date), first-wins
                                                           (:122-126)
     """
+    t0 = time.time()
     raw = read_cms_csv(spark, csv_path)
     df = cleaning.normalize_headers(raw)
     df = cleaning.map_values(df, "hospital_overall_rating", {"Not Available": "0"})
@@ -144,4 +164,5 @@ def load_quality(
     if report.invalid_rows:
         warehouse.quarantine(invalid, "quality")
     valid.unpersist()
-    return report
+    report.seconds = time.time() - t0
+    return report.log("quality")

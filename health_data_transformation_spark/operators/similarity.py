@@ -56,6 +56,77 @@ def brute_force_top_k(
     )
 
 
+def build_ivf_cells(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF coarse quantizer: build (assigned, centroids).
+
+    Centroids are the ``n_cells`` lowest-id vectors (deterministic seed
+    choice; a production build would Lloyd-refine them — the assignment
+    machinery, which is the scale-critical part, is identical).  Each
+    vector joins the broadcast centroid set once and keeps its best cell
+    by cosine: one narrow pass, no shuffle of the vector table.
+
+    Returns (df + 'cell' column, centroids(cell, centroid, _cnorm)).
+    """
+    centroids = (
+        df.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).alias("_centroid"),
+        )
+        .withColumn("_cnorm", norm("_centroid"))
+    )
+    scored = df.crossJoin(F.broadcast(centroids))
+    sim = dot(F.col(vec_col), F.col("_centroid")) / (
+        norm(F.col(vec_col)) * F.col("_cnorm")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("_csim", sim)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_centroid", "_cnorm", "_csim", "_rk")
+    )
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_col: str = "qv",
+) -> DataFrame:
+    """Probe the ``n_probes`` nearest cells, exact top-k inside them.
+
+    At scale ``assigned`` is partitioned by cell, so the probe filter is
+    partition pruning and search cost ~ n_probes/n_cells of the table.
+    """
+    q = query.withColumn("_qnorm", norm(query_col))
+    cent_scored = centroids.crossJoin(F.broadcast(q)).withColumn(
+        "_qsim",
+        dot(F.col("_centroid"), F.col(query_col))
+        / (F.col("_cnorm") * F.col("_qnorm")),
+    )
+    probes = [
+        r["cell"]
+        for r in cent_scored.orderBy(F.desc("_qsim"), F.asc("cell"))
+        .limit(n_probes)
+        .collect()
+    ]
+    return brute_force_top_k(
+        assigned.filter(F.col("cell").isin(probes)), query, k, vec_col, id_col, query_col
+    )
+
+
 def ivf_top_k(
     df: DataFrame, query: DataFrame, k: int = 3,
     bucket_col: str = "label", vec_col: str = "embedding",

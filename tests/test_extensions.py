@@ -130,3 +130,32 @@ def test_stream_dedup_ingest(spark, tmp_path):
     out.stop()
     rows = spark.table("dedup_test").collect()
     assert sorted((r["k"], r["v"]) for r in rows) == [("k1", 1), ("k2", 3)]
+
+
+def test_ivf_build_and_search_recall(spark):
+    """IVF with computed centroid cells: deterministic build, probe
+    search recovers the exact brute-force top-k on clustered data."""
+    import pyspark.sql.functions as F
+
+    from health_data_transformation_spark.operators.similarity import (
+        brute_force_top_k,
+        build_ivf_cells,
+        ivf_search,
+    )
+    from health_data_transformation_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    assigned, cents = build_ivf_cells(e, n_cells=8)
+    assert assigned.count() == e.count()  # every vector gets exactly one cell
+    assert assigned.select("cell").distinct().count() <= 8
+
+    exact = {r["vec_id"] for r in brute_force_top_k(e, query, 10).collect()}
+    got = {r["vec_id"] for r in ivf_search(assigned, cents, query, 10, n_probes=4).collect()}
+    assert len(got & exact) / len(exact) >= 0.8
+
+    # deterministic: rebuild gives identical assignment
+    assigned2, _ = build_ivf_cells(e, n_cells=8)
+    a = sorted((r["vec_id"], r["cell"]) for r in assigned.select("vec_id", "cell").collect())
+    b = sorted((r["vec_id"], r["cell"]) for r in assigned2.select("vec_id", "cell").collect())
+    assert a == b

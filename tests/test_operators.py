@@ -197,3 +197,22 @@ def test_parse_point(spark):
     rows = parse_point(df, "g").collect()
     assert rows[0]["geo"]["lon"] == -79.9 and rows[0]["geo"]["lat"] == 40.4
     assert rows[1]["geo"] is None and rows[2]["geo"] is None
+
+
+def test_lsh_recall_on_exact_duplicates(spark):
+    """Property: exact-duplicate texts ALWAYS collide in every band, so
+    LSH near-dup must report them with jaccard 1.0 regardless of
+    banding parameters."""
+    rows = [(i, f"alpha beta gamma delta epsilon {i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.lsh_near_dup_pairs(
+            df, band_size=4, num_hashes=8, min_jaccard=0.99
+        ).collect()
+    }
+    # every same-suffix pair is an exact duplicate -> must be found
+    for i in range(30):
+        for j in range(i + 1, 30):
+            if i % 3 == j % 3:
+                assert pairs.get((i, j)) == 1.0

@@ -1383,6 +1383,44 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q73_oracle() -> str:
+    cos = "(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    ec = cos.format(a="e.v", b="c.c")
+    cq = cos.format(a="c.c", b="q.qv")
+    aq = cos.format(a="a.v", b="q.qv")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cell, v AS c FROM e ORDER BY vec_id LIMIT 16),
+         assigned AS (
+           SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY {ec} DESC, c.cell ASC) AS rk
+             FROM e CROSS JOIN cents c) WHERE rk = 1),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         probes AS (SELECT c.cell FROM cents c CROSS JOIN q
+                    ORDER BY {cq} DESC, c.cell ASC LIMIT 4)
+    SELECT a.vec_id, ROUND({aq}, 6) AS sim
+    FROM assigned a JOIN probes p ON a.cell = p.cell CROSS JOIN q
+    ORDER BY sim DESC, a.vec_id LIMIT 10"""
+
+
+@register(
+    "q73_ivf_built_search",
+    _q73_oracle(),
+    "full IVF pipeline: deterministic centroid seeds -> argmax cell "
+    "assignment (one broadcast pass) -> 4-probe cell selection -> exact "
+    "top-10 inside probed cells only (~1/4 of the table scanned)",
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import build_ivf_cells, ivf_search
+
+    e = load_table(spark, sf, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    assigned, cents = build_ivf_cells(e, n_cells=16)
+    return ivf_search(assigned, cents, query, k=10, n_probes=4)
+
+
 @register(
     "q59_full_outer_join",
     """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust

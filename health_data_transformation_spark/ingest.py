@@ -128,8 +128,17 @@ def load_quality(
     - set-based duplicate check on (facility_id, data_date), first-wins
                                                           (:122-126)
     """
-    t0 = time.time()
     raw = read_cms_csv(spark, csv_path)
+    raw = cleaning.stamp_literal(raw, "data_date", data_date, "date")
+    return load_quality_frame(raw, warehouse)
+
+
+def load_quality_frame(raw, warehouse: Warehouse) -> LoadReport:
+    """Frame-level quality loader: ``raw`` carries the original CMS
+    headers plus an attached ``data_date`` DATE column (stamped from the
+    CLI arg in batch mode, derived from the landing filename in the
+    streaming path, streaming/ingest.py)."""
+    t0 = time.time()
     df = cleaning.normalize_headers(raw)
     df = cleaning.map_values(df, "hospital_overall_rating", {"Not Available": "0"})
     df = cleaning.cast_columns(df, {"hospital_overall_rating": "double"})
@@ -137,7 +146,6 @@ def load_quality(
         df, "emergency_services", {"Yes": True, "No": False}, otherwise="null"
     )
     df = cleaning.cast_columns(df, {"emergency_services": "boolean"})
-    df = cleaning.stamp_literal(df, "data_date", data_date, "date")
 
     rules = [
         validate.Rule(

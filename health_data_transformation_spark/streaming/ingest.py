@@ -19,8 +19,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
 
 from ..catalog import Warehouse
-from ..ingest import LoadReport, load_hhs_frame
-from ..schemas import HHS_RAW_SCHEMA
+from ..ingest import LoadReport, load_hhs_frame, load_quality_frame
+from ..schemas import CMS_RAW_SCHEMA, HHS_RAW_SCHEMA
 
 #: file-source streams require a declared schema; CSV schema matches by
 #: POSITION, so landing files must carry exactly these columns in order
@@ -60,6 +60,50 @@ def stream_load_hhs(
 
     query = (
         typed.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_sec)
+    finally:
+        query.stop()
+    return reports
+
+
+def stream_load_quality(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse: Warehouse,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> list[LoadReport]:
+    """Streaming CMS quality ingest: the per-file CLI ``data_date`` arg
+    (load_quality.py:153-158) becomes a date embedded in the landing
+    filename (``quality-YYYY-MM-DD.csv``) extracted per row via
+    input_file_name() — each file drop is self-describing, the batch
+    loader's stamp semantics are preserved exactly.
+    """
+    reports: list[LoadReport] = []
+
+    stream = (
+        spark.readStream.schema(CMS_RAW_SCHEMA)
+        .option("header", True)
+        .csv(landing_dir)
+    )
+    stamped = stream.withColumn(
+        "data_date",
+        F.to_date(
+            F.regexp_extract(F.input_file_name(), r"(\d{4}-\d{2}-\d{2})", 1),
+            "yyyy-MM-dd",
+        ),
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        reports.append(load_quality_frame(batch_df, warehouse))
+
+    query = (
+        stamped.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

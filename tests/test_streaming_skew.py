@@ -123,3 +123,34 @@ def test_salted_join_equals_plain_join(spark):
         .collect()
     )
     assert plain == salted
+
+
+def test_stream_load_quality_filename_date(spark, warehouse, tmp_path):
+    """Quality files land as quality-YYYY-MM-DD.csv; the snapshot date
+    comes from the filename and first-wins dedup applies per
+    (facility_id, data_date) across runs."""
+    import datetime as dt
+
+    from health_data_transformation_spark.streaming.ingest import (
+        stream_load_quality,
+    )
+    from tests.conftest import CMS_FILE_1, write_lines
+
+    landing = str(tmp_path / "landing")
+    checkpoint = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    write_lines(os.path.join(landing, "quality-2023-01-01.csv"), CMS_FILE_1)
+
+    reports = stream_load_quality(spark, landing, warehouse, checkpoint)
+    assert sum(r.input_rows for r in reports) == 5
+    hqi = warehouse.read("hospital_quality_information")
+    # 5 rows, H1 duplicated in-batch -> 4 kept
+    assert hqi.count() == 4
+    dates = {r["data_date"] for r in hqi.select("data_date").distinct().collect()}
+    assert dates == {dt.date(2023, 1, 1)}
+
+    # same content, new snapshot date -> all rows are NEW keys
+    write_lines(os.path.join(landing, "quality-2023-02-01.csv"), CMS_FILE_1)
+    reports2 = stream_load_quality(spark, landing, warehouse, checkpoint)
+    assert sum(r.input_rows for r in reports2) == 5
+    assert warehouse.read("hospital_quality_information").count() == 8

@@ -159,3 +159,47 @@ def test_ivf_build_and_search_recall(spark):
     a = sorted((r["vec_id"], r["cell"]) for r in assigned.select("vec_id", "cell").collect())
     b = sorted((r["vec_id"], r["cell"]) for r in assigned2.select("vec_id", "cell").collect())
     assert a == b
+
+
+def test_watermark_append_mode_finalizes_windows(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark: windows are
+    emitted once finalized, and the finalized results equal the batch
+    GROUP BY over the same closed windows."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "wm_src")
+    rows = [
+        ("2024-01-01 10:00:30", 1.0),
+        ("2024-01-01 10:00:45", 2.0),
+        ("2024-01-01 10:01:10", 4.0),
+        ("2024-01-01 10:00:50", 8.0),   # late for window 10:00 but within watermark
+        ("2024-01-01 10:30:00", 16.0),  # advances watermark far past both windows
+    ]
+    spark.createDataFrame(rows, "ts_s string, value double").select(
+        F.to_timestamp("ts_s").alias("ts"), "value"
+    ).repartition(1).write.mode("overwrite").parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.sum("value").alias("total"))
+        .select(F.date_format("w.start", "HH:mm").alias("w_start"), "total")
+    )
+    import uuid
+
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {(r["w_start"], r["total"]) for r in spark.table(name).collect()}
+    # both early windows finalized (watermark passed); the 10:30 window is
+    # still open at end-of-stream and therefore NOT emitted in append mode
+    assert got == {("10:00", 11.0), ("10:01", 4.0)}

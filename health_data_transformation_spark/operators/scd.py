@@ -65,6 +65,37 @@ def snapshot_diff(
     )
 
 
+def build_quality_history(warehouse) -> DataFrame:
+    """Reconstruct the SCD2 rating history from the warehouse's
+    snapshot-model quality table (one row per facility per data_date,
+    the reference's layout) by replaying snapshots in date order.
+
+    Answers "what was this facility's rating on day X?" with an interval
+    lookup instead of a scan over every snapshot.
+    """
+    hqi = warehouse.read("hospital_quality_information")
+    dates = sorted(
+        r[0] for r in hqi.select("data_date").distinct().collect()
+    )
+    attr_cols = ["hospital_overall_rating", "emergency_services"]
+    history = hqi.sparkSession.createDataFrame(
+        [],
+        "facility_id string, hospital_overall_rating double, "
+        "emergency_services boolean, valid_from date, valid_to date",
+    )
+    for d in dates:
+        snap = hqi.filter(F.col("data_date") == F.lit(d)).select(
+            "facility_id", *attr_cols, "data_date"
+        )
+        history = scd2_apply(
+            history, snap, ["facility_id"], attr_cols, "data_date"
+        )
+        # keep the replay's lineage short: materialize each round so the
+        # plan does not grow linearly with snapshot count
+        history = history.localCheckpoint()
+    return history
+
+
 def scd2_apply(
     history: DataFrame,
     updates: DataFrame,

@@ -1422,6 +1422,54 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q74_tfidf_top_terms",
+    """WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents WHERE doc_id < 200),
+            n_docs AS (SELECT count(*) AS n FROM corpus),
+            tf AS (SELECT doc_id, tok, count(*) AS tf
+                   FROM corpus CROSS JOIN UNNEST(toks) AS u(tok)
+                   GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+            scored AS (
+              SELECT tf.doc_id, tf.tok,
+                     ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+              FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n_docs n),
+            ranked AS (
+              SELECT doc_id, tok, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, tok ASC) AS rk
+              FROM scored)
+       SELECT doc_id, tok, tfidf, CAST(rk AS INTEGER) AS rk
+       FROM ranked WHERE rk <= 3""",
+    "TF-IDF top terms per document: explode -> tf -> document frequency "
+    "-> join -> per-doc top-3 (two shuffles: one on (doc,tok), one on tok)",
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    corpus = d.select("doc_id", T.tokens("text").alias("toks"))
+    n_docs = corpus.count()
+    tf = (
+        corpus.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(dfreq, "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rk")
+    )
+
+
+@register(
     "q59_full_outer_join",
     """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
                   FROM customer WHERE c_acctbal > 9000 GROUP BY 1),

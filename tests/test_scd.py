@@ -95,3 +95,40 @@ def test_scd2_apply_builds_history(spark):
         for r in h3.filter(F.col("valid_to").isNull()).collect()
     }
     assert open_now == {"H1": 5.0, "H2": 1.0, "H3": 2.0}
+
+
+def test_build_quality_history_from_warehouse(spark, warehouse, cms_csv_1, tmp_path):
+    """Replaying the warehouse's quality snapshots yields an SCD2 history
+    whose point-in-time lookups match the snapshot rows."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from health_data_transformation_spark.ingest import load_quality
+    from health_data_transformation_spark.operators.scd import (
+        build_quality_history,
+    )
+    from tests.conftest import CMS_HEADER, write_lines
+
+    load_quality(spark, cms_csv_1, "2023-01-01", warehouse)
+    # second snapshot: H1's rating changes, H9 drops out (no update)
+    snap2 = [
+        CMS_HEADER,
+        '"H1","Alpha","Acute Care Hospitals","Proprietary","Yes","1","z"',
+        '"H2","Beta","Acute Care Hospitals","Government - Local","No","Not Available","z"',
+        '"H3","Gamma","Critical Access Hospitals","Voluntary non-profit - Private","Yes","","z"',
+    ]
+    load_quality(
+        spark, write_lines(str(tmp_path / "snap2.csv"), snap2), "2023-02-01", warehouse
+    )
+
+    hist = build_quality_history(warehouse)
+    h1 = {
+        (r["hospital_overall_rating"], r["valid_from"], r["valid_to"])
+        for r in hist.filter(F.col("facility_id") == "H1").collect()
+    }
+    d1, d2 = dt.date(2023, 1, 1), dt.date(2023, 2, 1)
+    assert h1 == {(4.0, d1, d2), (1.0, d2, None)}
+    # H9 had no second-snapshot row: its version stays open
+    h9 = hist.filter(F.col("facility_id") == "H9").collect()
+    assert len(h9) == 1 and h9[0]["valid_to"] is None

@@ -1470,6 +1470,38 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q75_range_frame_moving_sum",
+    """SELECT o_custkey, o_orderkey,
+              strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                     RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS moving_30d_total
+       FROM orders WHERE o_custkey < 300""",
+    "RANGE-frame window (value-based, not row-based): per-customer "
+    "30-day moving order total — peers at the same date always share a "
+    "frame, so no tiebreak is needed for determinism",
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 300)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-29, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("moving_30d_total"),
+    )
+
+
+@register(
     "q59_full_outer_join",
     """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
                   FROM customer WHERE c_acctbal > 9000 GROUP BY 1),

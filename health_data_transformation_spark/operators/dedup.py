@@ -215,6 +215,78 @@ def lsh_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup clusters from near-dup pairs: connected components by
+    iterative min-label propagation.
+
+    The last stage of the dedup pipeline (pairs are not enough — A~B and
+    B~C must collapse to ONE keeper).  Each iteration: every node takes
+    the min label among itself and its neighbors; converges in
+    O(component diameter) rounds, and near-dup components are shallow by
+    construction (they share content).  Each round is one shuffle on the
+    node id; the frontier is checkpointed so the plan stays flat.
+
+    Returns (node, component) with component = min node id reachable —
+    the deterministic canonical "keeper" for the cluster.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    # labels only ever decrease, so sum(component) is a monotone
+    # convergence signal: one cheap aggregate per round instead of a
+    # self-join diff
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", "component")
+            ).alias("component"),
+        )
+        # pointer jumping: follow component -> that node's component, so
+        # label distance doubles per round (O(log diameter) convergence
+        # instead of O(diameter))
+        roots = propagated.select(
+            F.col("node").alias("component"), F.col("component").alias("root")
+        )
+        labels = (
+            propagated.join(roots, "component", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("root", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # near-dup: SimHash
 # ---------------------------------------------------------------------------

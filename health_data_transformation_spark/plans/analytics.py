@@ -1501,6 +1501,35 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q76_oracle() -> str:
+    return f"""
+    WITH pairs AS (SELECT id_a, id_b FROM ({_lsh_near_dup_oracle(0.4)}) t),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           WITH RECURSIVE r(node, label) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.node)
+           SELECT node, min(label) AS component FROM r GROUP BY node)
+    SELECT node, component FROM reach"""
+
+
+@register(
+    "q76_dedup_clusters",
+    _q76_oracle(),
+    "dedup clusters: LSH near-dup pairs -> connected components "
+    "(iterative min-label propagation; component id = the deterministic "
+    "keeper, so A~B~C collapses to one canonical doc)",
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    pairs = D.lsh_near_dup_pairs(
+        d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
+    ).select("id_a", "id_b")
+    return D.connected_components(pairs)
+
+
 @register(
     "q59_full_outer_join",
     """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust

@@ -216,3 +216,21 @@ def test_lsh_recall_on_exact_duplicates(spark):
         for j in range(i + 1, 30):
             if i % 3 == j % 3:
                 assert pairs.get((i, j)) == 1.0
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A~B~C~D chain collapses to one component (pairs alone would not);
+    disjoint pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }

@@ -1531,6 +1531,35 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q77_deduped_corpus",
+    f"""WITH reach AS ({_q76_oracle()}),
+            drop_list AS (SELECT node FROM reach WHERE node != component)
+        SELECT d.lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN drop_list x ON d.doc_id = x.node
+        WHERE x.node IS NULL
+        GROUP BY d.lang""",
+    "the dedup pipeline applied end-to-end: corpus -> LSH pairs -> "
+    "clusters -> drop non-keepers -> deduped corpus stats (the actual "
+    "deliverable of a training-data dedup pass)",
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    pairs = D.lsh_near_dup_pairs(
+        d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
+    ).select("id_a", "id_b")
+    components = D.connected_components(pairs)
+    drop_list = components.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = d.join(drop_list, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(T.tokens("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
     "q59_full_outer_join",
     """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
                   FROM customer WHERE c_acctbal > 9000 GROUP BY 1),

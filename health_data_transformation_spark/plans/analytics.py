@@ -1560,6 +1560,24 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q78_stream_stream_join",
+    """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+       FROM events p JOIN events c
+         ON c.user_id = p.user_id AND c.event_type = 'click'
+        AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+        AND epoch_us(c.ts) <  epoch_us(p.ts)
+       WHERE p.event_type = 'purchase'""",
+    "watermarked stream-stream interval join (purchases x prior clicks): "
+    "the time bound + watermark let Spark evict join state, so state is "
+    "O(window), not O(stream); equals the batch range join",
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.windows import stream_stream_join
+
+    return stream_stream_join(spark, sf, window_s=1800)
+
+
+@register(
     "q59_full_outer_join",
     """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
                   FROM customer WHERE c_acctbal > 9000 GROUP BY 1),

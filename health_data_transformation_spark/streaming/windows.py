@@ -119,6 +119,86 @@ def stream_session_windows(
     return spark.table(name)
 
 
+def _staged_events_stream(spark: SparkSession, sf_dir: str):
+    import os
+    import tempfile
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="hdt_stream_ssj_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(static.schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def stream_stream_join(
+    spark: SparkSession, sf_dir: str, window_s: int = 1800, timeout_sec: int = 300
+) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    clicks in the preceding ``window_s`` seconds, both sides watermarked.
+
+    The watermark + the time-bound join condition let Spark EVICT join
+    state (a click older than purchase-watermark - window can never
+    match again) — without them, stream-stream join state grows without
+    bound.  Batch twin: operators/rangejoin.py (same predicate).
+    """
+    ensure_compat(spark)
+    import uuid
+
+    purchases = (
+        _staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_s} SECONDS"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "user_id", "click_id")
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    # stream-stream joins materialize a state store per shuffle partition
+    # and side; for a bounded run the per-store fixed cost dominates, so
+    # run the join stage narrow (production sizes this to key cardinality)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(timeout_sec)
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 def stream_dedup_ingest(
     spark: SparkSession,
     source_dir: str,

@@ -203,3 +203,39 @@ def test_watermark_append_mode_finalizes_windows(spark, tmp_path):
     # both early windows finalized (watermark passed); the 10:30 window is
     # still open at end-of-stream and therefore NOT emitted in append mode
     assert got == {("10:00", 11.0), ("10:01", 4.0)}
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Watermarked stream-stream interval join produces exactly the
+    batch inner range-join pairs."""
+    import pyspark.sql.functions as F
+
+    from health_data_transformation_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+    from health_data_transformation_spark.sources.tables import load_table
+    from health_data_transformation_spark.streaming.windows import (
+        stream_stream_join,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = {
+        (r["purchase_id"], r["click_id"])
+        for r in stream_stream_join(spark, sf_dir, window_s=1800).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    batch = {
+        (r["purchase_id"], r["click_id"])
+        for r in bucketed_range_join(
+            purchases, clicks, ["user_id"], "p_ts", "c_ts", -1800, 0
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0

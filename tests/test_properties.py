@@ -126,3 +126,45 @@ def test_asof_join_equals_naive(spark, events):
         cands = [(bts, bid) for bid, bk, bts in builds if bk == pk and bts <= pts]
         expected[pid] = max(cands)[1] if cands else None
     assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_equals_union_find(spark, edges):
+    from health_data_transformation_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges] or [(0, 1)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+    # reference union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    assert got == expected

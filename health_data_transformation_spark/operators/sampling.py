@@ -32,6 +32,28 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     return df.filter(hash_bucket(id_col) < int(fraction * BUCKETS))
 
 
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, stratum_col: str, rates: dict
+) -> DataFrame:
+    """Per-stratum sampling rates (e.g. downsample dominant languages,
+    keep all of rare ones), deterministic by id hash.
+
+    ``rates`` maps stratum value -> fraction in [0, 1]; strata not
+    listed get 0.  Same layout-independence guarantees as hash_sample.
+    """
+    b = hash_bucket(id_col)
+    threshold = None
+    for value, rate in rates.items():
+        cut = F.lit(int(rate * BUCKETS))
+        threshold = (
+            F.when(F.col(stratum_col) == value, cut)
+            if threshold is None
+            else threshold.when(F.col(stratum_col) == value, cut)
+        )
+    threshold = threshold.otherwise(F.lit(0))
+    return df.filter(b < threshold)
+
+
 def assign_split(
     df: DataFrame,
     id_col: str,

@@ -1577,6 +1577,36 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
     return stream_stream_join(spark, sf, window_s=1800)
 
 
+def _q79_threshold_sql() -> str:
+    return (
+        "CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 "
+        "WHEN 'fr' THEN 1000 ELSE 0 END"
+    )
+
+
+@register(
+    "q79_stratified_sample",
+    f"""SELECT lang, count(*) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS min_doc
+        FROM (SELECT lang, doc_id FROM documents
+              WHERE {hex_hash64_sql('CAST(doc_id AS VARCHAR)')} % 1000
+                    < {_q79_threshold_sql()})
+        GROUP BY lang""",
+    "per-stratum quota sampling: downsample dominant languages, drop "
+    "unlisted ones — deterministic by content hash (layout/seed-free)",
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import stratified_hash_sample
+
+    d = load_table(spark, sf, "documents")
+    sampled = stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.2, "de": 0.5, "fr": 1.0}
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
 @register(
     "q59_full_outer_join",
     """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust

@@ -11,6 +11,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -49,9 +50,23 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from health_data_transformation_spark.session import get_spark
 
-    spark = get_spark(app_name="check-oracle")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-faithful mode: a plain session with NO engine confs —
+        # every runtime compat requirement must self-apply inside the
+        # query functions (via sources.tables.ensure_compat)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-oracle-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from health_data_transformation_spark.session import get_spark
+
+        spark = get_spark(app_name="check-oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

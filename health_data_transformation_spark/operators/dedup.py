@@ -27,10 +27,9 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 
-from ..functions.text import distinct_tokens, fingerprint, hex_hash64, normalize_text
-from ..functions.vector import cosine
+from ..functions.text import distinct_tokens, hex_hash64
 
 
 # ---------------------------------------------------------------------------

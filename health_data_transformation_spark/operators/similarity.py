@@ -15,7 +15,7 @@ partition pruning at the scan.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 
 from ..functions.vector import dot, norm
 

@@ -31,7 +31,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.deterministic import (
-    bucket_str,
     bucket_str_sql,
     dec_avg,
     dec_avg_sql,
@@ -46,10 +45,9 @@ from ..functions.text import (
     fingerprint,
     fingerprint_sql,
     hex_hash64_sql,
-    normalize_text,
 )
 from ..functions import text as T
-from ..functions.vector import cosine, cosine_sql
+from ..functions.vector import cosine_sql
 from ..operators import dedup as D
 from ..operators import similarity as SIM
 from ..operators import topk as K

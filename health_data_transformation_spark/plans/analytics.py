@@ -2026,3 +2026,121 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.windows import stream_window_counts
 
     return stream_window_counts(spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# sketches & quantization (fixed-size summaries for 100 TB-scale answers)
+# ---------------------------------------------------------------------------
+
+CMS_WIDTH, CMS_DEPTH = 512, 3
+
+
+def _q80_oracle() -> str:
+    from ..operators.sketch import count_min_cells_sql
+
+    cells = count_min_cells_sql("SELECT o_custkey FROM orders", "o_custkey", CMS_WIDTH, CMS_DEPTH)
+    probe_cells = " UNION ALL ".join(
+        f"""SELECT o_custkey, {i} AS row,
+                {hex_hash64_sql("CAST(o_custkey AS VARCHAR)", f"cms{i}")} % {CMS_WIDTH} AS bucket
+         FROM probes"""
+        for i in range(CMS_DEPTH)
+    )
+    return f"""WITH cells AS ({cells}),
+        probes AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 50),
+        pc AS ({probe_cells}),
+        est AS (SELECT o_custkey, min(COALESCE(cnt, 0)) AS cms_estimate
+                FROM pc LEFT JOIN cells USING (row, bucket) GROUP BY 1),
+        exact AS (SELECT o_custkey, count(*) AS exact_cnt
+                  FROM orders WHERE o_custkey < 50 GROUP BY 1)
+        SELECT est.o_custkey, exact_cnt, cms_estimate
+        FROM est JOIN exact USING (o_custkey)"""
+
+
+@register(
+    "q80_count_min_sketch",
+    _q80_oracle(),
+    "distributed Count-Min sketch build (one partial-aggregated groupBy "
+    "into depth x width counter cells) + broadcast probe: heavy-hitter "
+    "counts from a fixed-size summary; md5 hash family makes even the "
+    "estimates bit-reproducible by the oracle",
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import sketch as SK
+
+    orders = load_table(spark, sf, "orders")
+    cms = SK.count_min_build(orders, "o_custkey", CMS_WIDTH, CMS_DEPTH)
+    hot = orders.filter(F.col("o_custkey") < 50)
+    probes = hot.select("o_custkey").distinct()
+    est = SK.count_min_estimate(cms, probes, "o_custkey", CMS_WIDTH, CMS_DEPTH)
+    exact = hot.groupBy("o_custkey").agg(F.count("*").alias("exact_cnt"))
+    return est.join(exact, "o_custkey").select("o_custkey", "exact_cnt", "cms_estimate")
+
+
+@register(
+    "q81_hll_distinct",
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct,
+              TRUE AS hll_within_bound
+       FROM orders GROUP BY 1""",
+    "HyperLogLog distinct counts per group: the estimate itself is "
+    "engine-specific, so the oracle gates the exact count plus the "
+    "checked accuracy contract (rsd 2%, bound 10% = 5 sigma)",
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sketch import hll_distinct_bounded
+
+    return hll_distinct_bounded(
+        load_table(spark, sf, "orders"), "o_custkey", "o_orderpriority"
+    )
+
+
+def _q82_oracle() -> str:
+    from ..functions.vector import int8_quantize_sql, int_dot_sql
+
+    return f"""WITH q AS (SELECT {int8_quantize_sql('embedding')} AS qq
+                  FROM embeddings WHERE vec_id = 0),
+        qd AS (SELECT vec_id, {int8_quantize_sql('embedding')} AS qd FROM embeddings)
+        SELECT qd.vec_id, {int_dot_sql('qd.qd', 'q.qq')} AS qdot
+        FROM qd CROSS JOIN q
+        ORDER BY qdot DESC, qd.vec_id LIMIT 10"""
+
+
+@register(
+    "q82_int8_cosine_topk",
+    _q82_oracle(),
+    "int8-quantized ANN scoring: symmetric floor-quantization (4x "
+    "smaller vectors) + EXACT integer dot products, so the approximate "
+    "scores are themselves bit-reproducible by the oracle",
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vector import int8_quantize, int_dot
+
+    e = load_table(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(int8_quantize("embedding").alias("qq"))
+    docs = e.select("vec_id", int8_quantize("embedding").alias("qd"))
+    scored = docs.crossJoin(F.broadcast(qv)).select(
+        "vec_id", int_dot("qd", "qq").alias("qdot")
+    )
+    return scored.orderBy(F.desc("qdot"), "vec_id").limit(10)
+
+
+@register(
+    "q83_percent_rank",
+    """SELECT o_orderpriority, o_orderkey,
+              CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_ppm,
+              CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_ppm
+       FROM orders WHERE o_custkey < 100
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""",
+    "percent_rank/cume_dist relative-standing windows (floor-scaled to "
+    "ppm integers: identical input doubles -> identical integers, no "
+    "round-mode dependence)",
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ppm = F.lit(1000000)
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.percent_rank().over(w) * ppm).alias("pr_ppm"),
+        F.floor(F.cume_dist().over(w) * ppm).alias("cd_ppm"),
+    )

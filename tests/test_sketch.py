@@ -1,0 +1,78 @@
+"""Sketch operators: Count-Min guarantees, HLL bound, int8 quantization."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from health_data_transformation_spark.operators.sketch import (
+    count_min_build,
+    count_min_estimate,
+    hll_distinct_bounded,
+)
+from health_data_transformation_spark.functions.vector import int8_quantize, int_dot
+
+
+def _keyed(spark, counts: dict[str, int]):
+    rows = [(k,) for k, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_cms_never_underestimates(spark):
+    counts = {f"key{i}": (i % 7) + 1 for i in range(200)}
+    df = _keyed(spark, counts)
+    sketch = count_min_build(df, "k", width=32, depth=3)  # tiny width -> collisions
+    probes = df.select("k").distinct()
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in count_min_estimate(sketch, probes, "k", width=32, depth=3).collect()
+    }
+    assert len(est) == len(counts)
+    assert all(est[k] >= n for k, n in counts.items())
+
+
+def test_cms_exact_without_collisions(spark):
+    counts = {"a": 3, "b": 5, "c": 1}
+    df = _keyed(spark, counts)
+    sketch = count_min_build(df, "k", width=4096, depth=3)
+    probes = df.select("k").distinct()
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in count_min_estimate(sketch, probes, "k", width=4096, depth=3).collect()
+    }
+    assert est == counts
+
+
+def test_cms_cells_are_mergeable(spark):
+    """Sketch of (A union A) == per-cell sum of two sketches of A —
+    the property that makes the build map-side combinable."""
+    counts = {f"k{i}": i + 1 for i in range(20)}
+    df = _keyed(spark, counts)
+    single = count_min_build(df, "k", width=64, depth=2)
+    doubled = count_min_build(df.union(df), "k", width=64, depth=2)
+    joined = single.alias("s").join(doubled.alias("d"), ["row", "bucket"], "full")
+    bad = joined.filter(F.col("d.cnt") != F.col("s.cnt") * 2).count()
+    assert bad == 0
+
+
+def test_hll_bound_holds(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 5).cast("string").alias("g"), (F.col("id") % 997).alias("k")
+    )
+    out = hll_distinct_bounded(df, "k", "g").collect()
+    assert len(out) == 5
+    assert all(r["hll_within_bound"] for r in out)
+    assert all(r["exact_distinct"] > 0 for r in out)
+
+
+def test_int8_quantize_range_and_dot(spark):
+    df = spark.createDataFrame(
+        [([1.0, -0.5, 0.25],), ([0.1, 0.2, -0.4],)], "v array<double>"
+    )
+    q = df.select(int8_quantize("v").alias("q")).collect()
+    # max-|x| element maps to +/-127 (floor may land one below for negatives)
+    assert q[0]["q"] == [127, -64, 31]
+    assert q[1]["q"] == [31, 63, -127]
+    two = df.select(int8_quantize("v").alias("q")).limit(1)
+    paired = two.crossJoin(two.select(F.col("q").alias("p")))
+    dot = paired.select(int_dot("q", "p").alias("d")).collect()[0]["d"]
+    assert dot == 127 * 127 + 64 * 64 + 31 * 31

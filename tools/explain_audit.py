@@ -38,6 +38,7 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q39_embedding_norms",
     "q40_ivf_topk",
     "q73_ivf_built_search",
+    "q82_int8_cosine_topk",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

@@ -51,7 +51,7 @@ from ..functions.vector import cosine_sql
 from ..operators import dedup as D
 from ..operators import similarity as SIM
 from ..operators import topk as K
-from ..sources.tables import load_table
+from ..sources.tables import load_events_range, load_table
 
 
 @dataclass
@@ -103,10 +103,10 @@ UPSERT_SPLIT = "1999-01-01"
     "scalar COUNT(*) with week equality filter (Reporting.py:29-33)",
 )
 def q01(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load_table(spark, sf, "events")
-    return ev.filter(
-        (F.col("ts") >= _ts_lit(ev, "ts", WEEK_LO)) & (F.col("ts") < _ts_lit(ev, "ts", WEEK_HI))
-    ).agg(F.count("*").alias("n_records"))
+    # range predicate applied to the raw INT64 nanos column so it pushes
+    # into the parquet scan (row-group skipping) before the ts conversion
+    ev = load_events_range(spark, sf, lo=WEEK_LO, hi=WEEK_HI)
+    return ev.agg(F.count("*").alias("n_records"))
 
 
 @register(
@@ -117,10 +117,9 @@ def q01(spark: SparkSession, sf: str) -> DataFrame:
     "filter < week, GROUP BY week, COUNT (Reporting.py:36-41)",
 )
 def q02(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load_table(spark, sf, "events")
+    ev = load_events_range(spark, sf, hi=EVENTS_CUTOFF)
     return (
-        ev.filter(F.col("ts") < _ts_lit(ev, "ts", EVENTS_CUTOFF))
-        .groupBy(week_str("ts").alias("week"))
+        ev.groupBy(week_str("ts").alias("week"))
         .agg(F.count("*").alias("n_records"))
         .orderBy("week")
     )
@@ -214,10 +213,9 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
     "filter <= week, groupBy week, sums (Reporting.py:144-156)",
 )
 def q06(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load_table(spark, sf, "events")
+    ev = load_events_range(spark, sf, hi=EVENTS_CUM_CUTOFF, hi_inclusive=True)
     return (
-        ev.filter(F.col("ts") <= _ts_lit(ev, "ts", EVENTS_CUM_CUTOFF))
-        .groupBy(week_str("ts").alias("week"))
+        ev.groupBy(week_str("ts").alias("week"))
         .agg(dec_sum("value", 2).alias("total_value"), F.count("*").alias("n_events"))
         .orderBy("week")
     )
@@ -1307,14 +1305,13 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
 def q71(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.scd import snapshot_diff
 
-    ev = load_table(spark, sf, "events")
     old = (
-        ev.filter(F.col("ts") < _ts_lit(ev, "ts", EVENTS_CUTOFF))
+        load_events_range(spark, sf, hi=EVENTS_CUTOFF)
         .groupBy("user_id")
         .agg(F.count("*").alias("n"))
     )
     new = (
-        ev.filter(F.col("ts") < _ts_lit(ev, "ts", EVENTS_CUM_CUTOFF))
+        load_events_range(spark, sf, hi=EVENTS_CUM_CUTOFF)
         .groupBy("user_id")
         .agg(F.count("*").alias("n"))
     )

@@ -49,6 +49,65 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _iso_to_epoch_micros(value: str) -> int:
+    """'YYYY-MM-DD[ HH:MM:SS]' -> microseconds since epoch (UTC, naive)."""
+    import calendar
+    from datetime import datetime
+
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in value else "%Y-%m-%d"
+    return calendar.timegm(datetime.strptime(value, fmt).timetuple()) * 1_000_000
+
+
+def load_events_range(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: str | None = None,
+    hi: str | None = None,
+    lo_inclusive: bool = True,
+    hi_inclusive: bool = False,
+) -> DataFrame:
+    """Events scan with the time-range predicate applied to the RAW
+    nanosecond column, *before* the timestamp conversion.
+
+    The ns->us conversion is a computed column, so a filter written
+    against the converted timestamp cannot reach the parquet scan (only
+    IsNotNull pushes — SCALE.md §2's known wart).  Filtering the stored
+    INT64 directly restores row-group statistics skipping and (at 100 TB)
+    partition pruning.  For whole-microsecond bounds the rewrite is
+    exact: ts_us = ts_ns div 1000 is monotone and the boundary
+    lo_us*1000 is hit exactly, so  ts_ns >= lo_us*1000  <=>
+    ts_us >= lo_us  (same for the strict/<=/</ variants).
+
+    Falls back to post-conversion filtering if the column already
+    arrived as a real timestamp type.
+    """
+    ensure_compat(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") != "bigint":
+        df = load_table(spark, sf_dir, "events")
+        ts = F.col("ts")
+        cast = lambda v: F.lit(v).cast(dict(df.dtypes)["ts"])  # noqa: E731
+        conds = []
+        if lo is not None:
+            conds.append(ts >= cast(lo) if lo_inclusive else ts > cast(lo))
+        if hi is not None:
+            conds.append(ts <= cast(hi) if hi_inclusive else ts < cast(hi))
+        for c in conds:
+            df = df.filter(c)
+        return df
+    ns = F.col("ts")
+    conds = []
+    if lo is not None:
+        lo_ns = _iso_to_epoch_micros(lo) * 1000
+        conds.append(ns >= lo_ns if lo_inclusive else ns > lo_ns + 999)
+    if hi is not None:
+        hi_ns = _iso_to_epoch_micros(hi) * 1000
+        conds.append(ns <= hi_ns + 999 if hi_inclusive else ns < hi_ns)
+    for c in conds:
+        raw = raw.filter(c)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all testdata tables as temp views for spark.sql use."""
     for name in TESTDATA_TABLES:

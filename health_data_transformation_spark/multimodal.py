@@ -98,6 +98,63 @@ def decode_pipeline(
     return df.select(id_col, payload_col).mapInPandas(run, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id bigint, out_w int, out_h int, out_bytes int, resized_md5 string"
+
+
+def resize_media_stub(payload: bytes, w: int, h: int) -> bytes:
+    """Placeholder for a real image resize (PIL not in this container)."""
+    raise NotImplementedError(
+        "image resize requires PIL/opencv not present in this environment; "
+        "use fake_resize for deterministic testing"
+    )
+
+
+def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic fake resize: cycle-pad/truncate the payload to the
+    w*h target byte size — preserves the real operator's contract
+    (fixed output size regardless of input size)."""
+    target = w * h
+    if not payload:
+        return b"\x00" * target
+    reps = -(-target // len(payload))  # ceil
+    return (payload * reps)[:target]
+
+
+def resize_pipeline(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    resize_fn: Callable[[bytes, int, int], bytes] = resize_media_stub,
+) -> DataFrame:
+    """Arrow-batched image resize over mapInPandas.
+
+    Same boundary discipline as decode_pipeline: (id, payload) projected
+    before Python, fixed narrow output (the resized bytes are summarized
+    by md5 here; a real pipeline would write them to a binary sink
+    column of exactly the same schema shape).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            resized = [resize_fn(bytes(p), out_w, out_h) for p in batch[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch[id_col].values,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "out_bytes": [len(r) for r in resized],
+                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
 
 

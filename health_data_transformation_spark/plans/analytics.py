@@ -2141,3 +2141,25 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(F.percent_rank().over(w) * ppm).alias("pr_ppm"),
         F.floor(F.cume_dist().over(w) * ppm).alias("cd_ppm"),
     )
+
+
+RESIZE_W, RESIZE_H = 32, 16
+
+
+@register(
+    "q84_multimodal_resize",
+    f"""SELECT doc_id, {RESIZE_W} AS out_w, {RESIZE_H} AS out_h,
+               {RESIZE_W * RESIZE_H} AS out_bytes,
+               md5(substr(repeat(text, CAST(ceil({RESIZE_W * RESIZE_H} / CAST(length(text) AS DOUBLE)) AS INT)),
+                          1, {RESIZE_W * RESIZE_H})) AS resized_md5
+        FROM documents WHERE doc_id < 200""",
+    "multimodal resize plumbing: Arrow-batched mapInPandas with a "
+    "fixed-output-size contract (fake resize = cycle-pad/truncate; a "
+    "real PIL resize drops into the same slot) — oracle checks the "
+    "resized bytes via md5 (documents are ASCII so text md5 == byte md5)",
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    from ..multimodal import fake_resize, resize_pipeline, with_payload
+
+    d = with_payload(load_table(spark, sf, "documents").filter(F.col("doc_id") < 200))
+    return resize_pipeline(d, RESIZE_W, RESIZE_H, resize_fn=fake_resize)

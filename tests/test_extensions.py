@@ -83,6 +83,27 @@ def test_multimodal_decode_stub_raises(spark):
         multimodal.decode_pipeline(multimodal.with_payload(df)).collect()
 
 
+def test_multimodal_resize_fixed_output(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "x" * 5000)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resize_pipeline(
+            multimodal.with_payload(df), 32, 16, resize_fn=multimodal.fake_resize
+        ).collect()
+    }
+    # fixed output size regardless of input size: pad short, truncate long
+    assert out[1]["out_bytes"] == out[2]["out_bytes"] == 512
+    assert out[1]["resized_md5"] == hashlib.md5((b"abc" * 171)[:512]).hexdigest()
+    assert out[2]["resized_md5"] == hashlib.md5(b"x" * 512).hexdigest()
+    assert multimodal.fake_resize(b"", 4, 4) == b"\x00" * 16
+    with pytest.raises(Exception):
+        multimodal.resize_pipeline(multimodal.with_payload(df), 4, 4).collect()
+
+
 def test_stream_window_equals_batch(spark):
     """The streaming windowed agg must equal the batch GROUP BY."""
     from health_data_transformation_spark.functions.deterministic import (

@@ -67,3 +67,28 @@ def test_approx_percentile_within_tolerance(spark):
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p")
     ).collect()[0]["p"]
     assert abs(approx - exact) / exact < 0.01
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from health_data_transformation_spark.sources.formats import (
+        read_columnar,
+        write_columnar,
+    )
+    from health_data_transformation_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_orc")
+    write_columnar(orders, path, fmt="orc", partition_by=["o_orderpriority"])
+    back = read_columnar(spark, path, fmt="orc")
+
+    assert back.count() == orders.count()
+    # partition column survives; value multiset is unchanged
+    a = orders.groupBy("o_orderpriority").count().collect()
+    b = back.groupBy("o_orderpriority").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # range predicate reaches the ORC scan
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    filtered = back.filter(back.o_totalprice > 100000.0)
+    plan = filtered._jdf.queryExecution().explainString(mode)
+    assert "GreaterThan(o_totalprice" in plan

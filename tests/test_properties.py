@@ -168,3 +168,27 @@ def test_connected_components_equals_union_find(spark, edges):
         union(a, b)
     expected = {n: find(n) for n in parent}
     assert got == expected
+
+
+float_vecs = st.lists(
+    st.floats(min_value=-10.0, max_value=10.0, allow_nan=False, width=32),
+    min_size=1,
+    max_size=16,
+).filter(lambda v: max(abs(x) for x in v) > 1e-6)
+
+
+@given(vec=float_vecs)
+@settings(**SETTINGS)
+def test_int8_quantize_bounds_error(spark, vec):
+    """Dequantized values stay within one quantization step of the
+    original: |x - q * max|x|/127| <= max|x|/127 for every element,
+    and every quantized value is in [-127, 127]."""
+    from health_data_transformation_spark.functions.vector import int8_quantize
+
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    [q] = df.select(int8_quantize("v").alias("q")).collect()
+    m = max(abs(x) for x in vec)
+    step = m / 127.0
+    assert all(-127 <= qi <= 127 for qi in q["q"])
+    for x, qi in zip(vec, q["q"]):
+        assert abs(x - qi * step) <= step + 1e-12

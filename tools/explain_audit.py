@@ -14,6 +14,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 DEFAULT_QUERIES = [
+    "q01_week_count",
     "q03_pricing_summary",
     "q05_priority_ratio",
     "q07_top_nations",
@@ -23,6 +24,9 @@ DEFAULT_QUERIES = [
     "q45_asof_join",
     "q72_top_customer_share",
     "q73_ivf_built_search",
+    "q80_count_min_sketch",
+    "q82_int8_cosine_topk",
+    "q84_multimodal_resize",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the

@@ -54,6 +54,35 @@ def stratified_hash_sample(
     return df.filter(b < threshold)
 
 
+UNIFORM_BITS = 1 << 20
+
+
+def weighted_hash_sample(
+    df: DataFrame, id_col: str, weight_col: Column | str, k: int
+) -> DataFrame:
+    """Weighted sample of k rows: selection probability increases with
+    ``weight_col``, deterministic across reruns/layouts/engines.
+
+    Priority-sampling form of hash_sample: each row gets a stable
+    pseudo-uniform u = hash(id) % 2^20, priority = u / weight, and the
+    k smallest priorities win (a heavier row divides its draw by a
+    larger weight, so it wins more often — the hash-deterministic
+    analogue of Efraimidis–Spirakis exponential races).  u and weight
+    are exact integers < 2^53, so the one double division is correctly
+    rounded and bit-identical in any IEEE engine — the oracle reproduces
+    the exact sample.  Plan shape: TakeOrderedAndProject (per-partition
+    heaps, no global sort), O(1) state per row.
+    """
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = F.pmod(hex_hash64(F.col(id_col).cast("string")), F.lit(UNIFORM_BITS))
+    priority = u.cast("double") / wcol.cast("double")
+    return (
+        df.withColumn("priority", priority)
+        .orderBy("priority", id_col)
+        .limit(k)
+    )
+
+
 def assign_split(
     df: DataFrame,
     id_col: str,

@@ -2163,3 +2163,26 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
 
     d = with_payload(load_table(spark, sf, "documents").filter(F.col("doc_id") < 200))
     return resize_pipeline(d, RESIZE_W, RESIZE_H, resize_fn=fake_resize)
+
+
+@register(
+    "q85_weighted_sample",
+    f"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+               ({hex_hash64_sql('CAST(doc_id AS VARCHAR)')} % 1048576) * 1.0
+                 / CAST(length(text) AS DOUBLE) AS priority
+        FROM documents
+        ORDER BY priority, doc_id LIMIT 100""",
+    "weighted sampling: k winners with probability increasing in doc "
+    "length — hash-priority analogue of Efraimidis-Spirakis, exact "
+    "integer inputs + one correctly-rounded division, so the sample is "
+    "layout/seed-free and bit-reproducible (TakeOrderedAndProject plan)",
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import weighted_hash_sample
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.length("text").alias("n_chars"), F.length("text").alias("w")
+    )
+    return weighted_hash_sample(d, "doc_id", "w", k=100).select(
+        "doc_id", "n_chars", "priority"
+    )

@@ -76,3 +76,20 @@ def test_int8_quantize_range_and_dot(spark):
     paired = two.crossJoin(two.select(F.col("q").alias("p")))
     dot = paired.select(int_dot("q", "p").alias("d")).collect()[0]["d"]
     assert dot == 127 * 127 + 64 * 64 + 31 * 31
+
+
+def test_weighted_hash_sample_prefers_heavy_rows(spark):
+    from health_data_transformation_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    light = spark.range(0, 1000).select(F.col("id"), F.lit(1).alias("w"))
+    heavy = spark.range(1000, 2000).select(F.col("id"), F.lit(100).alias("w"))
+    df = light.union(heavy)
+    picked = weighted_hash_sample(df, "id", "w", k=200)
+    n_heavy = picked.filter(F.col("id") >= 1000).count()
+    assert picked.count() == 200
+    assert n_heavy > 150  # 100x weight dominates the sample
+    # deterministic: same call -> same rows
+    again = weighted_hash_sample(df, "id", "w", k=200)
+    assert picked.exceptAll(again).count() == 0

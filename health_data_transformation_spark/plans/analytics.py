@@ -2186,3 +2186,33 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_hash_sample(d, "doc_id", "w", k=100).select(
         "doc_id", "n_chars", "priority"
     )
+
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+@register(
+    "q86_quality_ratios",
+    f"""SELECT doc_id,
+               CAST(floor(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1000000.0
+                          / length(text)) AS BIGINT) AS punct_ppm,
+               CAST(floor(len(list_filter(string_split(text, ' '),
+                                          x -> x IN {STOPWORDS!r})) * 1000000.0
+                          / len(string_split(text, ' '))) AS BIGINT) AS stopword_ppm
+        FROM documents WHERE doc_id < 500""",
+    "quality scoring, ratio signals: punctuation density and stopword "
+    "ratio per document (floor-scaled to ppm integers — one correctly- "
+    "rounded division, portable) — completes the length/punct/stopword "
+    "trio with q31",
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    toks = T.tokens("text")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    ppm = F.lit(1000000.0)
+    return d.select(
+        "doc_id",
+        F.floor(n_punct * ppm / F.length("text")).alias("punct_ppm"),
+        F.floor(n_stop * ppm / F.size(toks)).alias("stopword_ppm"),
+    )

@@ -2216,3 +2216,41 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(n_punct * ppm / F.length("text")).alias("punct_ppm"),
         F.floor(n_stop * ppm / F.size(toks)).alias("stopword_ppm"),
     )
+
+
+def _q87_oracle() -> str:
+    from ..functions.text import normalize_text_sql
+
+    return f"""WITH s AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(1, greatest(length(norm) - 2, 1) + 1),
+                     i -> substr(norm, CAST(i AS INT), 3))) AS sh
+          FROM (SELECT doc_id, {normalize_text_sql('text')} AS norm
+                FROM documents WHERE doc_id < 100))
+        SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_shingles,
+               list_min(list_transform(sh, x -> {hex_hash64_sql('x', 'sh0')})) AS min_sig
+        FROM s"""
+
+
+@register(
+    "q87_char_shingles",
+    _q87_oracle(),
+    "character 3-gram shingling of normalized text + per-doc MinHash "
+    "signature — the shingle-level variant of the token MinHash family "
+    "(q35), robust to tokenization differences",
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import char_ngrams, hex_hash64
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    # materialize the shingle array in its own projection: referenced
+    # twice below, so CollapseProject keeps it computed once per row
+    shingled = d.select("doc_id", char_ngrams("text", n=3).alias("sh"))
+    return shingled.select(
+        "doc_id",
+        F.size("sh").alias("n_shingles"),
+        F.array_min(
+            F.transform(F.col("sh"), lambda x: hex_hash64(x, "sh0"))
+        ).alias("min_sig"),
+    )

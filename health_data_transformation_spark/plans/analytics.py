@@ -2254,3 +2254,64 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
             F.transform(F.col("sh"), lambda x: hex_hash64(x, "sh0"))
         ).alias("min_sig"),
     )
+
+
+@register(
+    "q88_funnel_conversion",
+    """WITH first_click AS (
+         SELECT user_id, min(ts) AS c0 FROM events
+         WHERE event_type = 'click' GROUP BY 1)
+       SELECT count(*) AS n_converted FROM first_click f
+       WHERE EXISTS (
+         SELECT 1 FROM events p
+         WHERE p.user_id = f.user_id AND p.event_type = 'purchase'
+           AND p.ts > f.c0
+           AND epoch_us(p.ts) <= epoch_us(f.c0) + 86400000000)""",
+    "funnel conversion: users whose first click is followed by a "
+    "purchase within 24h — semi join on the user key with a time-range "
+    "residual (one shuffle per side, no nested loop)",
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c0"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    day_us = 86400000000
+    converted = fc.join(
+        p,
+        (fc.user_id == p.p_user)
+        & (p.p_ts > fc.c0)
+        & (F.unix_micros(p.p_ts) <= F.unix_micros(fc.c0) + day_us),
+        "left_semi",
+    )
+    return converted.agg(F.count("*").alias("n_converted"))
+
+
+@register(
+    "q89_cohort_retention",
+    f"""WITH first_week AS (
+          SELECT user_id, min({week_str_sql('ts')}) AS cohort
+          FROM events GROUP BY 1),
+        activity AS (
+          SELECT DISTINCT user_id, {week_str_sql('ts')} AS week FROM events)
+        SELECT cohort, week, count(*) AS n_active
+        FROM first_week JOIN activity USING (user_id)
+        GROUP BY 1, 2""",
+    "cohort retention: users grouped by first-activity week, counted "
+    "active per subsequent week (two aggregations + one key join — the "
+    "cohort side is |users|, broadcastable against the activity fact)",
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    first_week = ev.groupBy("user_id").agg(F.min(week_str("ts")).alias("cohort"))
+    activity = ev.select("user_id", week_str("ts").alias("week")).distinct()
+    return (
+        first_week.join(activity, "user_id")
+        .groupBy("cohort", "week")
+        .agg(F.count("*").alias("n_active"))
+    )

@@ -33,3 +33,40 @@ def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         )
         per_col = row if per_col is None else per_col.unionByName(row)
     return per_col
+
+
+GROUP_MEDIAN_SCHEMA = "key long, n long, med2 long"
+
+
+def grouped_median(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-group exact median via grouped-map ``applyInPandas`` —
+    the custom-operator slot for group-local algorithms that need the
+    whole group in memory (rank statistics, per-entity model fits).
+
+    Returns (key, n, med2) where med2 = 2 * median: for integer inputs
+    the doubled median is itself an exact integer (sum of the two
+    middle elements when n is even), so the result is bit-portable to
+    any engine with no float-interpolation convention in play.
+
+    Scale note: the group is the unit of task memory here — right for
+    per-entity groups (users, facilities: thousands of rows each), wrong
+    for monster groups; those pre-aggregate or use approx_percentile.
+    The shuffle is the same single hash partition by key that any
+    groupBy performs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = np.sort(pdf[value_col].to_numpy())
+        n = len(v)
+        mid = n // 2
+        med2 = int(v[mid] * 2) if n % 2 else int(v[mid - 1] + v[mid])
+        return pd.DataFrame({"key": [pdf[key_col].iloc[0]], "n": [n], "med2": [med2]})
+
+    return (
+        df.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(stats, schema=GROUP_MEDIAN_SCHEMA)
+        .withColumnRenamed("key", key_col)
+    )

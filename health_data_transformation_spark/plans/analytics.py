@@ -2315,3 +2315,22 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cohort", "week")
         .agg(F.count("*").alias("n_active"))
     )
+
+
+@register(
+    "q90_grouped_median",
+    """SELECT user_id, count(*) AS n,
+              CAST(2 * median(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS BIGINT) AS med2
+       FROM events GROUP BY user_id""",
+    "grouped-map applyInPandas custom operator: exact per-user median "
+    "(doubled to stay integer — no interpolation convention to match) "
+    "over Arrow-batched whole groups; the slot for group-local "
+    "algorithms built-ins can't express",
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profile import grouped_median
+
+    ev = load_table(spark, sf, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return grouped_median(ev.select("user_id", cents.alias("cents")), "user_id", "cents")

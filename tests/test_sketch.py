@@ -93,3 +93,16 @@ def test_weighted_hash_sample_prefers_heavy_rows(spark):
     # deterministic: same call -> same rows
     again = weighted_hash_sample(df, "id", "w", k=200)
     assert picked.exceptAll(again).count() == 0
+
+
+def test_grouped_median_odd_even(spark):
+    from health_data_transformation_spark.operators.profile import grouped_median
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 5), (2, 7)] + [(3, 4)],
+        "k long, v long",
+    )
+    out = {r["k"]: (r["n"], r["med2"]) for r in grouped_median(df, "k", "v").collect()}
+    assert out[1] == (3, 40)   # odd: 2*20
+    assert out[2] == (2, 12)   # even: 5+7
+    assert out[3] == (1, 8)    # singleton: 2*4

@@ -2334,3 +2334,51 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     return grouped_median(ev.select("user_id", cents.alias("cents")), "user_id", "cents")
+
+
+@register(
+    "q91_corpus_pipeline",
+    f"""WITH quality AS (
+          SELECT doc_id, lang, text FROM documents
+          WHERE length(text) >= 100 AND len(string_split(text, ' ')) >= 20
+            AND lang IN ('en', 'de', 'fr')),
+        keepers AS (
+          SELECT min(doc_id) AS doc_id
+          FROM quality GROUP BY {fingerprint_sql('text')}),
+        deduped AS (
+          SELECT q.* FROM quality q JOIN keepers USING (doc_id)),
+        sampled AS (
+          SELECT * FROM deduped
+          WHERE {hex_hash64_sql('CAST(doc_id AS VARCHAR)')} % 1000
+                < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 600 ELSE 1000 END)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+               min(doc_id) AS min_doc
+        FROM sampled GROUP BY lang""",
+    "end-to-end training-corpus build: quality gate (length/tokens) -> "
+    "language allowlist -> exact near-dup collapse (fingerprint keeper, "
+    "first-wins) -> per-language quota downsample -> corpus stats; one "
+    "declarative plan, every stage a scan-local predicate or one "
+    "aggregation (composes q31/q33/q79 machinery)",
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import stratified_hash_sample
+
+    d = load_table(spark, sf, "documents")
+    quality = d.filter(
+        (F.length("text") >= 100)
+        & (T.token_count("text") >= 20)
+        & F.col("lang").isin("en", "de", "fr")
+    )
+    keepers = quality.groupBy(fingerprint("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = quality.join(keepers.select("doc_id"), "doc_id")
+    sampled = stratified_hash_sample(
+        deduped, "doc_id", "lang", {"en": 0.3, "de": 0.6, "fr": 1.0}
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count("text")).alias("sum_tokens"),
+        F.min("doc_id").alias("min_doc"),
+    )

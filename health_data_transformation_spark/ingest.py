@@ -80,10 +80,12 @@ def load_hhs_frame(raw, warehouse: Warehouse) -> LoadReport:
     rules = validate.non_negative(BED_METRIC_COLS) + validate.not_null(
         ["hospital_pk", "hospital_name", "collection_week"]
     )
-    valid, invalid = validate.split_valid(cleaned, rules)
-    valid = valid.cache()
-
-    report = LoadReport(input_rows=raw.count(), invalid_rows=invalid.count())
+    # one input scan total: the flagged frame is cached and every
+    # consumer (counts, three appends, quarantine) reads that copy
+    valid, invalid, flagged, counts = validate.split_valid_cached(cleaned, rules)
+    report = LoadReport(
+        input_rows=counts["input_rows"], invalid_rows=counts["invalid_rows"]
+    )
 
     hospitals = valid.select("hospital_pk", "hospital_name")
     locations = valid.select(
@@ -110,7 +112,7 @@ def load_hhs_frame(raw, warehouse: Warehouse) -> LoadReport:
 
     if report.invalid_rows:
         warehouse.quarantine(invalid, "hhs")
-    valid.unpersist()
+    flagged.unpersist()
     report.seconds = time.time() - t0
     return report.log("hhs")
 
@@ -155,10 +157,10 @@ def load_quality_frame(raw, warehouse: Warehouse) -> LoadReport:
         ),
         *validate.not_null(["facility_id"]),
     ]
-    valid, invalid = validate.split_valid(df, rules)
-    valid = valid.cache()
-
-    report = LoadReport(input_rows=raw.count(), invalid_rows=invalid.count())
+    valid, invalid, flagged, counts = validate.split_valid_cached(df, rules)
+    report = LoadReport(
+        input_rows=counts["input_rows"], invalid_rows=counts["invalid_rows"]
+    )
     added = warehouse.append_idempotent(
         valid.select(
             "facility_id", "hospital_type", "hospital_ownership",
@@ -171,6 +173,6 @@ def load_quality_frame(raw, warehouse: Warehouse) -> LoadReport:
 
     if report.invalid_rows:
         warehouse.quarantine(invalid, "quality")
-    valid.unpersist()
+    flagged.unpersist()
     report.seconds = time.time() - t0
     return report.log("quality")

@@ -2382,3 +2382,46 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(T.token_count("text")).alias("sum_tokens"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+def _q92_oracle() -> str:
+    from ..operators.sketch import count_min_cells_sql
+
+    cells = count_min_cells_sql(
+        "SELECT user_id FROM events", "user_id", CMS_WIDTH, CMS_DEPTH
+    )
+    probe_cells = " UNION ALL ".join(
+        f"""SELECT user_id, {i} AS row,
+                {hex_hash64_sql("CAST(user_id AS VARCHAR)", f"cms{i}")} % {CMS_WIDTH} AS bucket
+         FROM probes"""
+        for i in range(CMS_DEPTH)
+    )
+    return f"""WITH cells AS ({cells}),
+        probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+        pc AS ({probe_cells}),
+        est AS (SELECT user_id, min(COALESCE(cnt, 0)) AS cms_estimate
+                FROM pc LEFT JOIN cells USING (row, bucket) GROUP BY 1),
+        exact AS (SELECT user_id, count(*) AS exact_cnt
+                  FROM events WHERE user_id < 20 GROUP BY 1)
+        SELECT est.user_id, exact_cnt, cms_estimate
+        FROM est JOIN exact USING (user_id)"""
+
+
+@register(
+    "q92_stream_count_min",
+    _q92_oracle(),
+    "streaming sketch maintenance: Count-Min cells merged per microbatch "
+    "(counter addition = the mergeability property), probed after the "
+    "bounded run — bit-equal to the batch-built sketch, so the batch "
+    "oracle verifies the streaming path; state is O(depth*width) forever",
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sketch import count_min_estimate
+    from ..streaming.sketch import stream_count_min_cells
+
+    cells = stream_count_min_cells(spark, sf, "user_id", CMS_WIDTH, CMS_DEPTH)
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 20)
+    probes = ev.select("user_id").distinct()
+    est = count_min_estimate(cells, probes, "user_id", CMS_WIDTH, CMS_DEPTH)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    return est.join(exact, "user_id").select("user_id", "exact_cnt", "cms_estimate")

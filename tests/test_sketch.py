@@ -106,3 +106,19 @@ def test_grouped_median_odd_even(spark):
     assert out[1] == (3, 40)   # odd: 2*20
     assert out[2] == (2, 12)   # even: 5+7
     assert out[3] == (1, 8)    # singleton: 2*4
+
+
+def test_stream_count_min_equals_batch(spark):
+    from health_data_transformation_spark.operators.sketch import count_min_build
+    from health_data_transformation_spark.sources.tables import load_table
+    from health_data_transformation_spark.streaming.sketch import (
+        stream_count_min_cells,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = stream_count_min_cells(spark, sf, "user_id", width=64, depth=2, n_chunks=3)
+    batch = count_min_build(
+        load_table(spark, sf, "events").select("user_id"), "user_id", 64, 2
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0

@@ -113,3 +113,22 @@ def bucket_str(col: Column | str, minutes: int) -> Column:
 
 def bucket_str_sql(expr: str, minutes: int) -> str:
     return f"strftime(time_bucket(INTERVAL '{minutes} minutes', {expr}), '%Y-%m-%d %H:%M:%S')"
+
+
+def floor6(col: Column | str) -> Column:
+    """Quantize a computed double to 6 decimals deterministically.
+
+    ``round(x, 6)`` is NOT portable for doubles: Spark rounds the
+    shortest decimal rendering (BigDecimal.valueOf) while DuckDB rounds
+    the binary value, and the two disagree when the 7th digit sits on a
+    tie (observed: q48 variance at sf0.001, 1e-6 flip).  floor over
+    x*1e6 uses only correctly-rounded IEEE ops (multiply, floor,
+    divide), so identical input bits give identical output bits in any
+    engine.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.floor(col * F.lit(1000000.0)) / F.lit(1000000.0)
+
+
+def floor6_sql(expr: str) -> str:
+    return f"(floor(({expr}) * 1000000.0) / 1000000.0)"

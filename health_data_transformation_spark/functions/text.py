@@ -18,6 +18,11 @@ from pyspark.sql import Column
 import pyspark.sql.functions as F
 
 
+def _floor6(col: Column) -> Column:
+    # local twin of functions.deterministic.floor6 (avoids an import cycle)
+    return F.floor(col * F.lit(1000000.0)) / F.lit(1000000.0)
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization (single-space; matches oracle string_split)."""
     col = F.col(col) if isinstance(col, str) else col
@@ -115,8 +120,8 @@ def quality_columns(text_col: str = "text") -> dict[str, Column]:
         "n_chars_m": n_chr,
         "n_tokens": n_tok,
         "n_unique": n_uni,
-        "uniq_ratio": F.round(n_uni.cast("double") / n_tok.cast("double"), 6),
-        "mean_token_len": F.round(
-            (n_chr - (n_tok - F.lit(1))).cast("double") / n_tok.cast("double"), 6
+        "uniq_ratio": _floor6(n_uni.cast("double") / n_tok.cast("double")),
+        "mean_token_len": _floor6(
+            (n_chr - (n_tok - F.lit(1))).cast("double") / n_tok.cast("double")
         ),
     }

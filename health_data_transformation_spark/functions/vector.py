@@ -57,13 +57,27 @@ def int8_quantize(a: Column | str) -> Column:
     """
     a = F.col(a) if isinstance(a, str) else a
     scale = F.lit(127.0) / F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
-    return F.transform(a, lambda x: F.floor(x.cast("double") * scale).cast("long"))
+    # clamp: for x == -max|x| the product can round a hair below -127.0
+    # and floor to -128, outside int8 (hypothesis-found)
+    return F.transform(
+        a,
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x.cast("double") * scale).cast("long"),
+            ),
+        ),
+    )
 
 
 def int8_quantize_sql(a: str) -> str:
     v = f"CAST({a} AS DOUBLE[])"
     scale = f"(127.0 / list_max(list_transform({v}, x -> abs(x))))"
-    return f"list_transform({v}, x -> CAST(floor(x * {scale}) AS BIGINT))"
+    return (
+        f"list_transform({v}, x -> greatest(CAST(-127 AS BIGINT), "
+        f"least(CAST(127 AS BIGINT), CAST(floor(x * {scale}) AS BIGINT))))"
+    )
 
 
 def int_dot(a: Column | str, b: Column | str) -> Column:

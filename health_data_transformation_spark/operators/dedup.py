@@ -27,6 +27,8 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
+
+from ..functions.deterministic import floor6
 from pyspark.sql import DataFrame, Window
 
 from ..functions.text import distinct_tokens, hex_hash64
@@ -208,7 +210,7 @@ def lsh_near_dup_pairs(
     joined = cands.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
-    jac = F.round(inter / union, 6)
+    jac = floor6(inter / union)
     return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= min_jaccard
     )
@@ -365,7 +367,7 @@ def jaccard_pairs(
     joined = joined.filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
-    jac = F.round(inter / union, 6)
+    jac = floor6(inter / union)
     return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= min_jaccard
     )
@@ -406,8 +408,8 @@ def embedding_near_dup_pairs(
     )
     joined = a.join(b, [block_col]) if block_col else a.crossJoin(b)
     joined = joined.filter(F.col("id_a") < F.col("id_b"))
-    sim = F.round(
-        dot(F.col("vec_a"), F.col("vec_b")) / (F.col("_norm_a") * F.col("_norm_b")), 6
+    sim = floor6(
+        dot(F.col("vec_a"), F.col("vec_b")) / (F.col("_norm_a") * F.col("_norm_b"))
     )
     return joined.select("id_a", "id_b", sim.alias("cos_sim")).filter(
         F.col("cos_sim") >= min_cosine

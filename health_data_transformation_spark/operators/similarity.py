@@ -36,7 +36,11 @@ def cosine_scores(
     sim = dot(F.col(vec_col), F.col(query_col)) / (
         norm(F.col(vec_col)) * F.col("_qnorm")
     )
-    return scored.withColumn(out_col, F.round(sim, scale))
+    # floor-quantize rather than round: Spark's round() on doubles goes
+    # through the shortest decimal rendering and can disagree with the
+    # oracle's binary rounding on digit-(scale+1) ties
+    q = F.lit(float(10 ** scale))
+    return scored.withColumn(out_col, F.floor(sim * q) / q)
 
 
 def brute_force_top_k(

@@ -16,6 +16,11 @@ Naming map to the reference dashboard (/root/reference/Reporting.py):
 
 Determinism contract (drives every design choice here):
 - double aggregations go through fixed-scale DECIMAL (functions.deterministic)
+- computed doubles quantize via floor6, never round(x, 6): Spark's round
+  rounds the double's shortest decimal rendering while DuckDB rounds the
+  binary value, and they disagree on digit-7 ties (bit Spark 4.1 / DuckDB,
+  observed on q48 at sf0.001); floor over x*1e6 uses only correctly-rounded
+  IEEE ops, so identical inputs give identical outputs in any engine
 - computed temporal columns are emitted as strings
 - every LIMIT has a total-order tiebreak
 - all hashes are md5-derived so DuckDB can recompute them
@@ -32,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.deterministic import (
     bucket_str_sql,
+    floor6,
     dec_avg,
     dec_avg_sql,
     dec_ratio,
@@ -358,7 +364,7 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
     """SELECT event_type,
               sum(CASE WHEN k_clean IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_suppressed,
               CAST(SUM(k_clean) AS BIGINT) AS sum_k,
-              ROUND(CAST(SUM(k_clean) AS DOUBLE) / CAST(COUNT(k_clean) AS DOUBLE), 6) AS avg_k
+              (floor((CAST(SUM(k_clean) AS DOUBLE) / CAST(COUNT(k_clean) AS DOUBLE)) * 1000000.0) / 1000000.0) AS avg_k
        FROM (SELECT event_type,
                     NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k_clean
              FROM events)
@@ -376,8 +382,8 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.sum(F.when(F.col("k_clean").isNull(), 1).otherwise(0)).alias("n_suppressed"),
             F.sum("k_clean").alias("sum_k"),
-            F.round(
-                F.sum("k_clean").cast("double") / F.count("k_clean").cast("double"), 6
+            floor6(
+                F.sum("k_clean").cast("double") / F.count("k_clean").cast("double")
             ).alias("avg_k"),
         )
     )
@@ -734,9 +740,9 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q47_percentiles",
     """SELECT l_returnflag,
-              ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
-              ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
-              ROUND(quantile_cont(l_extendedprice, 0.90), 6) AS p90
+              (floor(quantile_cont(l_extendedprice, 0.25) * 1000000.0) / 1000000.0) AS p25,
+              (floor(quantile_cont(l_extendedprice, 0.50) * 1000000.0) / 1000000.0) AS p50,
+              (floor(quantile_cont(l_extendedprice, 0.90) * 1000000.0) / 1000000.0) AS p90
        FROM lineitem GROUP BY l_returnflag""",
     "exact interpolated percentiles per group",
 )
@@ -748,28 +754,23 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
         .agg(pct.alias("p"))
         .select(
             "l_returnflag",
-            F.round(F.element_at("p", 1), 6).alias("p25"),
-            F.round(F.element_at("p", 2), 6).alias("p50"),
-            F.round(F.element_at("p", 3), 6).alias("p90"),
+            floor6(F.element_at("p", 1)).alias("p25"),
+            floor6(F.element_at("p", 2)).alias("p50"),
+            floor6(F.element_at("p", 3)).alias("p90"),
         )
     )
 
 
 @register(
     "q48_stats_moments",
-    """SELECT l_returnflag, n, mean_price, var_price, std_price FROM (
-         SELECT l_returnflag, count(*) AS n,
-                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                      / count(*), 6) AS mean_price,
-                ROUND((CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE)
-                       - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                         * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
-                      / (count(*) - 1), 6) AS var_price,
-                ROUND(sqrt((CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE)
-                       - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                         * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
-                      / (count(*) - 1)), 6) AS std_price
-         FROM lineitem GROUP BY l_returnflag)""",
+    """SELECT l_returnflag, n,
+              (floor((s1 / n) * 1000000.0) / 1000000.0) AS mean_price,
+              (floor(((s2 - s1 * s1 / n) / (n - 1)) * 1000000.0) / 1000000.0) AS var_price,
+              (floor(sqrt((s2 - s1 * s1 / n) / (n - 1)) * 1000000.0) / 1000000.0) AS std_price
+       FROM (SELECT l_returnflag, count(*) AS n,
+                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS s2
+             FROM lineitem GROUP BY l_returnflag)""",
     "sample variance/stddev from exact decimal moments — order-insensitive "
     "(native stddev_samp is partial-aggregation-order-dependent in floats)",
 )
@@ -781,11 +782,13 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("double")
     n = F.count("*")
     var = (sum2 - sum1 * sum1 / n) / (n - F.lit(1))
+    from ..functions.deterministic import floor6
+
     return li.groupBy("l_returnflag").agg(
         n.alias("n"),
-        F.round(sum1 / n, 6).alias("mean_price"),
-        F.round(var, 6).alias("var_price"),
-        F.round(F.sqrt(var), 6).alias("std_price"),
+        floor6(sum1 / n).alias("mean_price"),
+        floor6(var).alias("var_price"),
+        floor6(F.sqrt(var)).alias("std_price"),
     )
 
 
@@ -875,9 +878,9 @@ def _lsh_near_dup_oracle(min_jaccard: float) -> str:
         "          FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),\n"
         "verified AS (\n"
         "  SELECT c.id_a, c.id_b,\n"
-        "         ROUND(CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)\n"
-        "               / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)) AS DOUBLE),\n"
-        "               6) AS jaccard\n"
+        "         (floor((CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)\n"
+        "               / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)) AS DOUBLE))\n"
+        "               * 1000000.0) / 1000000.0) AS jaccard\n"
         "  FROM cands c JOIN toks ta ON c.id_a = ta.doc_id\n"
         "               JOIN toks tb ON c.id_b = tb.doc_id)\n"
         f"SELECT * FROM verified WHERE jaccard >= {min_jaccard}"
@@ -1173,8 +1176,8 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q67_corr_moments",
     """SELECT l_returnflag, n,
-              ROUND((n * sxy - sx * sy)
-                    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+              (floor(((n * sxy - sx * sy)
+                    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000000.0) / 1000000.0) AS corr
        FROM (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
@@ -1199,7 +1202,7 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    return agged.select("l_returnflag", "n", F.round(corr, 6).alias("corr"))
+    return agged.select("l_returnflag", "n", floor6(corr).alias("corr"))
 
 
 @register(
@@ -1336,7 +1339,7 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
          FROM rev)
        SELECT c_nationkey, o_custkey AS top_custkey,
               ROUND(revenue, 2) AS revenue,
-              ROUND(revenue / nation_rev, 6) AS share
+              (floor((revenue / nation_rev) * 1000000.0) / 1000000.0) AS share
        FROM ranked WHERE rk = 1""",
     "composite plan: 3-way join -> grouped agg -> dual window "
     "(rank + partition total) -> filter; per-nation top customer and "
@@ -1373,7 +1376,7 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
             "c_nationkey",
             F.col("o_custkey").alias("top_custkey"),
             F.round("revenue", 2).alias("revenue"),
-            F.round(F.col("revenue") / F.col("nation_rev"), 6).alias("share"),
+            floor6(F.col("revenue") / F.col("nation_rev")).alias("share"),
         )
     )
 
@@ -1395,7 +1398,7 @@ def _q73_oracle() -> str:
          q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          probes AS (SELECT c.cell FROM cents c CROSS JOIN q
                     ORDER BY {cq} DESC, c.cell ASC LIMIT 4)
-    SELECT a.vec_id, ROUND({aq}, 6) AS sim
+    SELECT a.vec_id, (floor(({aq}) * 1000000.0) / 1000000.0) AS sim
     FROM assigned a JOIN probes p ON a.cell = p.cell CROSS JOIN q
     ORDER BY sim DESC, a.vec_id LIMIT 10"""
 
@@ -1689,8 +1692,8 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
     """SELECT lang,
               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
               CAST(max(len(list_distinct(string_split(text, ' ')))) AS INTEGER) AS max_unique,
-              ROUND(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
-                    / CAST(count(*) AS DOUBLE), 6) AS avg_tokens,
+              (floor((CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)) * 1000000.0) / 1000000.0) AS avg_tokens,
               count(*) AS n_docs
        FROM documents GROUP BY lang""",
     "token counting over the documents table (whitespace tokenizer)",
@@ -1704,7 +1707,7 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.sum("n_tok").alias("sum_tokens"),
             F.max("n_uni").alias("max_unique"),
-            F.round(F.sum("n_tok").cast("double") / F.count("*").cast("double"), 6).alias(
+            floor6(F.sum("n_tok").cast("double") / F.count("*").cast("double")).alias(
                 "avg_tokens"
             ),
             F.count("*").alias("n_docs"),
@@ -1717,8 +1720,8 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
     """SELECT doc_id,
               CAST(length(text) AS INTEGER) AS n_chars_m,
               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-              ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS uniq_ratio
+              (floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 1000000.0) / 1000000.0) AS uniq_ratio
        FROM documents WHERE doc_id < 100""",
     "per-document quality scoring (length / lexical-diversity signals)",
 )
@@ -1776,9 +1779,9 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
          SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS t
          FROM documents WHERE doc_id < 100)
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
-                    / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE),
-                    6) AS jaccard
+              (floor((CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                    / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE))
+                    * 1000000.0) / 1000000.0) AS jaccard
        FROM toks a JOIN toks b
          ON a.source = b.source AND a.doc_id < b.doc_id""",
     "n-gram/token Jaccard near-dup pairs within a blocking key "
@@ -1894,7 +1897,7 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     "q38_cosine_topk",
     f"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
                   WHERE vec_id = 0)
-        SELECT e.vec_id, ROUND({cosine_sql('e.embedding', 'q.qv')}, 6) AS sim
+        SELECT e.vec_id, (floor(({cosine_sql('e.embedding', 'q.qv')}) * 1000000.0) / 1000000.0) AS sim
         FROM embeddings e CROSS JOIN q
         ORDER BY sim DESC, e.vec_id LIMIT 10""",
     "brute-force cosine top-k ANN baseline (broadcast query vector; "
@@ -1933,7 +1936,7 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
                   WHERE vec_id = 0),
         scored AS (
           SELECT e.label, e.vec_id,
-                 ROUND({cosine_sql('e.embedding', 'q.qv')}, 6) AS sim
+                 (floor(({cosine_sql('e.embedding', 'q.qv')}) * 1000000.0) / 1000000.0) AS sim
           FROM embeddings e CROSS JOIN q),
         ranked AS (
           SELECT label, vec_id, sim,
@@ -1954,10 +1957,10 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q43_embedding_near_dup",
     f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+               (floor(({cosine_sql('a.embedding', 'b.embedding')}) * 1000000.0) / 1000000.0) AS cos_sim
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.3""",
+        WHERE (floor(({cosine_sql('a.embedding', 'b.embedding')}) * 1000000.0) / 1000000.0) >= 0.3""",
     "embedding-cosine near-dup pairs within a blocking cell (the dedup "
     "use of similarity; blocked to avoid all-pairs)",
 )

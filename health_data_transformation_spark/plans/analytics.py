@@ -2428,3 +2428,32 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
     est = count_min_estimate(cells, probes, "user_id", CMS_WIDTH, CMS_DEPTH)
     exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
     return est.join(exact, "user_id").select("user_id", "exact_cnt", "cms_estimate")
+
+
+@register(
+    "q93_promo_revenue_share",
+    f"""SELECT p.p_brand,
+               count(*) AS n_items,
+               {dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+               {dec_sum_sql("CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", 4)} AS promo_revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand""",
+    "TPC-H Q14-shaped big x medium equi join (lineitem x part on "
+    "partkey): per-brand revenue with a conditional promo slice — at "
+    "100 TB part exceeds the broadcast threshold, so this is the "
+    "sort-merge/shuffled-hash tier with map-side partial aggs",
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            dec_sum(rev, 4).alias("revenue"),
+            dec_sum(promo, 4).alias("promo_revenue"),
+        )
+    )

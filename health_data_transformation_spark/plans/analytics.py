@@ -2457,3 +2457,62 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
             dec_sum(promo, 4).alias("promo_revenue"),
         )
     )
+
+
+@register(
+    "q94_referential_audit",
+    """SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+       UNION ALL
+       SELECT 'orders->customer' AS fk, count(*) AS n_orphans FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""",
+    "referential-integrity audit: FK orphan counts via left-anti joins — "
+    "the warehouse-wide form of the constraint emulation the loaders do "
+    "per batch (SURVEY §1.3; Spark has no enforced FKs, so integrity is "
+    "a query you run, not a constraint you declare)",
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    a = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+        .select(F.lit("lineitem->orders").alias("fk"), "n_orphans")
+    )
+    b = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+        .select(F.lit("orders->customer").alias("fk"), "n_orphans")
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "q95_drift_bins",
+    f"""WITH old AS (SELECT value FROM events WHERE ts < TIMESTAMP '{EVENTS_CUTOFF}'),
+        new AS (SELECT value FROM events WHERE ts >= TIMESTAMP '{EVENTS_CUTOFF}')
+       SELECT bin,
+              CAST(sum(n_old) AS BIGINT) AS n_old,
+              CAST(sum(n_new) AS BIGINT) AS n_new
+       FROM (
+         SELECT CAST(floor(value / 100.0) AS BIGINT) AS bin, 1 AS n_old, 0 AS n_new FROM old
+         UNION ALL
+         SELECT CAST(floor(value / 100.0) AS BIGINT) AS bin, 0 AS n_old, 1 AS n_new FROM new)
+       GROUP BY bin""",
+    "distribution-drift bins: the same fixed binning applied to a "
+    "before/after split, counted side by side — the exact-count input "
+    "to any drift score (PSI/KL need only these bins; ln is applied by "
+    "the consumer, keeping the engine output engine-portable integers)",
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    old = load_events_range(spark, sf, hi=EVENTS_CUTOFF).select("value")
+    new = load_events_range(spark, sf, lo=EVENTS_CUTOFF).select("value")
+    bin_col = F.floor(F.col("value") / 100.0).cast("long").alias("bin")
+    o = old.select(bin_col, F.lit(1).alias("n_old"), F.lit(0).alias("n_new"))
+    n = new.select(bin_col, F.lit(0).alias("n_old"), F.lit(1).alias("n_new"))
+    return (
+        o.unionByName(n)
+        .groupBy("bin")
+        .agg(F.sum("n_old").alias("n_old"), F.sum("n_new").alias("n_new"))
+    )

@@ -2535,7 +2535,10 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..operators.rollup import refresh_rollup, touched_partitions
 
-    ev = load_events_range(spark, sf).withColumn("week", week_str("ts"))
+    # cache the staged frame: the testdata fact isn't week-partitioned on
+    # disk, so without this each refresh would rescan the whole table —
+    # in the real warehouse (catalog.py) the partition layout does this
+    ev = load_events_range(spark, sf).withColumn("week", week_str("ts")).cache()
 
     def aggregate(scoped: DataFrame) -> DataFrame:
         return scoped.groupBy("week").agg(
@@ -2550,6 +2553,7 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
         refresh_rollup(ev, rollup_path, "week", [wk], aggregate)
     if weeks:
         refresh_rollup(ev, rollup_path, "week", [weeks[0]], aggregate)
+    ev.unpersist()
     out = spark.read.parquet(rollup_path)
     # partition column round-trips as string; restore column order/types
     return out.select(

@@ -2561,3 +2561,44 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         "total_value",
     )
+
+
+def _q97_oracle(iters: int = 3) -> str:
+    edges = """SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+                      't' || event_type AS dst FROM events
+               UNION
+               SELECT DISTINCT 't' || event_type AS src,
+                      'u' || CAST(user_id AS VARCHAR) AS dst FROM events"""
+    ctes = [f"e AS ({edges})",
+            "deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1)",
+            "r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg)"]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (SELECT e.dst AS node,
+                   CAST(150000 + (850 * sum({prev}.r // deg.d)) // 1000 AS BIGINT) AS r
+            FROM e JOIN {prev} ON e.src = {prev}.node
+                   JOIN deg ON e.src = deg.src
+            GROUP BY e.dst)"""
+        )
+        prev = f"r{i}"
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, r AS rank_ppm FROM {prev}"
+
+
+@register(
+    "q97_pagerank_integer",
+    _q97_oracle(3),
+    "PageRank over the user<->event-type bipartite graph in exact ppm "
+    "integers (3 rounds, floor division): fp PageRank is shuffle-order- "
+    "dependent, the integer form is bit-reproducible on any engine — "
+    "every rank oracle-checked, one join+aggregate shuffle per round",
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import pagerank_integer, symmetrize
+
+    ev = load_table(spark, sf, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("t"),
+    ).distinct()
+    edges = symmetrize(ev, "u", "t")
+    return pagerank_integer(edges, iterations=3)

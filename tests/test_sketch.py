@@ -122,3 +122,23 @@ def test_stream_count_min_equals_batch(spark):
     )
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_pagerank_integer_star_graph(spark):
+    from health_data_transformation_spark.operators.graph import (
+        pagerank_integer,
+        symmetrize,
+    )
+
+    # star: hub h connected to 3 leaves -> hub outranks leaves, exact ints
+    pairs = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c")], "x string, y string"
+    )
+    edges = symmetrize(pairs, "x", "y")
+    ranks = {r["node"]: r["rank_ppm"] for r in pagerank_integer(edges, 3).collect()}
+    assert set(ranks) == {"h", "a", "b", "c"}
+    assert ranks["a"] == ranks["b"] == ranks["c"]
+    assert ranks["h"] > ranks["a"]
+    # deterministic: exact same integers on rerun
+    again = {r["node"]: r["rank_ppm"] for r in pagerank_integer(edges, 3).collect()}
+    assert ranks == again

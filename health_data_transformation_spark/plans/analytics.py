@@ -2602,3 +2602,67 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
     ).distinct()
     edges = symmetrize(ev, "u", "t")
     return pagerank_integer(edges, iterations=3)
+
+
+@register(
+    "q98_hot_key_detector",
+    """WITH per_key AS (SELECT lang AS key, count(*) AS n
+                        FROM documents GROUP BY 1),
+        stats AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                         count(*) AS n_keys FROM per_key)
+       SELECT p.key, p.n,
+              CAST(p.n * s.n_keys AS BIGINT) AS n_scaled,
+              p.n * s.n_keys > 2 * s.total AS is_hot
+       FROM per_key p CROSS JOIN stats s
+       WHERE p.n * s.n_keys > 2 * s.total""",
+    "hot-key detector: keys whose row count exceeds 2x the mean "
+    "(integer cross-multiplied, no division) — the diagnosis stage that "
+    "feeds the salted join/agg operators (q49/q50); one aggregation + a "
+    "1-row broadcast",
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    per_key = d.groupBy(F.col("lang").alias("key")).agg(F.count("*").alias("n"))
+    stats = per_key.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_keys")
+    )
+    joined = per_key.crossJoin(F.broadcast(stats))
+    scaled = (F.col("n") * F.col("n_keys")).cast("long")
+    return (
+        joined.select(
+            "key", "n", scaled.alias("n_scaled"),
+            (scaled > 2 * F.col("total")).alias("is_hot"),
+        )
+        .filter(F.col("is_hot"))
+    )
+
+
+@register(
+    "q99_boilerplate_prefixes",
+    """WITH pref AS (
+         SELECT source,
+                array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS prefix
+         FROM documents),
+        counted AS (
+          SELECT source, prefix, count(*) AS n_docs
+          FROM pref GROUP BY 1, 2),
+        per_source AS (
+          SELECT source, count(*) AS total FROM pref GROUP BY 1)
+       SELECT c.source, c.prefix, c.n_docs
+       FROM counted c JOIN per_source t USING (source)
+       WHERE c.n_docs * 20 >= t.total AND c.n_docs >= 2""",
+    "boilerplate/template detection: 5-token document prefixes covering "
+    ">=5% of a source's docs (integer cross-multiplied threshold) — the "
+    "detection stage of boilerplate stripping in corpus cleaning",
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    prefix = F.concat_ws(" ", F.slice(T.tokens("text"), 1, 5))
+    pref = d.select("source", prefix.alias("prefix"))
+    counted = pref.groupBy("source", "prefix").agg(F.count("*").alias("n_docs"))
+    per_source = pref.groupBy("source").agg(F.count("*").alias("total"))
+    return (
+        counted.join(per_source, "source")
+        .filter((F.col("n_docs") * 20 >= F.col("total")) & (F.col("n_docs") >= 2))
+        .select("source", "prefix", "n_docs")
+    )

@@ -150,3 +150,71 @@ def ivf_top_k(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic integer hyperplanes from md5 — reproducible by any
+    engine/language, so LSH signatures are oracle-exact."""
+    import hashlib
+
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"rp{j}|{i}".encode()).hexdigest()
+            row.append(int(h[:15], 16) % 2001 - 1000)
+        planes.append(row)
+    return planes
+
+
+def embedding_lsh_signature(
+    df: DataFrame, n_planes: int = 8, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Random-hyperplane LSH signature over int8-quantized embeddings.
+
+    SimHash for cosine space: bit j = [dot(quantize(v), plane_j) > 0].
+    Everything is exact integer arithmetic (|q|<=127, |plane|<=1000,
+    dim<=64 -> dot <= 8.1e6, no overflow), so signatures are
+    bit-identical across engines AND across cluster layouts — the
+    property that lets a 100 TB dedup pass shard by signature with no
+    recompute drift.  One narrow projection, no shuffle.
+    """
+    from ..functions.vector import int8_quantize, int_dot
+
+    planes = _hyperplanes(n_planes, dim)
+    q = df.withColumn("_q", int8_quantize(vec_col))
+    sig = None
+    for j, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x).cast("long") for x in plane])
+        bit = F.when(int_dot(F.col("_q"), plane_col) > 0, F.lit(1 << j)).otherwise(0)
+        sig = bit if sig is None else sig + bit
+    return q.withColumn("lsh_sig", sig.cast("long")).drop("_q")
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup candidate pairs: equal LSH signature, scored by the
+    exact integer dot of the quantized vectors.  The join key is the
+    signature — candidate generation is an equi self-join, never an
+    all-pairs scan."""
+    from ..functions.vector import int8_quantize, int_dot
+
+    sigs = embedding_lsh_signature(df, n_planes, vec_col, dim).select(
+        id_col, "lsh_sig", int8_quantize(vec_col).alias("_q")
+    )
+    a = sigs.select(
+        F.col("lsh_sig"), F.col(id_col).alias("id_a"), F.col("_q").alias("qa")
+    )
+    b = sigs.select(
+        F.col("lsh_sig"), F.col(id_col).alias("id_b"), F.col("_q").alias("qb")
+    )
+    return (
+        a.join(b, "lsh_sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "lsh_sig", int_dot("qa", "qb").alias("qdot"))
+    )

@@ -2666,3 +2666,39 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
         .filter((F.col("n_docs") * 20 >= F.col("total")) & (F.col("n_docs") >= 2))
         .select("source", "prefix", "n_docs")
     )
+
+
+def _q100_oracle(n_planes: int = 8, dim: int = 64) -> str:
+    from ..functions.vector import int8_quantize_sql
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, dim)
+    bits = " + ".join(
+        f"(CASE WHEN CAST(list_dot_product(CAST(qv AS DOUBLE[]), "
+        f"CAST({plane!r} AS DOUBLE[])) AS BIGINT) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    return f"""WITH q AS (SELECT vec_id, {int8_quantize_sql('embedding')} AS qv
+                  FROM embeddings),
+        sigs AS (SELECT vec_id, qv, CAST({bits} AS BIGINT) AS lsh_sig FROM q)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.lsh_sig,
+               CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                     CAST(b.qv AS DOUBLE[])) AS BIGINT) AS qdot
+        FROM sigs a JOIN sigs b
+          ON a.lsh_sig = b.lsh_sig AND a.vec_id < b.vec_id"""
+
+
+@register(
+    "q100_embedding_lsh_pairs",
+    _q100_oracle(),
+    "random-hyperplane LSH over int8-quantized embeddings: 8-bit cosine "
+    "SimHash signatures from md5-derived integer planes (all-integer "
+    "math, bit-identical across engines and cluster layouts), candidate "
+    "pairs by signature equi-join — the 100 TB embedding-dedup path "
+    "(composes q82 quantization with the q51 LSH shape)",
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import embedding_lsh_pairs
+
+    e = load_table(spark, sf, "embeddings")
+    return embedding_lsh_pairs(e, n_planes=8)

@@ -142,3 +142,29 @@ def test_pagerank_integer_star_graph(spark):
     # deterministic: exact same integers on rerun
     again = {r["node"]: r["rank_ppm"] for r in pagerank_integer(edges, 3).collect()}
     assert ranks == again
+
+
+def test_embedding_lsh_recall_on_tight_clusters(spark):
+    """Angularly tight clusters collide in signature; near-orthogonal
+    clusters do not (random-hyperplane LSH approximates cosine)."""
+    from health_data_transformation_spark.operators.similarity import (
+        embedding_lsh_pairs,
+    )
+
+    # two orthogonal directions in 64-d, small deterministic jitter
+    rows = []
+    for c, base_axis in [(0, 0), (1, 32)]:
+        for i in range(20):
+            v = [0.0] * 64
+            v[base_axis] = 10.0
+            v[(base_axis + 1 + i % 8) % 64] = 0.5  # jitter << base
+            rows.append((c * 100 + i, c, v))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    pairs = embedding_lsh_pairs(df, n_planes=8).collect()
+    assert pairs, "tight clusters must produce LSH collisions"
+    cross = [p for p in pairs if (p["id_a"] < 100) != (p["id_b"] < 100)]
+    same = [p for p in pairs if (p["id_a"] < 100) == (p["id_b"] < 100)]
+    assert len(same) > 0 and len(cross) == 0
+    # signatures are deterministic integers
+    again = embedding_lsh_pairs(df, n_planes=8).collect()
+    assert sorted(map(tuple, pairs)) == sorted(map(tuple, again))

@@ -2702,3 +2702,25 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "embeddings")
     return embedding_lsh_pairs(e, n_planes=8)
+
+
+@register(
+    "q101_stream_dedup",
+    f"""SELECT count(*) AS n_events,
+               count(DISTINCT event_id) AS n_ids,
+               {dec_sum_sql('value', 2)} AS total_value
+        FROM events""",
+    "watermarked streaming dedup proven end-to-end: the events file "
+    "re-delivered as a second microbatch is eliminated in flight by "
+    "dropDuplicatesWithinWatermark (O(keys-in-window) state) — the "
+    "surviving stream equals the batch table (D4 as a stream)",
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.windows import stream_dedup_events
+
+    survived = stream_dedup_events(spark, sf)
+    return survived.agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct(F.col("event_id")).alias("n_ids"),
+        dec_sum("value", 2).alias("total_value"),
+    )

@@ -219,3 +219,58 @@ def stream_dedup_ingest(
     return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def stream_dedup_events(
+    spark: SparkSession, sf_dir: str, watermark: str = "7 days", timeout_sec: int = 300
+) -> DataFrame:
+    """Re-delivered events deduped exactly-once-per-key in flight.
+
+    The staging dir holds TWO copies of the events file consumed as two
+    microbatches (maxFilesPerTrigger=1): batch 1 passes through,
+    batch 2 is eliminated by ``dropDuplicatesWithinWatermark`` state
+    (or as late data behind the advanced watermark — either way the
+    duplicate never lands).  The surviving rows equal the batch
+    distinct-by-key table, which is the oracle; state is
+    O(keys within watermark), not O(history).
+    """
+    import os
+    import tempfile
+    import uuid
+
+    ensure_compat(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    stage = tempfile.mkdtemp(prefix="hdt_stream_dedup_")
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    if os.path.isdir(src):
+        static.write.parquet(os.path.join(stage, "copy1.parquet"))
+        static.write.parquet(os.path.join(stage, "copy2.parquet"))
+    else:
+        os.symlink(src, os.path.join(stage, "copy1.parquet"))
+        os.symlink(src, os.path.join(stage, "copy2.parquet"))
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_sec)
+    finally:
+        query.stop()
+    return spark.table(name)

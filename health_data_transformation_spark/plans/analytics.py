@@ -2724,3 +2724,76 @@ def q101(spark: SparkSession, sf: str) -> DataFrame:
         F.count_distinct(F.col("event_id")).alias("n_ids"),
         dec_sum("value", 2).alias("total_value"),
     )
+
+
+def _morton_sql(a: str, b: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "q102_zorder_key",
+    f"""WITH b AS (SELECT event_id, user_id,
+                         CAST(user_id % 256 AS BIGINT) AS ub,
+                         CAST(CAST(floor(value / 40.0) AS BIGINT) % 256 AS BIGINT) AS vb
+                  FROM events)
+        SELECT event_id, user_id, {_morton_sql('ub', 'vb')} AS zkey
+        FROM b ORDER BY zkey, event_id LIMIT 100""",
+    "z-order (Morton) clustering key: bit-interleave two bounded "
+    "dimensions so sorting by one key gives locality in both — the "
+    "sort-on-write layout that makes parquet min/max skipping work for "
+    "two-column predicates at 100 TB (pure integer shifts, "
+    "oracle-exact)",
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    ub = (F.col("user_id") % 256).cast("long")
+    vb = (F.floor(F.col("value") / 40.0).cast("long") % 256).cast("long")
+    z = None
+    for i in range(8):
+        t1 = F.shiftleft(F.shiftright(ub, i).bitwiseAND(F.lit(1)), 2 * i)
+        t2 = F.shiftleft(F.shiftright(vb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = t1 + t2 if z is None else z + t1 + t2
+    return (
+        ev.select("event_id", "user_id", z.cast("long").alias("zkey"))
+        .orderBy("zkey", "event_id")
+        .limit(100)
+    )
+
+
+@register(
+    "q103_time_weighted_sums",
+    """WITH seq AS (
+         SELECT user_id,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                epoch_us(ts) - lag(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dt_us
+         FROM events)
+       SELECT user_id,
+              CAST(sum(cents * dt_us) AS BIGINT) AS weighted_sum,
+              CAST(sum(dt_us) AS BIGINT) AS total_us,
+              count(*) AS n_intervals
+       FROM seq WHERE dt_us IS NOT NULL GROUP BY user_id""",
+    "time-weighted sums (the TWAP building block): each value weighted "
+    "by the micros elapsed since the user's previous event — exact "
+    "integer arithmetic (cents x micros fits in int64), one window "
+    "shuffle + one aggregation; consumer divides for the actual TWAP",
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    dt = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    seq = ev.select("user_id", cents.alias("cents"), dt.alias("dt_us"))
+    return (
+        seq.filter(F.col("dt_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dt_us")).alias("weighted_sum"),
+            F.sum("dt_us").alias("total_us"),
+            F.count("*").alias("n_intervals"),
+        )
+    )

@@ -2797,3 +2797,40 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_intervals"),
         )
     )
+
+
+@register(
+    "q104_decay_scores",
+    f"""WITH aged AS (
+          SELECT user_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                 CAST((epoch_us(TIMESTAMP '{EVENTS_CUM_CUTOFF}') - epoch_us(ts))
+                      // 604800000000 AS BIGINT) AS weeks_old
+          FROM events WHERE ts <= TIMESTAMP '{EVENTS_CUM_CUTOFF}')
+        SELECT user_id,
+               CAST(sum(cents >> CAST(least(weeks_old, 62) AS INTEGER)) AS BIGINT)
+                 AS decayed_cents,
+               count(*) AS n_events
+        FROM aged GROUP BY user_id""",
+    "recency-decayed engagement score with a one-week half-life as an "
+    "INTEGER SHIFT (cents >> weeks_old): exponential decay without "
+    "pow/exp, which are not bit-portable across engines — the ranking "
+    "signal pattern for freshness-weighted retrieval, fully oracle-exact",
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf, hi=EVENTS_CUM_CUTOFF, hi_inclusive=True)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cutoff_us = F.unix_micros(F.lit(EVENTS_CUM_CUTOFF).cast("timestamp"))
+    WEEK_US = 604800000000
+    age_us = cutoff_us - F.unix_micros("ts")
+    # exact integer floor division (subtract the remainder, then the
+    # division is exact) — matches the oracle's // operator bit-for-bit
+    weeks = ((age_us - F.pmod(age_us, F.lit(WEEK_US))) / F.lit(WEEK_US)).cast("long")
+    aged = ev.select(
+        "user_id", cents.alias("cents"),
+        F.least(weeks, F.lit(62)).cast("int").alias("shift_w"),
+    )
+    decayed = F.expr("shiftright(cents, shift_w)")
+    return aged.groupBy("user_id").agg(
+        F.sum(decayed).alias("decayed_cents"), F.count("*").alias("n_events")
+    )

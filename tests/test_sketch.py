@@ -168,3 +168,46 @@ def test_embedding_lsh_recall_on_tight_clusters(spark):
     # signatures are deterministic integers
     again = embedding_lsh_pairs(df, n_planes=8).collect()
     assert sorted(map(tuple, pairs)) == sorted(map(tuple, again))
+
+
+def test_floor6_portable_where_round_diverges(spark):
+    """Regression for the q48 sf0.001 divergence: Spark round(x, 6)
+    rounds the double's shortest decimal rendering, DuckDB rounds the
+    binary value — on digit-7 ties they disagree.  floor6 must agree
+    with DuckDB's floor-based quantization bit-for-bit on the exact
+    moment values that triggered the original mismatch."""
+    import duckdb
+
+    from health_data_transformation_spark.functions.deterministic import floor6
+
+    # the exact decimal moments from lineitem 'A' at sf0.001
+    s1, s2, n = 101703024.69, 7096786968835.8685, 1962
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    [got] = spark.createDataFrame([(var,)], "v double").select(floor6("v")).collect()
+    want = duckdb.sql(
+        f"SELECT floor(CAST({var!r} AS DOUBLE) * 1000000.0) / 1000000.0"
+    ).fetchone()[0]
+    assert got[0] == want
+
+
+def test_weighted_sample_equal_weights_is_hash_topk(spark):
+    """With uniform weights the priority order degenerates to the plain
+    hash order, so the weighted sample equals deterministic hash top-k."""
+    from health_data_transformation_spark.functions.text import hex_hash64
+    from health_data_transformation_spark.operators.sampling import (
+        UNIFORM_BITS,
+        weighted_hash_sample,
+    )
+
+    df = spark.range(0, 500).select(F.col("id"), F.lit(7).alias("w"))
+    picked = {r["id"] for r in weighted_hash_sample(df, "id", "w", k=50).collect()}
+    by_hash = {
+        r["id"]
+        for r in df.select(
+            "id", F.pmod(hex_hash64(F.col("id").cast("string")), F.lit(UNIFORM_BITS)).alias("u")
+        )
+        .orderBy("u", "id")
+        .limit(50)
+        .collect()
+    }
+    assert picked == by_hash

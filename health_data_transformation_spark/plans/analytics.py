@@ -2834,3 +2834,45 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
     return aged.groupBy("user_id").agg(
         F.sum(decayed).alias("decayed_cents"), F.count("*").alias("n_events")
     )
+
+
+@register(
+    "q105_lsh_topk_neighbors",
+    f"""WITH pairs AS ({_q100_oracle()}),
+        sym AS (SELECT id_a AS src, id_b AS dst, qdot FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst, qdot FROM pairs),
+        ranked AS (
+          SELECT src, dst, qdot,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY qdot DESC, dst) AS rk
+          FROM sym)
+        SELECT src AS vec_id, dst AS neighbor_id, qdot,
+               CAST(rk AS INTEGER) AS rk
+        FROM ranked WHERE rk <= 3""",
+    "top-k similarity search with LSH prefilter (SURVEY §7.4's promised "
+    "shape): candidates from the signature equi-join only — never "
+    "all-pairs — then per-vector top-3 by exact integer dot via one "
+    "window (composes q100 + the q17 per-group top-k pattern)",
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import embedding_lsh_pairs
+
+    e = load_table(spark, sf, "embeddings")
+    pairs = embedding_lsh_pairs(e, n_planes=8)
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "qdot"
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "qdot")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("qdot"), "dst")
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("neighbor_id"),
+            "qdot",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

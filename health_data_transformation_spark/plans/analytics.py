@@ -2876,3 +2876,51 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@register(
+    "q106_er_match_scores",
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+              CAST((CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 10 ELSE -5 END)
+                 + (CASE WHEN levenshtein(a.c_name, b.c_name) <= 5 THEN 15
+                         WHEN levenshtein(a.c_name, b.c_name) <= 10 THEN 5
+                         ELSE -10 END)
+                 + (CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 100.0 THEN 3 ELSE 0 END)
+                AS BIGINT) AS score
+       FROM customer a JOIN customer b
+         ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+       WHERE a.c_custkey < 300 AND b.c_custkey < 300
+         AND (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 10 ELSE -5 END)
+           + (CASE WHEN levenshtein(a.c_name, b.c_name) <= 5 THEN 15
+                   WHEN levenshtein(a.c_name, b.c_name) <= 10 THEN 5
+                   ELSE -10 END)
+           + (CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 100.0 THEN 3 ELSE 0 END) >= 18""",
+    "entity-resolution match scoring (Fellegi-Sunter shape): blocked "
+    "candidate pairs scored by integer agreement weights across fields "
+    "(segment equality, name edit-distance bands, balance proximity) — "
+    "the scoring stage between q69's candidate pairs and a merge "
+    "decision; all-integer, oracle-exact",
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") < 300)
+    a = c.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg_a"), F.col("c_name").alias("name_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg_b"), F.col("c_name").alias("name_b"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    pairs = a.join(b, "nk").filter(F.col("id_a") < F.col("id_b"))
+    lev = F.levenshtein("name_a", "name_b")
+    score = (
+        F.when(F.col("seg_a") == F.col("seg_b"), 10).otherwise(-5)
+        + F.when(lev <= 5, 15).when(lev <= 10, 5).otherwise(-10)
+        + F.when(F.abs(F.col("bal_a") - F.col("bal_b")) < 100.0, 3).otherwise(0)
+    ).cast("long")
+    return (
+        pairs.select("id_a", "id_b", score.alias("score"))
+        .filter(F.col("score") >= 18)
+    )

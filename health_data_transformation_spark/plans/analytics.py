@@ -2924,3 +2924,48 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
         pairs.select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= 18)
     )
+
+
+@register(
+    "q107_udtf_chunks",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents WHERE doc_id < 100),
+        ex AS (SELECT doc_id, t, unnest(range(0, ((len(t) + 39) // 40))) AS ci
+               FROM toks)
+       SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+              CAST(len(list_slice(t, ci * 40 + 1, least((ci + 1) * 40, len(t)))) AS INTEGER)
+                AS n_tokens,
+              md5(array_to_string(list_slice(t, ci * 40 + 1, least((ci + 1) * 40, len(t))), ' '))
+                AS chunk_md5
+       FROM ex""",
+    "Python UDTF surface (Spark 4 @udtf) driven through SQL LATERAL "
+    "join: a table-generating chunker (1 doc row -> N typed chunk "
+    "rows) — the §2.6 extension slot for generators that built-in "
+    "explode can't express (here it could, which is exactly what the "
+    "oracle exploits to verify the UDTF bit-for-bit)",
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk_md5 string")
+    class DocChunks:
+        def eval(self, text: str, size: int):
+            toks = text.split(" ")
+            for i in range(0, len(toks), size):
+                chunk = toks[i : i + size]
+                yield (
+                    i // size,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("doc_chunks", DocChunks)
+    load_table(spark, sf, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(
+        "q107_docs"
+    )
+    return spark.sql(
+        """SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_md5
+           FROM q107_docs d, LATERAL doc_chunks(d.text, 40) c"""
+    )

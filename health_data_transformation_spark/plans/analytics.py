@@ -2969,3 +2969,68 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
         """SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_md5
            FROM q107_docs d, LATERAL doc_chunks(d.text, 40) c"""
     )
+
+
+FH_DIM = 16
+
+
+@register(
+    "q108_feature_hashing",
+    f"""WITH tok_rows AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE doc_id < 200),
+        binned AS (
+          SELECT doc_id, {hex_hash64_sql('tok')} % {FH_DIM} AS dim
+          FROM tok_rows)
+        SELECT doc_id, CAST(dim AS INTEGER) AS dim, count(*) AS cnt
+        FROM binned GROUP BY 1, 2""",
+    "feature hashing (the hashing trick): tokens mapped to a fixed "
+    f"{FH_DIM}-dim count space by stable hash — unbounded vocabulary to "
+    "bounded feature width with no dictionary to build/broadcast, the "
+    "standard ML featurization for 100 TB text (one explode + one "
+    "partial-aggregated groupBy)",
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import hex_hash64, tokens
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    ex = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    dim = F.pmod(hex_hash64(F.col("tok")), F.lit(FH_DIM)).cast("int")
+    return ex.groupBy("doc_id", dim.alias("dim")).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q109_target_encoding",
+    f"""WITH stats AS (
+          SELECT o_orderpriority,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                 count(*) AS n
+          FROM orders GROUP BY 1),
+        prior AS (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gs,
+                 count(*) AS gn
+          FROM orders)
+        SELECT s.o_orderpriority, s.n,
+               (floor(((s.s + 20.0 * (p.gs / p.gn)) / (s.n + 20.0)) * 1000000.0)
+                / 1000000.0) AS encoded
+        FROM stats s CROSS JOIN prior p""",
+    "smoothed target encoding (m-estimate, m=20): category mean blended "
+    "toward the global prior — leakage-safe categorical featurization "
+    "computed in two aggregations + a 1-row broadcast; exact decimal "
+    "sums + floor6 keep the encoding bit-portable",
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    stats = orders.groupBy("o_orderpriority").agg(
+        F.sum(price).cast("double").alias("s"), F.count("*").alias("n")
+    )
+    prior = orders.agg(
+        F.sum(price).cast("double").alias("gs"), F.count("*").alias("gn")
+    )
+    joined = stats.crossJoin(F.broadcast(prior))
+    encoded = floor6(
+        (F.col("s") + F.lit(20.0) * (F.col("gs") / F.col("gn")))
+        / (F.col("n") + F.lit(20.0))
+    )
+    return joined.select("o_orderpriority", "n", encoded.alias("encoded"))

@@ -3034,3 +3034,70 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
         / (F.col("n") + F.lit(20.0))
     )
     return joined.select("o_orderpriority", "n", encoded.alias("encoded"))
+
+
+NEG_SLOTS = 4
+
+
+@register(
+    "q110_negative_sampling",
+    f"""WITH items AS (
+          SELECT p_partkey,
+                 row_number() OVER (ORDER BY p_partkey) - 1 AS idx,
+                 count(*) OVER () AS n_items
+          FROM part),
+        pos AS (SELECT DISTINCT o.o_custkey, l.l_partkey
+                FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_custkey < 100),
+        users AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 100),
+        cand AS (
+          SELECT u.o_custkey, s.slot,
+                 {hex_hash64_sql("CAST(u.o_custkey AS VARCHAR) || '#' || CAST(s.slot AS VARCHAR)", "neg")} AS h
+          FROM users u CROSS JOIN (SELECT unnest(range({NEG_SLOTS})) AS slot) s),
+        picked AS (
+          SELECT c.o_custkey, CAST(c.slot AS INTEGER) AS slot, i.p_partkey
+          FROM cand c JOIN items i ON i.idx = c.h % i.n_items)
+        SELECT p.o_custkey AS custkey, p.slot, p.p_partkey AS negative_partkey
+        FROM picked p
+        WHERE NOT EXISTS (SELECT 1 FROM pos
+                          WHERE pos.o_custkey = p.o_custkey
+                            AND pos.l_partkey = p.p_partkey)""",
+    "deterministic negative sampling for contrastive training: per user, "
+    "hash-picked candidate classes with interacted classes rejected by "
+    "anti-join — layout/seed-free so every rerun and every engine draws "
+    "the SAME negatives (hash-pick + broadcast class table + one "
+    "anti-join shuffle)",
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import hex_hash64
+
+    orders = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 100)
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    w = Window.orderBy("p_partkey")
+    items = part.select(
+        "p_partkey",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count("*").over(Window.partitionBy()).alias("n_items"),
+    )
+    pos = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    users = orders.select("o_custkey").distinct()
+    slots = spark.range(NEG_SLOTS).select(F.col("id").cast("int").alias("slot"))
+    cand = users.crossJoin(F.broadcast(slots)).select(
+        "o_custkey", "slot",
+        hex_hash64(
+            F.concat(F.col("o_custkey").cast("string"), F.lit("#"), F.col("slot").cast("string")),
+            "neg",
+        ).alias("h"),
+    )
+    picked = cand.join(
+        F.broadcast(items), F.pmod(cand.h, items.n_items) == items.idx
+    ).select("o_custkey", "slot", "p_partkey")
+    return picked.join(pos, ["o_custkey", "p_partkey"], "left_anti").select(
+        F.col("o_custkey").alias("custkey"), "slot",
+        F.col("p_partkey").alias("negative_partkey"),
+    )

@@ -30,12 +30,23 @@ def asof_join(
     right_time: str,
     right_value_cols: Sequence[str],
     tiebreak: str | None = None,
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """For each left row, attach ``right_value_cols`` from the latest
     right row with right_time <= left_time and equal keys (NULLs if no
-    prior right row exists)."""
+    prior right row exists).
+
+    ``tolerance_us`` bounds staleness (feature-store TTL semantics): a
+    match older than the bound is nulled out, exactly as if no prior
+    right row existed.  Implemented by carrying the matched right-side
+    timestamp through the same window — no extra shuffle.
+    """
     keys = list(keys)
     carried = [f"_asof_{c}" for c in right_value_cols]
+    if tolerance_us is not None:
+        right = right.withColumn("_asof_src_ts", F.col(right_time))
+        right_value_cols = [*right_value_cols, "_asof_src_ts"]
+        carried = [*carried, "_asof__asof_src_ts"]
 
     l_tagged = left.select(
         *left.columns,
@@ -64,6 +75,18 @@ def asof_join(
         *[c for c in unioned.columns if c not in carried],
         *[F.last(a, ignorenulls=True).over(w).alias(a) for a in carried],
     )
-    out = filled.filter(F.col("_asof_side") == 1).drop("_asof_ts", "_asof_side")
+    out = filled.filter(F.col("_asof_side") == 1)
+    if tolerance_us is not None:
+        age = F.unix_micros(F.col("_asof_ts")) - F.unix_micros(
+            F.col("_asof__asof_src_ts")
+        )
+        within = F.col("_asof__asof_src_ts").isNotNull() & (age <= tolerance_us)
+        for a in carried:
+            if a != "_asof__asof_src_ts":
+                out = out.withColumn(a, F.when(within, F.col(a)))
+        out = out.drop("_asof__asof_src_ts")
+        carried = [a for a in carried if a != "_asof__asof_src_ts"]
+        right_value_cols = [c for c in right_value_cols if c != "_asof_src_ts"]
+    out = out.drop("_asof_ts", "_asof_side")
     renames = dict(zip(carried, right_value_cols))
     return out.withColumnsRenamed(renames)

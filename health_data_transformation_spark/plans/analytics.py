@@ -3101,3 +3101,31 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"), "slot",
         F.col("p_partkey").alias("negative_partkey"),
     )
+
+
+@register(
+    "q111_asof_ttl",
+    """SELECT p.event_id, p.user_id,
+              CASE WHEN epoch_us(p.ts) - epoch_us(l.ts) <= 1800000000
+                   THEN l.event_id END AS login_event_id
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') l
+         ON p.user_id = l.user_id AND p.ts >= l.ts""",
+    "as-of join with staleness bound (feature-store TTL): the most "
+    "recent prior login counts only within 30 min — matches older than "
+    "the TTL are nulled exactly as if absent; same single-shuffle "
+    "union+carry plan as q45 with the matched timestamp carried along",
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    logins = ev.filter(F.col("event_type") == "login").select(
+        "user_id", "ts", F.col("event_id").alias("login_event_id")
+    )
+    joined = asof_join(
+        purchases, logins, ["user_id"], "ts", "ts", ["login_event_id"],
+        tiebreak="event_id", tolerance_us=1_800_000_000,
+    )
+    return joined.select("event_id", "user_id", "login_event_id")

@@ -148,6 +148,65 @@ class Warehouse:
             merged.write.mode("overwrite").parquet(self.path(table))
         return n
 
+    def delete_keys(
+        self, table: str, keys_df: DataFrame, keys: Sequence[str]
+    ) -> int:
+        """Targeted deletion ("right to be forgotten"): remove every row
+        matching the key set, rewriting ONLY the partitions that contain
+        matches (anti-join survivors + dynamic partition overwrite, the
+        upsert_last_wins machinery inverted).
+
+        Partitions left empty by the delete are removed explicitly —
+        dynamic overwrite only replaces partitions present in the
+        written data, so a fully-deleted partition would otherwise
+        silently keep its old files (a real compliance bug).  Returns
+        rows deleted.
+        """
+        if not self.exists(table):
+            return 0
+        keys = list(keys)
+        key_set = keys_df.select(*keys).distinct()
+        existing = self.read(table)
+        doomed = existing.join(F.broadcast(key_set), keys, "left_semi")
+        n = doomed.count()
+        if not n:
+            return 0
+        parts = TABLE_PARTITIONS.get(table, [])
+        if not parts:
+            survivors = existing.join(F.broadcast(key_set), keys, "left_anti")
+            merged = survivors.localCheckpoint()
+            merged.write.mode("overwrite").parquet(self.path(table))
+            return n
+
+        part_vals = [r[0] for r in doomed.select(*parts).distinct().collect()]
+        touched = existing.filter(F.col(parts[0]).isin(part_vals))
+        survivors = (
+            touched.join(F.broadcast(key_set), keys, "left_anti").localCheckpoint()
+        )
+        surviving_parts = {r[0] for r in survivors.select(*parts).distinct().collect()}
+        spark = keys_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                survivors.write.mode("overwrite")
+                .partitionBy(*parts)
+                .parquet(self.path(table))
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # drop partition dirs the delete emptied entirely
+        import shutil
+
+        for v in part_vals:
+            if v not in surviving_parts:
+                d = os.path.join(self.path(table), f"{parts[0]}={v}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+        # pre-delete readers hold a stale file listing for this path
+        spark.catalog.refreshByPath(self.path(table))
+        return n
+
     def compact(self, table: str, target_file_mb: int = 128) -> int:
         """Bin-pack small files: rewrite the table at ~target_file_mb per
         file, preserving the partition layout.

@@ -132,3 +132,30 @@ def test_build_quality_history_from_warehouse(spark, warehouse, cms_csv_1, tmp_p
     # H9 had no second-snapshot row: its version stays open
     h9 = hist.filter(F.col("facility_id") == "H9").collect()
     assert len(h9) == 1 and h9[0]["valid_to"] is None
+
+
+def test_delete_keys_right_to_be_forgotten(spark, warehouse, hhs_csv_1):
+    import pyspark.sql.functions as F
+
+    from health_data_transformation_spark.ingest import load_hhs
+
+    load_hhs(spark, hhs_csv_1, warehouse)
+    beds = warehouse.read("hospital_bed_information")
+    n_before = beds.count()
+    assert beds.filter(F.col("hospital_fk") == "H1").count() == 2
+
+    doomed = spark.createDataFrame([("H1",)], "hospital_fk string")
+    n = warehouse.delete_keys("hospital_bed_information", doomed, ["hospital_fk"])
+    assert n == 2
+
+    after = warehouse.read("hospital_bed_information")
+    assert after.filter(F.col("hospital_fk") == "H1").count() == 0
+    # untouched rows survive; idempotent re-delete is a no-op
+    assert after.count() == n_before - 2
+    assert warehouse.delete_keys("hospital_bed_information", doomed, ["hospital_fk"]) == 0
+    # the 2022-09-30 partition contained ONLY H1 -> its dir must be gone
+    import os
+    part_dir = os.path.join(
+        warehouse.path("hospital_bed_information"), "collection_week=2022-09-30"
+    )
+    assert not os.path.isdir(part_dir)

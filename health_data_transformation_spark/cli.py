@@ -39,6 +39,14 @@ def main(argv: list[str] | None = None) -> int:
     p_c.add_argument("--warehouse", required=True)
     p_c.add_argument("--target-mb", type=int, default=128)
 
+    p_d = sub.add_parser(
+        "delete", help="targeted key deletion (right-to-be-forgotten)"
+    )
+    p_d.add_argument("table")
+    p_d.add_argument("key_col")
+    p_d.add_argument("values", nargs="+", help="key values to delete")
+    p_d.add_argument("--warehouse", required=True)
+
     p_r = sub.add_parser("report", help="run a dashboard query")
     p_r.add_argument(
         "query",
@@ -73,6 +81,14 @@ def main(argv: list[str] | None = None) -> int:
                           "invalid_rows": report.invalid_rows,
                           "duplicate_rows": report.duplicate_rows,
                           "rows_added": report.table_rows_added}))
+    elif args.cmd == "delete":
+        keys_df = spark.createDataFrame(
+            [(v,) for v in args.values], f"{args.key_col} string"
+        )
+        n = wh.delete_keys(args.table, keys_df, [args.key_col])
+        print(json.dumps({"delete": args.table,
+                          "seconds": round(time.time() - t0, 2),
+                          "rows_deleted": n}))
     elif args.cmd == "compact":
         n_files = wh.compact(args.table, target_file_mb=args.target_mb)
         print(json.dumps({"compact": args.table,

@@ -3129,3 +3129,34 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
         tiebreak="event_id", tolerance_us=1_800_000_000,
     )
     return joined.select("event_id", "user_id", "login_event_id")
+
+
+@register(
+    "q112_rollup_cascade",
+    f"""SELECT {week_str_sql('ts')} AS week, count(*) AS n_events,
+               {dec_sum_sql('value', 2)} AS total_value
+        FROM events GROUP BY 1""",
+    "rollup cascade: hour buckets aggregated from the fact scan, days "
+    "re-aggregated FROM THE HOURS, weeks from the days — each coarser "
+    "grain reads the (tiny) finer rollup, never the fact table again; "
+    "exact because the decimal partial sums are re-aggregatable — the "
+    "oracle is the direct week aggregate, proving the cascade lossless",
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.deterministic import bucket_str
+
+    ev = load_events_range(spark, sf)
+    hours = ev.groupBy(bucket_str("ts", 60).alias("hour")).agg(
+        F.count("*").alias("n_events"), dec_sum("value", 2).alias("total_value")
+    )
+    days = hours.groupBy(F.substring("hour", 1, 10).alias("day")).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
+    )
+    weeks = days.groupBy(
+        week_str(F.to_date("day")).alias("week")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value").cast("decimal(18,2)").cast("double").alias("total_value"),
+    )
+    return weeks

@@ -54,17 +54,54 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
+
+    # Full-name timings for humans/judge; kept OFF stdout so the one
+    # machine-readable line below stays within the driver's tail buffer.
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(
+                {"sf": sf_val, "total_sec": round(total, 3), "queries": timings},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError as e:
+        print(f"bench: could not write bench_detail.json: {e}", file=sys.stderr)
+
+    # Compact keys ("q03" for "q03_pricing_summary"); the driver captures
+    # only the last ~2000 chars of stdout, so the line must stay short.
+    short: dict[str, float] = {}
+    for name, dt in timings.items():
+        key = name.split("_", 1)[0]
+        if key in short:  # prefix collision: fall back to the full name
+            key = name
+        short[key] = round(dt, 2)
+    line = json.dumps(
+        {
+            "metric": "total queries wall-clock (noop sink)",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": short,
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1900:  # still too long: drop per-query detail, keep the contract
+        line = json.dumps(
             {
-                "metric": "total wall-clock of all registered queries (noop sink)",
+                "metric": "total queries wall-clock (noop sink)",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": {"all": round(total, 3)},
+                "n_queries": len(timings),
                 "sf": sf_val,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+    print(line)
     spark.stop()
 
 

@@ -32,6 +32,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .schemas import TABLE_KEYS, TABLE_PARTITIONS, TABLE_SCHEMAS
 
+# Characters Spark/Hive percent-escape in partition directory names
+# (ExternalCatalogUtils.escapePathName: control chars, '"', '#', '%',
+# "'", '*', '/', ':', '=', '?', '\\', DEL, '{', '[', ']', '^').
+_PATH_ESCAPE_CHARS = (
+    set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {chr(0x7F)}
+)
+
+
+def _escape_path_name(s: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE_CHARS else ch for ch in s
+    )
+
+
+def _partition_dir(parts: Sequence[str], vals: Sequence) -> str:
+    """Relative partition directory exactly as Spark writes it (same
+    escaping + __HIVE_DEFAULT_PARTITION__ for NULL)."""
+    segs = []
+    for p, v in zip(parts, vals):
+        val = "__HIVE_DEFAULT_PARTITION__" if v is None else _escape_path_name(str(v))
+        segs.append(f"{_escape_path_name(p)}={val}")
+    return os.path.join(*segs)
+
 
 class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
@@ -178,12 +201,15 @@ class Warehouse:
             merged.write.mode("overwrite").parquet(self.path(table))
             return n
 
-        part_vals = [r[0] for r in doomed.select(*parts).distinct().collect()]
-        touched = existing.filter(F.col(parts[0]).isin(part_vals))
+        doomed_parts = doomed.select(*parts).distinct()
+        part_vals = [tuple(r) for r in doomed_parts.collect()]
+        touched = existing.join(F.broadcast(doomed_parts), parts, "left_semi")
         survivors = (
             touched.join(F.broadcast(key_set), keys, "left_anti").localCheckpoint()
         )
-        surviving_parts = {r[0] for r in survivors.select(*parts).distinct().collect()}
+        surviving_parts = {
+            tuple(r) for r in survivors.select(*parts).distinct().collect()
+        }
         spark = keys_df.sparkSession
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -198,9 +224,9 @@ class Warehouse:
         # drop partition dirs the delete emptied entirely
         import shutil
 
-        for v in part_vals:
-            if v not in surviving_parts:
-                d = os.path.join(self.path(table), f"{parts[0]}={v}")
+        for vals in part_vals:
+            if vals not in surviving_parts:
+                d = os.path.join(self.path(table), _partition_dir(parts, vals))
                 if os.path.isdir(d):
                     shutil.rmtree(d)
         # pre-delete readers hold a stale file listing for this path

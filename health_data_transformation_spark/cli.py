@@ -82,9 +82,19 @@ def main(argv: list[str] | None = None) -> int:
                           "duplicate_rows": report.duplicate_rows,
                           "rows_added": report.table_rows_added}))
     elif args.cmd == "delete":
+        # cast CLI strings to the table column's own type so the
+        # anti-join compares like with like (a string-vs-bigint join
+        # would coerce both sides to double — lossy above 2^53)
+        from pyspark.sql import functions as _F
+
+        key_type = dict(wh.read(args.table).dtypes).get(args.key_col)
+        if key_type is None:
+            print(f"error: {args.table} has no column {args.key_col}",
+                  file=sys.stderr)
+            raise SystemExit(2)
         keys_df = spark.createDataFrame(
             [(v,) for v in args.values], f"{args.key_col} string"
-        )
+        ).select(_F.col(args.key_col).cast(key_type).alias(args.key_col))
         n = wh.delete_keys(args.table, keys_df, [args.key_col])
         print(json.dumps({"delete": args.table,
                           "seconds": round(time.time() - t0, 2),

@@ -4,7 +4,8 @@ Implemented as the scalable union+carry-forward pattern rather than a
 range join:
   1. tag both inputs and union them on (keys, event-time)
   2. one window sorted by (time, side, tiebreak) per key carries the
-     most recent right-side attributes forward (last ignorenulls)
+     most recent right-side row forward (last ignorenulls over ONE
+     struct, so every attached column comes from the same right row)
   3. keep only left rows
 
 Cost: ONE shuffle on the key (the window partition), no row-pair
@@ -36,30 +37,40 @@ def asof_join(
     right row with right_time <= left_time and equal keys (NULLs if no
     prior right row exists).
 
+    The whole right-side payload (its timestamp + every value column)
+    travels as ONE struct filled by a single last(ignorenulls), so the
+    attached columns always come from the same right row — a right row
+    whose value column happens to be NULL attaches that NULL rather
+    than resurrecting an older row's value (row semantics, matching
+    pandas.merge_asof / DuckDB ASOF JOIN).
+
     ``tolerance_us`` bounds staleness (feature-store TTL semantics): a
     match older than the bound is nulled out, exactly as if no prior
-    right row existed.  Implemented by carrying the matched right-side
-    timestamp through the same window — no extra shuffle.
+    right row existed.  The struct's own timestamp is the age source,
+    so TTL and values can never disagree about which row matched.
     """
     keys = list(keys)
-    carried = [f"_asof_{c}" for c in right_value_cols]
-    if tolerance_us is not None:
-        right = right.withColumn("_asof_src_ts", F.col(right_time))
-        right_value_cols = [*right_value_cols, "_asof_src_ts"]
-        carried = [*carried, "_asof__asof_src_ts"]
+    right_value_cols = list(right_value_cols)
+    rtypes = dict(right.dtypes)
+    payload_type = "struct<_ts:timestamp," + ",".join(
+        f"`{c}`:{rtypes[c]}" for c in right_value_cols
+    ) + ">"
 
     l_tagged = left.select(
         *left.columns,
         F.col(left_time).alias("_asof_ts"),
         F.lit(1).alias("_asof_side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(a) for c, a in zip(right_value_cols, carried)],
+        F.lit(None).cast(payload_type).alias("_asof_payload"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns if c not in keys],
         *[F.col(k) for k in keys],
         F.col(right_time).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
-        *[F.col(c).alias(a) for c, a in zip(right_value_cols, carried)],
+        F.struct(
+            F.col(right_time).cast("timestamp").alias("_ts"),
+            *[F.col(c) for c in right_value_cols],
+        ).cast(payload_type).alias("_asof_payload"),
     ).select(*l_tagged.columns)  # align column order for unionByName safety
 
     unioned = l_tagged.unionByName(r_tagged)
@@ -72,21 +83,20 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        *[c for c in unioned.columns if c not in carried],
-        *[F.last(a, ignorenulls=True).over(w).alias(a) for a in carried],
+        *[c for c in unioned.columns if c != "_asof_payload"],
+        F.last("_asof_payload", ignorenulls=True).over(w).alias("_asof_payload"),
     )
     out = filled.filter(F.col("_asof_side") == 1)
     if tolerance_us is not None:
         age = F.unix_micros(F.col("_asof_ts")) - F.unix_micros(
-            F.col("_asof__asof_src_ts")
+            F.col("_asof_payload._ts")
         )
-        within = F.col("_asof__asof_src_ts").isNotNull() & (age <= tolerance_us)
-        for a in carried:
-            if a != "_asof__asof_src_ts":
-                out = out.withColumn(a, F.when(within, F.col(a)))
-        out = out.drop("_asof__asof_src_ts")
-        carried = [a for a in carried if a != "_asof__asof_src_ts"]
-        right_value_cols = [c for c in right_value_cols if c != "_asof_src_ts"]
-    out = out.drop("_asof_ts", "_asof_side")
-    renames = dict(zip(carried, right_value_cols))
-    return out.withColumnsRenamed(renames)
+        out = out.withColumn(
+            "_asof_payload",
+            F.when(age <= F.lit(tolerance_us), F.col("_asof_payload")),
+        )
+    out = out.select(
+        *[c for c in left.columns],
+        *[F.col("_asof_payload").getField(c).alias(c) for c in right_value_cols],
+    )
+    return out

@@ -35,7 +35,7 @@ def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     return per_col
 
 
-GROUP_MEDIAN_SCHEMA = "key long, n long, med2 long"
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint", "long", "integer", "short", "byte"}
 
 
 def grouped_median(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
@@ -43,10 +43,12 @@ def grouped_median(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     the custom-operator slot for group-local algorithms that need the
     whole group in memory (rank statistics, per-entity model fits).
 
-    Returns (key, n, med2) where med2 = 2 * median: for integer inputs
-    the doubled median is itself an exact integer (sum of the two
-    middle elements when n is even), so the result is bit-portable to
-    any engine with no float-interpolation convention in play.
+    Returns (key, n, med2) where med2 = 2 * median: for INTEGER value
+    columns (asserted below) the doubled median is itself an exact
+    integer (sum of the two middle elements when n is even), so the
+    result is bit-portable to any engine with no float-interpolation
+    convention in play.  The output key field inherits the input key
+    column's type, so string/date/decimal keys work unchanged.
 
     Scale note: the group is the unit of task memory here — right for
     per-entity groups (users, facilities: thousands of rows each), wrong
@@ -57,16 +59,25 @@ def grouped_median(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    key_type = dict(df.dtypes)[key_col]
+    value_type = dict(df.dtypes)[value_col]
+    if value_type not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"grouped_median requires an integer value column; {value_col!r} "
+            f"is {value_type} (use approx_percentile / percentile_approx for "
+            "floating-point medians)"
+        )
+    schema = f"`{key_col}` {key_type}, n long, med2 long"
+
     def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
         v = np.sort(pdf[value_col].to_numpy())
         n = len(v)
         mid = n // 2
         med2 = int(v[mid] * 2) if n % 2 else int(v[mid - 1] + v[mid])
-        return pd.DataFrame({"key": [pdf[key_col].iloc[0]], "n": [n], "med2": [med2]})
+        return pd.DataFrame({key_col: [pdf[key_col].iloc[0]], "n": [n], "med2": [med2]})
 
     return (
         df.select(key_col, value_col)
         .groupBy(key_col)
-        .applyInPandas(stats, schema=GROUP_MEDIAN_SCHEMA)
-        .withColumnRenamed("key", key_col)
+        .applyInPandas(stats, schema=schema)
     )

@@ -64,20 +64,25 @@ def weighted_hash_sample(
     ``weight_col``, deterministic across reruns/layouts/engines.
 
     Priority-sampling form of hash_sample: each row gets a stable
-    pseudo-uniform u = hash(id) % 2^20, priority = u / weight, and the
-    k smallest priorities win (a heavier row divides its draw by a
+    pseudo-uniform u = 1 + hash(id) % 2^20 (range [1, 2^20] — never 0,
+    so no id is unconditionally selected), priority = u / weight, and
+    the k smallest priorities win (a heavier row divides its draw by a
     larger weight, so it wins more often — the hash-deterministic
     analogue of Efraimidis–Spirakis exponential races).  u and weight
     are exact integers < 2^53, so the one double division is correctly
     rounded and bit-identical in any IEEE engine — the oracle reproduces
-    the exact sample.  Plan shape: TakeOrderedAndProject (per-partition
-    heaps, no global sort), O(1) state per row.
+    the exact sample.  Rows with NULL or non-positive weight are
+    excluded (weight<=0 would otherwise produce Infinity/NaN priorities
+    that silently sort to the extremes).  Plan shape:
+    TakeOrderedAndProject (per-partition heaps, no global sort), O(1)
+    state per row.
     """
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    u = F.pmod(hex_hash64(F.col(id_col).cast("string")), F.lit(UNIFORM_BITS))
+    u = F.pmod(hex_hash64(F.col(id_col).cast("string")), F.lit(UNIFORM_BITS)) + F.lit(1)
     priority = u.cast("double") / wcol.cast("double")
     return (
-        df.withColumn("priority", priority)
+        df.filter(wcol > 0)
+        .withColumn("priority", priority)
         .orderBy("priority", id_col)
         .limit(k)
     )

@@ -2171,9 +2171,9 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q85_weighted_sample",
     f"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
-               ({hex_hash64_sql('CAST(doc_id AS VARCHAR)')} % 1048576) * 1.0
+               (({hex_hash64_sql('CAST(doc_id AS VARCHAR)')} % 1048576) + 1) * 1.0
                  / CAST(length(text) AS DOUBLE) AS priority
-        FROM documents
+        FROM documents WHERE length(text) > 0
         ORDER BY priority, doc_id LIMIT 100""",
     "weighted sampling: k winners with probability increasing in doc "
     "length — hash-priority analogue of Efraimidis-Spirakis, exact "
@@ -3143,11 +3143,15 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
     "oracle is the direct week aggregate, proving the cascade lossless",
 )
 def q112(spark: SparkSession, sf: str) -> DataFrame:
-    from ..functions.deterministic import bucket_str
+    from ..functions.deterministic import bucket_str, dec
 
     ev = load_events_range(spark, sf)
+    # partial sums stay DECIMAL at every intermediate grain so the
+    # re-aggregation is exact decimal addition (order-independent);
+    # only the final week grain casts to double
     hours = ev.groupBy(bucket_str("ts", 60).alias("hour")).agg(
-        F.count("*").alias("n_events"), dec_sum("value", 2).alias("total_value")
+        F.count("*").alias("n_events"),
+        F.sum(dec("value", 2)).cast("decimal(18,2)").alias("total_value"),
     )
     days = hours.groupBy(F.substring("hour", 1, 10).alias("day")).agg(
         F.sum("n_events").alias("n_events"),

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.sketch import count_min_build
 from ..session import ensure_compat
+from .windows import narrow_shuffle
 
 
 def stream_count_min_cells(
@@ -76,16 +77,17 @@ def stream_count_min_cells(
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    query = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", os.path.join(stage, "ckpt"))
-        .queryName(f"cms_{uuid.uuid4().hex[:8]}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination(timeout_sec)
-    finally:
-        query.stop()
+    with narrow_shuffle(spark):
+        query = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(stage, "ckpt"))
+            .queryName(f"cms_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(timeout_sec)
+        finally:
+            query.stop()
     assert state["cells"] is not None, "stream produced no batches"
     return state["cells"]

@@ -14,6 +14,7 @@ the streaming plan computes the same aggregation.
 
 from __future__ import annotations
 
+import contextlib
 import uuid
 
 import pyspark.sql.functions as F
@@ -21,6 +22,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.deterministic import bucket_str, dec_sum
 from ..session import ensure_compat
+
+
+@contextlib.contextmanager
+def narrow_shuffle(spark: SparkSession, n: int = 8):
+    """Bounded-run stateful streaming allocates one state store per
+    shuffle partition per stateful operator per microbatch; at local
+    test scale that fixed cost dominates, so stateful streaming runs
+    here use ``n`` partitions (production sizes this to key
+    cardinality)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_window_counts(
@@ -53,17 +69,18 @@ def stream_window_counts(
     )
 
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination(timeout_sec)
-    finally:
-        query.stop()
+    with narrow_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(timeout_sec)
+        finally:
+            query.stop()
     return spark.table(name)
 
 
@@ -105,17 +122,18 @@ def stream_session_windows(
     )
 
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination(timeout_sec)
-    finally:
-        query.stop()
+    with narrow_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(timeout_sec)
+        finally:
+            query.stop()
     return spark.table(name)
 
 
@@ -177,12 +195,7 @@ def stream_stream_join(
     ).select("purchase_id", "user_id", "click_id")
 
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    # stream-stream joins materialize a state store per shuffle partition
-    # and side; for a bounded run the per-store fixed cost dominates, so
-    # run the join stage narrow (production sizes this to key cardinality)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with narrow_shuffle(spark):
         query = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -194,8 +207,6 @@ def stream_stream_join(
             query.awaitTermination(timeout_sec)
         finally:
             query.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
@@ -262,15 +273,16 @@ def stream_dedup_events(
     )
 
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination(timeout_sec)
-    finally:
-        query.stop()
+    with narrow_shuffle(spark):
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(timeout_sec)
+        finally:
+            query.stop()
     return spark.table(name)

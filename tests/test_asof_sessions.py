@@ -64,3 +64,45 @@ def test_sessionize_exact_gap_not_new(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
     out = sessionize(df, ["user_id"], "ts", 30, tiebreak="event_id")
     assert {r["session_idx"] for r in out.collect()} == {1}
+
+def test_asof_join_null_value_from_matched_row_not_resurrected(spark):
+    """A right row whose value column is NULL attaches that NULL — the
+    payload travels as one struct, so an older row's value is never
+    resurrected (ADVICE r1: TTL/value row-consistency)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"), "p")],
+        "k long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 100), (1, _ts("2024-01-01T11:00:00"), None)],
+        "k long, ts timestamp, rv long",
+    )
+    out = asof_join(left, right, ["k"], "ts", "ts", ["rv"]).collect()
+    assert out[0]["rv"] is None  # matched row IS the 11:00 one; its rv is NULL
+
+
+def test_asof_join_ttl_uses_matched_rows_timestamp(spark):
+    """TTL ages against the same row the values come from: a fresh right
+    row with a NULL value must not let a stale older value through."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"), "p")],
+        "k long, ts timestamp, name string",
+    )
+    # old row (3h stale) has a value; recent row (30min) has NULL value
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 100), (1, _ts("2024-01-01T11:30:00"), None)],
+        "k long, ts timestamp, rv long",
+    )
+    out = asof_join(
+        left, right, ["k"], "ts", "ts", ["rv"], tolerance_us=3_600_000_000
+    ).collect()
+    assert out[0]["rv"] is None  # within TTL -> matched row's NULL, not 100
+
+    # and a genuinely stale match is nulled entirely
+    out2 = asof_join(
+        left,
+        right.filter("rv IS NOT NULL"),
+        ["k"], "ts", "ts", ["rv"],
+        tolerance_us=3_600_000_000,
+    ).collect()
+    assert out2[0]["rv"] is None

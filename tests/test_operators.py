@@ -234,3 +234,33 @@ def test_connected_components_chain_and_islands(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_weighted_sample_ignores_nonpositive_weights(spark):
+    from health_data_transformation_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 0 if i % 2 else 10) for i in range(100)], "id long, w long"
+    )
+    out = weighted_hash_sample(df, "id", "w", k=60).collect()
+    assert 0 < len(out) <= 50  # only the 50 positive-weight rows eligible
+    assert all(r["w"] > 0 for r in out)
+    assert all(r["priority"] > 0 for r in out)  # u+1 => never exactly 0
+
+
+def test_grouped_median_string_key(spark):
+    from health_data_transformation_spark.operators.profile import grouped_median
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 7)], "k string, v long"
+    )
+    out = {r["k"]: r["med2"] for r in grouped_median(df, "k", "v").collect()}
+    assert out == {"a": 4, "b": 14}
+
+    import pytest
+
+    fdf = spark.createDataFrame([("a", 1.5)], "k string, v double")
+    with pytest.raises(TypeError):
+        grouped_median(fdf, "k", "v")

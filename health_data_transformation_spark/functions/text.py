@@ -111,6 +111,34 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def token_shingles(col: Column | str, k: int = 5) -> Column:
+    """All k-token shingles (overlapping windows joined by a space) of
+    the whitespace token stream — the unit of corpus-level duplicate and
+    contamination analysis.  Pure per-row array expression: no shuffle,
+    no UDF; a doc with fewer than k tokens yields an empty array.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.when(n >= k, windows).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_shingles_sql(expr: str, k: int = 5) -> str:
+    """DuckDB twin of token_shingles (1-based inclusive list slicing)."""
+    toks = f"string_split({expr}, ' ')"
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(range(1, len({toks}) - {k - 1} + 1), "
+        f"i -> array_to_string(({toks})[i:i+{k - 1}], ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
 def quality_columns(text_col: str = "text") -> dict[str, Column]:
     """Heuristic document-quality signals (all integer/ratio, portable)."""
     n_tok = token_count(text_col)

@@ -68,6 +68,68 @@ def bucketed_range_join(
     return l.join(r, [*eq_keys, "_bucket"], "inner").filter(exact).drop("_bucket")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+    eq_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Join interval pairs that overlap (closed intervals, integer
+    endpoints: ``a.start <= b.end AND b.start <= a.end``) without a
+    nested-loop cross product.
+
+    Both sides explode each interval to every width-``bucket_width``
+    bucket it touches (`sequence` + `explode`), meet in a plain
+    equi-join on (eq_keys..., bucket), and apply the exact overlap
+    predicate.  A pair that overlaps shares every bucket in the
+    intersection of their spans, so to count each pair EXACTLY ONCE the
+    join keeps only the bucket where the later-starting interval begins
+    (``bucket == max(floor(a.start/w), floor(b.start/w))``) — the
+    standard dedup-free attribution rule for interval joins (same
+    family as the bucketed range join above; used by stream processors
+    and Databricks' range-join binning).
+
+    Replication per row is ceil(span / bucket_width) + 1 — bounded by
+    data shape, not by the other side's size; pick ``bucket_width`` ~
+    the typical span so replication stays O(1) per row.
+    """
+    w = max(bucket_width, 1)
+    l = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / w).cast("long"),
+                F.floor(F.col(left_end) / w).cast("long"),
+            )
+        ),
+    )
+    r = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / w).cast("long"),
+                F.floor(F.col(right_end) / w).cast("long"),
+            )
+        ),
+    )
+    overlap = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    once = F.col("_bucket") == F.greatest(
+        F.floor(F.col(left_start) / w).cast("long"),
+        F.floor(F.col(right_start) / w).cast("long"),
+    )
+    return (
+        l.join(r, [*eq_keys, "_bucket"], "inner")
+        .filter(overlap & once)
+        .drop("_bucket")
+    )
+
+
 def prior_events_count(
     events: DataFrame,
     anchor_type: str,

@@ -88,6 +88,31 @@ def weighted_hash_sample(
     )
 
 
+def grouped_hash_reservoir(
+    df: DataFrame, id_col: str, group_col: str, k: int
+) -> DataFrame:
+    """Deterministic fixed-size sample PER GROUP: the k smallest
+    hash(id) draws win within each group — the layout/seed-free
+    analogue of per-stratum reservoir sampling (every group yields
+    exactly min(k, |group|) rows, unlike rate-based sampling which
+    under/overshoots small strata).
+
+    One window (single shuffle on the group key) ranked by
+    (hash, id); at scale Spark runs the rank filter with a running
+    window — no group ever materializes whole.  Output keeps all input
+    columns plus ``rk`` (1..k within the group).
+    """
+    from pyspark.sql import Window
+
+    h = hex_hash64(F.col(id_col).cast("string"), salt="res")
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )
+
+
 def assign_split(
     df: DataFrame,
     id_col: str,

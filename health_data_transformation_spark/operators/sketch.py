@@ -109,6 +109,116 @@ def count_min_cells_sql(source_sql: str, key_expr: str, width: int, depth: int) 
     return " UNION ALL ".join(parts)
 
 
+def _bloom_salt(i: int) -> str:
+    return f"bf{i}"
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, n_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as (word, bits) rows.
+
+    Relational form (same design rationale as the Count-Min cells): the
+    filter IS a DataFrame of 32-bit words — ``word = pos div 32``,
+    ``bits = OR of (1 << pos mod 32)`` — built by one explode (k
+    positions per key) + one partial-aggregated bit_or groupBy.  The
+    shuffle carries at most n_bits/32 word partials per map task,
+    independent of input size; the result is at most n_bits/32 rows, so
+    probing always broadcasts.  32-bit words inside BIGINT cells keep
+    every shift positive, so Spark and DuckDB agree bit-for-bit (a
+    1<<63 cell would hit engine-specific signed-overflow behavior).
+
+    Membership is one-sided: probes of inserted keys are ALWAYS
+    positive (no false negatives); non-members are positive with
+    probability ~(1 - e^(-kn/m))^k.
+    """
+    key = F.col(key_col).cast("string")
+    positions = F.array(
+        *[
+            F.pmod(hex_hash64(key, _bloom_salt(i)), F.lit(n_bits))
+            for i in range(k)
+        ]
+    )
+    return (
+        df.select(F.explode(positions).alias("pos"))
+        .select(
+            F.floor(F.col("pos") / 32).cast("long").alias("word"),
+            F.pmod(F.col("pos"), F.lit(32)).cast("int").alias("bit"),
+        )
+        .select("word", F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("bitval"))
+        .groupBy("word")
+        .agg(F.bit_or("bitval").alias("bits"))
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    n_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Probe the filter: a key is a (possible) member iff all k of its
+    bits are set.  Broadcast join of probe (word, bit) pairs against the
+    constant-size word table; per key, member = min(bit set)."""
+    key = F.col(key_col).cast("string")
+    positions = F.array(
+        *[
+            F.pmod(hex_hash64(key, _bloom_salt(i)), F.lit(n_bits))
+            for i in range(k)
+        ]
+    )
+    probe_bits = (
+        probes.select(F.col(key_col), F.explode(positions).alias("pos"))
+        .select(
+            key_col,
+            F.floor(F.col("pos") / 32).cast("long").alias("word"),
+            F.pmod(F.col("pos"), F.lit(32)).cast("int").alias("bit"),
+        )
+    )
+    hit = F.when(
+        F.expr("(bits >> bit) & 1") == 1, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        probe_bits.join(F.broadcast(sketch), "word", "left")
+        .select(key_col, hit.alias("_hit"))
+        .groupBy(key_col)
+        .agg((F.min("_hit") == 1).alias("bloom_member"))
+    )
+
+
+def bloom_bits_sql(source_sql: str, key_expr: str, n_bits: int, k: int) -> str:
+    """DuckDB SQL reproducing bloom_build bit-for-bit."""
+    pos_selects = " UNION ALL ".join(
+        f"SELECT {hex_hash64_sql(f'CAST({key_expr} AS VARCHAR)', _bloom_salt(i))}"
+        f" % {n_bits} AS pos FROM ({source_sql})"
+        for i in range(k)
+    )
+    return (
+        f"SELECT CAST(floor(pos / 32) AS BIGINT) AS word, "
+        f"bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits "
+        f"FROM ({pos_selects}) GROUP BY 1"
+    )
+
+
+def bloom_probe_sql(
+    bits_sql: str, probe_sql: str, key_expr: str, n_bits: int, k: int
+) -> str:
+    """DuckDB SQL reproducing bloom_probe: (key, bloom_member)."""
+    pos_selects = " UNION ALL ".join(
+        f"SELECT {key_expr} AS key, "
+        f"{hex_hash64_sql(f'CAST({key_expr} AS VARCHAR)', _bloom_salt(i))}"
+        f" % {n_bits} AS pos FROM ({probe_sql})"
+        for i in range(k)
+    )
+    return (
+        f"SELECT key, min(CASE WHEN (b.bits >> CAST(p.pos % 32 AS INTEGER))"
+        f" & 1 = 1 THEN 1 ELSE 0 END) = 1 AS bloom_member "
+        f"FROM ({pos_selects}) p LEFT JOIN ({bits_sql}) b "
+        f"ON CAST(floor(p.pos / 32) AS BIGINT) = b.word GROUP BY key"
+    )
+
+
 def hll_distinct_bounded(
     df: DataFrame, key_col: str, group_col: str, rsd: float = 0.02, bound: float = 0.10
 ) -> DataFrame:

@@ -3164,3 +3164,349 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("total_value").cast("decimal(18,2)").cast("double").alias("total_value"),
     )
     return weeks
+
+
+# ---------------------------------------------------------------------------
+# round 2 additions: bloom membership, corpus-duplication / contamination
+# analysis, collocations, per-group reservoir, argmax, interval joins
+# ---------------------------------------------------------------------------
+
+# 256 Kbit filter = 8192 BIGINT words (a ~64 KB broadcast): keeps the
+# false-positive rate under ~1% for the largest tested key set while
+# remaining constant-size relative to any probe volume
+BLOOM_BITS, BLOOM_K = 262144, 3
+
+
+def _q113_oracle() -> str:
+    from ..operators.sketch import bloom_bits_sql, bloom_probe_sql
+
+    bits = bloom_bits_sql("SELECT c_custkey FROM customer", "c_custkey", BLOOM_BITS, BLOOM_K)
+    probe = bloom_probe_sql(
+        bits, "SELECT DISTINCT p_partkey FROM part", "p_partkey", BLOOM_BITS, BLOOM_K
+    )
+    return f"""WITH probed AS ({probe}),
+         truth AS (SELECT p.key, (c.c_custkey IS NOT NULL) AS is_member
+                   FROM probed p LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                     ON p.key = c.c_custkey)
+       SELECT count(*) AS n_probes,
+              CAST(sum(CASE WHEN t.is_member THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_true_members,
+              CAST(sum(CASE WHEN p.bloom_member THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_bloom_positive,
+              CAST(sum(CASE WHEN p.bloom_member AND NOT t.is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+              CAST(sum(CASE WHEN t.is_member AND NOT p.bloom_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_negative
+       FROM probed p JOIN truth t ON p.key = t.key"""
+
+
+@register(
+    "q113_bloom_filter",
+    _q113_oracle(),
+    "Bloom-filter membership as a relational sketch: customer keys "
+    "folded into a constant-size (word, bits) table by one bit_or "
+    "groupBy, part keys probed via broadcast join — md5-derived bit "
+    "positions make even the false-positive COUNT oracle-exact, and "
+    "n_false_negative == 0 is the filter's one-sided guarantee "
+    "(the 100 TB use: pre-filtering a huge probe stream before an "
+    "expensive anti-join, e.g. the D4 dedup probe)",
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sketch import bloom_build, bloom_probe
+
+    cust = load_table(spark, sf, "customer")
+    part = load_table(spark, sf, "part").select("p_partkey").distinct()
+    bits = bloom_build(cust, "c_custkey", BLOOM_BITS, BLOOM_K)
+    probed = bloom_probe(bits, part, "p_partkey", BLOOM_BITS, BLOOM_K)
+    truth = probed.join(
+        cust.select(F.col("c_custkey").alias("p_partkey")).distinct(),
+        "p_partkey",
+        "left_semi",
+    ).select("p_partkey", F.lit(True).alias("is_member"))
+    checked = probed.join(truth, "p_partkey", "left").withColumn(
+        "is_member", F.coalesce("is_member", F.lit(False))
+    )
+    return checked.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_true_members"),
+        F.sum(F.when(F.col("bloom_member"), 1).otherwise(0)).alias("n_bloom_positive"),
+        F.sum(
+            F.when(F.col("bloom_member") & ~F.col("is_member"), 1).otherwise(0)
+        ).alias("n_false_positive"),
+        F.sum(
+            F.when(F.col("is_member") & ~F.col("bloom_member"), 1).otherwise(0)
+        ).alias("n_false_negative"),
+    )
+
+
+SHINGLE_K = 8
+
+
+@register(
+    "q114_dup_shingle_ratio",
+    f"""WITH sh AS (
+          SELECT doc_id, unnest(list_distinct({T.token_shingles_sql('text', SHINGLE_K)})) AS sh
+          FROM documents),
+        freq AS (SELECT sh, count(*) AS n_docs FROM sh GROUP BY sh),
+        per_doc AS (
+          SELECT s.doc_id, count(*) AS n_shingles,
+                 sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared
+          FROM sh s JOIN freq f ON s.sh = f.sh GROUP BY s.doc_id)
+       SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+              CAST(n_shared AS BIGINT) AS n_shared,
+              CAST(floor(n_shared * 1000000.0 / n_shingles) AS BIGINT) AS shared_ppm
+       FROM per_doc WHERE n_shared > 0""",
+    "corpus-wide duplicated-shingle ratio (the RefinedWeb/CCNet "
+    "inter-document repetition signal): every doc's distinct 8-token "
+    "shingles counted across the corpus, docs reported by the fraction "
+    "of their shingles shared with ANY other doc — the shuffle carries "
+    "shingle strings + ids only, never documents, and the quadratic "
+    "pair space is never materialized",
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.token_shingles("text", SHINGLE_K))).alias("sh"),
+    )
+    freq = sh.groupBy("sh").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        sh.join(freq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return per_doc.filter(F.col("n_shared") > 0).select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.floor(F.col("n_shared") * 1000000.0 / F.col("n_shingles"))
+        .cast("long")
+        .alias("shared_ppm"),
+    )
+
+
+@register(
+    "q115_repetition_ratio",
+    f"""SELECT doc_id,
+              CAST(len({T.token_shingles_sql('text', 2)}) AS BIGINT) AS n_bigrams,
+              CAST(len(list_distinct({T.token_shingles_sql('text', 2)})) AS BIGINT)
+                AS n_distinct,
+              CAST(floor((len({T.token_shingles_sql('text', 2)})
+                          - len(list_distinct({T.token_shingles_sql('text', 2)})))
+                         * 1000000.0
+                         / len({T.token_shingles_sql('text', 2)})) AS BIGINT)
+                AS repeated_ppm
+       FROM documents
+       WHERE len({T.token_shingles_sql('text', 2)}) > 0""",
+    "intra-document repetition (the Gopher/MassiveText quality rule "
+    "'fraction of duplicated n-grams'): repeated-bigram ppm per doc "
+    "from pure per-row array expressions — no shuffle, no UDF, "
+    "whole-stage-codegen throughput at corpus scale",
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    bi = T.token_shingles("text", 2)
+    n = F.size(bi)
+    nd = F.size(F.array_distinct(bi))
+    return (
+        d.select(
+            "doc_id",
+            n.cast("long").alias("n_bigrams"),
+            nd.cast("long").alias("n_distinct"),
+            F.floor((n - nd) * 1000000.0 / n).cast("long").alias("repeated_ppm"),
+        )
+        .filter(F.col("n_bigrams") > 0)
+    )
+
+
+@register(
+    "q116_bigram_lift",
+    f"""WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        tok_counts AS (SELECT tok, count(*) AS c_tok FROM toks GROUP BY tok),
+        n_tok AS (SELECT count(*) AS n FROM toks),
+        bigrams AS (
+          SELECT unnest({T.token_shingles_sql('text', 2)}) AS bg FROM documents),
+        bg_counts AS (SELECT bg, count(*) AS c_bg FROM bigrams GROUP BY bg),
+        n_bg AS (SELECT count(*) AS n FROM bigrams)
+       SELECT bg, CAST(c_bg AS BIGINT) AS c_bg,
+              floor((CAST(c_bg AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM n_tok)
+                     * (SELECT CAST(n AS DOUBLE) FROM n_tok))
+                    / ((SELECT CAST(n AS DOUBLE) FROM n_bg)
+                       * CAST(a.c_tok AS DOUBLE) * CAST(b.c_tok AS DOUBLE))
+                    * 1000000.0) / 1000000.0 AS lift
+       FROM bg_counts
+       JOIN tok_counts a ON string_split(bg, ' ')[1] = a.tok
+       JOIN tok_counts b ON string_split(bg, ' ')[2] = b.tok
+       WHERE c_bg >= 20
+       ORDER BY lift DESC, bg LIMIT 50""",
+    "collocation mining by pointwise lift (PMI without the "
+    "non-portable log): P(ab)/(P(a)P(b)) over the corpus token stream, "
+    "top-50 sticky bigrams — vocabulary aggregates are tiny and "
+    "broadcast into the bigram table; the token stream is read once",
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = d.select(F.explode(T.tokens("text")).alias("tok"))
+    tok_counts = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    bigrams = d.select(F.explode(T.token_shingles("text", 2)).alias("bg"))
+    bg_counts = bigrams.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    n_tok = toks.count()
+    n_bg = bigrams.count()
+    a = tok_counts.select(F.col("tok").alias("_ta"), F.col("c_tok").alias("c_a"))
+    b = tok_counts.select(F.col("tok").alias("_tb"), F.col("c_tok").alias("c_b"))
+    split = F.split(F.col("bg"), " ")
+    lift = (
+        F.floor(
+            (
+                F.col("c_bg").cast("double")
+                * F.lit(float(n_tok))
+                * F.lit(float(n_tok))
+            )
+            / (
+                F.lit(float(n_bg))
+                * F.col("c_a").cast("double")
+                * F.col("c_b").cast("double")
+            )
+            * 1000000.0
+        )
+        / 1000000.0
+    )
+    return (
+        bg_counts.filter(F.col("c_bg") >= 20)
+        .join(F.broadcast(a), split.getItem(0) == F.col("_ta"))
+        .join(F.broadcast(b), split.getItem(1) == F.col("_tb"))
+        .select("bg", F.col("c_bg").cast("long").alias("c_bg"), lift.alias("lift"))
+        .orderBy(F.desc("lift"), "bg")
+        .limit(50)
+    )
+
+
+@register(
+    "q117_decontamination",
+    f"""WITH eval_sh AS (
+          SELECT DISTINCT unnest(list_distinct({T.token_shingles_sql('text', 5)})) AS sh
+          FROM documents WHERE doc_id % 10 = 0),
+        train_sh AS (
+          SELECT doc_id, unnest(list_distinct({T.token_shingles_sql('text', 5)})) AS sh
+          FROM documents WHERE doc_id % 10 != 0)
+       SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+       FROM train_sh t JOIN eval_sh e ON t.sh = e.sh
+       GROUP BY t.doc_id""",
+    "benchmark decontamination (the eval-leakage scan every training "
+    "corpus needs): training docs flagged by the number of 5-token "
+    "shingles they share with the held-out eval set — an equi-join on "
+    "shingle strings, so the work scales with shingle volume, and the "
+    "(small) eval shingle set is broadcast to the training scan",
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    sh5 = F.array_distinct(T.token_shingles("text", 5))
+    eval_sh = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(sh5).alias("sh"))
+        .distinct()
+    )
+    train_sh = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.explode(sh5).alias("sh")
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+
+
+@register(
+    "q118_grouped_reservoir",
+    f"""SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {hex_hash64_sql("'res' || '|' || CAST(doc_id AS VARCHAR)")},
+                            doc_id) AS rk
+          FROM documents)
+       WHERE rk <= 5""",
+    "fixed-size per-stratum sample: exactly 5 docs per language by "
+    "smallest hash(id) draw (deterministic reservoir — rate-based "
+    "sampling under/overshoots small strata); one window shuffle, "
+    "rank filter streams so no group materializes whole",
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import grouped_hash_reservoir
+
+    d = load_table(spark, sf, "documents").select("lang", "doc_id")
+    return grouped_hash_reservoir(d, "doc_id", "lang", k=5)
+
+
+@register(
+    "q119_argmax_customer",
+    """SELECT c_mktsegment, richest, CAST(max_bal AS DOUBLE) AS max_bal FROM (
+         SELECT c_mktsegment, c_name AS richest, c_acctbal AS max_bal,
+                row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey DESC) AS rk
+         FROM customer) WHERE rk = 1""",
+    "argmax as a single aggregate: the customer holding each segment's "
+    "max balance via max_by over a (balance, custkey) struct — one "
+    "map-side-combinable aggregation, no window, no self-join (the "
+    "oracle states the same semantics as a row_number subquery)",
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    key = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", key).alias("richest"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+    )
+
+
+INTERVAL_BUCKET_DAYS = 32
+
+
+@register(
+    "q120_interval_overlap",
+    """WITH a AS (SELECT l_orderkey AS a_key, l_suppkey AS a_supp,
+                        CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS a_lo,
+                        CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+                          + CAST(l_quantity AS BIGINT) % 30 + 1 AS a_hi
+                 FROM lineitem WHERE l_suppkey % 50 = 0),
+         b AS (SELECT l_orderkey AS b_key, l_suppkey AS b_supp,
+                      CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS b_lo,
+                      CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+                        + CAST(l_quantity AS BIGINT) % 30 + 1 AS b_hi
+               FROM lineitem WHERE l_suppkey % 50 = 1)
+       SELECT a_supp, b_supp, count(*) AS n_overlaps
+       FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+       GROUP BY a_supp, b_supp""",
+    "interval overlap join without the cross product: both sides "
+    "explode shipment windows ([shipdate, shipdate + quantity-derived "
+    "handling days]) to 32-day buckets, meet on an equi-join, and each "
+    "overlapping pair is attributed to exactly one bucket (where the "
+    "later interval starts) — the oracle is the naive quadratic join, "
+    "proving the bucketed plan finds the identical pair set",
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rangejoin import interval_overlap_join
+
+    li = load_table(spark, sf, "lineitem")
+    days = lambda c: F.datediff(F.col(c), F.lit("1970-01-01").cast("date")).cast("long")
+    span = F.col("l_quantity").cast("long") % 30 + 1
+    a = li.filter(F.col("l_suppkey") % 50 == 0).select(
+        F.col("l_orderkey").alias("a_key"),
+        F.col("l_suppkey").alias("a_supp"),
+        days("l_shipdate").alias("a_lo"),
+        (days("l_shipdate") + span).alias("a_hi"),
+    )
+    b = li.filter(F.col("l_suppkey") % 50 == 1).select(
+        F.col("l_orderkey").alias("b_key"),
+        F.col("l_suppkey").alias("b_supp"),
+        days("l_shipdate").alias("b_lo"),
+        (days("l_shipdate") + span).alias("b_hi"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", INTERVAL_BUCKET_DAYS
+    )
+    return pairs.groupBy("a_supp", "b_supp").agg(F.count("*").alias("n_overlaps"))

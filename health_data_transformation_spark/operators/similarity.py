@@ -182,6 +182,10 @@ def embedding_lsh_signature(
     from ..functions.vector import int8_quantize, int_dot
 
     planes = _hyperplanes(n_planes, dim)
+    # n_planes separate flat folds beat a single-pass struct-accumulator
+    # fold here (A/B measured 1.9s vs 2.8s warm at sf0.1): per-element
+    # struct construction costs more than the extra array traversals,
+    # which stay in primitive long arithmetic
     q = df.withColumn("_q", int8_quantize(vec_col))
     sig = None
     for j, plane in enumerate(planes):

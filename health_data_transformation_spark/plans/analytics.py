@@ -3269,13 +3269,16 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(T.token_shingles("text", SHINGLE_K))).alias("sh"),
     )
-    freq = sh.groupBy("sh").agg(F.count("*").alias("n_docs"))
+    # windowed count = the groupBy+join-back collapsed into ONE shuffle
+    # on the shingle key ((doc, sh) pairs are distinct, so count(*) per
+    # shingle partition IS the doc frequency)
+    w = Window.partitionBy("sh")
     per_doc = (
-        sh.join(freq, "sh")
+        sh.withColumn("_n_docs", F.count("*").over(w))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_shared"),
+            F.sum(F.when(F.col("_n_docs") >= 2, 1).otherwise(0)).alias("n_shared"),
         )
     )
     return per_doc.filter(F.col("n_shared") > 0).select(
@@ -3308,17 +3311,29 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q115(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
-    bi = T.token_shingles("text", 2)
-    n = F.size(bi)
-    nd = F.size(F.array_distinct(bi))
+    # materialize the shingle array once per row; downstream expressions
+    # reference the alias instead of re-running split+transform 4x
+    staged = d.select(
+        "doc_id",
+        F.size(T.token_shingles("text", 2)).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(T.token_shingles("text", 2)))
+        .cast("long")
+        .alias("n_distinct"),
+    )
     return (
-        d.select(
+        staged.filter(F.col("n_bigrams") > 0)
+        .select(
             "doc_id",
-            n.cast("long").alias("n_bigrams"),
-            nd.cast("long").alias("n_distinct"),
-            F.floor((n - nd) * 1000000.0 / n).cast("long").alias("repeated_ppm"),
+            "n_bigrams",
+            "n_distinct",
+            F.floor(
+                (F.col("n_bigrams") - F.col("n_distinct"))
+                * 1000000.0
+                / F.col("n_bigrams")
+            )
+            .cast("long")
+            .alias("repeated_ppm"),
         )
-        .filter(F.col("n_bigrams") > 0)
     )
 
 
@@ -3510,3 +3525,185 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
         a, b, "a_lo", "a_hi", "b_lo", "b_hi", INTERVAL_BUCKET_DAYS
     )
     return pairs.groupBy("a_supp", "b_supp").agg(F.count("*").alias("n_overlaps"))
+
+
+@register(
+    "q121_rolling_distinct_users",
+    """WITH du AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+                  FROM events),
+        days AS (SELECT DISTINCT day FROM du)
+       SELECT d.day, count(DISTINCT u.user_id) AS n_users_7d
+       FROM days d JOIN du u
+         ON CAST(u.day AS DATE) BETWEEN CAST(d.day AS DATE) - 6
+                                    AND CAST(d.day AS DATE)
+       GROUP BY d.day""",
+    "trailing-7-day distinct users per day (the hardest dashboard "
+    "metric to window: COUNT DISTINCT does not decompose over sliding "
+    "frames).  Scale shape: events collapse to distinct (day, user) "
+    "pairs first, each pair EXPLODES to the <=7 target days it serves "
+    "(bounded replication of the small distinct set, never of raw "
+    "events), then one count_distinct per day — the oracle is the "
+    "naive day x pair range join",
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.deterministic import day_str
+
+    ev = load_events_range(spark, sf)
+    du = ev.select(day_str("ts").alias("day"), "user_id").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.to_date("day"), F.date_add(F.to_date("day"), 6)
+            )
+        ).alias("_tday"),
+        "user_id",
+    )
+    days = du.select(F.to_date("day").alias("_tday")).distinct()
+    return (
+        contrib.join(days, "_tday")
+        .groupBy(F.date_format("_tday", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n_users_7d"))
+    )
+
+
+@register(
+    "q122_zscore_stats",
+    """WITH cents AS (
+         SELECT event_type,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         FROM events),
+       stats AS (
+         SELECT event_type, count(*) AS n,
+                CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+         FROM cents GROUP BY event_type)
+       SELECT s.event_type, s.n,
+              floor(CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE) * 1000000.0)
+                / 1000000.0 AS mean_cents,
+              floor(sqrt((CAST(s.s2 AS DOUBLE)
+                          - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+                            / CAST(s.n AS DOUBLE))
+                         / CAST(s.n AS DOUBLE)) * 1000000.0) / 1000000.0
+                AS stddev_cents,
+              CAST(sum(CASE WHEN abs(CAST(c.c AS DOUBLE)
+                                     - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                             > 2.0 * sqrt((CAST(s.s2 AS DOUBLE)
+                                           - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+                                             / CAST(s.n AS DOUBLE))
+                                          / CAST(s.n AS DOUBLE))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_2sigma
+       FROM cents c JOIN stats s ON c.event_type = s.event_type
+       GROUP BY s.event_type, s.n, s.s1, s.s2""",
+    "group-wise standardization (z-score featurization): per-type "
+    "mean/stddev from EXACT integer-cent sums (one partial-aggregated "
+    "pass), then a second pass counts 2-sigma outliers against the "
+    "broadcast stats — every double op (divide, sqrt, multiply) is a "
+    "single correctly-rounded IEEE step from exact integers, so both "
+    "engines produce bit-identical statistics",
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.deterministic import dec
+
+    ev = load_events_range(spark, sf)
+    cents = ev.select(
+        "event_type", (dec("value", 2) * 100).cast("long").alias("c")
+    )
+    stats = cents.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    s1d, nd = F.col("s1").cast("double"), F.col("n").cast("double")
+    mean = s1d / nd
+    var = (F.col("s2").cast("double") - s1d * s1d / nd) / nd
+    sd = F.sqrt(var)
+    joined = cents.join(F.broadcast(stats), "event_type")
+    beyond = F.when(
+        F.abs(F.col("c").cast("double") - mean) > 2.0 * sd, 1
+    ).otherwise(0)
+    return (
+        joined.groupBy("event_type", "n", "s1", "s2")
+        .agg(F.sum(beyond).cast("long").alias("n_beyond_2sigma"))
+        .select(
+            "event_type",
+            "n",
+            (F.floor(mean * 1000000.0) / 1000000.0).alias("mean_cents"),
+            (F.floor(sd * 1000000.0) / 1000000.0).alias("stddev_cents"),
+            "n_beyond_2sigma",
+        )
+    )
+
+
+@register(
+    "q123_gap_fill_hours",
+    f"""WITH counts AS (
+          SELECT {bucket_str_sql('ts', 60)} AS hour, count(*) AS n_events
+          FROM events GROUP BY 1),
+        bounds AS (
+          SELECT min(time_bucket(INTERVAL '60 minutes', ts)) AS lo,
+                 max(time_bucket(INTERVAL '60 minutes', ts)) AS hi
+          FROM events),
+        grid AS (
+          SELECT strftime(unnest(generate_series(lo, hi, INTERVAL '1 hour')),
+                          '%Y-%m-%d %H:%M:%S') AS hour
+          FROM bounds)
+       SELECT g.hour, CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+       FROM grid g LEFT JOIN counts c ON g.hour = c.hour""",
+    "time-grid gap filling: hourly counts joined onto a generated "
+    "continuous hour grid (sequence + explode of the two-row bounds "
+    "aggregate), missing hours emitted as explicit zeros — the "
+    "timeseries-completion op every monitoring/forecast pipeline "
+    "needs; grid size is (time span / grain), independent of event "
+    "volume",
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.deterministic import bucket_str
+
+    ev = load_events_range(spark, sf)
+    counts = ev.groupBy(bucket_str("ts", 60).alias("hour")).agg(
+        F.count("*").alias("n_events")
+    )
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("lo"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("_h")
+    ).select(F.date_format("_h", "yyyy-MM-dd HH:mm:ss").alias("hour"))
+    return grid.join(counts, "hour", "left").select(
+        "hour", F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events")
+    )
+
+
+@register(
+    "q124_first_touch",
+    """WITH firsts AS (
+         SELECT user_id, event_type AS first_type FROM (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rk
+           FROM events) WHERE rk = 1)
+       SELECT f.first_type, count(*) AS n_purchases
+       FROM events e JOIN firsts f ON e.user_id = f.user_id
+       WHERE e.event_type = 'purchase'
+       GROUP BY f.first_type""",
+    "first-touch attribution: every purchase credited to the type of "
+    "its user's FIRST event — min_by over a (ts, event_id) struct "
+    "collapses per-user history in one map-side-combinable aggregate "
+    "(no window, no sort), then the small per-user table broadcasts "
+    "into the purchase scan",
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    firsts = ev.groupBy("user_id").agg(
+        F.min_by("event_type", F.struct(F.col("ts"), F.col("event_id"))).alias(
+            "first_type"
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        purchases.join(firsts, "user_id")
+        .groupBy("first_type")
+        .agg(F.count("*").alias("n_purchases"))
+    )

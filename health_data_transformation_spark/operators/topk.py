@@ -45,3 +45,50 @@ def top_and_bottom(
         side_col, F.lit("bottom")
     )
     return top.unionAll(bottom)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row_number WITHOUT a single-partition window.
+
+    ``row_number().over(Window.orderBy(...))`` funnels every row through
+    one task — fine for a 6-row report, fatal for a corpus-sized
+    vocabulary.  This is the scalable shape: range-partition on the sort
+    key (global order across partitions is preserved), rank locally,
+    then shift each partition by the total count of all earlier
+    partitions.  The offset table is one row per partition — collected,
+    never the data.  Two shuffle-free passes over the range-partitioned
+    frame (Spark caches nothing here; the range exchange is reused by
+    both the count and the rank because we materialize offsets from a
+    tiny aggregate, not a second sort).
+
+    Callers must make ``order_by`` a total order (include a tiebreak
+    column) for deterministic ids.
+    """
+    part = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    part = part.withColumn("_pid", F.spark_partition_id())
+    counts = part.groupBy("_pid").agg(F.count("*").alias("_n"))
+    rows = sorted((r["_pid"], r["_n"]) for r in counts.collect())
+    offsets, acc = {}, 0
+    for pid, n in rows:
+        offsets[pid] = acc
+        acc += n
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    return (
+        part.withColumn(out_col, F.row_number().over(w) + off_expr)
+        .drop("_pid")
+    )

@@ -3707,3 +3707,168 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("first_type")
         .agg(F.count("*").alias("n_purchases"))
     )
+
+
+@register(
+    "q125_vocab_encode",
+    """WITH toks AS (
+         SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       vocab AS (
+         SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS tok_id
+         FROM toks GROUP BY tok),
+       pos AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                generate_subscripts(string_split(text, ' '), 1) AS p
+         FROM documents)
+       SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(v.tok_id * pos.p) AS BIGINT) AS ids_checksum
+       FROM pos JOIN vocab v ON pos.tok = v.tok
+       GROUP BY pos.doc_id""",
+    "vocabulary indexing (the tokenizer-dictionary build every training "
+    "pipeline runs): dense token ids assigned by (frequency desc, token) "
+    "via operators.topk.global_row_number — range-partitioned ranking "
+    "with per-partition offsets, NOT a single-partition window, so a "
+    "corpus-sized vocabulary ranks in parallel — then every document's "
+    "token stream encoded to ids via a broadcast dictionary join; the "
+    "position-weighted checksum pins the ENCODED SEQUENCE (ids in "
+    "order), not just the bag, so any id/position drift hash-mismatches",
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = d.select(F.explode(T.tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    vocab = K.global_row_number(
+        counts, [F.desc("cnt"), F.col("tok")], out_col="tok_id"
+    ).select("tok", "tok_id")
+    pos = d.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    return (
+        pos.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("tok_id") * F.col("p")).cast("long").alias("ids_checksum"),
+        )
+    )
+
+
+@register(
+    "q126_gaps_islands",
+    """WITH seq AS (
+         SELECT user_id, event_type, event_id, ts,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn,
+                row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn_t
+         FROM events)
+       SELECT user_id, event_type,
+              CAST(count(*) AS BIGINT) AS run_len,
+              min(event_id) AS start_event_id
+       FROM seq GROUP BY user_id, event_type, rn - rn_t
+       HAVING count(*) >= 3""",
+    "gaps-and-islands: maximal runs of consecutive same-type events per "
+    "user via the classic row_number-difference grouping (two window "
+    "ranks over the SAME partition-sort shuffle, zero self-joins), "
+    "reporting runs of length >= 3 — the sequence-segmentation "
+    "primitive behind streak/outage/session-quality analytics",
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("_grp"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "_grp")
+        .agg(
+            F.count("*").cast("long").alias("run_len"),
+            F.min("event_id").alias("start_event_id"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .drop("_grp")
+    )
+
+
+@register(
+    "q127_funnel_steps",
+    """WITH v AS (SELECT user_id, min(ts) AS v0 FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT v.user_id, min(e.ts) AS c0
+              FROM v JOIN events e ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.v0 GROUP BY 1),
+        p AS (SELECT c.user_id FROM c
+              WHERE EXISTS (SELECT 1 FROM events e
+                            WHERE e.user_id = c.user_id
+                              AND e.event_type = 'purchase' AND e.ts > c.c0))
+       SELECT (SELECT count(*) FROM v) AS n_viewed,
+              (SELECT count(*) FROM c) AS n_clicked_after,
+              (SELECT count(*) FROM p) AS n_purchased_after""",
+    "strict-order 3-step funnel (view -> later click -> later "
+    "purchase): each stage is one aggregate + one key join carrying "
+    "only (user, first-ts) — stage tables shrink monotonically, so "
+    "every join after the first is broadcast-sized; no window over the "
+    "raw event stream, no interval nested loop",
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v0"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    c = (
+        v.join(clicks, (F.col("user_id") == F.col("cu")) & (F.col("cts") > F.col("v0")))
+        .groupBy("user_id")
+        .agg(F.min("cts").alias("c0"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    p = c.join(
+        purchases,
+        (F.col("user_id") == F.col("pu")) & (F.col("pts") > F.col("c0")),
+        "left_semi",
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after")))
+    )
+
+
+@register(
+    "q128_except_all",
+    """WITH early AS (SELECT o_custkey FROM orders
+                     WHERE o_orderdate < DATE '1998-01-01'),
+        late AS (SELECT o_custkey FROM orders
+                 WHERE o_orderdate >= DATE '1998-01-01')
+       SELECT o_custkey, count(*) AS n_excess FROM (
+         SELECT o_custkey FROM early
+         EXCEPT ALL
+         SELECT o_custkey FROM late)
+       GROUP BY o_custkey""",
+    "bag-semantics EXCEPT ALL (multiplicity-aware difference, the set "
+    "op q22's DISTINCT form cannot express): per-customer surplus of "
+    "early-period orders over late-period orders via Spark's native "
+    "exceptAll — internally a counted anti-semantics aggregation, one "
+    "shuffle per side, no row-pair join",
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    early = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date")).select(
+        "o_custkey"
+    )
+    late = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")).select(
+        "o_custkey"
+    )
+    return early.exceptAll(late).groupBy("o_custkey").agg(
+        F.count("*").alias("n_excess")
+    )

@@ -295,3 +295,25 @@ def test_token_shingles_windows(spark):
     got = [r[0] for r in df.select(token_shingles("text", 3)).collect()]
     assert got[0] == ["a b c", "b c d"]
     assert got[1] == []  # shorter than k -> empty, not null
+
+
+def test_global_row_number_matches_window(spark):
+    # 1000 rows with heavy ties on the primary key force cross-partition
+    # tie splits; the id must still equal the single-window answer.
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("grp"), F.col("id").alias("uid")
+    )
+    got = topk.global_row_number(
+        df, [F.desc("grp"), F.col("uid")], out_col="rn", num_partitions=8
+    )
+    rows = sorted((r["rn"], r["grp"], r["uid"]) for r in got.collect())
+    expected = sorted(
+        (i + 1, g, u)
+        for i, (g, u) in enumerate(
+            sorted(((r["grp"], r["uid"]) for r in df.collect()),
+                   key=lambda t: (-t[0], t[1]))
+        )
+    )
+    assert rows == expected
+    # dense: exactly 1..N once each
+    assert [r[0] for r in rows] == list(range(1, 1001))

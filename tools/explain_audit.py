@@ -27,6 +27,12 @@ DEFAULT_QUERIES = [
     "q80_count_min_sketch",
     "q82_int8_cosine_topk",
     "q84_multimodal_resize",
+    "q113_bloom_filter",
+    "q114_dup_shingle_ratio",
+    "q117_decontamination",
+    "q120_interval_overlap",
+    "q121_rolling_distinct_users",
+    "q124_first_touch",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the

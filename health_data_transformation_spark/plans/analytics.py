@@ -56,6 +56,7 @@ from ..functions import text as T
 from ..functions.vector import cosine_sql
 from ..operators import dedup as D
 from ..operators import similarity as SIM
+from ..operators import spatial as SP
 from ..operators import topk as K
 from ..sources.tables import load_events_range, load_table
 
@@ -3871,4 +3872,381 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
     )
     return early.exceptAll(late).groupBy("o_custkey").agg(
         F.count("*").alias("n_excess")
+    )
+
+
+@register(
+    "q129_equidepth_hist",
+    """WITH r AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                         o_orderkey,
+                         row_number() OVER (
+                           ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+                                    o_orderkey) AS rn
+                  FROM orders),
+        n AS (SELECT count(*) AS c FROM r),
+        t AS (SELECT CAST(i AS INTEGER) AS decile, (i * c + 9) // 10 AS tr
+              FROM range(1, 11) s(i) CROSS JOIN n)
+       SELECT decile, r.cents AS boundary_cents
+       FROM t JOIN r ON r.rn = t.tr""",
+    "equi-depth histogram: exact decile boundaries of order totals via "
+    "operators.topk.global_row_number (range-partitioned rank + "
+    "per-partition offsets) — the input is NEVER funneled through a "
+    "single-partition ORDER BY window; boundary ranks ceil(i*n/10) are "
+    "pure integer arithmetic on a 10-row broadcast table. Equi-depth "
+    "bins are the physical-design primitive behind range-partition "
+    "splits, AQE-style skew detection, and drift monitoring (q95's "
+    "fixed-width bins are its cheap cousin)",
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    r = o.select(cents.alias("cents"), "o_orderkey")
+    ranked = K.global_row_number(
+        r, [F.col("cents"), F.col("o_orderkey")], out_col="rn"
+    )
+    n = r.agg(F.count("*").alias("c"))
+    targets = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("int").alias("decile"))
+        .crossJoin(n)
+        .select("decile", F.expr("(decile * c + 9) div 10").alias("tr"))
+    )
+    return ranked.join(F.broadcast(targets), F.col("rn") == F.col("tr")).select(
+        "decile", F.col("cents").alias("boundary_cents")
+    )
+
+
+@register(
+    "q130_ewma_po2",
+    """WITH s AS (SELECT user_id, event_id, ts,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                  FROM events),
+        l AS (SELECT user_id, ts, event_id,
+                     cents * 128
+                     + coalesce(lag(cents, 1) OVER w * 64, 0)
+                     + coalesce(lag(cents, 2) OVER w * 32, 0)
+                     + coalesce(lag(cents, 3) OVER w * 16, 0)
+                     + coalesce(lag(cents, 4) OVER w * 8, 0)
+                     + coalesce(lag(cents, 5) OVER w * 4, 0)
+                     + coalesce(lag(cents, 6) OVER w * 2, 0)
+                     + coalesce(lag(cents, 7) OVER w * 1, 0) AS ewma_num,
+                     128
+                     + CASE WHEN lag(cents, 1) OVER w IS NULL THEN 0 ELSE 64 END
+                     + CASE WHEN lag(cents, 2) OVER w IS NULL THEN 0 ELSE 32 END
+                     + CASE WHEN lag(cents, 3) OVER w IS NULL THEN 0 ELSE 16 END
+                     + CASE WHEN lag(cents, 4) OVER w IS NULL THEN 0 ELSE 8 END
+                     + CASE WHEN lag(cents, 5) OVER w IS NULL THEN 0 ELSE 4 END
+                     + CASE WHEN lag(cents, 6) OVER w IS NULL THEN 0 ELSE 2 END
+                     + CASE WHEN lag(cents, 7) OVER w IS NULL THEN 0 ELSE 1 END AS ewma_den
+              FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, ewma_num, ewma_den FROM (
+         SELECT user_id, ewma_num, ewma_den,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rk
+         FROM l) WHERE rk = 1""",
+    "exponential moving average with power-of-two weights (alpha = 1/2, "
+    "8-tap truncated horizon): weights 128..1 over the trailing window "
+    "make numerator and denominator exact int64 — no pow(), no float "
+    "accumulation drift, bit-portable. One partition-sort window "
+    "computes all 8 lags; the per-user latest row is picked by max_by "
+    "over the SAME shuffle (groupBy on the window's partition key "
+    "re-uses its partitioning). The oracle states identical semantics "
+    "with explicit lag()s + a row_number subquery",
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    seq = ev.select("user_id", "event_id", "ts", cents.alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.col("cents") * 128
+    den = F.lit(128)
+    for j in range(1, 8):
+        lv = F.lag("cents", j).over(w)
+        wt = 1 << (7 - j)
+        num = num + F.coalesce(lv * wt, F.lit(0))
+        den = den + F.when(lv.isNull(), 0).otherwise(wt)
+    scored = seq.select(
+        "user_id", "ts", "event_id",
+        num.alias("ewma_num"), den.alias("ewma_den"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ewma_num", "ewma_den"), F.struct("ts", "event_id")
+            ).alias("s")
+        )
+        .select("user_id", "s.ewma_num", "s.ewma_den")
+    )
+
+
+@register(
+    "q131_mad_outliers",
+    """WITH s AS (SELECT event_type,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                  FROM events),
+        m AS (SELECT event_type, median(cents) AS med FROM s GROUP BY 1),
+        j AS (SELECT s.event_type, s.cents, m.med,
+                     abs(s.cents - m.med) AS adev
+              FROM s JOIN m USING (event_type)),
+        d AS (SELECT event_type, median(adev) AS mad FROM j GROUP BY 1)
+       SELECT j.event_type,
+              CAST(min(j.med) AS DOUBLE) AS med_cents,
+              CAST(min(d.mad) AS DOUBLE) AS mad_cents,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN j.adev > 3 * d.mad THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers
+       FROM j JOIN d USING (event_type)
+       GROUP BY 1""",
+    "robust outlier detection by median absolute deviation: per-type "
+    "exact median (Spark's native sort-based F.median — contrast q90's "
+    "applyInPandas path), broadcast join back, median of absolute "
+    "deviations, then count |x - med| > 3*MAD. All inputs are integer "
+    "cents so both medians land on k/2 / k/4 grid points — exactly "
+    "representable doubles, deterministic across engines. The 3-sigma "
+    "rule on MAD is the standard heavy-tail-safe data-quality gate "
+    "(mean/stddev breaks down under the very outliers it hunts)",
+)
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    s = ev.select("event_type", cents.alias("cents"))
+    med = s.groupBy("event_type").agg(F.median("cents").alias("med"))
+    j = s.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = j.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        j.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med_cents"),
+            F.min("mad").alias("mad_cents"),
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "q132_seasonal_hotspots",
+    """WITH b AS (SELECT event_type,
+                         CAST(dayofweek(ts) * 24 + hour(ts) AS INTEGER) AS how,
+                         count(*) AS n,
+                         sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_cents
+                  FROM events GROUP BY 1, 2)
+       SELECT event_type, how, CAST(n AS BIGINT) AS n,
+              CAST(sum_cents AS BIGINT) AS sum_cents
+       FROM (SELECT *, row_number() OVER (
+                         PARTITION BY event_type
+                         ORDER BY CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) DESC,
+                                  how) AS rk
+             FROM b)
+       WHERE rk <= 3""",
+    "seasonal hour-of-week profile: per (event_type, hour-of-week) "
+    "exact integer-cent aggregates, then the top-3 hottest hours by "
+    "mean value. The raw scan reduces to at most |types| x 168 rows "
+    "BEFORE any window — the row_number runs on the aggregate, not the "
+    "events. Mean ordering divides two exact int64s (one IEEE op, "
+    "portable); hour-of-week aligns Spark's dayofweek()-1 with DuckDB's "
+    "Sunday=0 numbering. This is the baseline table behind q123's gap "
+    "fill and any seasonality-aware anomaly alarm",
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    how = ((F.dayofweek("ts") - 1) * 24 + F.hour("ts")).cast("int")
+    b = (
+        ev.select("event_type", how.alias("how"), cents.alias("cents"))
+        .groupBy("event_type", "how")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            (F.col("sum_cents").cast("double") / F.col("n").cast("double")).desc(),
+            "how",
+        )
+    )
+    return b.withColumn("rk", rk).filter(F.col("rk") <= 3).drop("rk")
+
+
+@register(
+    "q133_autocorr_terms",
+    """WITH s AS (SELECT user_id, ts, event_id,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                  FROM events),
+        p AS (SELECT user_id, cents AS x,
+                     lead(cents) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS y
+              FROM s)
+       SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(x) AS BIGINT) AS s_x,
+              CAST(sum(y) AS BIGINT) AS s_y,
+              CAST(sum(x * x) AS BIGINT) AS s_xx,
+              CAST(sum(y * y) AS BIGINT) AS s_yy,
+              CAST(sum(x * y) AS BIGINT) AS s_xy
+       FROM p WHERE y IS NOT NULL
+       GROUP BY 1 HAVING count(*) >= 2""",
+    "lag-1 autocorrelation sufficient statistics per user: consecutive "
+    "(x, next-x) value pairs from one lead() window, reduced to the six "
+    "exact int64 moment sums (n, Sx, Sy, Sxx, Syy, Sxy) from which "
+    "Pearson r is one driver-side division — the engine ships "
+    "bit-portable integers, never a float correlation. cents^2 * pairs "
+    "stays far inside int64. The window and the groupBy share the "
+    "user_id shuffle; autocorrelation of per-user value streams is the "
+    "standard signal for bot/replay detection in event pipelines",
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        "user_id",
+        cents.alias("x"),
+        F.lead(cents).over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    return (
+        p.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("x").alias("s_x"),
+            F.sum("y").alias("s_y"),
+            F.sum(F.col("x") * F.col("x")).alias("s_xx"),
+            F.sum(F.col("y") * F.col("y")).alias("s_yy"),
+            F.sum(F.col("x") * F.col("y")).alias("s_xy"),
+        )
+        .filter(F.col("n_pairs") >= 2)
+    )
+
+
+@register(
+    "q134_markov_transitions",
+    """WITH t AS (SELECT event_type,
+                         lead(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS next_type
+                  FROM events),
+        c AS (SELECT event_type, next_type, count(*) AS cnt
+              FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+       SELECT event_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+              top_next, CAST(top_cnt AS BIGINT) AS top_cnt
+       FROM (SELECT event_type,
+                    sum(cnt) OVER (PARTITION BY event_type) AS n_transitions,
+                    next_type AS top_next, cnt AS top_cnt,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY cnt DESC, next_type DESC) AS rk
+             FROM c) WHERE rk = 1""",
+    "first-order Markov transition model over per-user event streams: "
+    "lead() pairs each event with its successor (one user-keyed "
+    "partition-sort), transition counts reduce to a |types|^2 matrix, "
+    "and each state's most likely successor is a single max_by over a "
+    "(count, next_type) struct — map-side-combinable, no second window "
+    "over the raw stream. The oracle states the same argmax as a "
+    "row_number subquery (DuckDB's arg_max can't take a composite "
+    "ordering key). Next-event prediction tables drive autocomplete, "
+    "prefetching, and anomalous-sequence alarms",
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = t.groupBy("event_type", "next_type").agg(F.count("*").alias("cnt"))
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n_transitions"),
+            F.max_by(
+                F.struct(
+                    F.col("next_type").alias("top_next"),
+                    F.col("cnt").alias("top_cnt"),
+                ),
+                F.struct("cnt", "next_type"),
+            ).alias("s"),
+        )
+        .select("event_type", "n_transitions", "s.top_next", "s.top_cnt")
+    )
+
+
+@register(
+    "q135_grid_radius_join",
+    f"""WITH p AS (SELECT c_custkey AS id,
+                          {hex_hash64_sql("CAST(c_custkey AS VARCHAR)", salt="x")} % 1000000 AS x,
+                          {hex_hash64_sql("CAST(c_custkey AS VARCHAR)", salt="y")} % 1000000 AS y
+                   FROM customer)
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(min((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+                    AS BIGINT) AS min_d2,
+               CAST(sum((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+                    AS BIGINT) AS sum_d2
+        FROM p a JOIN p b ON a.id < b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= 10000000000""",
+    "spatial radius self-join (all point pairs within R) via "
+    "operators.spatial.grid_radius_pairs: points bucket into R-sized "
+    "grid cells, one side replicates to its 3x3 neighborhood (bounded "
+    "x9, never data-dependent), pairs meet on a cell equi-join and an "
+    "exact integer d2 <= R^2 predicate — each qualifying pair meets on "
+    "exactly one cell offset, so no dedup. The oracle is the O(n^2) "
+    "cross join stating identical semantics; the grid plan is the one "
+    "that survives 100 TB. Coordinates are md5-derived micro-grid "
+    "integers so both engines synthesize identical points; supplies the "
+    "geo join the reference's geocoded_hospital_address column implies "
+    "but never gets (design_table_schema.ipynb cell 1)",
+)
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (T.hex_hash64(F.col("c_custkey").cast("string"), salt="x")
+         % 1_000_000).alias("x"),
+        (T.hex_hash64(F.col("c_custkey").cast("string"), salt="y")
+         % 1_000_000).alias("y"),
+    )
+    pairs = SP.grid_radius_pairs(pts, "id", "x", "y", radius=100_000)
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("d2").alias("min_d2"),
+        F.sum("d2").alias("sum_d2"),
+    )
+
+
+@register(
+    "q136_ab_arms",
+    f"""SELECT event_type,
+               CAST({hex_hash64_sql("CAST(user_id AS VARCHAR)", salt="exp1")} % 2
+                    AS INTEGER) AS arm,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1, 2""",
+    "deterministic A/B experiment assignment: users land in arms by "
+    "salted md5 parity — stable across reruns and engines, no stored "
+    "assignment table, new users route themselves (the hash-bucketing "
+    "contract behind every feature-flag system); per (metric, arm) "
+    "exact event/user/value aggregates are the z-test inputs, shipped "
+    "as integers. Changing the salt re-randomizes every membership — "
+    "which is exactly why the salt is part of the experiment identity",
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    arm = (
+        T.hex_hash64(F.col("user_id").cast("string"), salt="exp1") % 2
+    ).cast("int")
+    return (
+        ev.select("event_type", arm.alias("arm"), "user_id", cents.alias("cents"))
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("cents").alias("sum_cents"),
+        )
     )

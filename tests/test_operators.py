@@ -317,3 +317,24 @@ def test_global_row_number_matches_window(spark):
     assert rows == expected
     # dense: exactly 1..N once each
     assert [r[0] for r in rows] == list(range(1, 1001))
+
+
+def test_grid_radius_pairs_matches_bruteforce(spark):
+    import itertools
+    from health_data_transformation_spark.operators import spatial
+
+    # deterministic scatter incl. points straddling cell borders
+    pts = [(i, (i * 9973) % 1000, (i * 6151) % 1000) for i in range(200)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    r = 150
+    got = sorted(
+        (row["id_a"], row["id_b"], row["d2"])
+        for row in spatial.grid_radius_pairs(df, "id", "x", "y", r).collect()
+    )
+    want = sorted(
+        (a[0], b[0], (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2)
+        for a, b in itertools.combinations(pts, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= r * r
+    )
+    assert got == want
+    assert len(want) > 0

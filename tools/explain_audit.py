@@ -33,6 +33,11 @@ DEFAULT_QUERIES = [
     "q120_interval_overlap",
     "q121_rolling_distinct_users",
     "q124_first_touch",
+    "q129_equidepth_hist",
+    "q130_ewma_po2",
+    "q131_mad_outliers",
+    "q134_markov_transitions",
+    "q135_grid_radius_join",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -49,6 +54,11 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q40_ivf_topk",
     "q73_ivf_built_search",
     "q82_int8_cosine_topk",
+    # 1-row total-count table attached to the decile targets
+    "q129_equidepth_hist",
+    # 9-row cell-offset table replicating one join side to its 3x3
+    # neighborhood — the constant x9 expansion IS the algorithm
+    "q135_grid_radius_join",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

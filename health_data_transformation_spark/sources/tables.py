@@ -46,6 +46,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer `div` keeps full 64-bit precision (a double round-trip
             # would lose sub-microsecond bits at 1.7e18 magnitudes)
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtypes.get(col) == "timestamp_ntz":
+            # newer parquet readers surface TIMESTAMP(NANOS) as ntz
+            # (micros-truncated, same as DuckDB); with the session tz
+            # pinned to UTC the ltz cast is wall-clock identical and
+            # restores TIMESTAMP for unix_micros/watermark consumers
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
@@ -83,18 +89,23 @@ def load_events_range(
     """
     ensure_compat(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes).get("ts") != "bigint":
-        df = load_table(spark, sf_dir, "events")
+    raw_ts_type = dict(raw.dtypes).get("ts")
+    if raw_ts_type != "bigint":
+        # filter the STORED column (ntz or ltz) so the predicate reaches
+        # the scan, then normalize the type; filtering after the cast
+        # would hide the bound behind a computed column
         ts = F.col("ts")
-        cast = lambda v: F.lit(v).cast(dict(df.dtypes)["ts"])  # noqa: E731
+        cast = lambda v: F.lit(v).cast(raw_ts_type)  # noqa: E731
         conds = []
         if lo is not None:
             conds.append(ts >= cast(lo) if lo_inclusive else ts > cast(lo))
         if hi is not None:
             conds.append(ts <= cast(hi) if hi_inclusive else ts < cast(hi))
         for c in conds:
-            df = df.filter(c)
-        return df
+            raw = raw.filter(c)
+        if raw_ts_type == "timestamp_ntz":
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
     ns = F.col("ts")
     conds = []
     if lo is not None:

@@ -24,6 +24,25 @@ from ..functions.deterministic import bucket_str, dec_sum
 from ..session import ensure_compat
 
 
+def normalize_event_ts(stream: DataFrame, col: str = "ts") -> DataFrame:
+    """Coerce the event-time column to TIMESTAMP (ltz).
+
+    The testdata writes ``events.ts`` as parquet INT64 TIMESTAMP(NANOS),
+    which Spark surfaces either as LongType (``nanosAsLong``) or as
+    TIMESTAMP_NTZ depending on version.  Watermarks require TIMESTAMP
+    proper; with the session timezone pinned to UTC (session.py) the
+    ntz -> ltz cast is value-identical wall-clock time.
+    """
+    dtype = dict(stream.dtypes).get(col)
+    if dtype == "bigint":
+        # integer `div` keeps full 64-bit precision (matches DuckDB's
+        # nanos->micros truncation, keeping the differential oracle exact)
+        return stream.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if dtype == "timestamp_ntz":
+        return stream.withColumn(col, F.col(col).cast("timestamp"))
+    return stream
+
+
 @contextlib.contextmanager
 def narrow_shuffle(spark: SparkSession, n: int = 8):
     """Bounded-run stateful streaming allocates one state store per
@@ -60,8 +79,7 @@ def stream_window_counts(
     if not os.path.exists(link):
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
     stream = spark.readStream.schema(static.schema).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
 
     agg = stream.groupBy(bucket_str("ts", minutes).alias("window_start")).agg(
         F.count("*").alias("n_events"),
@@ -106,8 +124,7 @@ def stream_session_windows(
     if not os.path.exists(link):
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
     stream = spark.readStream.schema(static.schema).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
 
     agg = (
         stream.groupBy(
@@ -147,8 +164,7 @@ def _staged_events_stream(spark: SparkSession, sf_dir: str):
     if not os.path.exists(link):
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
     stream = spark.readStream.schema(static.schema).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     return stream
 
 
@@ -266,8 +282,7 @@ def stream_dedup_events(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )

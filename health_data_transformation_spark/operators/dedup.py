@@ -380,6 +380,72 @@ def jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    set_col: str,
+    id_col: str = "doc_id",
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """All pairs with token-set Jaccard >= threshold, via prefix filtering
+    (the PPJoin family, Xiao et al.) — no blocking key required.\n\n    ``set_col`` must hold each element exactly once (build it with\n    array_distinct over tokens/shingles).
+
+    Candidate generation: order every document's distinct tokens by
+    GLOBAL ascending frequency (rarest first, total order on (freq,
+    token)); a pair with Jaccard >= t must share at least one token in
+    each side's first ``|s| - ceil(t*|s|) + 1`` tokens (the prefix
+    lemma), so joining on prefix tokens only is complete.  Rare-first
+    ordering makes prefixes low-frequency join keys — the candidate
+    count stays near the true-pair count instead of exploding on
+    stopwords, and the hottest key is bounded by the rarest-token
+    frequencies, not the corpus size.
+
+    Verification is exact integer arithmetic: inter*100 >= t_pct*union.
+    Complements the probabilistic MinHash-LSH path (lsh_near_dup_pairs):
+    same output contract, zero false negatives, at the cost of a
+    frequency ranking over the token stream.
+
+    Plan: token explode -> frequency agg (map-combinable) -> per-doc
+    row_number window (one shuffle on id) -> prefix self-join on token
+    -> distinct candidate pairs -> one verification join against the
+    per-doc token arrays.  Returns (id_a, id_b, inter, union,
+    jaccard_pct) with id_a < id_b.
+    """
+    sets = df.select(F.col(id_col).alias("id"), F.col(set_col).alias("toks"))
+    toks = sets.select("id", F.explode("toks").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("id").orderBy("n", "tok")
+    ranked = (
+        toks.join(freq, "tok")
+        .select("id", "tok", F.row_number().over(w).alias("rn"),
+                F.count("*").over(Window.partitionBy("id")).alias("sz"))
+    )
+    # prefix length |s| - ceil(t*|s|) + 1, all-integer ceil
+    pref_len = (
+        F.col("sz") - F.expr(f"(sz * {threshold_pct} + 99) div 100") + 1
+    )
+    prefixes = ranked.filter(F.col("rn") <= pref_len).select("id", "tok")
+    cand = (
+        prefixes.alias("pa")
+        .join(prefixes.alias("pb"), "tok")
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sets.select(F.col("id").alias("id_a"),
+                              F.col("toks").alias("toks_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"),
+                          F.col("toks").alias("toks_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("long").alias("inter"),
+            (F.size("toks_a") + F.size("toks_b")
+             - F.size(F.array_intersect("toks_a", "toks_b"))).cast("long").alias("un"),
+        )
+    )
+    return verified.filter(F.col("inter") * 100 >= threshold_pct * F.col("un"))
+
+
 # ---------------------------------------------------------------------------
 # near-dup: embedding cosine
 # ---------------------------------------------------------------------------

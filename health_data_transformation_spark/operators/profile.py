@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
@@ -80,4 +80,42 @@ def grouped_median(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
         df.select(key_col, value_col)
         .groupBy(key_col)
         .applyInPandas(stats, schema=schema)
+    )
+
+
+def grouped_weighted_median(
+    df: DataFrame, key_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """Exact weighted median per group, fully relational (no Python).
+
+    Definition (lower weighted median): the smallest value ``v`` such
+    that the cumulative weight of all rows with value <= v reaches half
+    the group's total weight (2*cum >= total, integer arithmetic — no
+    fp, engine-portable).
+
+    Plan shape: one shuffle.  Rows pre-aggregate per (key, value) —
+    map-side combinable, collapsing ties before the sort — then a
+    cumulative-weight window and a min-over-qualifying aggregate run on
+    the same (key)-partitioned sort order.  Contrast grouped_median
+    (applyInPandas): this form never crosses the Python boundary and
+    never materializes a per-group vector, so a single hot key cannot
+    OOM an executor — the 100 TB-safe default when weights are integral.
+    """
+    per_value = df.groupBy(key_col, value_col).agg(
+        F.sum(weight_col).alias("_w")
+    )
+    w = Window.partitionBy(key_col).orderBy(value_col)
+    cum = per_value.select(
+        key_col,
+        value_col,
+        F.sum("_w").over(w).alias("_cum"),
+        F.sum("_w").over(Window.partitionBy(key_col)).alias("_tot"),
+    )
+    return (
+        cum.filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy(key_col)
+        .agg(
+            F.min(value_col).alias("weighted_median"),
+            F.max("_tot").alias("total_weight"),
+        )
     )

@@ -4250,3 +4250,337 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("cents").alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph analytics on a deterministic synthetic social graph
+# ---------------------------------------------------------------------------
+#
+# The reference's only graph-adjacent structure is the hospital FK web
+# (design_table_schema.ipynb cells 0-3); these queries supply the graph
+# operator family a 100 TB entity graph needs.  Nodes are customers;
+# each node picks 3 deterministic md5-hash neighbors, so both engines
+# synthesize the identical edge set at any scale factor.
+
+_GRAPH_DEG = 3
+
+
+def _graph_edges_sql() -> str:
+    """CTE prefix (nn, e0, e) building the canonical undirected edges."""
+    picks = "\n         UNION ALL ".join(
+        f"SELECT c_custkey AS u, 1 + ({hex_hash64_sql('CAST(c_custkey AS VARCHAR)', salt=f'g{i}')} % nn.n) AS v"
+        f" FROM customer, nn"
+        for i in range(_GRAPH_DEG)
+    )
+    return f"""nn AS (SELECT count(*) AS n FROM customer),
+       e0 AS ({picks}),
+       e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+             FROM e0 WHERE u <> v)"""
+
+
+def _graph_edges(spark: SparkSession, sf: str):
+    from ..operators.graph import canonical_edges
+
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    n = c.count()  # one scalar action; the SQL twin states count(*) inline
+    picks = F.array(
+        *[
+            (T.hex_hash64(F.col("c_custkey").cast("string"), salt=f"g{i}") % n + 1)
+            for i in range(_GRAPH_DEG)
+        ]
+    )
+    e0 = c.select(
+        F.col("c_custkey").alias("u"), F.explode(picks).alias("v")
+    )
+    return canonical_edges(e0, "u", "v")
+
+
+@register(
+    "q137_triangle_count",
+    f"""WITH {_graph_edges_sql()},
+       nodes AS (SELECT a AS x FROM e UNION SELECT b FROM e),
+       tri AS (SELECT count(*) AS t
+               FROM e e1
+               JOIN e e2 ON e2.a = e1.b
+               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+              (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+              (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles""",
+    "exact triangle count (operators/graph.py:triangle_count) by degree "
+    "orientation ('compact-forward'): every edge points from its lower- "
+    "to its higher-(degree, id) endpoint, so the wedge self-join fans "
+    "out O(sqrt(m)) per node instead of O(max-degree) — the bound that "
+    "keeps power-law graphs (the 100 TB social/web case) tractable; the "
+    "closing edge is one semi-join back to the edge set.  Three "
+    "shuffles, no iteration.  The oracle states the naive a<b<c triple "
+    "join over the same deterministic hash-synthesized graph.  Triangle "
+    "count = the clustering-coefficient numerator, the standard "
+    "community-structure / spam-subgraph signal",
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    return triangle_count(_graph_edges(spark, sf))
+
+
+@register(
+    "q138_bfs_levels",
+    f"""WITH RECURSIVE {_graph_edges_sql()},
+       sym AS (SELECT a AS src, b AS dst FROM e
+               UNION ALL SELECT b, a FROM e),
+       r AS (SELECT CAST(1 AS BIGINT) AS node, 0 AS lvl
+             UNION ALL
+             SELECT sym.dst, r.lvl + 1
+             FROM r JOIN sym ON sym.src = r.node WHERE r.lvl < 4)
+       SELECT node, CAST(min(lvl) AS INTEGER) AS lvl FROM r GROUP BY node""",
+    "minimum-hop BFS levels from a seed node (operators/graph.py:"
+    "bfs_levels): proper frontier expansion — each round joins only the "
+    "newest frontier against the edge list and anti-joins the visited "
+    "set, so total work is O(edges x depth) and the plan stays flat via "
+    "localCheckpoint per round.  The oracle is the recursive-CTE form, "
+    "which enumerates WALKS (its row count grows with path "
+    "multiplicity, fine only at small depth) — stating exactly why the "
+    "frontier algorithm is the one that scales.  Reachability-within-k "
+    "drives fraud rings, org charts, and lineage queries",
+)
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import bfs_levels
+
+    edges = _graph_edges(spark, sf)
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return bfs_levels(sym, seed=1, max_depth=4)
+
+
+@register(
+    "q139_weighted_median",
+    """WITH per AS (
+         SELECT l_returnflag AS flag,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                sum(CAST(l_quantity AS BIGINT)) AS w
+         FROM lineitem GROUP BY 1, 2),
+       cum AS (
+         SELECT flag, cents,
+                sum(w) OVER (PARTITION BY flag ORDER BY cents) AS cw,
+                sum(w) OVER (PARTITION BY flag) AS tot
+         FROM per)
+       SELECT flag, CAST(min(cents) AS BIGINT) AS weighted_median,
+              CAST(max(tot) AS BIGINT) AS total_weight
+       FROM cum WHERE 2 * cw >= tot GROUP BY flag""",
+    "exact quantity-weighted median of line price per return flag "
+    "(operators/profile.py:grouped_weighted_median): rows pre-aggregate "
+    "per (key, value) — map-side combinable, ties collapse before any "
+    "sort — then one cumulative-weight window finds the smallest value "
+    "whose cumulative weight reaches half the total (2*cum >= total, "
+    "all-integer).  One shuffle, no Python boundary, no per-group "
+    "vector materialization — contrast q90's applyInPandas median: this "
+    "is the form a hot key cannot OOM.  Weighted medians are the "
+    "robust 'typical price paid' (volume-weighted) statistic",
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profile import grouped_weighted_median
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return grouped_weighted_median(li, "flag", "cents", "qty").select(
+        "flag",
+        F.col("weighted_median").cast("long").alias("weighted_median"),
+        F.col("total_weight").cast("long").alias("total_weight"),
+    )
+
+
+@register(
+    "q140_cusum_days",
+    """WITH daily AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS day,
+                sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+         FROM events GROUP BY 1),
+       seq AS (
+         SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily),
+       base AS (
+         SELECT day, x, rn,
+                (sum(CASE WHEN rn <= 7 THEN x END) OVER ()) // 7 AS mean_x
+         FROM seq),
+       c AS (
+         SELECT day, x, mean_x,
+                sum(x - mean_x) OVER (ORDER BY rn) AS cdev
+         FROM base),
+       s AS (
+         SELECT day, x, mean_x,
+                cdev - least(min(cdev) OVER (ORDER BY day), 0) AS s
+         FROM c)
+       SELECT day, CAST(x AS BIGINT) AS day_cents,
+              CAST(s AS BIGINT) AS cusum_cents,
+              CAST(s > mean_x AS BOOLEAN) AS drifted
+       FROM s""",
+    "one-sided CUSUM changepoint detector over daily event value: "
+    "baseline = integer mean of the first 7 days, and the recursive "
+    "S_i = max(0, S_{i-1} + dev_i) unrolls to the closed form "
+    "C_i - min(0, min_j<=i C_j) — two windows over the day-grain "
+    "aggregate, no recursion, exact integer cents.  The window is "
+    "global but runs on the aggregate (one row per day), the same "
+    "aggregate-then-window contract as q132; the raw event scan never "
+    "sees a window.  Drift flag is scale-relative (S > baseline mean) "
+    "so the same query is meaningful at every sf.  CUSUM is the "
+    "classic sequential drift alarm for pipeline monitoring",
+)
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.deterministic import day_str
+
+    ev = load_events_range(spark, sf)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = ev.groupBy(day_str("ts").alias("day")).agg(F.sum(cents).alias("x"))
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("day")
+    seq = daily.withColumn("rn", F.row_number().over(w_ord))
+    sf7 = F.sum(F.when(F.col("rn") <= 7, F.col("x"))).over(w_all)
+    # exact integer mean: subtract the remainder, then the division is
+    # exact in decimal (no fp rounding at any magnitude)
+    base = seq.withColumn(
+        "mean_x",
+        ((sf7 - F.pmod(sf7, F.lit(7))).cast("decimal(38,0)") / 7).cast("long"),
+    )
+    c = base.withColumn("cdev", F.sum(F.col("x") - F.col("mean_x")).over(w_ord))
+    s = c.withColumn(
+        "s", F.col("cdev") - F.least(F.min("cdev").over(w_ord), F.lit(0))
+    )
+    return s.select(
+        "day",
+        F.col("x").cast("long").alias("day_cents"),
+        F.col("s").cast("long").alias("cusum_cents"),
+        (F.col("s") > F.col("mean_x")).alias("drifted"),
+    )
+
+
+@register(
+    "q141_prefix_jaccard_pairs",
+    f"""WITH sets AS (
+         SELECT doc_id, list_distinct({T.token_shingles_sql('text', 3)}) AS s
+         FROM documents)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+              CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                   AS BIGINT) AS un
+       FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+       WHERE len(a.s) + len(b.s) > 0
+         AND len(list_intersect(a.s, b.s)) * 100
+             >= 50 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))""",
+    "ALL near-dup pairs (3-shingle Jaccard >= 50%) with NO blocking key "
+    "and zero false negatives, via prefix filtering (operators/dedup.py:"
+    "prefix_filter_jaccard_pairs, the PPJoin family): tokens rank by "
+    "global ascending frequency, and the prefix lemma guarantees any "
+    "qualifying pair shares a token within each side's first "
+    "|s|-ceil(t|s|)+1 rarest shingles — so the candidate join touches "
+    "only rare-token keys and the hot stopword-shingle keys never join. "
+    "Verification is exact integer cross-multiplication (inter*100 >= "
+    "t*union).  Deterministic complement to MinHash-LSH (q51): same "
+    "contract, no probabilistic misses.  The oracle states the O(n^2) "
+    "all-pairs exact Jaccard the prefix filter provably equals",
+)
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(T.token_shingles("text", 3)).alias("s")
+    )
+    return D.prefix_filter_jaccard_pairs(
+        d, set_col="s", id_col="doc_id", threshold_pct=50
+    ).select("id_a", "id_b", "inter", "un")
+
+
+@register(
+    "q142_source_checksums",
+    f"""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+              CAST(sum(h % 1000000007) AS BIGINT) AS sum_mod
+       FROM (SELECT source,
+                    {hex_hash64_sql("CAST(doc_id AS VARCHAR) || '|' || text")} AS h
+             FROM documents)
+       GROUP BY source""",
+    "order-insensitive per-partition content fingerprints (anti-entropy "
+    "checksums): every row hashes to a 60-bit md5 integer; per source "
+    "the row count, XOR of hashes, and modular hash sum are all "
+    "commutative/associative aggregates — map-side combinable, "
+    "shuffle-size O(partitions), bit-identical on any engine and any "
+    "row order.  This is how replicas, migration targets, and "
+    "warehouse copies are compared at 100 TB without moving data: ship "
+    "the checksum triple, not the table (the reference's load counters, "
+    "load_hhs.py:157-161, generalized to content equality)",
+)
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    h = T.hex_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))
+    )
+    return (
+        d.select("source", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+            F.sum(F.col("h") % 1000000007).cast("long").alias("sum_mod"),
+        )
+    )
+
+
+@register(
+    "q143_pareto_frontier",
+    """WITH pp AS (
+         SELECT CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS price_cents,
+                p_size AS size, count(*) AS n
+         FROM part GROUP BY 1, 2),
+       ranked AS (
+         SELECT price_cents, size, n,
+                max(size) OVER (PARTITION BY price_cents) AS bs,
+                max(size) OVER (ORDER BY price_cents
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS rmax
+         FROM pp)
+       SELECT price_cents, CAST(size AS INTEGER) AS size,
+              CAST(n AS BIGINT) AS n_parts
+       FROM ranked
+       WHERE size = bs AND (rmax IS NULL OR size > rmax)""",
+    "2-D Pareto frontier (skyline operator: min price, max size, parts "
+    "not dominated by any other): the O(n^2) NOT-EXISTS dominance test "
+    "collapses to two windows over the DISTINCT (price, size) pairs — "
+    "a pair is on the frontier iff it is the best size at its price "
+    "AND strictly beats the best size among all strictly-cheaper "
+    "prices (RANGE frame excludes price peers exactly).  The window "
+    "runs on the aggregated pair set (bounded by the price domain, not "
+    "the row count) — the aggregate-then-window contract; ties on both "
+    "dimensions stay on the frontier together, matching dominance "
+    "semantics precisely.  Skylines power product search and "
+    "cost/quality tradeoff dashboards",
+)
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part").select(
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").alias("size"),
+    )
+    pp = p.groupBy("price_cents", "size").agg(F.count("*").alias("n"))
+    w_peer = Window.partitionBy("price_cents")
+    w_cheaper = Window.orderBy("price_cents").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = pp.select(
+        "price_cents",
+        "size",
+        "n",
+        F.max("size").over(w_peer).alias("bs"),
+        F.max("size").over(w_cheaper).alias("rmax"),
+    )
+    return ranked.filter(
+        (F.col("size") == F.col("bs"))
+        & (F.col("rmax").isNull() | (F.col("size") > F.col("rmax")))
+    ).select(
+        "price_cents",
+        F.col("size").cast("int").alias("size"),
+        F.col("n").cast("long").alias("n_parts"),
+    )

@@ -59,6 +59,9 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # 9-row cell-offset table replicating one join side to its 3x3
     # neighborhood — the constant x9 expansion IS the algorithm
     "q135_grid_radius_join",
+    # three 1-row aggregates (nodes/edges/triangles) cross-joined into
+    # the single-row result
+    "q137_triangle_count",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

@@ -4584,3 +4584,193 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
         F.col("size").cast("int").alias("size"),
         F.col("n").cast("long").alias("n_parts"),
     )
+
+
+@register(
+    "q144_scd2_compress",
+    """WITH per_day AS (
+         SELECT o_custkey AS custkey, strftime(o_orderdate, '%Y-%m-%d') AS day,
+                arg_max(o_orderpriority, o_orderkey) AS pri,
+                count(*) AS n
+         FROM orders GROUP BY 1, 2),
+       chg AS (
+         SELECT custkey, day, pri, n,
+                lag(pri) OVER (PARTITION BY custkey ORDER BY day) AS prev
+         FROM per_day)
+       SELECT custkey,
+              CAST(sum(n) AS BIGINT) AS n_orders,
+              CAST(sum(CASE WHEN prev IS NULL OR pri <> prev THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_versions,
+              arg_min(pri, day) AS first_pri,
+              arg_max(pri, day) AS last_pri
+       FROM chg GROUP BY custkey""",
+    "SCD2 change compression (the construction inside operators/scd.py:"
+    "scd2_apply, oracle-gated): a per-key snapshot stream collapses to "
+    "versions that open only when the tracked attribute actually "
+    "changes — same-day collisions resolve by max_by (deterministic "
+    "last-writer), lag() detects the change boundary, and the per-key "
+    "summary (orders seen, versions kept, first/last value) proves the "
+    "compression.  One partition-sort shuffle after a map-combinable "
+    "pre-aggregate; this is why an SCD2 dimension stays small while the "
+    "snapshot stream grows without bound (the reference stores every "
+    "quality snapshot as a full row, load_quality.py:119-126 — this is "
+    "the shape that replaces it)",
+)
+def q144(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.deterministic import day_str
+
+    o = load_table(spark, sf, "orders")
+    per_day = (
+        o.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            day_str("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.max_by("o_orderpriority", "o_orderkey").alias("pri"),
+            F.count("*").alias("n"),
+        )
+    )
+    w = Window.partitionBy("custkey").orderBy("day")
+    chg = per_day.withColumn("prev", F.lag("pri").over(w))
+    return chg.groupBy("custkey").agg(
+        F.sum("n").cast("long").alias("n_orders"),
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("pri") != F.col("prev")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_versions"),
+        F.min_by("pri", "day").alias("first_pri"),
+        F.max_by("pri", "day").alias("last_pri"),
+    )
+
+
+@register(
+    "q145_sorted_neighborhood",
+    """WITH ranked AS (
+         SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+         FROM customer)
+       SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+              CAST((CASE WHEN a.c_nationkey = b.c_nationkey THEN 2 ELSE 0 END)
+                 + (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END)
+                 AS INTEGER) AS score
+       FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 2""",
+    "sorted-neighborhood blocking for entity resolution (Hernandez-"
+    "Stolfo): records sort once by the blocking key and only rank-"
+    "adjacent pairs (window w=2) are compared — candidate count is O(n*w) "
+    "instead of O(n^2), the classic alternative to hash blocking (q106) "
+    "and LSH (q51) when near-matches sort together.  The global rank "
+    "comes from operators/topk.py:global_row_number (range-partition + "
+    "offset shift, NO single-partition window), and the rank-distance "
+    "join becomes w equi-joins by replicating each row to rank+1..rank+w "
+    "— bounded replication, never a nested-loop.  The oracle states the "
+    "same pairs via a plain window + band self-join",
+)
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    ranked = K.global_row_number(
+        c, [F.col("c_name"), F.col("c_custkey")], out_col="rn"
+    )
+    w = 2
+    left = ranked.select(
+        F.explode(
+            F.array(*[F.col("rn") + F.lit(j) for j in range(1, w + 1)])
+        ).alias("rn_b"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("nk_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+    )
+    right = ranked.select(
+        F.col("rn").alias("rn_b"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("nk_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+    )
+    score = (
+        F.when(F.col("nk_a") == F.col("nk_b"), 2).otherwise(0)
+        + F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0)
+    ).cast("int")
+    return left.join(right, "rn_b").select("id_a", "id_b", score.alias("score"))
+
+
+@register(
+    "q146_systematic_sample",
+    """WITH ranked AS (
+         SELECT o_orderkey,
+                row_number() OVER (ORDER BY strftime(o_orderdate, '%Y-%m-%d'),
+                                   o_orderkey) AS rn
+         FROM orders)
+       SELECT o_orderkey, CAST(rn AS BIGINT) AS rn
+       FROM ranked WHERE rn % 97 = 1""",
+    "deterministic systematic (every k-th) sampling on the global "
+    "time-then-key order: rank via the scalable global_row_number "
+    "(range partition + offset shift) and keep rn % 97 = 1 — the "
+    "evenly-spaced longitudinal sample auditors and data-quality "
+    "monitors want (every period represented proportionally), "
+    "complementing hash sampling (q63: per-row independent), stratified "
+    "quotas (q79), and weighted priority samples (q85).  Prime stride "
+    "avoids aliasing with any periodic pattern in the sort key",
+)
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.deterministic import day_str
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", day_str("o_orderdate").alias("_day")
+    )
+    ranked = K.global_row_number(
+        o, [F.col("_day"), F.col("o_orderkey")], out_col="rn"
+    )
+    return ranked.filter(F.col("rn") % 97 == 1).select(
+        "o_orderkey", F.col("rn").cast("long").alias("rn")
+    )
+
+
+@register(
+    "q147_latency_histogram",
+    """WITH dt AS (
+         SELECT epoch_us(ts)
+                - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS dt_us
+         FROM events),
+       b AS (
+         SELECT CASE WHEN dt_us <= 0 THEN 0
+                     ELSE length(printf('%b', dt_us)) END AS bucket, dt_us
+         FROM dt WHERE dt_us IS NOT NULL)
+       SELECT CAST(bucket AS INTEGER) AS bucket,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(min(dt_us) AS BIGINT) AS min_us,
+              CAST(max(dt_us) AS BIGINT) AS max_us
+       FROM b GROUP BY bucket""",
+    "exponential-bucket latency histogram of per-user inter-event gaps "
+    "(the HdrHistogram/observability shape): bucket = position of the "
+    "highest set bit (length of the binary rendering — pure integer, "
+    "bit-portable; floor(log2) via fp log is NOT engine-stable near "
+    "powers of two and is banned by the determinism contract).  One "
+    "user-partitioned sort for the lag, then a map-combinable "
+    "~64-bucket aggregate — constant-size output regardless of event "
+    "volume, the right summary to ship from a 100 TB event store",
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = ev.select(
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("dt_us")
+    ).filter(F.col("dt_us").isNotNull())
+    bucket = (
+        F.when(F.col("dt_us") <= 0, 0)
+        .otherwise(F.length(F.bin("dt_us")))
+        .cast("int")
+    )
+    return (
+        dt.select(bucket.alias("bucket"), "dt_us")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("dt_us").cast("long").alias("min_us"),
+            F.max("dt_us").cast("long").alias("max_us"),
+        )
+    )

@@ -423,12 +423,18 @@ def prefix_filter_jaccard_pairs(
     pref_len = (
         F.col("sz") - F.expr(f"(sz * {threshold_pct} + 99) div 100") + 1
     )
-    prefixes = ranked.filter(F.col("rn") <= pref_len).select("id", "tok")
+    prefixes = ranked.filter(F.col("rn") <= pref_len).select("id", "tok", "sz")
+    # length filter (PPJoin): J >= t forces min(|A|,|B|)/max(|A|,|B|) >= t,
+    # so size-mismatched collisions die before the distinct/verify stages
     cand = (
         prefixes.alias("pa")
         .join(prefixes.alias("pb"), "tok")
+        .filter(
+            (F.col("pa.id") < F.col("pb.id"))
+            & (F.col("pa.sz") * 100 >= threshold_pct * F.col("pb.sz"))
+            & (F.col("pb.sz") * 100 >= threshold_pct * F.col("pa.sz"))
+        )
         .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
     verified = (

@@ -84,38 +84,86 @@ def grouped_median(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
 
 
 def grouped_weighted_median(
-    df: DataFrame, key_col: str, value_col: str, weight_col: str
+    df: DataFrame, key_col: str, value_col: str, weight_col: str,
+    bin_shift: int = 14,
 ) -> DataFrame:
     """Exact weighted median per group, fully relational (no Python).
 
     Definition (lower weighted median): the smallest value ``v`` such
     that the cumulative weight of all rows with value <= v reaches half
-    the group's total weight (2*cum >= total, integer arithmetic — no
-    fp, engine-portable).
+    the group's total weight (2*cum >= total, all-integer arithmetic —
+    no fp, engine-portable).  ``value_col`` must be integral and
+    ``weight_col`` non-negative.
 
-    Plan shape: one shuffle.  Rows pre-aggregate per (key, value) —
-    map-side combinable, collapsing ties before the sort — then a
-    cumulative-weight window and a min-over-qualifying aggregate run on
-    the same (key)-partitioned sort order.  Contrast grouped_median
-    (applyInPandas): this form never crosses the Python boundary and
-    never materializes a per-group vector, so a single hot key cannot
-    OOM an executor — the 100 TB-safe default when weights are integral.
+    Two-phase bin-then-refine plan — the naive form (cumulative window
+    over every distinct value of a group) sorts each group's whole
+    value set through one window partition, which at 100 TB puts
+    hundreds of millions of rows in a single task.  Instead:
+
+    1. **Locate**: aggregate weight per (key, value >> bin_shift) bin —
+       map-side combinable, output bounded by the value RANGE / 2^s,
+       not the row count — and walk the (tiny) per-key bin histogram
+       with a cumulative window to find the bin containing the median
+       and the cumulative weight strictly before it.
+    2. **Refine**: rescan only the rows falling in each key's target
+       bin (a broadcast join on the per-key bin table prunes everything
+       else at the scan), aggregate per exact value, and pick the
+       first value whose carried-in + within-bin cumulative weight
+       crosses half the total.
+
+    Both windows run over aggregates (bins, then one bin's distinct
+    values); no per-group vector ever materializes.  ``shiftright`` is
+    an arithmetic shift = floor division by 2^s, so negative values bin
+    correctly.  Contrast grouped_median (applyInPandas) — this is the
+    100 TB-safe default when values are integral.
     """
-    per_value = df.groupBy(key_col, value_col).agg(
-        F.sum(weight_col).alias("_w")
-    )
-    w = Window.partitionBy(key_col).orderBy(value_col)
-    cum = per_value.select(
+    key, val = F.col(key_col), F.col(value_col).cast("long")
+    binned = F.shiftright(val, bin_shift).alias("_bin")
+    per_bin = df.select(key, binned, F.col(weight_col).alias("_w")).groupBy(
+        key_col, "_bin"
+    ).agg(F.sum("_w").alias("_wb"))
+    wbin = Window.partitionBy(key_col).orderBy("_bin")
+    binc = per_bin.select(
         key_col,
-        value_col,
-        F.sum("_w").over(w).alias("_cum"),
-        F.sum("_w").over(Window.partitionBy(key_col)).alias("_tot"),
+        "_bin",
+        F.col("_wb"),
+        F.sum("_wb").over(wbin).alias("_cumb"),
+        F.sum("_wb").over(Window.partitionBy(key_col)).alias("_tot"),
     )
-    return (
-        cum.filter(F.col("_cum") * 2 >= F.col("_tot"))
+    target = (
+        binc.filter(F.col("_cumb") * 2 >= F.col("_tot"))
         .groupBy(key_col)
         .agg(
-            F.min(value_col).alias("weighted_median"),
+            F.min_by(
+                F.struct(
+                    F.col("_bin").alias("tbin"),
+                    (F.col("_cumb") - F.col("_wb")).alias("before"),
+                ),
+                F.col("_bin"),
+            ).alias("_t"),
+            F.max("_tot").alias("_tot"),
+        )
+        .select(key_col, "_t.tbin", "_t.before", "_tot")
+    )
+    in_bin = (
+        df.select(key, val.alias("_v"), F.col(weight_col).alias("_w"))
+        .join(F.broadcast(target), key_col)
+        .filter(F.shiftright(F.col("_v"), bin_shift) == F.col("tbin"))
+        .groupBy(key_col, "_v", "before", "_tot")
+        .agg(F.sum("_w").alias("_wv"))
+    )
+    wval = Window.partitionBy(key_col).orderBy("_v")
+    cum2 = in_bin.select(
+        key_col,
+        "_v",
+        "_tot",
+        (F.col("before") + F.sum("_wv").over(wval)).alias("_cum"),
+    )
+    return (
+        cum2.filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy(key_col)
+        .agg(
+            F.min("_v").alias("weighted_median"),
             F.max("_tot").alias("total_weight"),
         )
     )

@@ -46,7 +46,8 @@ def bucketed_range_join(
     ``eq_keys`` (rename before calling).
     """
     width = max(upper_s - lower_s, 1)
-    lo, hi = F.lit(lower_s), F.lit(upper_s)
+    # long literals: lo * 1_000_000 overflows int32 for windows > ~35 min
+    lo, hi = F.lit(lower_s).cast("long"), F.lit(upper_s).cast("long")
 
     r = right.withColumn(
         "_bucket", F.floor(F.unix_timestamp(F.col(right_ts)) / width).cast("long")

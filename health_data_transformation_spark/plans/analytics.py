@@ -4187,7 +4187,7 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
                     AS BIGINT) AS sum_d2
         FROM p a JOIN p b ON a.id < b.id
         WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-              <= 10000000000""",
+              <= 100000000""",
     "spatial radius self-join (all point pairs within R) via "
     "operators.spatial.grid_radius_pairs: points bucket into R-sized "
     "grid cells, one side replicates to its 3x3 neighborhood (bounded "
@@ -4209,7 +4209,7 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
         (T.hex_hash64(F.col("c_custkey").cast("string"), salt="y")
          % 1_000_000).alias("y"),
     )
-    pairs = SP.grid_radius_pairs(pts, "id", "x", "y", radius=100_000)
+    pairs = SP.grid_radius_pairs(pts, "id", "x", "y", radius=10_000)
     return pairs.agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.min("d2").alias("min_d2"),
@@ -4773,4 +4773,219 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
             F.min("dt_us").cast("long").alias("min_us"),
             F.max("dt_us").cast("long").alias("max_us"),
         )
+    )
+
+
+@register(
+    "q148_decay_attribution",
+    """WITH p AS (
+         SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase'),
+       c AS (
+         SELECT user_id, event_id AS click_id, ts AS c_ts
+         FROM events WHERE event_type = 'click'),
+       pairs AS (
+         SELECT p.purchase_id, p.cents, c.click_id, c.c_ts,
+                CASE (epoch_us(p.p_ts) - epoch_us(c.c_ts)) // 28800000000
+                     WHEN 0 THEN 8 WHEN 1 THEN 4 ELSE 2 END AS w
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND epoch_us(c.c_ts) >= epoch_us(p.p_ts) - 86400000000
+           AND epoch_us(c.c_ts) < epoch_us(p.p_ts)),
+       tot AS (
+         SELECT purchase_id, click_id, c_ts, cents, w,
+                sum(w) OVER (PARTITION BY purchase_id) AS tw
+         FROM pairs),
+       shares AS (
+         SELECT purchase_id, click_id, c_ts, cents, w, tw,
+                (cents * w) // tw AS base,
+                row_number() OVER (PARTITION BY purchase_id
+                                   ORDER BY (cents * w) % tw DESC, click_id)
+                  AS rr
+         FROM tot),
+       attr AS (
+         SELECT click_id, c_ts,
+                base + CASE WHEN rr <= cents - sum(base)
+                       OVER (PARTITION BY purchase_id) THEN 1 ELSE 0 END
+                  AS att
+         FROM shares)
+       SELECT CAST(extract(hour FROM c_ts) AS INTEGER) AS click_hour,
+              CAST(count(*) AS BIGINT) AS n_attributions,
+              CAST(sum(att) AS BIGINT) AS attributed_cents
+       FROM attr GROUP BY 1""",
+    "time-decay multi-touch attribution with EXACT integer "
+    "apportionment: each purchase's cents split across the user's "
+    "prior-24h clicks by power-of-two age weights (8/4/2 per 8h "
+    "bucket), divided by largest-remainder — floor shares plus one "
+    "extra cent to the rr largest remainders — so per-purchase "
+    "attributed cents sum to the purchase EXACTLY (no fp leakage, the "
+    "property finance teams audit).  The pair space comes from the "
+    "bucketed range join (operators/rangejoin.py — equi-join on "
+    "(user, time-bucket), never an interval nested loop); the "
+    "apportionment windows partition by purchase_id, whose group size "
+    "is bounded by one user's 24h click volume.  Contrast q124 "
+    "(first-touch: min_by) and q104 (decay scores): this is the "
+    "full-credit-assignment form",
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rangejoin import bucketed_range_join
+
+    ev = load_events_range(spark, sf)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        cents.alias("cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = bucketed_range_join(
+        purchases, clicks, ["user_id"], "p_ts", "c_ts", -86400, 0
+    )
+    age_bucket = F.expr(
+        "(unix_micros(p_ts) - unix_micros(c_ts)) div 28800000000"
+    )
+    w = (
+        F.when(age_bucket == 0, 8).when(age_bucket == 1, 4).otherwise(2)
+    ).cast("long")
+    wp = Window.partitionBy("purchase_id")
+    shares = pairs.select(
+        "purchase_id", "click_id", "c_ts", "cents", w.alias("w")
+    ).select(
+        "*",
+        F.sum("w").over(wp).alias("tw"),
+    )
+    shares = shares.select(
+        "*",
+        F.expr("(cents * w) div tw").alias("base"),
+        F.row_number()
+        .over(
+            Window.partitionBy("purchase_id").orderBy(
+                F.expr("(cents * w) % tw").desc(), F.col("click_id")
+            )
+        )
+        .alias("rr"),
+    )
+    attr = shares.select(
+        "click_id",
+        "c_ts",
+        (
+            F.col("base")
+            + F.when(
+                F.col("rr") <= F.col("cents") - F.sum("base").over(wp), 1
+            ).otherwise(0)
+        ).alias("att"),
+    )
+    return (
+        attr.groupBy(F.hour("c_ts").cast("int").alias("click_hour"))
+        .agg(
+            F.count("*").cast("long").alias("n_attributions"),
+            F.sum("att").cast("long").alias("attributed_cents"),
+        )
+    )
+
+
+@register(
+    "q149_gini_concentration",
+    """WITH rev AS (
+         SELECT c.c_nationkey AS nation, o.o_custkey AS custkey,
+                sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS cents
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT nation, cents,
+                row_number() OVER (PARTITION BY nation
+                                   ORDER BY cents, custkey) AS rk
+         FROM rev)
+       SELECT nation,
+              CAST(count(*) AS BIGINT) AS n_customers,
+              CAST(sum(cents) AS BIGINT) AS total_cents,
+              CAST(((2 * sum(rk * cents) - (count(*) + 1) * sum(cents)) * 1000000)
+                   // (count(*) * sum(cents)) AS BIGINT) AS gini_ppm
+       FROM ranked GROUP BY nation""",
+    "revenue concentration per nation as an exact-integer Gini "
+    "coefficient: customers rank by revenue within nation (the window "
+    "partitions by nation; a GLOBAL Gini would use the range-"
+    "partitioned global_row_number instead — q125/q129's machinery), "
+    "then Gini = (2*sum(rank*x) - (n+1)*sum(x)) / (n*sum(x)) "
+    "floor-scaled to ppm — every term an int64/int128 sum, "
+    "bit-portable, no fp Lorenz integration.  One join (customer dim "
+    "broadcasts), one partition-sort, one aggregate.  Concentration "
+    "metrics flag single-customer revenue risk and long-tail "
+    "imbalance — the business twin of q72's top-k share",
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    wr = Window.partitionBy("nation").orderBy("cents", "custkey")
+    ranked = rev.select("nation", "cents", F.row_number().over(wr).alias("rk"))
+    return ranked.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST(((2 * sum(rk * cents) - (count(*) + 1) * sum(cents)) * 1000000)"
+            " div (count(*) * sum(cents)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+@register(
+    "q151_event_throttle",
+    """WITH lagged AS (
+         SELECT event_id, event_type,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id) AS gap_us
+         FROM events)
+       SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CASE WHEN gap_us IS NOT NULL AND gap_us < 300000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+              CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 300000000
+                            THEN event_id % 1000000007 ELSE 0 END) AS BIGINT)
+                AS kept_checksum
+       FROM lagged GROUP BY event_type""",
+    "telemetry debounce/throttle: an event repeating the same "
+    "(user, type) within 300 s of its predecessor is suppressed — the "
+    "client-side duplicate-burst filter every event pipeline needs "
+    "before counting.  One (user,type)-partitioned sort feeds lag(); "
+    "suppression counts and a modular checksum of the KEPT event ids "
+    "(order-insensitive, overflow-free) verify exactly which rows "
+    "survive on both engines.  The batch twin of q101's streaming "
+    "dropDuplicatesWithinWatermark — gap-based rather than key-window "
+    "state, catching rapid-fire duplicates that carry distinct ids",
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_id",
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    )
+    suppressed = F.col("gap_us").isNotNull() & (F.col("gap_us") < 300_000_000)
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(suppressed.cast("long")).cast("long").alias("n_suppressed"),
+        F.sum(
+            F.when(~suppressed, F.col("event_id") % 1000000007).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_checksum"),
     )

@@ -38,6 +38,12 @@ DEFAULT_QUERIES = [
     "q131_mad_outliers",
     "q134_markov_transitions",
     "q135_grid_radius_join",
+    "q137_triangle_count",
+    "q139_weighted_median",
+    "q141_prefix_jaccard_pairs",
+    "q144_scd2_compress",
+    "q145_sorted_neighborhood",
+    "q147_latency_histogram",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the

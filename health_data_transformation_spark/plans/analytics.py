@@ -4936,9 +4936,13 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
     return ranked.groupBy("nation").agg(
         F.count("*").cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("total_cents"),
+        # decimal(38,0) intermediates: the ppm-scaled Lorenz numerator
+        # exceeds int64 once a group's revenue passes ~1e13 cents
+        # (DuckDB's sums promote to int128 silently; Spark's do not)
         F.expr(
-            "CAST(((2 * sum(rk * cents) - (count(*) + 1) * sum(cents)) * 1000000)"
-            " div (count(*) * sum(cents)) AS BIGINT)"
+            "CAST(((2 * CAST(sum(rk * cents) AS DECIMAL(38,0))"
+            " - (count(*) + 1) * CAST(sum(cents) AS DECIMAL(38,0))) * 1000000)"
+            " div (count(*) * CAST(sum(cents) AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("gini_ppm"),
     )
 
@@ -4988,4 +4992,85 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
         )
         .cast("long")
         .alias("kept_checksum"),
+    )
+
+
+@register(
+    "q152_pii_redaction",
+    """WITH txt AS (
+         SELECT c_custkey,
+                'Contact ' || c_name || ' at ' ||
+                lower(replace(c_name, '#', '')) || '@example.com or 555-' ||
+                lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+                lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') ||
+                ' segment ' || c_mktsegment AS body
+         FROM customer),
+       red AS (
+         SELECT c_custkey,
+                regexp_replace(
+                  regexp_replace(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                 '<EMAIL>', 'g'),
+                  '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean,
+                length(body) AS raw_len
+         FROM txt)
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN clean LIKE '%<EMAIL>%' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_email_rows,
+              CAST(sum(CASE WHEN clean LIKE '%<PHONE>%' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_phone_rows,
+              CAST(sum(raw_len - length(clean)) AS BIGINT) AS chars_removed,
+              CAST(sum(__H__ % 1000000007) AS BIGINT) AS clean_checksum
+       FROM red""".replace("__H__", hex_hash64_sql("clean")),
+    "PII redaction over free text: email and phone patterns scrub to "
+    "typed placeholders via regexp_replace (anchored character-class "
+    "regexes chosen to behave identically under Java regex and RE2), "
+    "verified by per-row detection counts, removed-character totals, "
+    "and an order-insensitive md5 checksum of every redacted string — "
+    "the compliance pre-processing step (GDPR/CCPA) every training-"
+    "data pipeline runs before text leaves the trust boundary.  Pure "
+    "per-row expressions: no shuffle except the final constant-size "
+    "aggregate.  The contact strings are synthesized deterministically "
+    "from the customer dim so both engines redact byte-identical "
+    "input (the testdata corpus itself contains no PII)",
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    body = F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.lit(" at "),
+        F.lower(F.regexp_replace("c_name", "#", "")),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("c_custkey") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            body,
+            r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "<EMAIL>",
+        ),
+        r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+        "<PHONE>",
+    )
+    red = c.select(
+        clean.alias("clean"), F.length(body).alias("raw_len")
+    )
+    return red.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("clean").contains("<EMAIL>").cast("long"))
+        .cast("long")
+        .alias("n_email_rows"),
+        F.sum(F.col("clean").contains("<PHONE>").cast("long"))
+        .cast("long")
+        .alias("n_phone_rows"),
+        F.sum(F.col("raw_len") - F.length("clean"))
+        .cast("long")
+        .alias("chars_removed"),
+        F.sum(T.hex_hash64(F.col("clean")) % 1000000007)
+        .cast("long")
+        .alias("clean_checksum"),
     )

@@ -410,7 +410,13 @@ def prefix_filter_jaccard_pairs(
     per-doc token arrays.  Returns (id_a, id_b, inter, union,
     jaccard_pct) with id_a < id_b.
     """
-    sets = df.select(F.col(id_col).alias("id"), F.col(set_col).alias("toks"))
+    # the set build feeds three consumers (prefix index twice via the
+    # self-join, verification once); materialize it instead of
+    # recomputing the tokenize/shingle pipeline per branch — this IS
+    # the PPJoin index build, the standard one-pass materialization
+    sets = df.select(
+        F.col(id_col).alias("id"), F.col(set_col).alias("toks")
+    ).localCheckpoint(eager=False)
     toks = sets.select("id", F.explode("toks").alias("tok"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
     w = Window.partitionBy("id").orderBy("n", "tok")
@@ -423,7 +429,11 @@ def prefix_filter_jaccard_pairs(
     pref_len = (
         F.col("sz") - F.expr(f"(sz * {threshold_pct} + 99) div 100") + 1
     )
-    prefixes = ranked.filter(F.col("rn") <= pref_len).select("id", "tok", "sz")
+    prefixes = (
+        ranked.filter(F.col("rn") <= pref_len)
+        .select("id", "tok", "sz")
+        .localCheckpoint(eager=False)
+    )
     # length filter (PPJoin): J >= t forces min(|A|,|B|)/max(|A|,|B|) >= t,
     # so size-mismatched collisions die before the distinct/verify stages
     cand = (

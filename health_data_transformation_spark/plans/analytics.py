@@ -5074,3 +5074,83 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("clean_checksum"),
     )
+
+
+@register(
+    "q154_variant_extract",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS sum_k,
+              CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS min_k,
+              CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS max_k
+       FROM events GROUP BY event_type""",
+    "semi-structured JSON via the Spark 4 VARIANT type: props parses "
+    "once with parse_json into Variant's binary columnar encoding and "
+    "fields extract with variant_get typed paths — at 100 TB this "
+    "replaces per-query string re-parsing (get_json_object, q13's "
+    "shape) with parse-once/read-many, the modern open-lakehouse "
+    "semi-structured contract (Parquet/Delta/Iceberg variant "
+    "shredding).  The oracle states the same extraction in DuckDB's "
+    "JSON dialect; results are identical because variant preserves "
+    "JSON values exactly",
+)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "q155_custom_datasource",
+    f"""WITH gen AS (
+         SELECT i AS row_id,
+                {hex_hash64_sql("CAST(i AS VARCHAR)")} % 1000 AS user_id,
+                ['view', 'click', 'purchase']
+                  [({hex_hash64_sql("CAST(i AS VARCHAR)")} % 3) + 1] AS kind,
+                {hex_hash64_sql("CAST(i AS VARCHAR)")} % 100000 AS amount_cents
+         FROM range(100000) t(i))
+       SELECT kind,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              CAST(sum(amount_cents) AS BIGINT) AS total_cents,
+              CAST(bit_xor(row_id) AS BIGINT) AS id_xor
+       FROM gen GROUP BY kind""",
+    "custom connector via the Spark 4 Python DataSource API "
+    "(sources/pydatasource.py): a deterministic synthetic-activity "
+    "feed whose reader DECLARES its parallelism — partitions() splits "
+    "the row space into shards, Spark schedules one task per shard "
+    "exactly as it does file splits, and each read() streams tuples "
+    "(the contract a real REST/billing/telemetry connector drops "
+    "into).  Rows derive from the md5 hash family, so the DuckDB "
+    "oracle regenerates the identical table from range(n) — the rare "
+    "case of a differentially-testable CONNECTOR, proving the source "
+    "yields byte-exact rows across all shards, not just 'some rows'",
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.pydatasource import register as register_source
+
+    register_source(spark)
+    df = (
+        spark.read.format("synthetic_activity")
+        .option("rows", 100_000)
+        .option("shards", 8)
+        .load()
+    )
+    return df.groupBy("kind").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("amount_cents").cast("long").alias("total_cents"),
+        F.expr("bit_xor(row_id)").cast("long").alias("id_xor"),
+    )

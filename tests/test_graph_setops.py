@@ -131,3 +131,54 @@ def test_prefix_filter_reports_exact_sizes(spark):
     )
     rows = prefix_filter_jaccard_pairs(df, set_col="s", threshold_pct=50).collect()
     assert len(rows) == 1 and rows[0].inter == 2 and rows[0].un == 4
+
+
+def test_custom_datasource_shards_cover_rows_exactly(spark):
+    """Shard planning covers [0, rows) exactly once, incl. ragged tail."""
+    from health_data_transformation_spark.sources.pydatasource import (
+        SyntheticActivityReader,
+        register,
+    )
+
+    r = SyntheticActivityReader({"rows": "103", "shards": "4"})
+    spans = [(p.start, p.end) for p in r.partitions()]
+    assert spans[0][0] == 0 and spans[-1][1] == 103
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b == c and a < b
+    register(spark)
+    df = (
+        spark.read.format("synthetic_activity")
+        .option("rows", 103)
+        .option("shards", 4)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 103
+    assert sorted(r.row_id for r in rows) == list(range(103))
+
+
+def test_custom_datasource_deterministic_values(spark):
+    """Row content matches the md5 contract independently of sharding."""
+    import hashlib
+
+    from health_data_transformation_spark.sources.pydatasource import register
+
+    register(spark)
+    one = (
+        spark.read.format("synthetic_activity")
+        .option("rows", 50)
+        .option("shards", 1)
+        .load()
+        .collect()
+    )
+    seven = (
+        spark.read.format("synthetic_activity")
+        .option("rows", 50)
+        .option("shards", 7)
+        .load()
+        .collect()
+    )
+    assert sorted(map(tuple, one)) == sorted(map(tuple, seven))
+    h = int(hashlib.md5(b"7").hexdigest()[:15], 16)
+    row7 = next(r for r in one if r.row_id == 7)
+    assert row7.user_id == h % 1000 and row7.amount_cents == h % 100000

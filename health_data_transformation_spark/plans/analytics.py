@@ -5154,3 +5154,148 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("amount_cents").cast("long").alias("total_cents"),
         F.expr("bit_xor(row_id)").cast("long").alias("id_xor"),
     )
+
+
+_BM25_TERMS = ("spark", "join", "merge")
+
+
+def _bm25_tf_sql(term: str) -> str:
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> x = '{term}'))"
+    )
+
+
+@register(
+    "q156_bm25_topk",
+    f"""WITH stats AS (
+         SELECT count(*) AS n_docs,
+                sum(len(string_split(text, ' '))) AS tot_len
+         FROM documents),
+       tf AS (
+         SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                {", ".join(f"{_bm25_tf_sql(t)} AS tf_{t}" for t in _BM25_TERMS)}
+         FROM documents),
+       df AS (
+         SELECT {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
+         FROM tf),
+       scored AS (
+         SELECT doc_id,
+                floor(({" + ".join(
+                  f"(CAST(tf_{t} AS DOUBLE) * 2.2"
+                  f" / (CAST(tf_{t} AS DOUBLE) + 1.2 * (0.25 + 0.75"
+                  f" * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)"
+                  f" / CAST(tot_len AS DOUBLE))))"
+                  f" * (CAST(n_docs - df_{t} AS DOUBLE) + 1.0)"
+                  f" / (CAST(df_{t} AS DOUBLE) + 1.0)" for t in _BM25_TERMS)})
+                  * 1000000.0) / 1000000.0 AS score
+         FROM tf, df, stats)
+       SELECT doc_id, score FROM scored
+       ORDER BY score DESC, doc_id LIMIT 10""",
+    "BM25-shaped lexical relevance search (query: 'spark join merge'): "
+    "per-term saturation tf*(k1+1)/(tf + k1*(1-b + b*dl/avgdl)) with "
+    "k1=1.2, b=0.75, weighted by the rational idf (N-df+1)/(df+1) — "
+    "the log is deliberately dropped (ln is not bit-portable across "
+    "engines; the rational form keeps per-term monotonicity) and the "
+    "final score floor6-quantizes so both engines emit identical "
+    "doubles.  Plan: corpus stats and per-term document frequencies "
+    "are two 1-row aggregates broadcast to the per-doc scorer (pure "
+    "row expressions, no explode), then TakeOrderedAndProject for the "
+    "top-10 — at 100 TB the only shuffles are the two tiny aggregates. "
+    "The inverted-index variant would pre-filter docs containing any "
+    "term (a semi-join) before scoring",
+)
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    def _eq(term: str):
+        # single-arg closure: a two-arg lambda would be (element, index)
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(t))).alias(f"tf_{t}") for t in _BM25_TERMS
+    ]
+    tf = d.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
+    stats = d.agg(
+        F.count("*").alias("n_docs"), F.sum(F.size(toks)).alias("tot_len")
+    )
+    dfreq = tf.agg(
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    scored = tf.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfreq))
+    score = None
+    for t in _BM25_TERMS:
+        tfd = F.col(f"tf_{t}").cast("double")
+        k = F.lit(1.2) * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * F.col("dl").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("tot_len").cast("double")
+        )
+        idf = (
+            (F.col("n_docs") - F.col(f"df_{t}")).cast("double") + F.lit(1.0)
+        ) / (F.col(f"df_{t}").cast("double") + F.lit(1.0))
+        term = tfd * F.lit(2.2) / (tfd + k) * idf
+        score = term if score is None else score + term
+    return (
+        scored.select("doc_id", floor6(score).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "q157_basket_coitems",
+    """WITH pairs AS (
+         SELECT a.l_partkey AS item, b.l_partkey AS co_item, count(*) AS n
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         GROUP BY 1, 2)
+       SELECT item,
+              CAST(n_baskets AS BIGINT) AS n_baskets,
+              top_co, CAST(top_n AS BIGINT) AS top_n
+       FROM (SELECT item,
+                    sum(n) OVER (PARTITION BY item) AS n_baskets,
+                    co_item AS top_co, n AS top_n,
+                    row_number() OVER (PARTITION BY item
+                                       ORDER BY n DESC, co_item DESC) AS rk
+             FROM pairs) WHERE rk = 1""",
+    "item-to-item co-occurrence recommendation (the 'customers who "
+    "bought X also bought Y' kernel): in-basket part pairs explode "
+    "from a self-equi-join on the order key — the quadratic term is "
+    "bounded by basket size (~4-7 lines), never the catalog — "
+    "co-occurrence counts reduce to the item-pair matrix, and each "
+    "item's top co-item is one max_by over a (count, co_item) struct "
+    "(map-side combinable; no second window over the pair stream).  "
+    "The oracle states the same argmax via row_number.  At 100 TB the "
+    "pair matrix is the bounded object (items^2 worst case, basket-"
+    "bounded in practice) — the standard precompute behind retail "
+    "recommenders",
+)
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("item"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("co_item"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item") != F.col("co_item"))
+        .groupBy("item", "co_item")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        pairs.groupBy("item")
+        .agg(
+            F.sum("n").cast("long").alias("n_baskets"),
+            F.max_by(
+                F.struct(
+                    F.col("co_item").alias("top_co"),
+                    F.col("n").alias("top_n"),
+                ),
+                F.struct(F.col("n"), F.col("co_item")),
+            ).alias("s"),
+        )
+        .select("item", "n_baskets", "s.top_co", F.col("s.top_n").cast("long").alias("top_n"))
+    )

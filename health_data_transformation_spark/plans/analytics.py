@@ -5299,3 +5299,76 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("item", "n_baskets", "s.top_co", F.col("s.top_n").cast("long").alias("top_n"))
     )
+
+
+def _kmeans_d2_sql(vec: str, cent: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65),"
+        f" i -> ({vec}[i] - {cent}[i]) * ({vec}[i] - {cent}[i])))"
+    )
+
+
+@register(
+    "q158_integer_kmeans",
+    f"""WITH qv AS (
+         SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), CAST(floor(x * (127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))) AS BIGINT)))) AS v FROM embeddings),
+       seeds AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+         FROM qv ORDER BY vec_id LIMIT 8),
+       a1 AS (
+         SELECT vec_id, v, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         FROM (SELECT q.vec_id, q.v, s.cid,
+                      {_kmeans_d2_sql('q.v', 's.c')} AS d2
+               FROM qv q CROSS JOIN seeds s)),
+       m1 AS (SELECT vec_id, v, cid FROM a1 WHERE rk = 1),
+       cells AS (
+         SELECT cid, i, sum(v[i]) AS s, count(*) AS n
+         FROM m1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+         GROUP BY cid, i),
+       cent2 AS (
+         SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS c
+         FROM cells GROUP BY cid),
+       a2 AS (
+         SELECT vec_id, v, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         FROM (SELECT q.vec_id, q.v, s.cid,
+                      {_kmeans_d2_sql('q.v', 's.c')} AS d2
+               FROM qv q CROSS JOIN cent2 s)),
+       m2 AS (SELECT vec_id, v, cid FROM a2 WHERE rk = 1)
+       SELECT CAST(cid AS INTEGER) AS cluster,
+              CAST(count(*) AS BIGINT) AS n_members,
+              CAST(sum(list_sum(v)) AS BIGINT) AS member_dimsum,
+              CAST(min(vec_id) AS BIGINT) AS min_member
+       FROM m2 GROUP BY cid""",
+    "deterministic integer k-means (operators/kmeans.py): vectors "
+    "int8-quantize so every distance is exact integer L2; seeds are "
+    "the k lowest-id vectors (explicit, not sampled); centroid "
+    "updates are per-dimension floor means computed as "
+    "(s - pmod(s,n)) div n — numerator made exactly divisible first, "
+    "so truncating division IS floor division in every dialect; "
+    "assignment ties break to the lowest cluster id.  Two Lloyd "
+    "rounds fully verified against the unrolled SQL oracle — fp "
+    "k-means can never be checked this way (shuffle-order fp sums + "
+    "random seeds).  Per round: k-row centroid table broadcasts "
+    "(vectors never shuffle for assignment) and the update is one "
+    "map-combinable k x dim cell aggregate — the IVF training step "
+    "(q40/q73's cells) done honestly at scale",
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vector import int8_quantize
+    from ..operators.kmeans import int_kmeans_assign
+
+    emb = load_table(spark, sf, "embeddings")
+    qv = emb.select("vec_id", int8_quantize("embedding").alias("v"))
+    assign = int_kmeans_assign(qv, "vec_id", "v", k=8, rounds=2)
+    dimsum = F.aggregate("v", F.lit(0).cast("long"), lambda a, x: a + x)
+    return (
+        assign.join(qv, "vec_id")
+        .groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(dimsum).cast("long").alias("member_dimsum"),
+            F.min("vec_id").cast("long").alias("min_member"),
+        )
+    )

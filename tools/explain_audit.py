@@ -44,6 +44,10 @@ DEFAULT_QUERIES = [
     "q144_scd2_compress",
     "q145_sorted_neighborhood",
     "q147_latency_histogram",
+    "q148_decay_attribution",
+    "q156_bm25_topk",
+    "q157_basket_coitems",
+    "q158_integer_kmeans",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -68,6 +72,10 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # three 1-row aggregates (nodes/edges/triangles) cross-joined into
     # the single-row result
     "q137_triangle_count",
+    # 1-row corpus-stats / doc-frequency tables attached to every doc
+    "q156_bm25_topk",
+    # k-row centroid table attached to every vector per Lloyd round
+    "q158_integer_kmeans",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

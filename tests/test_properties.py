@@ -192,3 +192,113 @@ def test_int8_quantize_bounds_error(spark, vec):
     assert all(-127 <= qi <= 127 for qi in q["q"])
     for x, qi in zip(vec, q["q"]):
         assert abs(x - qi * step) <= step + 1e-12
+
+
+@given(
+    sets=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=6),
+        min_size=0,
+        max_size=10,
+    ),
+    t=st.sampled_from([30, 50, 80]),
+)
+@settings(**SETTINGS)
+def test_prefix_filter_equals_brute_force(spark, sets, t):
+    """PPJoin prefix filtering loses no pair and invents none, for any
+    sets (incl. empty sets and duplicates) at any threshold."""
+    from health_data_transformation_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = [(i, sorted(set(s))) for i, s in enumerate(sets)]
+    df = spark.createDataFrame(
+        docs or [(0, ["x"])], "doc_id LONG, s ARRAY<STRING>"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.un)
+        for r in prefix_filter_jaccard_pairs(
+            df, set_col="s", threshold_pct=t
+        ).collect()
+    }
+    import itertools
+
+    expect = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(docs or [(0, ["x"])], 2):
+        inter = len(set(sa) & set(sb))
+        un = len(set(sa) | set(sb))
+        if un > 0 and inter * 100 >= t * un:
+            expect[(min(ia, ib), max(ia, ib))] = (inter, un)
+    assert got == expect
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 2),           # key
+            st.integers(-5000, 5000),    # value (negatives exercise shiftright)
+            st.integers(1, 9),           # weight
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_weighted_median_equals_definition(spark, data):
+    """Two-phase bin-then-refine equals the direct definition: smallest
+    v with 2*cumweight(v) >= total, for any keys/values/weights."""
+    from health_data_transformation_spark.operators.profile import (
+        grouped_weighted_median,
+    )
+
+    df = spark.createDataFrame(data, "k LONG, v LONG, w LONG")
+    got = {
+        r.k: (r.weighted_median, r.total_weight)
+        for r in grouped_weighted_median(df, "k", "v", "w", bin_shift=6).collect()
+    }
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for k, v, w in data:
+        groups[k].append((v, w))
+    from itertools import groupby
+
+    expect = {}
+    for k, vw in groups.items():
+        tot = sum(w for _, w in vw)
+        cum = 0
+        for v, grp in groupby(sorted(vw), key=lambda x: x[0]):
+            cum += sum(w for _, w in grp)
+            if 2 * cum >= tot:
+                expect[k] = (v, tot)
+                break
+    assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)), min_size=0, max_size=20
+    )
+)
+@settings(**SETTINGS)
+def test_triangle_count_equals_brute_force(spark, edges):
+    from itertools import combinations
+
+    from health_data_transformation_spark.operators.graph import (
+        canonical_edges,
+        triangle_count,
+    )
+
+    df = spark.createDataFrame(edges or [(1, 1)], "u LONG, v LONG")
+    row = triangle_count(canonical_edges(df, "u", "v")).collect()[0]
+    eset = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {x for e in eset for x in e}
+    tri = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (
+        len(nodes),
+        len(eset),
+        tri,
+    )

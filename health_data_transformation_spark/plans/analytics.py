@@ -5372,3 +5372,270 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
             F.min("vec_id").cast("long").alias("min_member"),
         )
     )
+
+
+@register(
+    "q159_apply_changes",
+    f"""WITH snap AS (
+         SELECT c_custkey AS k,
+                CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+                c_mktsegment AS seg
+         FROM customer),
+       mx AS (SELECT max(k) AS mk FROM snap),
+       changes AS (
+         SELECT k, 'U' AS op, bal + 100000 AS bal, seg FROM snap WHERE k % 7 = 0
+         UNION ALL
+         SELECT k, 'D', NULL, NULL FROM snap WHERE k % 11 = 3 AND k % 7 <> 0
+         UNION ALL
+         SELECT mx.mk + i, 'I',
+                {hex_hash64_sql("CAST(i AS VARCHAR)", salt="bal")} % 10000000,
+                'NEW' FROM range(1, 51) t(i), mx),
+       merged AS (
+         SELECT coalesce(c.k, s.k) AS k,
+                CASE WHEN c.op IN ('U', 'I') THEN c.bal ELSE s.bal END AS bal,
+                CASE WHEN c.op IN ('U', 'I') THEN c.seg ELSE s.seg END AS seg,
+                c.op
+         FROM snap s FULL OUTER JOIN changes c ON s.k = c.k
+         WHERE c.op IS NULL OR c.op <> 'D')
+       SELECT CAST((SELECT count(*) FROM snap) AS BIGINT) AS n_before,
+              CAST(count(*) AS BIGINT) AS n_after,
+              CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_updated,
+              CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_inserted,
+              CAST((SELECT count(*) FROM changes WHERE op = 'D') AS BIGINT)
+                AS n_deleted,
+              CAST(sum(bal) AS BIGINT) AS bal_checksum,
+              CAST(sum({hex_hash64_sql("seg")} % 1000003) AS BIGINT)
+                AS seg_checksum
+       FROM merged""",
+    "the MERGE INTO kernel without a table format (CDC apply-changes): "
+    "one FULL OUTER join applies a mixed insert/update/delete batch to "
+    "a snapshot — updates override matched rows, deletes drop them, "
+    "inserts survive the unmatched side — exactly Delta/Iceberg MERGE "
+    "semantics expressed as pure DataFrame algebra (the execution-"
+    "layer sibling of Warehouse.upsert_last_wins and delete_keys, "
+    "operators/scd.py's apply path).  At 100 TB the join prunes to "
+    "partitions the change batch touches and AQE broadcasts the "
+    "(always small) batch side.  The change batch is synthesized "
+    "deterministically from the snapshot (mod-7 updates, mod-11 "
+    "deletes, 50 hash-valued inserts), so both engines replay the "
+    "identical merge; row counts per op class plus balance/segment "
+    "checksums pin the result",
+)
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    snap = c.select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    mk = snap.agg(F.max("k").alias("mk"))
+    upd = snap.filter(F.col("k") % 7 == 0).select(
+        "k", F.lit("U").alias("op"), (F.col("bal") + 100000).alias("bal"), "seg"
+    )
+    dele = snap.filter((F.col("k") % 11 == 3) & (F.col("k") % 7 != 0)).select(
+        "k",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("bal"),
+        F.lit(None).cast("string").alias("seg"),
+    )
+    ins = (
+        spark.range(1, 51)
+        .withColumnRenamed("id", "i")
+        .crossJoin(F.broadcast(mk))
+        .select(
+            (F.col("mk") + F.col("i")).alias("k"),
+            F.lit("I").alias("op"),
+            (
+                T.hex_hash64(F.col("i").cast("string"), salt="bal") % 10_000_000
+            ).alias("bal"),
+            F.lit("NEW").alias("seg"),
+        )
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    s = snap.alias("s")
+    ch = changes.alias("c")
+    merged = (
+        s.join(ch, F.col("s.k") == F.col("c.k"), "full_outer")
+        .filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            F.coalesce(F.col("c.k"), F.col("s.k")).alias("k"),
+            F.when(F.col("c.op").isin("U", "I"), F.col("c.bal"))
+            .otherwise(F.col("s.bal"))
+            .alias("bal"),
+            F.when(F.col("c.op").isin("U", "I"), F.col("c.seg"))
+            .otherwise(F.col("s.seg"))
+            .alias("seg"),
+            F.col("c.op").alias("op"),
+        )
+    )
+    n_before = snap.agg(F.count("*").cast("long").alias("n_before"))
+    n_deleted = changes.filter(F.col("op") == "D").agg(
+        F.count("*").cast("long").alias("n_deleted")
+    )
+    out = merged.agg(
+        F.count("*").cast("long").alias("n_after"),
+        F.sum((F.col("op") == "U").cast("long")).cast("long").alias("n_updated"),
+        F.sum((F.col("op") == "I").cast("long")).cast("long").alias("n_inserted"),
+        F.sum("bal").cast("long").alias("bal_checksum"),
+        F.sum(T.hex_hash64(F.col("seg")) % 1000003)
+        .cast("long")
+        .alias("seg_checksum"),
+    )
+    return (
+        n_before.crossJoin(out)
+        .crossJoin(n_deleted)
+        .select(
+            "n_before",
+            "n_after",
+            "n_updated",
+            "n_inserted",
+            "n_deleted",
+            "bal_checksum",
+            "seg_checksum",
+        )
+    )
+
+
+@register(
+    "q160_nearest_event",
+    """WITH ev AS (
+         SELECT user_id, event_id, event_type, ts,
+                CASE WHEN event_type = 'signup' THEN epoch_us(ts) END AS sig_us
+         FROM events),
+       marked AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+                last_value(sig_us IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
+                last_value(sig_us IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fwd_us
+         FROM ev),
+       purch AS (
+         SELECT CASE
+                  WHEN back_us IS NULL AND fwd_us IS NULL THEN 'none'
+                  WHEN fwd_us IS NULL THEN 'back'
+                  WHEN back_us IS NULL THEN 'fwd'
+                  WHEN t_us - back_us <= fwd_us - t_us THEN 'back'
+                  ELSE 'fwd' END AS direction,
+                CASE
+                  WHEN back_us IS NULL AND fwd_us IS NULL THEN NULL
+                  WHEN fwd_us IS NULL THEN t_us - back_us
+                  WHEN back_us IS NULL THEN fwd_us - t_us
+                  ELSE least(t_us - back_us, fwd_us - t_us) END AS dt_us
+         FROM marked WHERE event_type = 'purchase')
+       SELECT direction, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(dt_us) AS BIGINT) AS sum_dt_us,
+              CAST(max(dt_us) AS BIGINT) AS max_dt_us
+       FROM purch GROUP BY direction""",
+    "bidirectional nearest-event join: each purchase matches its "
+    "user's CLOSEST signup in either time direction (ties prefer the "
+    "backward match — the causally-safe side).  Both directions come "
+    "from one ascending and one descending carry-forward window over "
+    "the same user-partitioned sort (asof.py's union trick doubled) — "
+    "no interval join, no per-row search; at 100 TB this is two "
+    "sort-based windows on the (user) shuffle the as-of join already "
+    "pays.  Feature stores call this 'nearest observation join' "
+    "(backward-only = q45/q111; forward-only = label leakage, which "
+    "is why the tie prefers backward)",
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    sig_us = F.when(
+        F.col("event_type") == "signup", F.unix_micros("ts")
+    )
+    w_b = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.last(sig_us, ignorenulls=True).over(w_b).alias("back_us"),
+        F.last(sig_us, ignorenulls=True).over(w_f).alias("fwd_us"),
+    ).filter(F.col("event_type") == "purchase")
+    back_dt = F.col("t_us") - F.col("back_us")
+    fwd_dt = F.col("fwd_us") - F.col("t_us")
+    direction = (
+        F.when(F.col("back_us").isNull() & F.col("fwd_us").isNull(), "none")
+        .when(F.col("fwd_us").isNull(), "back")
+        .when(F.col("back_us").isNull(), "fwd")
+        .when(back_dt <= fwd_dt, "back")
+        .otherwise("fwd")
+    )
+    dt = (
+        F.when(F.col("back_us").isNull() & F.col("fwd_us").isNull(), None)
+        .when(F.col("fwd_us").isNull(), back_dt)
+        .when(F.col("back_us").isNull(), fwd_dt)
+        .otherwise(F.least(back_dt, fwd_dt))
+    )
+    return (
+        marked.select(direction.alias("direction"), dt.alias("dt_us"))
+        .groupBy("direction")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("dt_us").cast("long").alias("sum_dt_us"),
+            F.max("dt_us").cast("long").alias("max_dt_us"),
+        )
+    )
+
+
+@register(
+    "q161_oov_rate",
+    """WITH toks AS (
+         SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+       vocab AS (SELECT tok FROM freq WHERE n >= 100),
+       flagged AS (
+         SELECT t.doc_id, t.lang,
+                CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+         FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+       SELECT lang,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(sum(oov) AS BIGINT) AS total_oov,
+              CAST(count(*) AS BIGINT) AS total_tok,
+              CAST((sum(oov) * 1000000) // count(*) AS BIGINT) AS oov_ppm
+       FROM flagged GROUP BY lang""",
+    "out-of-vocabulary rate gate (training-data quality): the corpus "
+    "derives its own vocabulary (tokens with frequency >= 100), every "
+    "document counts tokens outside it, and per-language OOV ppm "
+    "flags shards that would waste tokenizer capacity (the q125 "
+    "vocabulary's acceptance test).  Spark side broadcasts the vocab "
+    "as a semi-joinable set against the exploded token stream — the "
+    "per-doc membership test never ships the corpus; the oracle "
+    "in-lines the vocab as a list for the same membership semantics.  "
+    "Integer ppm via exact sums, floor division",
+)
+def q161(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    vocab = freq.filter(F.col("n") >= 100).select(
+        "tok", F.lit(1).alias("_in_vocab")
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    per_doc = flagged.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tok"),
+        F.sum(F.col("_in_vocab").isNull().cast("long")).alias("n_oov"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_oov").cast("long").alias("total_oov"),
+        F.sum("n_tok").cast("long").alias("total_tok"),
+        F.expr("(sum(n_oov) * 1000000) div sum(n_tok)")
+        .cast("long")
+        .alias("oov_ppm"),
+    )

@@ -300,16 +300,21 @@ def connected_components(
 # ---------------------------------------------------------------------------
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16,
+    set_col: str | None = None,
 ) -> DataFrame:
-    """SimHash over distinct tokens: per-bit majority vote of token hashes.
+    """SimHash over a document's feature set: per-bit majority vote of
+    feature hashes.  Features default to distinct whitespace tokens;
+    pass ``set_col`` (a pre-built distinct array column, e.g. shingles)
+    when tokens are too common to discriminate.
 
     Expressed as explode -> conditional sums -> bit pack.  The groupBy key
     is the document id, so partial aggregation combines map-side; token
     rows never hit the shuffle at full width (two long columns only).
     """
+    feats = F.col(set_col) if set_col else distinct_tokens(text_col)
     toks = (
-        df.select(F.col(id_col), F.explode(distinct_tokens(text_col)).alias("tok"))
+        df.select(F.col(id_col), F.explode(feats).alias("tok"))
         .withColumn("h", hex_hash64(F.col("tok")))
     )
     votes = [
@@ -338,6 +343,63 @@ def simhash_near_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int 
     return joined.select("id_a", "id_b", dist.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_banded_pairs(
+    sim: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """ALL pairs within a Hamming radius — exact, by pigeonhole banding.
+
+    Split the b-bit signature into ``max_hamming + 1`` equal bands: two
+    signatures differing in at most ``max_hamming`` bits must agree
+    EXACTLY on at least one whole band (pigeonhole), so candidates =
+    pairs colliding on any (band index, band value) key, and the
+    verification xor/popcount prunes false positives.  Zero false
+    negatives — the exact variant ``simhash_near_pairs``'s top-byte
+    blocking trades away; same LSH shape as MinHash banding (the
+    shuffle key is the tiny band value, never the document).  The
+    corpus-sized self-join is on band keys whose expected bucket size
+    is n / 2^(bits/(r+1)) per band — tune bits upward at larger n.
+    """
+    n_bands = max_hamming + 1
+    assert bits % n_bands == 0, "bits must divide into max_hamming+1 bands"
+    w = bits // n_bands
+    mask = (1 << w) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * w)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sim.select(
+        F.col(id_col), F.col("simhash"), F.explode(bands).alias("bv")
+    ).select(id_col, "simhash", "bv.band", "bv.val")
+    a = exploded.select(
+        F.col("band"), F.col("val"),
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+    )
+    b = exploded.select(
+        F.col("band"), F.col("val"),
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", dist.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------

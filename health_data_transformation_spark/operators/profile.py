@@ -83,17 +83,20 @@ def grouped_median(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     )
 
 
-def grouped_weighted_median(
+def grouped_weighted_quantile(
     df: DataFrame, key_col: str, value_col: str, weight_col: str,
+    q_num: int = 1, q_den: int = 2,
     bin_shift: int = 14,
 ) -> DataFrame:
     """Exact weighted median per group, fully relational (no Python).
 
-    Definition (lower weighted median): the smallest value ``v`` such
-    that the cumulative weight of all rows with value <= v reaches half
-    the group's total weight (2*cum >= total, all-integer arithmetic —
-    no fp, engine-portable).  ``value_col`` must be integral and
-    ``weight_col`` non-negative.
+    Definition (lower weighted q-quantile, q = q_num/q_den): the
+    smallest value ``v`` such that the cumulative weight of all rows
+    with value <= v reaches q of the group's total weight
+    (cum * q_den >= q_num * total, all-integer arithmetic — no fp,
+    engine-portable).  q_num/q_den = 1/2 is the weighted median,
+    9/10 the p90, and with weight 1 per row the plain quantile.
+    ``value_col`` must be integral and ``weight_col`` non-negative.
 
     Two-phase bin-then-refine plan — the naive form (cumulative window
     over every distinct value of a group) sorts each group's whole
@@ -131,7 +134,7 @@ def grouped_weighted_median(
         F.sum("_wb").over(Window.partitionBy(key_col)).alias("_tot"),
     )
     target = (
-        binc.filter(F.col("_cumb") * 2 >= F.col("_tot"))
+        binc.filter(F.col("_cumb") * q_den >= q_num * F.col("_tot"))
         .groupBy(key_col)
         .agg(
             F.min_by(
@@ -160,10 +163,26 @@ def grouped_weighted_median(
         (F.col("before") + F.sum("_wv").over(wval)).alias("_cum"),
     )
     return (
-        cum2.filter(F.col("_cum") * 2 >= F.col("_tot"))
+        cum2.filter(F.col("_cum") * q_den >= q_num * F.col("_tot"))
         .groupBy(key_col)
         .agg(
-            F.min("_v").alias("weighted_median"),
+            F.min("_v").alias("quantile_value"),
             F.max("_tot").alias("total_weight"),
         )
+    )
+
+
+def grouped_weighted_median(
+    df: DataFrame, key_col: str, value_col: str, weight_col: str,
+    bin_shift: int = 14,
+) -> DataFrame:
+    """Exact weighted median per group (q=1/2 of
+    :func:`grouped_weighted_quantile`; see there for the two-phase
+    bin-then-refine scale design)."""
+    return grouped_weighted_quantile(
+        df, key_col, value_col, weight_col, 1, 2, bin_shift
+    ).select(
+        key_col,
+        F.col("quantile_value").alias("weighted_median"),
+        "total_weight",
     )

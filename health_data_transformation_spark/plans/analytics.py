@@ -5639,3 +5639,103 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("oov_ppm"),
     )
+
+
+def _simhash_all_oracle(bits: int = 32) -> str:
+    h = hex_hash64_sql("tok")
+    votes = ",\n".join(
+        f"       CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{j}"
+        for j in range(bits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return (
+        "WITH tok_rows AS (\n"
+        f"  SELECT doc_id, unnest(list_distinct({T.token_shingles_sql('text', 3)})) AS tok\n"
+        "  FROM documents),\n"
+        f"hashed AS (SELECT doc_id, {h} AS h FROM tok_rows),\n"
+        f"voted AS (SELECT doc_id,\n{votes}\n  FROM hashed GROUP BY doc_id),\n"
+        f"sim AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM voted)"
+    )
+
+
+@register(
+    "q162_simhash_banded",
+    _simhash_all_oracle()
+    + """
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "exact Hamming-radius SimHash pairs (3-shingle features — token "
+    "features saturate on this vocab) over the WHOLE corpus by "
+    "pigeonhole banding (operators/dedup.py:simhash_banded_pairs): the "
+    "16-bit signature splits into radius+1 = 4 bands, and any pair "
+    "within Hamming 3 must agree exactly on >= 1 whole band, so "
+    "candidates come from band-value equi-joins (the shuffle key is a "
+    "4-bit band value, never the document) and the xor/popcount "
+    "verification has zero false negatives — closing the gap q52's "
+    "top-byte blocking left open (it can MISS pairs differing in the "
+    "top byte).  The oracle is the O(n^2) all-pairs Hamming scan the "
+    "banding provably equals.  This is the scale path SCALE.md "
+    "promises for simhash near-dup",
+)
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    d = d.withColumn("_sh3", F.array_distinct(T.token_shingles("text", 3)))
+    sim = D.simhash(d, bits=32, set_col="_sh3")
+    return D.simhash_banded_pairs(
+        sim, bits=32, max_hamming=3
+    ).select("id_a", "id_b", "hamming")
+
+
+@register(
+    "q163_p90_gap",
+    """WITH dt AS (
+         SELECT event_type,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id) AS gap_us
+         FROM events),
+       per AS (
+         SELECT event_type, gap_us, count(*) AS w
+         FROM dt WHERE gap_us IS NOT NULL GROUP BY 1, 2),
+       cum AS (
+         SELECT event_type, gap_us,
+                sum(w) OVER (PARTITION BY event_type ORDER BY gap_us) AS cw,
+                sum(w) OVER (PARTITION BY event_type) AS tot
+         FROM per)
+       SELECT event_type,
+              CAST(min(gap_us) AS BIGINT) AS p90_gap_us,
+              CAST(max(tot) AS BIGINT) AS n_gaps
+       FROM cum WHERE cw * 10 >= 9 * tot GROUP BY event_type""",
+    "exact p90 inter-event gap per event type via the generalized "
+    "two-phase weighted quantile (profile.grouped_weighted_quantile, "
+    "q_num/q_den = 9/10): phase 1 locates the p90 bin from a "
+    "value-range-bounded histogram, phase 2 refines inside that bin "
+    "only — no whole-group window partition anywhere on the engine "
+    "side (the oracle states the naive cumulative-window definition). "
+    "Tail latency percentiles are THE operational SLO statistic; the "
+    "same call with 999/1000 is the p99.9",
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profile import grouped_weighted_quantile
+
+    ev = load_events_range(spark, sf)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    dt = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    per = dt.groupBy("event_type", "gap_us").agg(F.count("*").alias("w"))
+    res = grouped_weighted_quantile(
+        per, "event_type", "gap_us", "w", q_num=9, q_den=10, bin_shift=28
+    )
+    return res.select(
+        "event_type",
+        F.col("quantile_value").cast("long").alias("p90_gap_us"),
+        F.col("total_weight").cast("long").alias("n_gaps"),
+    )

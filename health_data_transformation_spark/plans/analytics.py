@@ -5739,3 +5739,160 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
         F.col("quantile_value").cast("long").alias("p90_gap_us"),
         F.col("total_weight").cast("long").alias("n_gaps"),
     )
+
+
+@register(
+    "q164_growth_accounting",
+    """WITH uw AS (
+         SELECT DISTINCT user_id,
+                strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk
+         FROM events),
+       seq AS (
+         SELECT user_id, wk,
+                lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+                min(wk) OVER (PARTITION BY user_id) AS first_wk
+         FROM uw),
+       states AS (
+         SELECT wk,
+                CASE
+                  WHEN wk = first_wk THEN 'new'
+                  WHEN CAST(wk AS DATE) - CAST(prev_wk AS DATE) = 7
+                    THEN 'retained'
+                  ELSE 'resurrected' END AS state
+         FROM seq),
+       churn AS (
+         SELECT strftime(CAST(wk AS DATE) + 7, '%Y-%m-%d') AS wk,
+                'churned' AS state
+         FROM seq s
+         WHERE NOT EXISTS (
+                 SELECT 1 FROM uw n
+                 WHERE n.user_id = s.user_id
+                   AND CAST(n.wk AS DATE) = CAST(s.wk AS DATE) + 7)
+           AND CAST(s.wk AS DATE) + 7 <= (SELECT max(CAST(wk AS DATE)) FROM uw))
+       SELECT wk, state, CAST(count(*) AS BIGINT) AS n_users
+       FROM (SELECT wk, state FROM states UNION ALL SELECT wk, state FROM churn)
+       GROUP BY wk, state""",
+    "growth accounting (the new/retained/resurrected/churned user "
+    "ledger every growth team reports): distinct user-weeks classify "
+    "by one lag window (first week -> new; consecutive week -> "
+    "retained; gap -> resurrected), and churn attributes to the week "
+    "AFTER a user's last-seen week via an anti-join against their "
+    "next-week presence — set algebra, not a per-user state machine.  "
+    "One user-partitioned sort + one anti-join; the user-week set is "
+    "|users| x |weeks| bounded, far smaller than the event stream.  "
+    "Identity: new + retained + resurrected = WAU, and "
+    "WAU(w) - WAU(w+1) = churned(w+1) - new(w+1) - resurrected(w+1)",
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.deterministic import week_str
+
+    ev = load_events_range(spark, sf)
+    uw = ev.select("user_id", week_str("ts").alias("wk")).distinct()
+    w_seq = Window.partitionBy("user_id").orderBy("wk")
+    w_all = Window.partitionBy("user_id")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w_seq).alias("prev_wk"),
+        F.min("wk").over(w_all).alias("first_wk"),
+    )
+    state = (
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(
+            F.datediff(F.col("wk").cast("date"), F.col("prev_wk").cast("date"))
+            == 7,
+            "retained",
+        )
+        .otherwise("resurrected")
+    )
+    states = seq.select("wk", state.alias("state"))
+    max_wk = uw.agg(F.max(F.col("wk").cast("date")).alias("mx"))
+    nxt = seq.select(
+        "user_id",
+        F.date_format(F.date_add(F.col("wk").cast("date"), 7), "yyyy-MM-dd").alias(
+            "wk"
+        ),
+    )
+    churn = (
+        nxt.join(uw, ["user_id", "wk"], "left_anti")
+        .crossJoin(F.broadcast(max_wk))
+        .filter(F.col("wk").cast("date") <= F.col("mx"))
+        .select("wk", F.lit("churned").alias("state"))
+    )
+    return (
+        states.unionByName(churn)
+        .groupBy("wk", "state")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+@register(
+    "q165_winsorized_mean",
+    """WITH cents AS (
+         SELECT l_returnflag AS flag,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS v
+         FROM lineitem),
+       per AS (SELECT flag, v, count(*) AS w FROM cents GROUP BY 1, 2),
+       cum AS (
+         SELECT flag, v,
+                sum(w) OVER (PARTITION BY flag ORDER BY v) AS cw,
+                sum(w) OVER (PARTITION BY flag) AS tot
+         FROM per),
+       bounds AS (
+         SELECT flag,
+                min(CASE WHEN cw * 20 >= tot THEN v END) AS p5,
+                min(CASE WHEN cw * 20 >= 19 * tot THEN v END) AS p95
+         FROM cum GROUP BY flag)
+       SELECT c.flag,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(least(greatest(c.v, b.p5), b.p95)) AS BIGINT)
+                AS winsorized_sum_cents,
+              CAST(sum(CASE WHEN c.v < b.p5 OR c.v > b.p95 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_clipped
+       FROM cents c JOIN bounds b ON c.flag = b.flag
+       GROUP BY c.flag""",
+    "winsorized (p5/p95-clipped) robust sums per group: both clip "
+    "bounds come from the generalized two-phase weighted quantile "
+    "(profile.grouped_weighted_quantile at 1/20 and 19/20 — no "
+    "whole-group window on the engine side; the oracle states the "
+    "naive cumulative form), then one rescan clips and sums in exact "
+    "cents.  The robust-aggregate family's third member alongside "
+    "q90's exact median and q131's MAD gate — winsorized means are "
+    "how metric pipelines stop a single fat-finger order from moving "
+    "the company dashboard",
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profile import grouped_weighted_quantile
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    cents = li.withColumn("w", F.lit(1).cast("long"))
+    p5 = grouped_weighted_quantile(
+        cents, "flag", "v", "w", q_num=1, q_den=20
+    ).select("flag", F.col("quantile_value").alias("p5"))
+    p95 = grouped_weighted_quantile(
+        cents, "flag", "v", "w", q_num=19, q_den=20
+    ).select("flag", F.col("quantile_value").alias("p95"))
+    bounds = p5.join(p95, "flag")
+    return (
+        li.join(F.broadcast(bounds), "flag")
+        .groupBy("flag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.least(F.greatest(F.col("v"), F.col("p5")), F.col("p95")))
+            .cast("long")
+            .alias("winsorized_sum_cents"),
+            F.sum(
+                ((F.col("v") < F.col("p5")) | (F.col("v") > F.col("p95"))).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_clipped"),
+        )
+    )

@@ -5896,3 +5896,167 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_clipped"),
         )
     )
+
+
+@register(
+    "q166_share_of_parent",
+    """WITH nat AS (
+         SELECT c.c_nationkey AS nation, n.n_regionkey AS region,
+                sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS cents
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1, 2),
+       reg AS (SELECT region, sum(cents) AS rcents FROM nat GROUP BY region),
+       tot AS (SELECT sum(cents) AS gcents FROM nat)
+       SELECT nation, nat.region,
+              CAST(nat.cents AS BIGINT) AS cents,
+              CAST((nat.cents * 1000000) // reg.rcents AS BIGINT)
+                AS share_of_region_ppm,
+              CAST((reg.rcents * 1000000) // tot.gcents AS BIGINT)
+                AS region_share_ppm
+       FROM nat JOIN reg USING (region), tot""",
+    "hierarchical share-of-parent (the drill-down ratio every BI "
+    "dashboard renders: nation % of region, region % of total) as "
+    "re-aggregation of the finest grain — the nation aggregate rolls "
+    "up to region and grand totals (decomposable sums, map-side "
+    "combined), and shares are exact integer ppm floor divisions "
+    "joined back, NOT a percent_over_window on raw rows.  At 100 TB "
+    "the raw scan aggregates once; everything after operates on the "
+    "|nations|-sized table.  Dims broadcast into the fact join",
+)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("n_regionkey").alias("region"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    reg = nat.groupBy("region").agg(F.sum("cents").alias("rcents"))
+    tot = nat.agg(F.sum("cents").alias("gcents"))
+    return (
+        nat.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "region",
+            F.col("cents").cast("long").alias("cents"),
+            F.expr("(cents * 1000000) div rcents")
+            .cast("long")
+            .alias("share_of_region_ppm"),
+            F.expr("(rcents * 1000000) div gcents")
+            .cast("long")
+            .alias("region_share_ppm"),
+        )
+    )
+
+
+@register(
+    "q167_calendar_join",
+    """WITH cal AS (
+         SELECT CAST(d AS DATE) AS day,
+                isodow(CAST(d AS DATE)) AS dow,
+                strftime(CAST(d AS DATE), '%Y-%m') AS month
+         FROM generate_series(DATE '2024-01-01', DATE '2024-03-31',
+                              INTERVAL 1 DAY) t(d)),
+       daily AS (
+         SELECT CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1)
+       SELECT cal.month,
+              CAST(sum(CASE WHEN cal.dow >= 6 THEN coalesce(daily.n, 0)
+                       ELSE 0 END) AS BIGINT) AS weekend_events,
+              CAST(sum(coalesce(daily.n, 0)) AS BIGINT) AS total_events,
+              CAST(sum(CASE WHEN daily.day IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS empty_days
+       FROM cal LEFT JOIN daily ON cal.day = daily.day
+       GROUP BY cal.month""",
+    "generated calendar dimension (no source table: "
+    "spark.sql sequence() / generate_series builds the day spine with "
+    "ISO weekday and month attributes) LEFT-joined to the daily event "
+    "aggregate — the canonical fix for the silent-gap bug in "
+    "time-grouped dashboards (days with zero events EXIST in the "
+    "output; q123's hour-grid gap fill at calendar grain).  The spine "
+    "is |days| rows — generated, broadcast, never scanned from "
+    "storage; weekend/weekday attribution happens on the dimension, "
+    "not by re-parsing dates per event",
+)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    cal = spark.sql(
+        """SELECT day, weekday(day) + 1 AS dow,
+                  date_format(day, 'yyyy-MM') AS month
+           FROM (SELECT explode(sequence(DATE '2024-01-01',
+                                         DATE '2024-03-31',
+                                         INTERVAL 1 DAY)) AS day)"""
+    )
+    ev = load_events_range(spark, sf)
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        F.broadcast(cal)
+        .join(daily, "day", "left")
+        .groupBy("month")
+        .agg(
+            F.sum(
+                F.when(F.col("dow") >= 6, F.coalesce(F.col("n"), F.lit(0)))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("weekend_events"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0)))
+            .cast("long")
+            .alias("total_events"),
+            F.sum(F.col("n").isNull().cast("long"))
+            .cast("long")
+            .alias("empty_days"),
+        )
+    )
+
+
+@register(
+    "q168_benford_digits",
+    """WITH d AS (
+         SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+                  AS digit
+         FROM orders
+         WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 0)
+       SELECT digit,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST((count(*) * 1000000) // sum(count(*)) OVER ()
+                   AS BIGINT) AS freq_ppm
+       FROM d GROUP BY digit""",
+    "Benford's-law first-digit screen over order amounts (the "
+    "classic fraud/fabrication audit: organic amounts put ~30.1% of "
+    "first digits at 1, fabricated ones tend uniform): leading digit "
+    "via exact integer-cents string head (no fp log10), counts plus "
+    "observed ppm frequencies — the chi-square inputs an auditor "
+    "tests against log10(1+1/d).  One map-combinable 9-row "
+    "aggregate; the single-row total attaches as a window over the "
+    "9-row aggregate, never over the scan",
+)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    d = o.select(cents.alias("c")).filter(F.col("c") > 0).select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    return counts.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.sum("n").over(w).alias("_tot"),
+    ).select(
+        "digit",
+        "n",
+        F.expr("(n * 1000000) div _tot").cast("long").alias("freq_ppm"),
+    )

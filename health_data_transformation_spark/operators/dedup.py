@@ -472,32 +472,48 @@ def prefix_filter_jaccard_pairs(
     per-doc token arrays.  Returns (id_a, id_b, inter, union,
     jaccard_pct) with id_a < id_b.
     """
-    # the set build feeds three consumers (prefix index twice via the
-    # self-join, verification once); materialize it instead of
-    # recomputing the tokenize/shingle pipeline per branch — this IS
-    # the PPJoin index build, the standard one-pass materialization
+    # The set build feeds three consumers (prefix index twice via the
+    # self-join, verification once).  Deliberately NOT materialized: the
+    # prefix self-join's two branches share one shuffle via AQE's
+    # ReusedExchange, and the remaining recompute is a column-pruned
+    # scan + tokenize — cheaper than writing a corpus-sized shadow copy
+    # to executor-local storage (a localCheckpoint here measured ~2x
+    # the wall of the recompute at sf0.1: barriers serialize the DAG
+    # and kill whole-stage pipelining).
     sets = df.select(
         F.col(id_col).alias("id"), F.col(set_col).alias("toks")
-    ).localCheckpoint(eager=False)
-    toks = sets.select("id", F.explode("toks").alias("tok"))
+    )
+    # |s| comes from the array BEFORE the explode — a free projection,
+    # not a second window aggregate over the exploded stream
+    toks = sets.select(
+        "id", F.size("toks").alias("sz"), F.explode("toks").alias("tok")
+    )
     freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
     w = Window.partitionBy("id").orderBy("n", "tok")
-    ranked = (
-        toks.join(freq, "tok")
-        .select("id", "tok", F.row_number().over(w).alias("rn"),
-                F.count("*").over(Window.partitionBy("id")).alias("sz"))
+    ranked = toks.join(freq, "tok").select(
+        "id", "tok", "sz", F.row_number().over(w).alias("rn")
     )
     # prefix length |s| - ceil(t*|s|) + 1, all-integer ceil
     pref_len = (
         F.col("sz") - F.expr(f"(sz * {threshold_pct} + 99) div 100") + 1
     )
-    prefixes = (
-        ranked.filter(F.col("rn") <= pref_len)
-        .select("id", "tok", "sz")
-        .localCheckpoint(eager=False)
+    prefixes = ranked.filter(F.col("rn") <= pref_len).select(
+        "id", "tok", "sz", "rn"
     )
     # length filter (PPJoin): J >= t forces min(|A|,|B|)/max(|A|,|B|) >= t,
-    # so size-mismatched collisions die before the distinct/verify stages
+    # so size-mismatched collisions die before the distinct/verify stages.
+    #
+    # positional filter (PPJoin+): a shared token at positions (rn_a,
+    # rn_b) bounds the intersection by 1 + min(sz_a - rn_a, sz_b - rn_b)
+    # (everything after it, plus itself) — valid at a pair's FIRST
+    # common token, which the prefix lemma guarantees lies inside both
+    # prefixes, so a true pair always survives via that row; rows where
+    # the bound falls below the required overlap
+    # alpha = ceil(t*(|A|+|B|)/(1+t)) are dropped before the distinct.
+    # All-integer: (1+min(...))*(100+t_pct) >= t_pct*(sz_a+sz_b).
+    pos_bound = 1 + F.least(
+        F.col("pa.sz") - F.col("pa.rn"), F.col("pb.sz") - F.col("pb.rn")
+    )
     cand = (
         prefixes.alias("pa")
         .join(prefixes.alias("pb"), "tok")
@@ -505,6 +521,10 @@ def prefix_filter_jaccard_pairs(
             (F.col("pa.id") < F.col("pb.id"))
             & (F.col("pa.sz") * 100 >= threshold_pct * F.col("pb.sz"))
             & (F.col("pb.sz") * 100 >= threshold_pct * F.col("pa.sz"))
+            & (
+                pos_bound * (100 + threshold_pct)
+                >= threshold_pct * (F.col("pa.sz") + F.col("pb.sz"))
+            )
         )
         .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
         .distinct()

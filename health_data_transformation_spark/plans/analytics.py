@@ -1446,19 +1446,26 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
 def q74(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
     corpus = d.select("doc_id", T.tokens("text").alias("toks"))
-    n_docs = corpus.count()
+    # corpus size as a broadcast 1-row aggregate, not a driver-side
+    # .count() literal: one Spark job instead of two, no driver
+    # round-trip (same idiom as q93/q161/q166).
+    n_docs = corpus.agg(F.count("*").cast("double").alias("_n_docs"))
     tf = (
         corpus.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(dfreq, "tok").select(
-        "doc_id",
-        "tok",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
     return (
@@ -2861,11 +2868,27 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "embeddings")
     pairs = embedding_lsh_pairs(e, n_planes=8)
+    # Emit both orientations from ONE evaluation of the expensive
+    # signature self-join: a union of two selects over `pairs` would make
+    # Spark run the whole LSH pipeline once per branch (observed 5.5x
+    # regression at sf0.1).  explode(array(struct,struct)) keeps a single
+    # scan/join and merely doubles rows map-side.
     sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "qdot"
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "qdot")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("dst"),
+                    F.col("qdot"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("dst"),
+                    F.col("qdot"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.qdot")
     w = Window.partitionBy("src").orderBy(F.desc("qdot"), "dst")
     return (
         sym.withColumn("rk", F.row_number().over(w))
@@ -3370,20 +3393,19 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
     tok_counts = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
     bigrams = d.select(F.explode(T.token_shingles("text", 2)).alias("bg"))
     bg_counts = bigrams.groupBy("bg").agg(F.count("*").alias("c_bg"))
-    n_tok = toks.count()
-    n_bg = bigrams.count()
+    # Stream totals as broadcast 1-row aggregates instead of two
+    # driver-side .count() literals: one job, no driver round-trip
+    # (q93/q161/q166 idiom).
+    n_tok = toks.agg(F.count("*").cast("double").alias("_n_tok"))
+    n_bg = bigrams.agg(F.count("*").cast("double").alias("_n_bg"))
     a = tok_counts.select(F.col("tok").alias("_ta"), F.col("c_tok").alias("c_a"))
     b = tok_counts.select(F.col("tok").alias("_tb"), F.col("c_tok").alias("c_b"))
     split = F.split(F.col("bg"), " ")
     lift = (
         F.floor(
-            (
-                F.col("c_bg").cast("double")
-                * F.lit(float(n_tok))
-                * F.lit(float(n_tok))
-            )
+            (F.col("c_bg").cast("double") * F.col("_n_tok") * F.col("_n_tok"))
             / (
-                F.lit(float(n_bg))
+                F.col("_n_bg")
                 * F.col("c_a").cast("double")
                 * F.col("c_b").cast("double")
             )
@@ -3395,6 +3417,8 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
         bg_counts.filter(F.col("c_bg") >= 20)
         .join(F.broadcast(a), split.getItem(0) == F.col("_ta"))
         .join(F.broadcast(b), split.getItem(1) == F.col("_tb"))
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bg))
         .select("bg", F.col("c_bg").cast("long").alias("c_bg"), lift.alias("lift"))
         .orderBy(F.desc("lift"), "bg")
         .limit(50)
@@ -4282,14 +4306,20 @@ def _graph_edges(spark: SparkSession, sf: str):
     from ..operators.graph import canonical_edges
 
     c = load_table(spark, sf, "customer").select("c_custkey")
-    n = c.count()  # one scalar action; the SQL twin states count(*) inline
+    # node count as a broadcast 1-row aggregate, not a driver .count()
+    # literal — one job, no driver round-trip (q93/q161/q166 idiom).
+    nn = c.agg(F.count("*").alias("_nn"))
     picks = F.array(
         *[
-            (T.hex_hash64(F.col("c_custkey").cast("string"), salt=f"g{i}") % n + 1)
+            (
+                T.hex_hash64(F.col("c_custkey").cast("string"), salt=f"g{i}")
+                % F.col("_nn")
+                + 1
+            )
             for i in range(_GRAPH_DEG)
         ]
     )
-    e0 = c.select(
+    e0 = c.crossJoin(F.broadcast(nn)).select(
         F.col("c_custkey").alias("u"), F.explode(picks).alias("v")
     )
     return canonical_edges(e0, "u", "v")
@@ -5635,7 +5665,9 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_oov").cast("long").alias("total_oov"),
         F.sum("n_tok").cast("long").alias("total_tok"),
-        F.expr("(sum(n_oov) * 1000000) div sum(n_tok)")
+        # decimal(38,0) before the ppm multiply: a 100 TB corpus can hold
+        # >9.2e12 OOV tokens, past BIGINT*1e6 wrap (q149-class overflow).
+        F.expr("(CAST(sum(n_oov) AS DECIMAL(38,0)) * 1000000) div sum(n_tok)")
         .cast("long")
         .alias("oov_ppm"),
     )
@@ -5671,10 +5703,10 @@ def _simhash_all_oracle(bits: int = 32) -> str:
     "exact Hamming-radius SimHash pairs (3-shingle features — token "
     "features saturate on this vocab) over the WHOLE corpus by "
     "pigeonhole banding (operators/dedup.py:simhash_banded_pairs): the "
-    "16-bit signature splits into radius+1 = 4 bands, and any pair "
+    "32-bit signature splits into radius+1 = 4 bands, and any pair "
     "within Hamming 3 must agree exactly on >= 1 whole band, so "
-    "candidates come from band-value equi-joins (the shuffle key is a "
-    "4-bit band value, never the document) and the xor/popcount "
+    "candidates come from band-value equi-joins (the shuffle key is an "
+    "8-bit band value, never the document) and the xor/popcount "
     "verification has zero false negatives — closing the gap q52's "
     "top-byte blocking left open (it can MISS pairs differing in the "
     "top byte).  The oracle is the O(n^2) all-pairs Hamming scan the "
@@ -5949,10 +5981,14 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
             "nation",
             "region",
             F.col("cents").cast("long").alias("cents"),
-            F.expr("(cents * 1000000) div rcents")
+            # decimal(38,0) intermediates: region revenue in cents passes
+            # ~9.2e12 around sf~2-3, at which point a BIGINT *1000000
+            # silently wraps (non-ANSI) while DuckDB promotes to int128 —
+            # same overflow class the q149 Gini fix addressed.
+            F.expr("(CAST(cents AS DECIMAL(38,0)) * 1000000) div rcents")
             .cast("long")
             .alias("share_of_region_ppm"),
-            F.expr("(rcents * 1000000) div gcents")
+            F.expr("(CAST(rcents AS DECIMAL(38,0)) * 1000000) div gcents")
             .cast("long")
             .alias("region_share_ppm"),
         )
@@ -5984,8 +6020,10 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
     "aggregate — the canonical fix for the silent-gap bug in "
     "time-grouped dashboards (days with zero events EXIST in the "
     "output; q123's hour-grid gap fill at calendar grain).  The spine "
-    "is |days| rows — generated, broadcast, never scanned from "
-    "storage; weekend/weekday attribution happens on the dimension, "
+    "is |days| rows, generated, never scanned from storage; the daily "
+    "event aggregate (also |days| rows post-agg) is the broadcast "
+    "build side — Spark can only hash the non-preserved side of a "
+    "LEFT join; weekend/weekday attribution happens on the dimension, "
     "not by re-parsing dates per event",
 )
 def q167(spark: SparkSession, sf: str) -> DataFrame:
@@ -6001,8 +6039,11 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n")
     )
     return (
-        F.broadcast(cal)
-        .join(daily, "day", "left")
+        # broadcast the BUILD side: in a LEFT OUTER join Spark can only
+        # hash the non-preserved (right) side, so the hint goes on the
+        # daily aggregate (|distinct days| rows) — a hint on the
+        # preserved spine would be silently ignored.
+        cal.join(F.broadcast(daily), "day", "left")
         .groupBy("month")
         .agg(
             F.sum(
@@ -6058,5 +6099,435 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "digit",
         "n",
-        F.expr("(n * 1000000) div _tot").cast("long").alias("freq_ppm"),
+        # decimal(38,0) ppm numerator for 100 TB row counts (q149-class).
+        F.expr("(CAST(n AS DECIMAL(38,0)) * 1000000) div _tot")
+        .cast("long")
+        .alias("freq_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ingest lifecycle differential (S1-S8/P3/P7/P9/D4 end-to-end)
+# ---------------------------------------------------------------------------
+
+def _q169_raw_sql() -> str:
+    """DuckDB twin of the synthetic HHS feed q169 derives from customer."""
+    k = "c_custkey"
+    metrics = []
+    for i, m in enumerate(_BED_METRIC_COLS_Q169):
+        base = f"CAST((({k} * {i + 3} + c_nationkey) % 97) AS DOUBLE)"
+        metrics.append(
+            f"CASE WHEN {k} % 41 = {i * 5 % 41} THEN -7.0\n"
+            f"     WHEN {k} % 37 = {i * 4 % 37} THEN -999999.0\n"
+            f"     ELSE {base} END AS {m}"
+        )
+    mcols = ",\n                ".join(metrics)
+    return f"""
+    raw AS (
+      SELECT CAST({k} AS VARCHAR) AS hospital_pk,
+             CASE WHEN {k} % 53 = 0 THEN NULL ELSE c_name END AS hospital_name,
+             c_mktsegment AS state,
+             'addr_' || CAST(c_custkey % 1000 AS VARCHAR) AS address,
+             'city_' || CAST({k} % 10 AS VARCHAR) AS city,
+             lpad(CAST({k} % 100000 AS VARCHAR), 5, '0') AS zip,
+             CAST({k} % 1000 AS VARCHAR) AS fips_code,
+             CAST(NULL AS VARCHAR) AS geocoded_hospital_address,
+             DATE '2024-01-05' + CAST(({k} % 8) * 7 AS INTEGER)
+               AS collection_week,
+             {mcols}
+      FROM customer),
+    batch AS (
+      SELECT * FROM raw
+      UNION ALL
+      SELECT * FROM raw WHERE CAST(hospital_pk AS BIGINT) % 13 = 0)"""
+
+
+_BED_METRIC_COLS_Q169 = [
+    "all_adult_hospital_beds_7_day_avg",
+    "all_pediatric_inpatient_beds_7_day_avg",
+    "all_adult_hospital_inpatient_bed_occupied_7_day_coverage",
+    "all_pediatric_inpatient_bed_occupied_7_day_avg",
+    "total_icu_beds_7_day_avg",
+    "icu_beds_used_7_day_avg",
+    "inpatient_beds_used_covid_7_day_avg",
+    "staffed_icu_adult_patients_confirmed_covid_7_day_avg",
+]
+
+
+def _q169_oracle() -> str:
+    mc = _BED_METRIC_COLS_Q169
+    cleaned_metrics = ",\n             ".join(
+        f"CASE WHEN {m} = -999999.0 THEN NULL ELSE {m} END AS {m}" for m in mc
+    )
+    valid_pred = " AND ".join(
+        [f"({m} IS NULL OR {m} >= 0)" for m in mc]
+        + ["hospital_pk IS NOT NULL", "hospital_name IS NOT NULL",
+           "collection_week IS NOT NULL"]
+    )
+    bed_payload = " || '|' || ".join(
+        f"coalesce(CAST(CAST({m} AS BIGINT) AS VARCHAR), 'N')" for m in mc
+    )
+    hosp_h = hex_hash64_sql("hospital_pk || '|' || hospital_name")
+    loc_h = hex_hash64_sql(
+        "hospital_fk || '|' || state || '|' || address || '|' || city"
+        " || '|' || zip || '|' || fips_code"
+    )
+    bed_h = hex_hash64_sql(
+        "hospital_fk || '|' || strftime(collection_week, '%Y-%m-%d')"
+        " || '|' || " + bed_payload
+    )
+    return f"""WITH {_q169_raw_sql()},
+    cleaned AS (
+      SELECT hospital_pk, hospital_name, state, address, city, zip,
+             fips_code, geocoded_hospital_address, collection_week,
+             {cleaned_metrics}
+      FROM batch),
+    valid AS (SELECT * FROM cleaned WHERE {valid_pred}),
+    hospitals AS (SELECT DISTINCT hospital_pk, hospital_name FROM valid),
+    locations AS (SELECT DISTINCT hospital_pk AS hospital_fk, state,
+                         address, city, zip, fips_code FROM valid),
+    beds AS (SELECT DISTINCT hospital_pk AS hospital_fk, collection_week,
+                    {', '.join(mc)} FROM valid)
+    SELECT 'hospitals' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+           CAST(sum(h % 1000000007) AS BIGINT) AS sum_mod
+    FROM (SELECT {hosp_h} AS h FROM hospitals)
+    UNION ALL
+    SELECT 'hospital_locations', CAST(count(*) AS BIGINT),
+           CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000007) AS BIGINT)
+    FROM (SELECT {loc_h} AS h FROM locations)
+    UNION ALL
+    SELECT 'hospital_bed_information', CAST(count(*) AS BIGINT),
+           CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1000000007) AS BIGINT)
+    FROM (SELECT {bed_h} AS h FROM beds)"""
+
+
+@register(
+    "q169_ingest_lifecycle",
+    _q169_oracle(),
+    "END-TO-END ingest differential: the full load_hhs_frame lifecycle "
+    "(sentinel -999999 -> NULL, yyyy-MM-dd date parse, non-negative/"
+    "not-null validation split with quarantine, deterministic in-batch "
+    "dedup, first-wins anti-join append into the partitioned parquet "
+    "warehouse, catalog.py:106) exercised on a synthetic HHS feed "
+    "derived arithmetically from the customer table — injected "
+    "sentinels (custkey%37), negative metrics (custkey%41), NULL names "
+    "(custkey%53), and exact duplicate rows (custkey%13) — then the "
+    "STORED tables are read back and fingerprinted with q142's "
+    "order-insensitive checksum triple (count / bit_xor / modular sum "
+    "of 60-bit row hashes).  The oracle re-states the whole lifecycle "
+    "relationally, so the warehouse loaders (S4-S8) get driver-grade "
+    "content equality, not just unit tests.  Scale: the load is a "
+    "handful of declarative jobs (validate split is one scan; the "
+    "upsert probe is one anti-join pruned to touched partitions); the "
+    "checksum is map-side combinable, O(tables) output",
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import Warehouse
+    from ..ingest import load_hhs_frame
+
+    c = load_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    metrics = []
+    for i, m in enumerate(_BED_METRIC_COLS_Q169):
+        base = ((k * (i + 3) + F.col("c_nationkey")) % 97).cast("double")
+        v = (
+            F.when(k % 41 == F.lit(i * 5 % 41), F.lit(-7.0))
+            .when(k % 37 == F.lit(i * 4 % 37), F.lit(-999999.0))
+            .otherwise(base)
+        )
+        metrics.append(v.alias(m))
+    raw = c.select(
+        k.cast("string").alias("hospital_pk"),
+        F.when(k % 53 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("hospital_name"),
+        F.col("c_mktsegment").alias("state"),
+        F.concat(F.lit("addr_"), (k % 1000).cast("string")).alias("address"),
+        F.concat(F.lit("city_"), (k % 10).cast("string")).alias("city"),
+        F.lpad((k % 100000).cast("string"), 5, "0").alias("zip"),
+        (k % 1000).cast("string").alias("fips_code"),
+        F.lit(None).cast("string").alias("geocoded_hospital_address"),
+        F.date_format(
+            F.date_add(F.to_date(F.lit("2024-01-05")), ((k % 8) * 7).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("collection_week"),
+        *metrics,
+    )
+    batch = raw.unionByName(
+        raw.filter(F.col("hospital_pk").cast("long") % 13 == 0)
+    )
+
+    wh_root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_q169_wh_%s_%d"
+        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(wh_root, ignore_errors=True)
+    wh = Warehouse(spark, wh_root)
+    load_hhs_frame(batch, wh)
+
+    def _checksum(df: DataFrame, tbl: str, payload) -> DataFrame:
+        h = T.hex_hash64(payload)
+        return (
+            df.select(h.alias("h"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+                F.sum(F.col("h") % 1000000007).cast("long").alias("sum_mod"),
+            )
+            .select(F.lit(tbl).alias("tbl"), "n_rows", "xor_hash", "sum_mod")
+        )
+
+    mc = _BED_METRIC_COLS_Q169
+    hosp = wh.read("hospitals")
+    loc = wh.read("hospital_locations")
+    beds = wh.read("hospital_bed_information")
+    bed_parts = []
+    for m in mc:
+        bed_parts.append(F.lit("|"))
+        bed_parts.append(
+            F.coalesce(F.col(m).cast("long").cast("string"), F.lit("N"))
+        )
+    return (
+        _checksum(
+            hosp, "hospitals",
+            F.concat(F.col("hospital_pk"), F.lit("|"), F.col("hospital_name")),
+        )
+        .unionByName(
+            _checksum(
+                loc, "hospital_locations",
+                F.concat(
+                    F.col("hospital_fk"), F.lit("|"), F.col("state"),
+                    F.lit("|"), F.col("address"), F.lit("|"), F.col("city"),
+                    F.lit("|"), F.col("zip"), F.lit("|"), F.col("fips_code"),
+                ),
+            )
+        )
+        .unionByName(
+            _checksum(
+                beds, "hospital_bed_information",
+                F.concat(
+                    F.col("hospital_fk"), F.lit("|"),
+                    F.date_format("collection_week", "yyyy-MM-dd"),
+                    *bed_parts,
+                ),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 3: training-corpus quality / retrieval-fusion / mixture planning
+# ---------------------------------------------------------------------------
+
+@register(
+    "q170_repetition_screen",
+    f"""WITH s AS (
+         SELECT doc_id,
+                {T.token_shingles_sql('text', 2)} AS bg,
+                {T.token_shingles_sql('text', 3)} AS tg
+         FROM documents),
+       m AS (
+         SELECT doc_id, len(bg) AS n_bg, len(tg) AS n_tg,
+                CASE WHEN len(bg) = 0 THEN 0
+                     ELSE list_max(list_transform(list_distinct(bg),
+                                   x -> len(list_filter(bg, y -> y = x))))
+                END AS top2_cnt,
+                len(tg) - len(list_distinct(tg)) AS dup3
+         FROM s),
+       p AS (
+         SELECT doc_id,
+                CAST(CASE WHEN n_bg = 0 THEN 0
+                          ELSE (top2_cnt * 1000000) // n_bg END AS BIGINT)
+                  AS top2_ppm,
+                CAST(CASE WHEN n_tg = 0 THEN 0
+                          ELSE (dup3 * 1000000) // n_tg END AS BIGINT)
+                  AS dup3_ppm
+         FROM m)
+       SELECT doc_id, top2_ppm, dup3_ppm,
+              (top2_ppm >= 60000 OR dup3_ppm >= 10000) AS flagged
+       FROM p""",
+    "repetition-based quality screen (the Gopher/MassiveText repetition "
+    "rules, adapted to the token stream): per document, the fraction of "
+    "bigram slots occupied by the single most frequent bigram "
+    "(top2_ppm) and the fraction of trigram occurrences that are "
+    "repeats (dup3_ppm), thresholded into a drop flag.  Everything is "
+    "a per-row higher-order array expression — distinct/filter/max "
+    "fold over the doc's own shingles, O(doc_len * uniq) row-local "
+    "work, NO explode, NO shuffle: at 100 TB this screen is a pure "
+    "map over the corpus with zero exchanges, the cheapest possible "
+    "shape for a first-pass filter.  Integer ppm floor-division is "
+    "doc-local (bounded by doc length), so bigint cannot overflow "
+    "regardless of corpus size",
+)
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    base = d.select(
+        "doc_id",
+        T.token_shingles("text", 2).alias("bg"),
+        T.token_shingles("text", 3).alias("tg"),
+    )
+    top2_cnt = F.when(F.size("bg") == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct("bg"),
+                lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
+            )
+        )
+    )
+    m = base.select(
+        "doc_id",
+        F.size("bg").alias("n_bg"),
+        F.size("tg").alias("n_tg"),
+        top2_cnt.alias("top2_cnt"),
+        (F.size("tg") - F.size(F.array_distinct("tg"))).alias("dup3"),
+    )
+    p = m.select(
+        "doc_id",
+        F.when(F.col("n_bg") == 0, F.lit(0))
+        .otherwise(F.expr("(top2_cnt * 1000000) div n_bg"))
+        .cast("long")
+        .alias("top2_ppm"),
+        F.when(F.col("n_tg") == 0, F.lit(0))
+        .otherwise(F.expr("(dup3 * 1000000) div n_tg"))
+        .cast("long")
+        .alias("dup3_ppm"),
+    )
+    return p.select(
+        "doc_id", "top2_ppm", "dup3_ppm",
+        ((F.col("top2_ppm") >= 60000) | (F.col("dup3_ppm") >= 10000)).alias(
+            "flagged"
+        ),
+    )
+
+
+REGISTRY_ORACLE_Q156 = REGISTRY["q156_bm25_topk"].oracle
+REGISTRY_ORACLE_Q38 = REGISTRY["q38_cosine_topk"].oracle
+
+
+@register(
+    "q171_rrf_fusion",
+    """WITH lex AS (""" + REGISTRY_ORACLE_Q156 + """),
+       dense AS (""" + REGISTRY_ORACLE_Q38 + """),
+       ra AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS rk_a
+              FROM lex),
+       rb AS (SELECT vec_id AS doc_id,
+                     row_number() OVER (ORDER BY sim DESC, vec_id) AS rk_b
+              FROM dense)
+       SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+              CAST(ra.rk_a AS INTEGER) AS rk_a,
+              CAST(rb.rk_b AS INTEGER) AS rk_b,
+              CAST(coalesce(1000000 // (60 + ra.rk_a), 0)
+                 + coalesce(1000000 // (60 + rb.rk_b), 0) AS BIGINT)
+                AS rrf_ppm
+       FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+       ORDER BY rrf_ppm DESC, doc_id""",
+    "reciprocal-rank fusion of a lexical and a dense retrieval arm "
+    "(the standard hybrid-search combiner, Cormack et al.): the BM25 "
+    "top-10 (q156) and the cosine-ANN top-10 (q38) are each re-ranked "
+    "1..10, full-outer-joined on doc id, and fused by integer "
+    "sum(1e6 div (60+rank)) — the k=60 RRF constant, exact integer "
+    "arithmetic so both engines agree bit-for-bit.  Scale: each arm "
+    "ends in a TakeOrderedAndProject (k rows reach the driver-side "
+    "fusion, never the corpus); the fusion itself joins two k-row "
+    "frames — at 100 TB the arms dominate and the fusion is free.  "
+    "The rank windows run over k=10-row inputs, not the corpus",
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    lex = REGISTRY["q156_bm25_topk"].fn(spark, sf)
+    dense = REGISTRY["q38_cosine_topk"].fn(spark, sf)
+    # windows over the 10-row top-k results (post-LIMIT single
+    # partition), not over the corpus
+    wa = Window.orderBy(F.desc("score"), "doc_id")
+    wb = Window.orderBy(F.desc("sim"), "vec_id")
+    ra = lex.select("doc_id", F.row_number().over(wa).alias("rk_a"))
+    rb = dense.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(wb).alias("rk_b")
+    )
+    return (
+        ra.join(rb, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("rk_a").cast("int").alias("rk_a"),
+            F.col("rk_b").cast("int").alias("rk_b"),
+            (
+                F.coalesce(F.expr("1000000 div (60 + rk_a)"), F.lit(0))
+                + F.coalesce(F.expr("1000000 div (60 + rk_b)"), F.lit(0))
+            )
+            .cast("long")
+            .alias("rrf_ppm"),
+        )
+        .orderBy(F.desc("rrf_ppm"), "doc_id")
+    )
+
+
+@register(
+    "q172_mixture_allocation",
+    """WITH counts AS (
+         SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       quota AS (
+         SELECT source, n_docs,
+                (1000 * n_docs) // sum(n_docs) OVER () AS base,
+                (1000 * n_docs) % sum(n_docs) OVER () AS rem
+         FROM counts),
+       ranked AS (
+         SELECT source, n_docs, base, rem,
+                row_number() OVER (ORDER BY rem DESC, source) AS rr,
+                1000 - sum(base) OVER () AS leftover
+         FROM quota)
+       SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+              CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                   AS BIGINT) AS alloc
+       FROM ranked""",
+    "training-mixture budget allocation by the largest-remainder "
+    "(Hamilton) method: a sampling budget of 1000 documents is split "
+    "across sources proportionally — integer floor quotas first, then "
+    "the leftover seats go to the largest fractional remainders "
+    "(deterministic tiebreak on source) so the allocations sum EXACTLY "
+    "to the budget.  This is the planning step of every "
+    "mixture-weighted corpus build (per-domain token budgets); "
+    "downstream, q79's stratified quota sampler materializes each "
+    "source's allocation.  Scale: one map-combinable count per source, "
+    "then windows over the |sources|-row aggregate — never the corpus",
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    quota = counts.select(
+        "source",
+        "n_docs",
+        F.expr("1000 * n_docs").alias("scaled"),
+        F.sum("n_docs").over(w).alias("total"),
+    ).select(
+        "source",
+        "n_docs",
+        F.expr("scaled div total").alias("base"),
+        (F.col("scaled") % F.col("total")).alias("rem"),
+    )
+    ranked = quota.select(
+        "source",
+        "n_docs",
+        "base",
+        "rem",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), "source"))
+        .alias("rr"),
+        (F.lit(1000) - F.sum("base").over(w)).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
     )

@@ -74,8 +74,17 @@ class SyntheticActivityReader(DataSourceReader):
 
 
 def register(spark) -> None:
-    """Idempotently register the source with a session."""
+    """Idempotently register the source with a session.
+
+    Only the "already registered" collision is swallowed; any other
+    failure (e.g. the Python DataSource API missing on an older
+    runtime) propagates so the root cause surfaces here, not as a
+    confusing "format not found" later at read time.
+    """
     try:
         spark.dataSource.register(SyntheticActivityDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as exc:  # noqa: BLE001 - filtered by message below
+        msg = str(exc).lower()
+        if "already" in msg and ("exist" in msg or "register" in msg):
+            return
+        raise

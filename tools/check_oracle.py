@@ -5,11 +5,17 @@ Runs every `__spark_entry__.queries()` entry on Spark and its
 row count, sorted column names, dtype compatibility, and an
 order-insensitive multiset of canonicalized values.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json=PATH] [sf_dir] [query ...]
+
+``--json=PATH`` additionally writes a driver-style per-query artifact
+(rows / schema / match flags / seconds) so each round can commit the
+full-registry correctness evidence (the driver itself only re-checks a
+fixed 50-query subset).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -46,8 +52,13 @@ def canon_frame(pdf):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_out = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")),
+        None,
+    )
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
 
@@ -74,6 +85,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -82,16 +94,24 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            report[name] = {"err": f"spark: {type(e).__name__}: {str(e)[:200]}"}
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             continue
         spark_secs = time.time() - t0
         if name not in oracles:
+            report[name] = {
+                "rows": len(sdf),
+                "schema": {c: str(sdf[c].dtype) for c in sdf.columns},
+                "oracle": False,
+                "sec": round(spark_secs, 2),
+            }
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{spark_secs:.1f}s]")
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            report[name] = {"err": f"duckdb: {type(e).__name__}: {str(e)[:200]}"}
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             continue
         problems = []
@@ -112,11 +132,36 @@ def main():
             dt = {c: (sd[c], od[c]) for c in sd if sd[c] != od[c]}
             if dt:
                 problems.append(f"dtype mismatch {dt}")
+        report[name] = {
+            "rows": len(sdf),
+            "oracle_rows": len(odf),
+            "schema": {c: str(sdf[c].dtype) for c in sdf.columns},
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "values_match": not problems,
+            "sec": round(spark_secs, 2),
+        }
         if problems:
             failures.append(name)
+            report[name]["problems"] = problems
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"OK    {name}: {len(sdf)} rows [{spark_secs:.1f}s]")
+
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(report),
+                    "n_fail": len(failures),
+                    "queries": report,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
 
     print()
     if failures:

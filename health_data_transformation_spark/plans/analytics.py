@@ -6531,3 +6531,100 @@ def q172(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     )
+
+
+_Q158_ORACLE_TEXT = REGISTRY["q158_integer_kmeans"].oracle
+#: the WITH-prefix (qv .. m2) of q158's unrolled integer k-means — the
+#: final per-vector (vec_id, v, cid) assignment, reused verbatim so the
+#: SemDeDup oracle clusters EXACTLY like operators/kmeans.py
+_KMEANS_ASSIGN_CTE = _Q158_ORACLE_TEXT[
+    : _Q158_ORACLE_TEXT.rindex("SELECT CAST(cid AS INTEGER)")
+].rstrip()
+
+
+@register(
+    "q173_semantic_dedup",
+    _KMEANS_ASSIGN_CTE
+    + """,
+       nrm AS (
+         SELECT vec_id, cid, v,
+                CAST(list_dot_product(CAST(v AS DOUBLE[]),
+                                      CAST(v AS DOUBLE[])) AS BIGINT) AS n2
+         FROM m2),
+       cand AS (
+         SELECT a.cid, b.vec_id AS ib,
+                CAST(list_dot_product(CAST(a.v AS DOUBLE[]),
+                                      CAST(b.v AS DOUBLE[])) AS BIGINT) AS d,
+                a.n2 AS na2, b.n2 AS nb2
+         FROM nrm a JOIN nrm b
+           ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       dup AS (
+         SELECT DISTINCT ib AS vec_id FROM cand
+         WHERE d > 0 AND 400 * d * d >= 49 * na2 * nb2)
+       SELECT CAST(m2.cid AS INTEGER) AS cluster,
+              CAST(count(*) AS BIGINT) AS n_members,
+              CAST(count(dup.vec_id) AS BIGINT) AS n_dropped,
+              CAST(sum(CASE WHEN dup.vec_id IS NULL THEN m2.vec_id
+                            ELSE 0 END) AS BIGINT) AS kept_id_sum
+       FROM m2 LEFT JOIN dup ON m2.vec_id = dup.vec_id
+       GROUP BY m2.cid""",
+    "semantic deduplication (the SemDeDup shape, Abbas et al.): "
+    "int8-quantized vectors cluster with the q158 deterministic "
+    "integer k-means, then near-duplicate detection runs ONLY within "
+    "each cluster — pairwise exact-integer cosine test "
+    "400*dot^2 >= 49*|a|^2*|b|^2 (tau=0.35 stated as the exact "
+    "rational 49/400; dot>0 guards the sign before squaring; every "
+    "operand bounded by 4.3e14, int64-safe by construction) — and the "
+    "min-id representative survives each duplicate relation.  Scale: "
+    "this is the published fix for all-pairs semantic dedup at corpus "
+    "scale — k grows with N so cluster size stays bounded, the "
+    "quadratic term is per-cluster, and the cluster id is the shuffle "
+    "key; centroids broadcast (q158), vectors shuffle ONCE on cluster "
+    "id for the pair join.  Outputs per-cluster members/dropped and "
+    "the surviving-id checksum",
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vector import int8_quantize, int_dot
+    from ..operators.kmeans import int_kmeans_assign
+
+    emb = load_table(spark, sf, "embeddings")
+    qv = emb.select("vec_id", int8_quantize("embedding").alias("v"))
+    assign = int_kmeans_assign(qv, "vec_id", "v", k=8, rounds=2)
+    n2 = int_dot("v", "v")
+    nrm = assign.join(qv, "vec_id").select(
+        "vec_id", "cluster", "v", n2.alias("n2")
+    )
+    a = nrm.select(
+        F.col("cluster"), F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"), F.col("n2").alias("na2"),
+    )
+    b = nrm.select(
+        F.col("cluster"), F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"), F.col("n2").alias("nb2"),
+    )
+    d = int_dot("va", "vb")
+    dup = (
+        a.join(b, "cluster")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ib", d.alias("d"), "na2", "nb2")
+        .filter(
+            (F.col("d") > 0)
+            & (400 * F.col("d") * F.col("d") >= 49 * F.col("na2") * F.col("nb2"))
+        )
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        nrm.join(dup, "vec_id", "left")
+        .groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(F.col("_dup").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("_dup").isNull(), F.col("vec_id")).otherwise(0))
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+    )

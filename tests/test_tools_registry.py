@@ -1,0 +1,70 @@
+"""No-Spark tests: registry ordering contract + bench_diff gate logic."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_registry_names_unique_and_oracled():
+    import __spark_entry__ as e
+
+    qs = list(e.queries().keys())
+    assert len(qs) == len(set(qs))
+    oracles = e.oracle_sql()
+    missing = [n for n in qs if n not in oracles]
+    assert not missing, f"queries without oracle entries: {missing}"
+
+
+def test_promoted_families_inside_driver_prefix():
+    """The driver re-checks a fixed 50-query prefix of queries(); the
+    steering in __spark_entry__ must keep every promoted heavy family
+    inside it and every §2 proof query untouched."""
+    import __spark_entry__ as e
+
+    qs = list(e.queries().keys())
+    first50 = set(qs[:50])
+    for name in e._PROMOTED:
+        assert name in first50, f"{name} fell out of the driver prefix"
+    # §2 proof queries (VERDICT r2 operator table) stay driver-checked
+    for name in [
+        "q01_week_count", "q02_weekly_counts", "q03_pricing_summary",
+        "q04_recent_weeks", "q05_priority_ratio", "q06_cumulative_usage",
+        "q07_top_nations", "q08a_segment_week_ratio",
+        "q08b_top_bottom_nations", "q10_dedup_exact", "q11_anti_join",
+        "q12_semi_join", "q13_json_sentinel_clean", "q14_validation_split",
+        "q23_balance_buckets", "q24_normalize_strings", "q25_date_parts",
+        "q26_union_append", "q27_idempotent_upsert", "q51_lsh_near_dup",
+        "q53_multimodal_decode", "q57_regex_tokens", "q65_token_chunks",
+    ]:
+        assert name in first50, f"§2 proof {name} fell out of the prefix"
+    # steering must never drop or duplicate a query
+    import health_data_transformation_spark.plans.analytics as A
+
+    assert set(qs) == set(A.REGISTRY)
+
+
+def test_bench_diff_gate(tmp_path):
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({"queries": {"a": 1.0, "b": 5.0, "c": 0.1}}))
+    # a regressed 3x (+2s) -> fail; b improved; c regressed 5x but only
+    # +0.4s absolute -> under the jitter floor, ignored
+    new.write_text(json.dumps({"queries": {"a": 3.0, "b": 2.0, "c": 0.5, "d": 9.9}}))
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/tools/bench_diff.py", str(old), str(new)],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 1
+    assert "REGRESSION a:" in proc.stdout
+    assert "c:" not in proc.stdout.replace("queries", "")
+    # same files under a permissive factor -> pass
+    proc2 = subprocess.run(
+        [sys.executable, "/root/repo/tools/bench_diff.py", str(old), str(new),
+         "--factor", "4.0"],
+        capture_output=True, text=True,
+    )
+    assert proc2.returncode == 0

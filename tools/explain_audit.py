@@ -48,6 +48,16 @@ DEFAULT_QUERIES = [
     "q156_bm25_topk",
     "q157_basket_coitems",
     "q158_integer_kmeans",
+    "q159_apply_changes",
+    "q162_simhash_banded",
+    "q164_growth_accounting",
+    "q166_share_of_parent",
+    "q167_calendar_join",
+    "q100_embedding_lsh_pairs",
+    "q105_lsh_topk_neighbors",
+    "q170_repetition_screen",
+    "q171_rrf_fusion",
+    "q172_mixture_allocation",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -76,6 +86,15 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q156_bm25_topk",
     # k-row centroid table attached to every vector per Lloyd round
     "q158_integer_kmeans",
+    # two 10-row top-k arms rank-joined; the corpus never reaches the
+    # fusion join (TakeOrderedAndProject upstream in both arms)
+    "q171_rrf_fusion",
+    # 1-row max-change-sequence aggregate attached to the CDC snapshot
+    "q159_apply_changes",
+    # 1-row max-week aggregate anchoring the retention ledger
+    "q164_growth_accounting",
+    # 1-row grand-total aggregate under the share-of-parent ratios
+    "q166_share_of_parent",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

@@ -6628,3 +6628,288 @@ def q173(spark: SparkSession, sf: str) -> DataFrame:
             .alias("kept_id_sum"),
         )
     )
+
+
+@register(
+    "q174_unigram_surprisal",
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       tot AS (SELECT sum(c) AS t FROM freq),
+       scored AS (
+         SELECT toks.doc_id,
+                length(printf('%b', CAST(t // c AS BIGINT))) - 1 AS s
+         FROM toks JOIN freq USING (tok), tot),
+       per_doc AS (
+         SELECT doc_id, count(*) AS n_tok, sum(s) AS ssum
+         FROM scored GROUP BY doc_id)
+       SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+              CAST((ssum * 1000000) // n_tok AS BIGINT) AS surprisal_ppm,
+              (ssum * 1000000) // n_tok >= 6000000 AS flagged
+       FROM per_doc""",
+    "unigram-surprisal quality score (the model-free perplexity proxy "
+    "every corpus filter starts from): token self-information against "
+    "the corpus's own unigram distribution, with the log2 computed as "
+    "the bit length of the INTEGER ratio total//count (printf('%b') / "
+    "F.bin — floor(log2) via fp log is engine-unstable near powers of "
+    "two and banned by the determinism contract, q147's trick).  "
+    "Per-doc mean surprisal in ppm flags gibberish-heavy documents "
+    "(mean >= 6 bits).  Plan: one vocab aggregate (map-combinable), "
+    "the 1-row total broadcast via crossJoin, one freq equi-join back "
+    "to the token stream, one per-doc aggregate — two shuffles total, "
+    "both on bounded keys (vocab, doc_id); nothing quadratic, nothing "
+    "driver-side",
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("t div c"))) - 1).alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"), F.sum("s").alias("ssum")
+    )
+    ppm = F.expr("(ssum * 1000000) div n_tok")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        ppm.cast("long").alias("surprisal_ppm"),
+        (ppm >= 6000000).alias("flagged"),
+    )
+
+
+@register(
+    "q175_dataset_card",
+    f"""WITH base AS (
+         SELECT source, lang, doc_id,
+                len(string_split(text, ' ')) AS n_tok,
+                md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+         FROM documents),
+       per_source AS (
+         SELECT source,
+                count(*) AS n_docs,
+                sum(n_tok) AS total_tokens,
+                count(*) - count(DISTINCT fp) AS n_exact_dup,
+                count(DISTINCT lang) AS n_langs
+         FROM base GROUP BY source)
+       SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+              CAST(total_tokens AS BIGINT) AS total_tokens,
+              CAST(n_exact_dup AS BIGINT) AS n_exact_dup,
+              CAST(n_langs AS BIGINT) AS n_langs,
+              CAST((total_tokens * 1000000) // sum(total_tokens) OVER ()
+                   AS BIGINT) AS token_share_ppm
+       FROM per_source""",
+    "dataset-card rollup (the per-source summary table every corpus "
+    "release ships): document and token counts, exact-duplicate count "
+    "via normalized md5 fingerprints (count - distinct, the q33 "
+    "fingerprint), language coverage, and each source's token share of "
+    "the corpus in exact integer ppm.  Plan: one scan computing "
+    "row-local fingerprints, one per-source aggregate "
+    "(count-distinct on fingerprints shuffles (source, fp) pairs — "
+    "bounded by corpus rows, map-side partial), then the share joins "
+    "the |sources|-row aggregate against its own window total.  The "
+    "ppm numerator routes through the window over the aggregate, "
+    "never the scan",
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        F.size(T.tokens("text")).alias("n_tok"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_exact_dup"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    w = Window.partitionBy()
+    return (
+        per_source.withColumn("_tot", F.sum("total_tokens").over(w))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("n_exact_dup").cast("long").alias("n_exact_dup"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            # decimal(38,0) ppm numerator: 100 TB token counts pass the
+            # BIGINT*1e6 wrap point (q149-class overflow)
+            F.expr(
+                "(CAST(total_tokens AS DECIMAL(38,0)) * 1000000) div _tot"
+            )
+            .cast("long")
+            .alias("token_share_ppm"),
+        )
+    )
+
+
+@register(
+    "q176_soft_dedup_weights",
+    """WITH reach AS ("""
+    + _q76_oracle()
+    + """),
+       sizes AS (SELECT component, count(*) AS csz
+                 FROM reach GROUP BY component),
+       wts AS (
+         SELECT d.doc_id, coalesce(s.csz, 1) AS cluster_size
+         FROM documents d
+         LEFT JOIN reach r ON d.doc_id = r.node
+         LEFT JOIN sizes s ON r.component = s.component)
+       SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+              CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm
+       FROM wts""",
+    "soft deduplication by cluster-size down-weighting (the alternative "
+    "to dropping near-duplicates: keep every copy but weight each "
+    "1/cluster_size so the cluster contributes ONE document's worth of "
+    "probability mass to training — the repetition-aware mixing used "
+    "when hard dedup is too lossy).  Composes the q76 machinery: "
+    "MinHash-LSH pairs -> pointer-jumping connected components -> "
+    "cluster sizes -> per-doc exact integer ppm weights; docs outside "
+    "any cluster get weight 1e6.  Scale: identical to q76 (banded "
+    "candidates only, O(log d) rounds) plus two broadcast-sized joins "
+    "(components and sizes are |clustered docs| rows, far smaller than "
+    "the corpus)",
+)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    pairs = D.lsh_near_dup_pairs(
+        d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
+    ).select("id_a", "id_b")
+    components = D.connected_components(pairs)
+    sizes = components.groupBy("component").agg(F.count("*").alias("csz"))
+    wts = (
+        d.select("doc_id")
+        .join(components.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(sizes, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("csz"), F.lit(1)).alias("cluster_size"),
+        )
+    )
+    return wts.select(
+        "doc_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.expr("1000000 div cluster_size").cast("long").alias("weight_ppm"),
+    )
+
+
+def _q177_state_sql(version: int) -> str:
+    """Relational restatement of snapshot version N of the q177 table.
+
+    v1 = orders with o_orderkey % 3 = 0; v2 = v1 plus % 3 = 1 rows
+    (append); v3 = v2 MERGE-upserted with (% 6 = 0 -> cents + 10000)
+    updates plus % 3 = 2 inserts.
+    """
+    base = (
+        "SELECT o_orderkey AS k, o_orderstatus AS st,"
+        " CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents"
+        " FROM orders"
+    )
+    v1 = f"{base} WHERE o_orderkey % 3 = 0"
+    v2 = f"{v1} UNION ALL {base} WHERE o_orderkey % 3 = 1"
+    if version == 1:
+        return v1
+    if version == 2:
+        return v2
+    batch = (
+        f"SELECT k, st, cents + 10000 AS cents FROM ({base} WHERE o_orderkey % 6 = 0) u"
+        f" UNION ALL {base} WHERE o_orderkey % 3 = 2"
+    )
+    return (
+        f"SELECT * FROM ({v2}) prev WHERE prev.k % 6 != 0"
+        f" UNION ALL {batch}"
+    )
+
+
+@register(
+    "q177_time_travel",
+    "WITH "
+    + ", ".join(
+        f"s{v} AS ({_q177_state_sql(v)})" for v in (1, 2, 3)
+    )
+    + """
+       SELECT * FROM ("""
+    + " UNION ALL ".join(
+        f"""SELECT {v} AS version, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               CAST(bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || st || '|' || CAST(cents AS VARCHAR)), 1, 15)) AS BIGINT)) AS BIGINT) AS xor_hash
+           FROM s{v}"""
+        for v in (1, 2, 3)
+    )
+    + ") t",
+    "snapshot versioning + time travel differential "
+    "(snapshots.py:SnapshotTable): three commits — initial overwrite, "
+    "blind append, MERGE upsert (updates + inserts) — each publishing "
+    "an immutable-file manifest via atomic rename, then ALL THREE "
+    "historical versions are read back BY VERSION NUMBER and "
+    "fingerprinted (count / exact-cents sum / xor of 60-bit row "
+    "hashes).  The oracle restates each version's state relationally "
+    "from orders, so snapshot isolation, append semantics, merge "
+    "semantics, and time-travel reads all get driver-grade content "
+    "equality.  This is the table-format contract (Delta/Iceberg "
+    "core) the 100 TB warehouse needs: commits touch O(batch) files, "
+    "readers plan from the manifest (never a directory listing), and "
+    "concurrent committers conflict instead of clobbering",
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotTable
+
+    o = load_table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        cents.alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_q177_%s_%d"
+        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(spark, root)
+    t.commit_overwrite(base.filter(F.col("k") % 3 == 0))
+    t.commit_append(base.filter(F.col("k") % 3 == 1))
+    batch = (
+        base.filter(F.col("k") % 6 == 0)
+        .withColumn("cents", F.col("cents") + 10000)
+        .unionByName(base.filter(F.col("k") % 3 == 2))
+    )
+    t.commit_upsert(batch, ["k"])
+
+    h = T.hex_hash64(
+        F.concat(
+            F.col("k").cast("string"), F.lit("|"), F.col("st"),
+            F.lit("|"), F.col("cents").cast("string"),
+        )
+    )
+
+    def fp(v: int) -> DataFrame:
+        return (
+            t.read(version=v)
+            .select(h.alias("h"), "cents")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+                F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+            )
+            .select(
+                F.lit(v).alias("version"), "n_rows", "sum_cents", "xor_hash"
+            )
+        )
+
+    return fp(1).unionByName(fp(2)).unionByName(fp(3))

@@ -1,0 +1,62 @@
+"""SnapshotTable: versioned commits, time travel, conflict detection."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from health_data_transformation_spark.snapshots import (
+    SnapshotConflict,
+    SnapshotTable,
+)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_append_overwrite_upsert_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    assert t.commit_overwrite(df) == 1
+    assert t.commit_append(
+        spark.createDataFrame([(3, "c")], "k int, v string")
+    ) == 2
+    assert t.commit_upsert(
+        spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string"),
+        keys=["k"],
+    ) == 3
+
+    assert rows(t.read(version=1)) == [(1, "a"), (2, "b")]
+    assert rows(t.read(version=2)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert rows(t.read(version=3)) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    assert rows(t.read()) == rows(t.read(version=3))
+    assert [m["op"] for m in t.history()] == ["overwrite", "append", "upsert"]
+
+
+def test_old_versions_survive_overwrite(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.commit_overwrite(spark.createDataFrame([(9, "z")], "k int, v string"))
+    assert rows(t.read(version=1)) == [(1, "a")]
+    assert rows(t.read(version=2)) == [(9, "z")]
+
+
+def test_conflict_on_concurrent_publish(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t1 = SnapshotTable(spark, root)
+    t1.commit_overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    # a racing committer published v2 first
+    t2 = SnapshotTable(spark, root)
+    t2.commit_append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    with pytest.raises(SnapshotConflict):
+        t1._publish(2, ["bogus"], "append")
+
+
+def test_read_empty_table_raises(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError):
+        t.read()
+    assert t.current_version() == 0
+    assert not os.listdir(os.path.join(str(tmp_path / "t"), "data"))

@@ -585,3 +585,95 @@ def embedding_near_dup_pairs(
     return joined.select("id_a", "id_b", sim.alias("cos_sim")).filter(
         F.col("cos_sim") >= min_cosine
     )
+
+
+def lsh_incremental_matches(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_size: int = 4,
+    num_hashes: int = 8,
+    min_jaccard: float = 0.4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup matches of an INCREMENT against an existing corpus.
+
+    The production ingest-time shape: a new batch is admitted only where
+    it does not near-duplicate the corpus already stored.  Candidates
+    come from banding BOTH sides and joining batch buckets to CORPUS
+    buckets only — no batch x batch and no corpus x corpus pair ever
+    forms, so the per-ingest cost is O(batch x collision rate), not
+    O(corpus^2): at 100 TB the corpus signatures are computed once at
+    their own ingest time and stored; each new batch probes them like an
+    index.  ``max_bucket`` caps the CORPUS side per bucket (oversized
+    buckets are boilerplate shingle sets, same guard as
+    lsh_candidate_pairs).
+
+    Returns one row per batch doc: (id, n_matches, admitted) where
+    ``n_matches`` counts distinct corpus docs with verified exact
+    Jaccard >= threshold and ``admitted`` marks batch docs with none.
+    """
+    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes)
+    sig_b = minhash_signatures(batch, text_col, id_col, num_hashes)
+
+    def bucketed(sigs: DataFrame, out: str) -> DataFrame:
+        bands = []
+        for b in range(num_hashes // band_size):
+            sig_cols = [
+                F.col(f"sig{b * band_size + j}") for j in range(band_size)
+            ]
+            bands.append(
+                sigs.select(
+                    F.col(id_col).alias(out),
+                    F.md5(
+                        F.concat_ws(
+                            ",", F.lit(b), *[c.cast("string") for c in sig_cols]
+                        )
+                    ).alias("bucket"),
+                )
+            )
+        all_bands = bands[0]
+        for extra in bands[1:]:
+            all_bands = all_bands.unionAll(extra)
+        return all_bands
+
+    cb = bucketed(sig_c, "id_c")
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket")
+        cb = (
+            cb.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    bb = bucketed(sig_b, "id_b")
+    cands = bb.join(cb, "bucket").select("id_b", "id_c").distinct()
+
+    toks_c = corpus.select(
+        F.col(id_col).alias("id_c"), distinct_tokens(text_col).alias("toks_c")
+    )
+    toks_b = batch.select(
+        F.col(id_col).alias("id_b"), distinct_tokens(text_col).alias("toks_b")
+    )
+    inter = F.size(F.array_intersect("toks_b", "toks_c")).cast("double")
+    union = (F.size("toks_b") + F.size("toks_c")).cast("double") - inter
+    verified = (
+        cands.join(toks_b, "id_b")
+        .join(toks_c, "id_c")
+        .select("id_b", "id_c", floor6(inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    matches = verified.groupBy("id_b").agg(
+        F.countDistinct("id_c").alias("n_matches")
+    )
+    return (
+        batch.select(F.col(id_col).alias("id_b"))
+        .join(matches, "id_b", "left")
+        .select(
+            F.col("id_b").alias(id_col),
+            F.coalesce(F.col("n_matches"), F.lit(0))
+            .cast("long")
+            .alias("n_matches"),
+            F.col("n_matches").isNull().alias("admitted"),
+        )
+    )

@@ -6913,3 +6913,78 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return fp(1).unionByName(fp(2)).unionByName(fp(3))
+
+
+def _q178_oracle() -> str:
+    """Incremental LSH dedup oracle: batch (doc_id % 7 = 3) vs corpus."""
+    sig_exprs = ",\n".join(
+        f"         list_min(list_transform(t, x -> {hex_hash64_sql('x', f'mh{i}')})) AS sig{i}"
+        for i in range(8)
+    )
+
+    def band(b: int, lo: int) -> str:
+        concat = " || ',' || ".join(
+            f"CAST(sig{j} AS VARCHAR)" for j in range(lo, lo + 4)
+        )
+        return f"SELECT doc_id, md5('{b},' || {concat}) AS bucket FROM sigs\n"
+
+    return (
+        "WITH toks AS (SELECT doc_id, doc_id % 7 = 3 AS in_batch,\n"
+        "                     list_distinct(string_split(text, ' ')) AS t\n"
+        "              FROM documents),\n"
+        f"sigs AS (SELECT doc_id,\n{sig_exprs}\n  FROM toks),\n"
+        "bands AS (\n  " + band(0, 0) + "  UNION ALL\n  " + band(1, 4) + "),\n"
+        "cb AS (SELECT doc_id AS id_c, bucket FROM (\n"
+        "    SELECT b.doc_id, b.bucket,\n"
+        "           count(*) OVER (PARTITION BY b.bucket) AS bn\n"
+        "    FROM bands b JOIN toks tk ON b.doc_id = tk.doc_id\n"
+        "    WHERE NOT tk.in_batch) WHERE bn <= 50),\n"
+        "bb AS (SELECT b.doc_id AS id_b, b.bucket\n"
+        "       FROM bands b JOIN toks tk ON b.doc_id = tk.doc_id\n"
+        "       WHERE tk.in_batch),\n"
+        "cands AS (SELECT DISTINCT id_b, id_c FROM bb JOIN cb USING (bucket)),\n"
+        "verified AS (\n"
+        "  SELECT c.id_b, c.id_c\n"
+        "  FROM cands c JOIN toks tb ON c.id_b = tb.doc_id\n"
+        "               JOIN toks tc ON c.id_c = tc.doc_id\n"
+        "  WHERE (floor((CAST(len(list_intersect(tb.t, tc.t)) AS DOUBLE)\n"
+        "              / CAST(len(tb.t) + len(tc.t)\n"
+        "                     - len(list_intersect(tb.t, tc.t)) AS DOUBLE))\n"
+        "              * 1000000.0) / 1000000.0) >= 0.4),\n"
+        "m AS (SELECT id_b, count(DISTINCT id_c) AS n_matches\n"
+        "      FROM verified GROUP BY id_b)\n"
+        "SELECT tk.doc_id,\n"
+        "       CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,\n"
+        "       m.id_b IS NULL AS admitted\n"
+        "FROM toks tk LEFT JOIN m ON tk.doc_id = m.id_b\n"
+        "WHERE tk.in_batch"
+    )
+
+
+@register(
+    "q178_incremental_dedup",
+    _q178_oracle(),
+    "ingest-time incremental near-dup admission (the production dedup "
+    "shape: never re-dedup the corpus, probe it): the incoming batch "
+    "(doc_id % 7 = 3) MinHash-bands against the STORED corpus's "
+    "signatures only — no batch x batch and no corpus x corpus pair "
+    "ever forms (operators/dedup.py:lsh_incremental_matches), corpus "
+    "buckets over 50 docs are dropped as boilerplate (same cap as "
+    "q51), and candidates verify by exact Jaccard >= 0.4.  Each batch "
+    "doc reports its verified corpus-match count and an admitted flag. "
+    "At 100 TB the corpus signatures are written once at their own "
+    "ingest and probed like an index: per-batch cost is O(batch x "
+    "collision rate) with the batch side broadcastable — the reason "
+    "ingest stays O(new data) instead of O(history).  The oracle "
+    "recomputes the identical md5 signature/band/cap/verify pipeline "
+    "relationally (deterministic hashes, zero drift)",
+)
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    in_batch = F.col("doc_id") % 7 == 3
+    corpus = d.filter(~in_batch)
+    batch = d.filter(in_batch)
+    return D.lsh_incremental_matches(
+        corpus, batch,
+        band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50,
+    )

@@ -302,3 +302,31 @@ def test_triangle_count_equals_brute_force(spark, edges):
         len(eset),
         tri,
     )
+
+
+def test_incremental_lsh_rejects_corpus_duplicates(spark):
+    """A batch doc byte-identical to a corpus doc must always be caught
+    (identical signatures collide on every band); a token-disjoint doc
+    must always be admitted (no shared shingle => no shared bucket and
+    Jaccard 0 anyway)."""
+    from health_data_transformation_spark.operators.dedup import (
+        lsh_incremental_matches,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"),   # exact dup of corpus doc 1
+         (11, "zz yy xx ww vv uu")],        # disjoint tokens
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["admitted"])
+        for r in lsh_incremental_matches(
+            corpus, batch, band_size=4, num_hashes=8, min_jaccard=0.4
+        ).collect()
+    }
+    assert got[10] == (1, False)
+    assert got[11] == (0, True)

@@ -58,6 +58,11 @@ DEFAULT_QUERIES = [
     "q170_repetition_screen",
     "q171_rrf_fusion",
     "q172_mixture_allocation",
+    "q173_semantic_dedup",
+    "q174_unigram_surprisal",
+    "q175_dataset_card",
+    "q176_soft_dedup_weights",
+    "q178_incremental_dedup",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -86,6 +91,8 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q156_bm25_topk",
     # k-row centroid table attached to every vector per Lloyd round
     "q158_integer_kmeans",
+    # same k-row centroid crossJoins via the shared k-means assignment
+    "q173_semantic_dedup",
     # two 10-row top-k arms rank-joined; the corpus never reaches the
     # fusion join (TakeOrderedAndProject upstream in both arms)
     "q171_rrf_fusion",
@@ -95,6 +102,8 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q164_growth_accounting",
     # 1-row grand-total aggregate under the share-of-parent ratios
     "q166_share_of_parent",
+    # 1-row corpus-token-total aggregate under the surprisal scorer
+    "q174_unigram_surprisal",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

@@ -48,11 +48,15 @@ _PROMOTED = [
     "q162_simhash_banded",
     "q156_bm25_topk",
     "q169_ingest_lifecycle",
+    "q173_semantic_dedup",
+    "q180_versioned_dedup_ingest",
 ]
 
 _DEMOTED = {
     "q15_orders_per_customer",
     "q16_topk_orders",
+    "q17_top3_per_customer",
+    "q18_running_user_totals",
     "q19_rollup_counts",
     "q20_distinct_per_segment",
     "q21_intersect",

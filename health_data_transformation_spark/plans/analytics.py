@@ -6988,3 +6988,150 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
         corpus, batch,
         band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50,
     )
+
+
+@register(
+    "q179_quality_keeper",
+    """WITH reach AS ("""
+    + _q76_oracle()
+    + """),
+       scored AS (
+         SELECT r.component, r.node, d.n_chars
+         FROM reach r JOIN documents d ON r.node = d.doc_id),
+       ranked AS (
+         SELECT component, node, n_chars,
+                row_number() OVER (PARTITION BY component
+                                   ORDER BY n_chars DESC, node) AS rk
+         FROM scored)
+       SELECT component,
+              CAST(count(*) AS BIGINT) AS n_members,
+              CAST(max(CASE WHEN rk = 1 THEN node END) AS BIGINT)
+                AS keeper_id,
+              CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+                AS kept_chars
+       FROM ranked GROUP BY component""",
+    "quality-aware dedup keeper selection: near-dup clusters (q76's "
+    "MinHash-LSH -> connected components) keep their LONGEST member "
+    "(n_chars desc, doc_id tiebreak) instead of the arbitrary min-id — "
+    "the policy real corpus dedup uses, because near-duplicate groups "
+    "usually contain truncated/boilerplate-stripped variants and the "
+    "most complete copy should survive.  Implemented as one max_by "
+    "struct argmax per component (map-combinable aggregate, no "
+    "row_number window over the corpus; the oracle states the same "
+    "argmax via a per-component rank).  Scale: identical to q76 plus "
+    "one |clustered docs|-row join against the documents' metadata "
+    "column — the text never moves",
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    pairs = D.lsh_near_dup_pairs(
+        d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
+    ).select("id_a", "id_b")
+    components = D.connected_components(pairs)
+    scored = components.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    # argmax by (n_chars desc, node asc) via max_by on an ordered struct:
+    # invert n_chars ordering by negating inside the struct would break
+    # the exact-integer contract, so order on (n_chars, -node) and take
+    # max — n_chars dominates, and for equal n_chars the SMALLEST node
+    # wins because -node is maximal there
+    keeper = F.max_by(
+        F.struct(F.col("node").alias("k"), F.col("n_chars").alias("c")),
+        F.struct(F.col("n_chars"), (-F.col("node")).alias("nn")),
+    )
+    return scored.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_members"),
+        keeper.getField("k").cast("long").alias("keeper_id"),
+        keeper.getField("c").cast("long").alias("kept_chars"),
+    )
+
+
+@register(
+    "q180_versioned_dedup_ingest",
+    "WITH adm AS (SELECT doc_id FROM ("
+    + _q178_oracle()
+    + """) WHERE admitted),
+       v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 3),
+       v2 AS (SELECT * FROM v1
+              UNION ALL
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN adm ON d.doc_id = adm.doc_id),
+       h1 AS (SELECT """
+    + hex_hash64_sql("CAST(doc_id AS VARCHAR) || '|' || text")
+    + """ AS h FROM v1),
+       h2 AS (SELECT """
+    + hex_hash64_sql("CAST(doc_id AS VARCHAR) || '|' || text")
+    + """ AS h FROM v2)
+       SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+              CAST(sum(h % 1000000007) AS BIGINT) AS sum_mod
+       FROM h1
+       UNION ALL
+       SELECT 2, CAST(count(*) AS BIGINT), CAST(bit_xor(h) AS BIGINT),
+              CAST(sum(h % 1000000007) AS BIGINT)
+       FROM h2""",
+    "the capstone ingest pipeline, end to end: the stored corpus is "
+    "snapshot version 1 (snapshots.py commit), the incoming batch "
+    "passes the incremental near-dup gate (q178's batch-vs-corpus "
+    "MinHash banding + exact-Jaccard verify, no corpus rescan), and "
+    "ONLY the admitted documents commit as version 2 (atomic manifest "
+    "flip) — then BOTH versions are read back by version number and "
+    "content-fingerprinted.  This is what a 100 TB training-corpus "
+    "store actually runs on every delivery: reproducible versioned "
+    "snapshots, O(batch) dedup cost against the stored history, "
+    "auditable admission, time-travel to any prior corpus state.  The "
+    "oracle restates the admitted set and both version states "
+    "relationally — snapshot isolation, admission logic, and append "
+    "semantics all content-verified",
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotTable
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    in_batch = F.col("doc_id") % 7 == 3
+    corpus = d.filter(~in_batch)
+    batch = d.filter(in_batch)
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_q180_%s_%d"
+        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(spark, root)
+    t.commit_overwrite(corpus)
+
+    stored = t.read(version=1)
+    admitted = (
+        D.lsh_incremental_matches(
+            stored, batch,
+            band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50,
+        )
+        .filter(F.col("admitted"))
+        .select("doc_id")
+        .join(batch, "doc_id")
+    )
+    t.commit_append(admitted)
+
+    h = T.hex_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))
+    )
+
+    def fp(v: int) -> DataFrame:
+        return (
+            t.read(version=v)
+            .select(h.alias("h"))
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+                F.sum(F.col("h") % 1000000007).cast("long").alias("sum_mod"),
+            )
+            .select(F.lit(v).alias("version"), "n_docs", "xor_hash", "sum_mod")
+        )
+
+    return fp(1).unionByName(fp(2))

@@ -68,3 +68,22 @@ def test_bench_diff_gate(tmp_path):
         capture_output=True, text=True,
     )
     assert proc2.returncode == 0
+
+
+def test_explain_audit_names_exist_in_registry():
+    """The audit tool indexes queries() by name at runtime; a renamed
+    query must fail here, not as a KeyError mid-audit."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "explain_audit", "/root/repo/tools/explain_audit.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import __spark_entry__ as e
+
+    qs = set(e.queries())
+    missing = [n for n in mod.DEFAULT_QUERIES if n not in qs]
+    assert not missing, f"audit names not in registry: {missing}"
+    stale = [n for n in mod.ALLOWED_TINY_BROADCAST_CROSS if n not in qs]
+    assert not stale, f"allowlist names not in registry: {stale}"

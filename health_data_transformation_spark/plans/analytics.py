@@ -6503,7 +6503,9 @@ def q172(spark: SparkSession, sf: str) -> DataFrame:
     quota = counts.select(
         "source",
         "n_docs",
-        F.expr("1000 * n_docs").alias("scaled"),
+        # decimal(38,0): budget*count is corpus-scaled (q149-class wrap
+        # guard; DuckDB's // promotes to int128 on its own)
+        F.expr("CAST(n_docs AS DECIMAL(38,0)) * 1000").alias("scaled"),
         F.sum("n_docs").over(w).alias("total"),
     ).select(
         "source",

@@ -7137,3 +7137,26 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return fp(1).unionByName(fp(2))
+
+
+@register(
+    "q181_stream_incremental_dedup",
+    _q178_oracle(),
+    "the q178 ingest-time near-dup gate run as a STREAM "
+    "(streaming/ingest.py:stream_incremental_dedup): the batch "
+    "documents arrive as two microbatch files and foreachBatch runs "
+    "the identical banding/verify admission per arrival against the "
+    "stored corpus.  Admission is stateless given the store (each doc "
+    "consults only corpus signatures, never other arrivals), so the "
+    "union of per-microbatch verdicts provably equals the one-shot "
+    "batch result — and the oracle IS q178's relational statement, "
+    "making this a true streaming-equals-batch differential, not a "
+    "rows-only check.  At 100 TB the stored signature table is the "
+    "probe index and streaming state is empty: arrival granularity "
+    "(2 files here, thousands of deliveries in production) cannot "
+    "change the admitted set",
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.ingest import stream_incremental_dedup
+
+    return stream_incremental_dedup(spark, sf)

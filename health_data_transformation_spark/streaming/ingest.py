@@ -113,3 +113,87 @@ def stream_load_quality(
     finally:
         query.stop()
     return reports
+
+
+def stream_incremental_dedup(
+    spark,
+    sf_dir: str,
+    timeout_sec: int = 300,
+):
+    """Streaming near-dup admission: each arriving microbatch of new
+    documents is gated against the STORED corpus before landing.
+
+    The batch twin is ``operators.dedup.lsh_incremental_matches``
+    (q178); here the batch documents (doc_id % 7 = 3) arrive as TWO
+    microbatch files (split by doc parity, maxFilesPerTrigger=1) and
+    ``foreachBatch`` runs the identical admission pipeline per
+    microbatch, appending verdicts to a result sink.  Because admission
+    only ever consults the stored corpus (never other batch docs), the
+    union of per-microbatch verdicts EQUALS the batch result — which is
+    what the q181 oracle (the same relational statement as q178's)
+    verifies end to end.  State story at 100 TB: the corpus signature
+    table is the probe-side index; streaming state itself is empty (no
+    watermark needed — admission is stateless given the store), so
+    arrival granularity changes nothing.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from ..operators.dedup import lsh_incremental_matches
+    from ..sources.tables import load_table
+    from .windows import narrow_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    in_batch = F.col("doc_id") % 7 == 3
+    corpus = d.filter(~in_batch)
+    batch_docs = d.filter(in_batch)
+
+    stage = tempfile.mkdtemp(prefix="hdt_stream_inc_")
+    out_dir = os.path.join(stage, "_verdicts")
+
+    def stage_file(df, name: str) -> None:
+        # the file stream source lists plain files, not nested dirs:
+        # write a single-part parquet dir, then hoist its part file up
+        # as stage/<name>
+        tmp = os.path.join(stage, "_tmp_" + name)
+        df.coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.rename(os.path.join(tmp, part), os.path.join(stage, name))
+
+    stage_file(
+        batch_docs.filter(F.col("doc_id") % 2 == 0), "arrival1.parquet"
+    )
+    stage_file(
+        batch_docs.filter(F.col("doc_id") % 2 == 1), "arrival2.parquet"
+    )
+
+    def admit(bdf, batch_id: int) -> None:
+        lsh_incremental_matches(
+            corpus, bdf,
+            band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50,
+        ).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    name = f"inc_dedup_{uuid.uuid4().hex[:8]}"
+    with narrow_shuffle(spark):
+        query = (
+            stream.writeStream.foreachBatch(admit)
+            .queryName(name)
+            .option(
+                "checkpointLocation", os.path.join(stage, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
+    return spark.read.parquet(out_dir)

@@ -330,3 +330,20 @@ def test_incremental_lsh_rejects_corpus_duplicates(spark):
     }
     assert got[10] == (1, False)
     assert got[11] == (0, True)
+
+
+def test_hamilton_allocation_properties(spark):
+    """Largest-remainder allocation: allocs sum EXACTLY to the budget,
+    and each source gets floor(quota) or floor(quota)+1 (never more
+    drift — the property that distinguishes Hamilton from naive
+    rounding)."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["q172_mixture_allocation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert sum(r["alloc"] for r in rows) == 1000
+    for r in rows:
+        base = (1000 * r["n_docs"]) // total_docs
+        assert r["alloc"] in (base, base + 1), (r, base)

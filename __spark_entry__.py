@@ -50,6 +50,7 @@ _PROMOTED = [
     "q169_ingest_lifecycle",
     "q173_semantic_dedup",
     "q180_versioned_dedup_ingest",
+    "q181_stream_incremental_dedup",
 ]
 
 _DEMOTED = {
@@ -63,6 +64,7 @@ _DEMOTED = {
     "q22_except",
     "q28_cube_counts",
     "q29_pivot",
+    "q70_sorted_collect",
 }
 
 

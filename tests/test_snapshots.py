@@ -60,3 +60,13 @@ def test_read_empty_table_raises(spark, tmp_path):
         t.read()
     assert t.current_version() == 0
     assert not os.listdir(os.path.join(str(tmp_path / "t"), "data"))
+
+
+def test_upsert_as_first_commit_is_overwrite(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v = t.commit_upsert(
+        spark.createDataFrame([(1, "a")], "k int, v string"), keys=["k"]
+    )
+    assert v == 1
+    assert rows(t.read()) == [(1, "a")]
+    assert [m["op"] for m in t.history()] == ["overwrite"]

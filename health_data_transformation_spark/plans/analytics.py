@@ -7160,3 +7160,246 @@ def q181(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.ingest import stream_incremental_dedup
 
     return stream_incremental_dedup(spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# round-3 continuation: crawl/curation staples (q182-q184)
+# ---------------------------------------------------------------------------
+
+_Q182_HOST_SQL = (
+    "(CASE CAST({h_sub} % 4 AS INTEGER) WHEN 0 THEN 'www' WHEN 1 THEN 'cdn' "
+    "WHEN 2 THEN 'blog' ELSE 'm' END) || '.' || "
+    "('d' || substr(md5('dom|' || CAST(doc_id AS VARCHAR)), 1, 2)) || '.' || "
+    "(CASE CAST({h_tld} % 4 AS INTEGER) WHEN 0 THEN 'com' WHEN 1 THEN 'org' "
+    "WHEN 2 THEN 'net' ELSE 'io' END)"
+).format(
+    h_sub=hex_hash64_sql("CAST(doc_id AS VARCHAR)", "sub"),
+    h_tld=hex_hash64_sql("CAST(doc_id AS VARCHAR)", "tld"),
+)
+
+
+@register(
+    "q182_domain_stats",
+    f"""WITH urls AS (
+          SELECT doc_id,
+                 {_Q182_HOST_SQL} AS host,
+                 len(string_split(text, ' ')) AS n_tok,
+                 {fingerprint_sql('text')} AS fp
+          FROM documents),
+        labeled AS (
+          SELECT doc_id, n_tok, fp,
+                 split_part(host, '.', 1) AS sub,
+                 split_part(host, '.', 2) || '.' || split_part(host, '.', 3)
+                   AS domain
+          FROM urls)
+       SELECT domain,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT sub) AS BIGINT) AS n_subdomains,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dup
+       FROM labeled GROUP BY domain""",
+    "per-registrable-domain corpus rollup (the crawl-curation staple: "
+    "domain-level doc counts, subdomain spread, token mass, and "
+    "exact-duplicate density drive domain allow/deny lists).  URLs are "
+    "synthesized deterministically from doc_id (md5-derived subdomain/"
+    "domain/TLD — no URL column in the testdata), the host is extracted "
+    "with Spark's built-in parse_url (JVM-side, codegen), and the "
+    "registrable domain is the last two host labels "
+    "(substring_index(host, '.', -2) — the public-suffix heuristic; a "
+    "real PSL lookup is a broadcast join against the suffix list).  "
+    "Plan: one scan computing row-local url/host/fingerprint columns, "
+    "one per-domain aggregate with two count-distincts (shuffles "
+    "(domain, sub|fp) pairs, map-side partial).  ~256 domains at any "
+    "scale, so the aggregate output is constant-size",
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    h_sub = T.hex_hash64(did, salt="sub")
+    h_tld = T.hex_hash64(did, salt="tld")
+    subs = F.array(F.lit("www"), F.lit("cdn"), F.lit("blog"), F.lit("m"))
+    tlds = F.array(F.lit("com"), F.lit("org"), F.lit("net"), F.lit("io"))
+    url = F.concat(
+        F.lit("https://"),
+        F.element_at(subs, (h_sub % 4 + 1).cast("int")),
+        F.lit("."),
+        F.lit("d"),
+        F.substring(F.md5(F.concat(F.lit("dom|"), did)), 1, 2),
+        F.lit("."),
+        F.element_at(tlds, (h_tld % 4 + 1).cast("int")),
+        F.lit("/p/"),
+        did,
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    base = d.select(
+        host.alias("host"),
+        F.substring_index(host, ".", 1).alias("sub"),
+        F.substring_index(host, ".", -2).alias("domain"),
+        T.token_count("text").alias("n_tok"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    return base.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("sub").cast("long").alias("n_subdomains"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        (F.count("*") - F.countDistinct("fp")).cast("long").alias("n_exact_dup"),
+    )
+
+
+Q183_SHARD_SIZE = 1000
+
+
+@register(
+    "q183_train_shard_manifest",
+    f"""WITH base AS (
+          SELECT doc_id,
+                 {hex_hash64_sql("CAST(doc_id AS VARCHAR)", "shard")} AS shk,
+                 len(string_split(text, ' ')) AS n_tok
+          FROM documents),
+        ordered AS (
+          SELECT *, row_number() OVER (ORDER BY shk, doc_id) AS rn
+          FROM base)
+       SELECT CAST((rn - 1) // {Q183_SHARD_SIZE} AS BIGINT) AS shard,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              CAST(min(rn) AS BIGINT) AS first_rn,
+              CAST(max(rn) AS BIGINT) AS last_rn,
+              CAST(sum(shk % 1000000007) AS BIGINT) AS checksum_mod
+       FROM ordered GROUP BY 1""",
+    "deterministic global shuffle-and-shard manifest (the training-"
+    "export step: order the corpus by a seeded hash so every run and "
+    "every engine produces the SAME shuffle, cut it into fixed-size "
+    "shards, and emit the per-shard manifest - counts, token mass, rn "
+    "range, content checksum - that the trainer validates before "
+    "reading).  The global order comes from operators/topk.py:"
+    "global_row_number (range-partition on the hash key, rank locally, "
+    "shift by per-partition offsets - one scalar collect of partition "
+    "COUNTS, never a single-partition window), so the shuffle order is "
+    "total, reproducible, and 100 TB-safe; shard assignment is then a "
+    "row-local div.  Contrast a rand()-based shuffle: not reproducible "
+    "across retries, and un-oracle-able",
+)
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    base = d.select(
+        "doc_id",
+        T.hex_hash64(F.col("doc_id").cast("string"), salt="shard").alias("shk"),
+        T.token_count("text").alias("n_tok"),
+    )
+    ordered = K.global_row_number(base, [F.col("shk"), F.col("doc_id")])
+    return (
+        ordered.withColumn(
+            "shard", F.expr(f"(rn - 1) div {Q183_SHARD_SIZE}")
+        )
+        .groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("rn").cast("long").alias("first_rn"),
+            F.max("rn").cast("long").alias("last_rn"),
+            F.sum(F.col("shk") % 1000000007).cast("long").alias("checksum_mod"),
+        )
+    )
+
+
+_Q184_PERDOC_SQL = """toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       tot AS (SELECT sum(c) AS t FROM freq),
+       scored AS (
+         SELECT toks.doc_id,
+                length(printf('%b', CAST(t // c AS BIGINT))) - 1 AS s
+         FROM toks JOIN freq USING (tok), tot),
+       per_doc AS (
+         SELECT doc_id, (sum(s) * 1000000) // count(*) AS sppm
+         FROM scored GROUP BY doc_id)"""
+
+
+@register(
+    "q184_perplexity_buckets",
+    f"""WITH {_Q184_PERDOC_SQL},
+       sc AS (
+         SELECT d.lang, p.sppm AS s
+         FROM per_doc p JOIN documents d USING (doc_id)),
+       perv AS (SELECT lang, s, count(*) AS c FROM sc GROUP BY lang, s),
+       cumv AS (
+         SELECT lang, s,
+                sum(c) OVER (PARTITION BY lang ORDER BY s) AS cum,
+                sum(c) OVER (PARTITION BY lang) AS tot
+         FROM perv),
+       thr AS (
+         SELECT lang,
+                min(s) FILTER (WHERE cum * 3 >= tot) AS t1,
+                min(s) FILTER (WHERE cum * 3 >= 2 * tot) AS t2
+         FROM cumv GROUP BY lang)
+       SELECT sc.lang,
+              CASE WHEN s <= t1 THEN 'head'
+                   WHEN s <= t2 THEN 'middle'
+                   ELSE 'tail' END AS bucket,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(min(s) AS BIGINT) AS min_ppm,
+              CAST(max(s) AS BIGINT) AS max_ppm
+       FROM sc JOIN thr USING (lang) GROUP BY 1, 2""",
+    "CCNet-style per-language head/middle/tail split: every document "
+    "scored by unigram surprisal (q174's integer bit-length log2), "
+    "then bucketed by its language's surprisal TERTILES - head is the "
+    "most-fluent third, tail the most-gibberish third; curation "
+    "pipelines keep head+middle and route tail to review.  The tertile "
+    "thresholds are exact lower quantiles (smallest v with cum*3 >= "
+    "q*total, all-integer) computed by operators/profile.py:"
+    "grouped_weighted_quantile - the two-phase bin-then-refine shape "
+    "whose windows only ever run over per-bin aggregates, so no "
+    "language's doc set funnels through one task even when one "
+    "language dominates the corpus (they always do).  The |langs|-row "
+    "threshold table broadcasts back onto the per-doc frame; bucketing "
+    "is row-local.  Shuffles: vocab agg, freq join, per-doc agg "
+    "(q174's three), plus two bounded bin aggs - nothing quadratic",
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profile import grouped_weighted_quantile
+
+    d = load_table(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    per_doc = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("t div c"))) - 1).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.expr("(sum(s) * 1000000) div count(*)").alias("sppm"))
+    )
+    sc = per_doc.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang", F.col("sppm").alias("s"), F.lit(1).alias("w")
+    )
+    # three consumers (two quantile passes + the bucketing join) would
+    # each re-run the token-explode pipeline; materialize the tiny
+    # (lang, sppm) frame once — one row per doc, q105's recompute lesson
+    sc = sc.localCheckpoint()
+    t1 = grouped_weighted_quantile(sc, "lang", "s", "w", q_num=1, q_den=3)
+    t2 = grouped_weighted_quantile(sc, "lang", "s", "w", q_num=2, q_den=3)
+    thr = (
+        t1.select("lang", F.col("quantile_value").alias("t1"))
+        .join(
+            t2.select("lang", F.col("quantile_value").alias("t2")), "lang"
+        )
+    )
+    bucket = (
+        F.when(F.col("s") <= F.col("t1"), F.lit("head"))
+        .when(F.col("s") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        sc.join(F.broadcast(thr), "lang")
+        .select("lang", bucket.alias("bucket"), "s")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("s").cast("long").alias("min_ppm"),
+            F.max("s").cast("long").alias("max_ppm"),
+        )
+    )

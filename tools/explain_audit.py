@@ -63,6 +63,9 @@ DEFAULT_QUERIES = [
     "q175_dataset_card",
     "q176_soft_dedup_weights",
     "q178_incremental_dedup",
+    "q182_domain_stats",
+    "q183_train_shard_manifest",
+    "q184_perplexity_buckets",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -104,6 +107,8 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q166_share_of_parent",
     # 1-row corpus-token-total aggregate under the surprisal scorer
     "q174_unigram_surprisal",
+    # q174's corpus-total cross join feeding the per-language tertiles
+    "q184_perplexity_buckets",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.deterministic import (
     bucket_str_sql,
+    day_str_sql,
     floor6,
     dec_avg,
     dec_avg_sql,
@@ -7402,4 +7403,135 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
             F.min("s").cast("long").alias("min_ppm"),
             F.max("s").cast("long").alias("max_ppm"),
         )
+    )
+
+
+@register(
+    "q185_bpe_pair_counts",
+    """WITH toks AS (
+         SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       wf AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       ex AS (
+         SELECT tok, c, unnest(range(1, len(tok))) AS i
+         FROM wf WHERE len(tok) >= 2),
+       pairs AS (
+         SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair, sum(c) AS n
+         FROM ex GROUP BY 1)
+       SELECT pair, CAST(n AS BIGINT) AS n
+       FROM pairs ORDER BY n DESC, pair LIMIT 50""",
+    "BPE-merge pair statistics (the inner-loop aggregate of tokenizer "
+    "training): corpus-weighted frequency of every adjacent character "
+    "pair, top-50.  The classic scale trick is structural here: pairs "
+    "are counted over the DISTINCT-WORD table weighted by word "
+    "frequency, not over the raw token stream — the explode factor "
+    "applies to |vocab| rows, orders of magnitude below corpus tokens, "
+    "and the word-frequency aggregate that feeds it is map-side "
+    "combinable.  Pair extraction is substring(tok, i, 2) over an "
+    "exploded 1..len-1 sequence (row-local, codegen; no char-array "
+    "materialization), and the top-50 is TakeOrderedAndProject with a "
+    "total-order tiebreak, never a global sort",
+)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = d.select(F.explode(T.tokens("text")).alias("tok"))
+    wf = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    ex = wf.filter(F.length("tok") >= 2).select(
+        "tok",
+        "c",
+        F.explode(
+            F.sequence(F.lit(1), F.length("tok") - 1)
+        ).alias("i"),
+    )
+    pairs = (
+        ex.select(F.expr("substring(tok, i, 2)").alias("pair"), "c")
+        .groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("n"))
+    )
+    return K.top_k(pairs, [F.col("n").desc(), F.col("pair")], 50)
+
+
+@register(
+    "q186_dup_span_table",
+    f"""WITH sh AS (
+          SELECT doc_id, unnest({T.token_shingles_sql('text', 10)}) AS s
+          FROM documents)
+       SELECT md5(s) AS span_hash,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_occ,
+              CAST(min(doc_id) AS BIGINT) AS example_doc
+       FROM sh GROUP BY md5(s)
+       HAVING count(DISTINCT doc_id) >= 2""",
+    "exact duplicated-span table (the target list for substring-level "
+    "dedup a la Lee et al.'s 'Deduplicating Training Data Makes "
+    "Language Models Better': every 10-token span occurring in two or "
+    "more distinct documents, with occurrence count and an example "
+    "doc).  Spans come from the q114 rolling-shingle expression "
+    "(zip_with fold — row-local, codegen, NON-distinct so repeats "
+    "within a doc count as occurrences), keyed by md5 so the grouping "
+    "shuffles fixed-width hashes instead of 10-token strings.  The "
+    "group-by is the only shuffle; count(distinct doc_id) expands to "
+    "the standard two-phase partial aggregate.  Downstream, this table "
+    "joins back to the corpus as the removal/masking work list — the "
+    "memorization-risk spans at 100 TB are exactly its heavy hitters",
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(T.token_shingles("text", 10)).alias("s"),
+    )
+    return (
+        sh.select("doc_id", F.md5("s").alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occ"),
+            F.min("doc_id").cast("long").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+_Q187_DIM_HASH = hex_hash64_sql("event_type", "dim")
+
+
+@register(
+    "q187_stream_static_enrich",
+    f"""WITH ev AS (
+          SELECT * FROM events
+          WHERE ts >= TIMESTAMP '{WEEK_LO}' AND ts < TIMESTAMP '{WEEK_HI}'),
+        dim AS (
+          SELECT DISTINCT event_type,
+                 CASE CAST({_Q187_DIM_HASH} % 3 AS INTEGER)
+                   WHEN 0 THEN 'critical' WHEN 1 THEN 'routine'
+                   ELSE 'audit' END AS category,
+                 CAST({_Q187_DIM_HASH} % 10 AS INTEGER) AS weight
+          FROM ev)
+       SELECT category, {day_str_sql('ts')} AS day,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(weight) AS BIGINT) AS sum_weight,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM ev JOIN dim USING (event_type)
+       GROUP BY category, day""",
+    "stream-static enrichment (streaming/ingest.py:"
+    "stream_static_enrich): one week of events arrives as two "
+    "microbatch files and foreachBatch broadcast-joins each arrival "
+    "against a deterministic event-type dimension (category/weight "
+    "from the md5 hash family so the oracle rebuilds the dim "
+    "relationally).  Enrichment is row-local — no state, no watermark "
+    "— so the sink's union over ANY arrival granularity equals the "
+    "batch join, and the oracle IS the batch statement: a true "
+    "streaming-equals-batch differential.  The per-(category, day) "
+    "rollup here runs over the enriched sink.  At 100 TB the dim "
+    "broadcasts (|event types| rows) and each microbatch is a "
+    "map-side hash probe — the stream itself never shuffles",
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.ingest import stream_static_enrich
+
+    enriched = stream_static_enrich(spark, sf)
+    return enriched.groupBy("category", "day").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("weight").cast("long").alias("sum_weight"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
     )

@@ -197,3 +197,96 @@ def stream_incremental_dedup(
         )
         query.awaitTermination(timeout_sec)
     return spark.read.parquet(out_dir)
+
+
+def stream_static_enrich(
+    spark,
+    sf_dir: str,
+    lo: str = "2024-01-08",
+    hi: str = "2024-01-15",
+    timeout_sec: int = 300,
+):
+    """Stream-static enrichment: an event stream joined per-microbatch
+    against a broadcast dimension table (the canonical streaming shape:
+    facts arrive, dims sit still).
+
+    One week of events arrives as TWO microbatch files
+    (maxFilesPerTrigger=1, split by event_id parity); ``foreachBatch``
+    broadcast-joins each arrival against a deterministic event-type
+    dimension (category + weight derived from the md5 hash family, so
+    DuckDB can rebuild the identical dim relationally) and appends the
+    enriched rows to a sink.  Enrichment is row-local — no state, no
+    watermark — so the sink's union over any arrival granularity EQUALS
+    the batch join; the q187 oracle verifies exactly that.  At 100 TB
+    the dim is the broadcast side (|event types| rows) and the stream
+    never shuffles: each microbatch is a map-side hash probe.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from ..functions.deterministic import day_str
+    from ..functions.text import hex_hash64
+    from ..sources.tables import load_events_range
+    from .windows import narrow_shuffle
+
+    ev = load_events_range(spark, sf_dir, lo=lo, hi=hi).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+    h = hex_hash64(F.col("event_type"), salt="dim")
+    cats = F.array(F.lit("critical"), F.lit("routine"), F.lit("audit"))
+    dim = ev.select("event_type").distinct().select(
+        "event_type",
+        F.element_at(cats, (h % 3 + 1).cast("int")).alias("category"),
+        (h % 10).cast("int").alias("weight"),
+    )
+
+    stage = tempfile.mkdtemp(prefix="hdt_stream_enrich_")
+    out_dir = os.path.join(stage, "_enriched")
+
+    def stage_file(df, name: str) -> None:
+        tmp = os.path.join(stage, "_tmp_" + name)
+        df.coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.rename(os.path.join(tmp, part), os.path.join(stage, name))
+
+    stage_file(ev.filter(F.col("event_id") % 2 == 0), "arrival1.parquet")
+    stage_file(ev.filter(F.col("event_id") % 2 == 1), "arrival2.parquet")
+
+    def enrich(bdf, batch_id: int) -> None:
+        (
+            bdf.join(F.broadcast(dim), "event_type")
+            .select(
+                "category",
+                day_str("ts").alias("day"),
+                "user_id",
+                "weight",
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    with narrow_shuffle(spark):
+        query = (
+            stream.writeStream.foreachBatch(enrich)
+            .queryName(name)
+            .option(
+                "checkpointLocation", os.path.join(stage, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
+    return spark.read.parquet(out_dir)

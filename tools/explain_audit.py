@@ -66,6 +66,8 @@ DEFAULT_QUERIES = [
     "q182_domain_stats",
     "q183_train_shard_manifest",
     "q184_perplexity_buckets",
+    "q185_bpe_pair_counts",
+    "q186_dup_span_table",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the

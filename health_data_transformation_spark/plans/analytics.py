@@ -7535,3 +7535,192 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("weight").cast("long").alias("sum_weight"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@register(
+    "q188_source_overlap",
+    f"""WITH sh AS (
+          SELECT DISTINCT source, md5(s) AS h FROM (
+            SELECT source, unnest({T.token_shingles_sql('text', 5)}) AS s
+            FROM documents)),
+       pairs AS (
+         SELECT a.source AS source_a, b.source AS source_b
+         FROM sh a JOIN sh b USING (h)
+         WHERE a.source < b.source)
+       SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared
+       FROM pairs GROUP BY 1, 2""",
+    "cross-source contamination matrix (which crawl sources copy from "
+    "each other): for every source pair, the number of distinct "
+    "5-token shingles they share.  The oracle states it as a shingle "
+    "self-join; the Spark plan is the scale-safe factoring — distinct "
+    "(source, md5-shingle) pairs, then ONE groupBy collecting each "
+    "shingle's source SET (bounded by |sources|, not occurrences), "
+    "then row-local combination expansion (transform's (x, i) index "
+    "form + slice — at most C(|sources|, 2) structs per shingle) and a "
+    "|sources|^2-row count.  No self-join ever touches the data: a "
+    "shingle shared by S sources costs S set entries and C(S,2) "
+    "emitted pairs, never an S^2 join blow-up against the corpus, and "
+    "the md5 keys keep the shuffle fixed-width",
+)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    sh = (
+        d.select("source", F.explode(T.token_shingles("text", 5)).alias("s"))
+        .select("source", F.md5("s").alias("h"))
+        .distinct()
+    )
+    srcs = (
+        sh.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = srcs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (x, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), "
+                "y -> struct(x AS source_a, y AS source_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+def _q189_state_sql(version: int) -> str:
+    """Relational restatement of snapshot version N of the q189 table
+    (schema evolution: v1 two columns, v2 adds bal_cents via widened
+    append, v3 narrow-batch upsert that null-fills seg)."""
+    v1 = (
+        "SELECT c_custkey AS k, c_mktsegment AS seg,"
+        " CAST(NULL AS BIGINT) AS bal_cents"
+        " FROM customer WHERE c_custkey % 3 = 0"
+    )
+    v2 = (
+        f"{v1} UNION ALL "
+        "SELECT c_custkey AS k, c_mktsegment AS seg,"
+        " CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents"
+        " FROM customer WHERE c_custkey % 3 = 1"
+    )
+    if version == 1:
+        return v1
+    if version == 2:
+        return v2
+    return (
+        f"SELECT * FROM ({v2}) prev WHERE prev.k % 6 != 0"
+        " UNION ALL "
+        "SELECT c_custkey AS k, CAST(NULL AS VARCHAR) AS seg,"
+        " 999 AS bal_cents"
+        " FROM customer WHERE c_custkey % 6 = 0"
+    )
+
+
+@register(
+    "q189_schema_evolution",
+    "WITH "
+    + ", ".join(f"s{v} AS ({_q189_state_sql(v)})" for v in (1, 2, 3))
+    + """
+       SELECT * FROM ("""
+    + " UNION ALL ".join(
+        f"""SELECT {v} AS version, CAST({2 if v == 1 else 3} AS INTEGER) AS n_cols,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE seg IS NULL) AS BIGINT) AS n_seg_null,
+               CAST(sum(coalesce(bal_cents, 0)) AS BIGINT) AS sum_bal,
+               CAST(bit_xor({hex_hash64_sql("CAST(k AS VARCHAR) || '|' || coalesce(seg, '~') || '|' || CAST(coalesce(bal_cents, -1) AS VARCHAR)")}) AS BIGINT) AS xor_hash
+           FROM s{v}"""
+        for v in (1, 2, 3)
+    )
+    + ") t",
+    "schema evolution differential (snapshots.py additive merge): v1 "
+    "commits a 2-column table, v2 appends a WIDENED batch "
+    "(merge_schema=True adds bal_cents; old files read it as NULL), "
+    "v3 MERGE-upserts a NARROW batch (omits seg, which null-fills for "
+    "replaced rows).  The evolved schema lives in the MANIFEST and "
+    "reads plan from it with an explicit schema — never a mergeSchema "
+    "footer scan over the table's files, which at 100 TB is a "
+    "planning-time full-metadata pass (the Delta/Iceberg log-schema "
+    "design).  Each version is then time-travel read and "
+    "fingerprinted: column COUNT (proves v1 keeps its original "
+    "2-column shape), row count, null tallies in both evolved "
+    "directions, exact-cents sum, xor of row hashes with canonicalized "
+    "nulls.  The oracle restates all three states relationally from "
+    "customer",
+)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotTable
+
+    c = load_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_q189_%s_%d"
+        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(spark, root)
+    t.commit_overwrite(
+        c.filter(k % 3 == 0).select(
+            k.alias("k"), F.col("c_mktsegment").alias("seg")
+        )
+    )
+    t.commit_append(
+        c.filter(k % 3 == 1).select(
+            k.alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            cents.alias("bal_cents"),
+        ),
+        merge_schema=True,
+    )
+    t.commit_upsert(
+        c.filter(k % 6 == 0).select(
+            k.alias("k"), F.lit(999).cast("long").alias("bal_cents")
+        ),
+        keys=["k"],
+    )
+
+    h = T.hex_hash64(
+        F.concat(
+            F.col("k").cast("string"),
+            F.lit("|"),
+            F.coalesce(F.col("seg"), F.lit("~")),
+            F.lit("|"),
+            F.coalesce(F.col("bal_cents"), F.lit(-1)).cast("string"),
+        )
+    )
+
+    def fp(v: int) -> DataFrame:
+        df = t.read(version=v)
+        n_cols = len(df.columns)
+        if "bal_cents" not in df.columns:
+            df = df.withColumn("bal_cents", F.lit(None).cast("long"))
+        return (
+            df.select(h.alias("h"), "seg", "bal_cents")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.col("seg").isNull().cast("long"))
+                .cast("long")
+                .alias("n_seg_null"),
+                F.sum(F.coalesce(F.col("bal_cents"), F.lit(0)))
+                .cast("long")
+                .alias("sum_bal"),
+                F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+            )
+            .select(
+                F.lit(v).alias("version"),
+                F.lit(n_cols).alias("n_cols"),
+                "n_rows",
+                "n_seg_null",
+                "sum_bal",
+                "xor_hash",
+            )
+        )
+
+    return fp(1).unionByName(fp(2)).unionByName(fp(3))

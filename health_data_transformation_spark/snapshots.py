@@ -38,10 +38,15 @@ import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 class SnapshotConflict(RuntimeError):
     """Another committer published this version first; retry on top."""
+
+
+class SchemaEvolutionError(RuntimeError):
+    """Batch schema conflicts with the table schema (type change)."""
 
 
 class SnapshotTable:
@@ -73,8 +78,16 @@ class SnapshotTable:
             for v in range(1, self.current_version() + 1)
         ]
 
-    def _publish(self, version: int, dirs: list[str], op: str) -> int:
+    def _publish(
+        self,
+        version: int,
+        dirs: list[str],
+        op: str,
+        schema: StructType | None = None,
+    ) -> int:
         manifest = {"version": version, "op": op, "dirs": dirs}
+        if schema is not None:
+            manifest["schema"] = schema.json()
         path = self._manifest_path(version)
         if os.path.exists(path):
             raise SnapshotConflict(f"version {version} already committed")
@@ -97,19 +110,65 @@ class SnapshotTable:
         df.write.mode("error").parquet(d)
         return d
 
-    def commit_append(self, df: DataFrame) -> int:
-        """Version N+1 = version N plus the batch (blind append)."""
+    def _table_schema(self, version: int) -> StructType | None:
+        """Schema recorded at ``version`` (None for pre-evolution
+        manifests, which read with footer inference)."""
+        if version < 1:
+            return None
+        m = self._read_manifest(version)
+        return (
+            StructType.fromJson(json.loads(m["schema"]))
+            if "schema" in m
+            else None
+        )
+
+    def _evolve_schema(
+        self, current: StructType | None, batch: StructType
+    ) -> StructType:
+        """Delta-style additive schema merge: batch may ADD columns
+        (appended in batch order) and may OMIT existing ones
+        (null-filled on read); changing an existing column's type is a
+        conflict.  The merged schema lives in the MANIFEST, so readers
+        plan from the log — never from file footers (O(1) planning,
+        no mergeSchema scan over 100 TB of part files)."""
+        if current is None:
+            return batch
+        cur = {f.name: f for f in current.fields}
+        for f in batch.fields:
+            if f.name in cur and cur[f.name].dataType != f.dataType:
+                raise SchemaEvolutionError(
+                    f"column {f.name}: {cur[f.name].dataType} -> "
+                    f"{f.dataType} is not an additive evolution"
+                )
+        new = [f for f in batch.fields if f.name not in cur]
+        return StructType(list(current.fields) + new)
+
+    def commit_append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Version N+1 = version N plus the batch (blind append).
+
+        ``merge_schema=True`` permits additive evolution: new batch
+        columns join the table schema; rows from older files read as
+        NULL in them."""
         v = self.current_version() + 1
+        current = self._table_schema(v - 1)
+        if not merge_schema and current is not None and set(
+            f.name for f in df.schema.fields
+        ) != set(f.name for f in current.fields):
+            raise SchemaEvolutionError(
+                "batch columns differ from table schema; pass "
+                "merge_schema=True to evolve additively"
+            )
+        schema = self._evolve_schema(current, df.schema)
         new_dir = self._write_data(df, v, "append")
         prev = self._read_manifest(v - 1)["dirs"] if v > 1 else []
-        return self._publish(v, prev + [new_dir], "append")
+        return self._publish(v, prev + [new_dir], "append", schema)
 
     def commit_overwrite(self, df: DataFrame) -> int:
         """Version N+1 = exactly the batch; prior files stay for time
         travel (nothing is deleted)."""
         v = self.current_version() + 1
         new_dir = self._write_data(df, v, "overwrite")
-        return self._publish(v, [new_dir], "overwrite")
+        return self._publish(v, [new_dir], "overwrite", df.schema)
 
     def commit_upsert(self, df: DataFrame, keys: Sequence[str]) -> int:
         """MERGE: batch rows replace same-key rows, others survive.
@@ -122,11 +181,14 @@ class SnapshotTable:
         v = self.current_version() + 1
         if v == 1:
             return self.commit_overwrite(df)
+        schema = self._evolve_schema(self._table_schema(v - 1), df.schema)
         current = self.read()
         survivors = current.join(df.select(*keys), list(keys), "left_anti")
-        merged = survivors.unionByName(df).localCheckpoint()
+        merged = survivors.unionByName(
+            df, allowMissingColumns=True
+        ).localCheckpoint()
         new_dir = self._write_data(merged, v, "upsert")
-        return self._publish(v, [new_dir], "upsert")
+        return self._publish(v, [new_dir], "upsert", schema)
 
     # -- reads ---------------------------------------------------------------
 
@@ -137,4 +199,10 @@ class SnapshotTable:
         if v < 1:
             raise ValueError(f"no snapshots in {self.root}")
         dirs = self._read_manifest(v)["dirs"]
-        return self.spark.read.parquet(*dirs)
+        schema = self._table_schema(v)
+        reader = self.spark.read
+        if schema is not None:
+            # explicit log schema: files missing evolved columns read
+            # them as NULL, and planning never touches file footers
+            reader = reader.schema(schema)
+        return reader.parquet(*dirs)

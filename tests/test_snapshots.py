@@ -70,3 +70,42 @@ def test_upsert_as_first_commit_is_overwrite(spark, tmp_path):
     assert v == 1
     assert rows(t.read()) == [(1, "a")]
     assert [m["op"] for m in t.history()] == ["overwrite"]
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    from health_data_transformation_spark.snapshots import (
+        SchemaEvolutionError,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    )
+    # widened batch adds `q`; old rows must read q as NULL
+    t.commit_append(
+        spark.createDataFrame([(3, "c", 30)], "k int, v string, q int"),
+        merge_schema=True,
+    )
+    assert t.read().columns == ["k", "v", "q"]
+    assert rows(t.read()) == [(1, "a", None), (2, "b", None), (3, "c", 30)]
+    # time travel keeps the ORIGINAL schema for the original version
+    assert t.read(version=1).columns == ["k", "v"]
+
+    # narrow batch (omits v) is additive too: v null-fills via upsert
+    t.commit_upsert(
+        spark.createDataFrame([(1, 10)], "k int, q int"), keys=["k"]
+    )
+    got = {r["k"]: (r["v"], r["q"]) for r in t.read().collect()}
+    assert got[1] == (None, 10) and got[3] == ("c", 30)
+
+    # un-flagged append with differing columns is rejected
+    with pytest.raises(SchemaEvolutionError):
+        t.commit_append(
+            spark.createDataFrame([(5, 6)], "k int, w int")
+        )
+    # type change is never additive
+    with pytest.raises(SchemaEvolutionError):
+        t.commit_append(
+            spark.createDataFrame([("x", "y")], "k string, v string"),
+            merge_schema=True,
+        )

@@ -68,6 +68,7 @@ DEFAULT_QUERIES = [
     "q184_perplexity_buckets",
     "q185_bpe_pair_counts",
     "q186_dup_span_table",
+    "q188_source_overlap",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the

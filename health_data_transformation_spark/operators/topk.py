@@ -92,3 +92,33 @@ def global_row_number(
         part.withColumn(out_col, F.row_number().over(w) + off_expr)
         .drop("_pid")
     )
+
+
+def top_k_per_group_scalable(
+    df: DataFrame, group_by: Sequence[str], order_by: Sequence[Column], k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact per-group top-k WITHOUT funneling any group through one task.
+
+    ``top_k_per_group`` partitions the window by the group key, so a
+    group holding a large fraction of the data (20 anchors over a
+    100 TB candidate set) sorts through a single task.  This is the
+    two-phase shape: rank within (group, physical partition) first —
+    every task sees only its own slice, survivors are bounded by
+    k * num_partitions per group — then rank the survivors with the
+    small per-group window.  Exact for any total-order ``order_by``
+    (the global top-k of a group is contained in the union of its
+    per-partition top-ks).
+    """
+    part = df.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy(*(list(group_by) + ["_pid"])).orderBy(*order_by)
+    survivors = (
+        part.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_pid")
+    )
+    w2 = Window.partitionBy(*group_by).orderBy(*order_by)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -7724,3 +7724,83 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return fp(1).unionByName(fp(2)).unionByName(fp(3))
+
+
+def _q190_oracle() -> str:
+    from ..functions.vector import int8_quantize_sql, int_dot_sql
+
+    return f"""WITH qv AS (
+          SELECT vec_id, label, {int8_quantize_sql('embedding')} AS q
+          FROM embeddings),
+        anchors AS (
+          SELECT vec_id AS aid, label AS albl, q AS aq
+          FROM qv WHERE vec_id < 20),
+        scored AS (
+          SELECT aid, albl, qv.vec_id AS nid, qv.label AS nlbl,
+                 {int_dot_sql('aq', 'q')} AS qdot
+          FROM anchors, qv WHERE qv.label != albl),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY aid ORDER BY qdot DESC, nid) AS rank
+          FROM scored)
+       SELECT CAST(aid AS BIGINT) AS anchor_id,
+              CAST(albl AS INTEGER) AS anchor_label,
+              CAST(nid AS BIGINT) AS neg_id,
+              CAST(nlbl AS INTEGER) AS neg_label,
+              CAST(qdot AS BIGINT) AS qdot,
+              CAST(rank AS INTEGER) AS rank
+       FROM ranked WHERE rank <= 3"""
+
+
+@register(
+    "q190_hard_negatives",
+    _q190_oracle(),
+    "hard-negative mining for contrastive training (the retrieval/"
+    "embedding-model data op): for each anchor vector, the 3 most "
+    "cosine-similar vectors bearing a DIFFERENT label — the negatives "
+    "that actually teach the model.  Similarity is the exact int8-"
+    "quantized integer dot product (q82's bit-reproducible scoring); "
+    "the anchor set broadcasts (constant rows), so candidate scoring "
+    "is one linear pass over the corpus with a row-local label filter; "
+    "per-anchor top-3 runs through operators/topk.py:"
+    "top_k_per_group_scalable — rank within (anchor, physical "
+    "partition) first, then rank the <= 3*partitions survivors — so "
+    "no anchor's corpus-sized candidate list ever sorts in one task "
+    "(the single-partition window trap q125 documents).  At 100 TB "
+    "you'd pre-bucket candidates with the IVF index (q40/q73) and "
+    "mine within probed cells; this is the exact-scoring core of that "
+    "pipeline",
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vector import int8_quantize, int_dot
+
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", "label", int8_quantize("embedding").alias("q")
+    )
+    anchors = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("albl"),
+        F.col("q").alias("aq"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("albl"))
+        .select(
+            "aid",
+            "albl",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("nlbl"),
+            int_dot("aq", "q").alias("qdot"),
+        )
+    )
+    top3 = K.top_k_per_group_scalable(
+        scored, ["aid"], [F.desc("qdot"), F.asc("nid")], 3
+    )
+    return top3.select(
+        F.col("aid").cast("long").alias("anchor_id"),
+        F.col("albl").cast("int").alias("anchor_label"),
+        F.col("nid").cast("long").alias("neg_id"),
+        F.col("nlbl").cast("int").alias("neg_label"),
+        F.col("qdot").cast("long").alias("qdot"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -338,3 +338,24 @@ def test_grid_radius_pairs_matches_bruteforce(spark):
     )
     assert got == want
     assert len(want) > 0
+
+
+def test_top_k_per_group_scalable_equals_window(spark):
+    import pyspark.sql.functions as F
+
+    from health_data_transformation_spark.operators.topk import (
+        top_k_per_group,
+        top_k_per_group_scalable,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") % 7).alias("g"),
+        ((F.col("id") * 37) % 113).alias("v"),
+        F.col("id"),
+    ).repartition(8)
+    order = [F.desc("v"), F.asc("id")]
+    a = top_k_per_group(df, ["g"], order, 5).select("g", "v", "id", "rank")
+    b = top_k_per_group_scalable(df, ["g"], order, 5).select(
+        "g", "v", "id", "rank"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -69,6 +69,7 @@ DEFAULT_QUERIES = [
     "q185_bpe_pair_counts",
     "q186_dup_span_table",
     "q188_source_overlap",
+    "q190_hard_negatives",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -112,6 +113,9 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q174_unigram_surprisal",
     # q174's corpus-total cross join feeding the per-language tertiles
     "q184_perplexity_buckets",
+    # constant 20-row anchor set broadcast against the candidate scan
+    # (non-equi label filter makes this BNL by construction)
+    "q190_hard_negatives",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

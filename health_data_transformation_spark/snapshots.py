@@ -76,6 +76,7 @@ class SnapshotTable:
         return [
             self._read_manifest(v)
             for v in range(1, self.current_version() + 1)
+            if os.path.exists(self._manifest_path(v))  # vacuumed => gone
         ]
 
     def _publish(
@@ -190,6 +191,61 @@ class SnapshotTable:
         new_dir = self._write_data(merged, v, "upsert")
         return self._publish(v, [new_dir], "upsert", schema)
 
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self) -> int:
+        """OPTIMIZE: rewrite the current snapshot's (possibly many,
+        possibly small) data directories into ONE new directory and
+        publish it as a content-identical new version.
+
+        Append-heavy tables accumulate a directory per commit; readers
+        then plan over thousands of small files (the small-files
+        problem — at 100 TB the dominant metadata cost).  Compaction
+        runs as just another snapshot commit: old versions still time
+        travel, concurrent committers still conflict atomically, and
+        nothing is deleted until :meth:`vacuum`.  On a partitioned
+        table the same rewrite applies per partition.
+        """
+        v = self.current_version() + 1
+        schema = self._table_schema(v - 1)
+        cur = self.read()
+        new_dir = self._write_data(cur, v, "compact")
+        return self._publish(
+            v, [new_dir], "compact", schema if schema else cur.schema
+        )
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Garbage-collect data directories unreachable from the last
+        ``retain_last`` versions, plus orphans from aborted commits.
+
+        Expired manifests are removed, so time travel beyond the
+        retention horizon fails loudly instead of reading half-GC'd
+        state.  Returns the deleted directories.  Mirrors Delta's
+        VACUUM contract: only unreferenced files go, the retained
+        snapshots stay byte-identical.
+        """
+        import shutil
+
+        latest = self.current_version()
+        if latest < 1:
+            return []
+        horizon = max(1, latest - retain_last + 1)
+        keep: set[str] = set()
+        for v in range(horizon, latest + 1):
+            keep.update(self._read_manifest(v)["dirs"])
+        data_root = os.path.join(self.root, "data")
+        removed = []
+        for name in sorted(os.listdir(data_root)):
+            d = os.path.join(data_root, name)
+            if d not in keep:
+                shutil.rmtree(d)
+                removed.append(d)
+        for v in range(1, horizon):
+            path = self._manifest_path(v)
+            if os.path.exists(path):
+                os.remove(path)
+        return removed
+
     # -- reads ---------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -198,6 +254,10 @@ class SnapshotTable:
         v = self.current_version() if version is None else version
         if v < 1:
             raise ValueError(f"no snapshots in {self.root}")
+        if not os.path.exists(self._manifest_path(v)):
+            raise ValueError(
+                f"version {v} is beyond the vacuum retention horizon"
+            )
         dirs = self._read_manifest(v)["dirs"]
         schema = self._table_schema(v)
         reader = self.spark.read

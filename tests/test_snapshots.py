@@ -109,3 +109,39 @@ def test_schema_evolution_additive_append(spark, tmp_path):
             spark.createDataFrame([("x", "y")], "k string, v string"),
             merge_schema=True,
         )
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    for i in range(2, 5):
+        t.commit_append(
+            spark.createDataFrame([(i, chr(96 + i))], "k int, v string")
+        )
+    before = rows(t.read())
+    data_root = os.path.join(str(tmp_path / "t"), "data")
+    assert len(os.listdir(data_root)) == 4  # one dir per commit
+
+    assert t.compact() == 5
+    assert rows(t.read()) == before          # content identical
+    assert t.read(version=4).columns == ["k", "v"]  # history intact
+
+    removed = t.vacuum(retain_last=1)
+    assert len(removed) == 4                 # pre-compaction dirs GC'd
+    assert len(os.listdir(data_root)) == 1
+    assert rows(t.read()) == before          # retained snapshot unharmed
+    with pytest.raises(ValueError):
+        t.read(version=2)                    # beyond the horizon: loud
+    assert [m["op"] for m in t.history()] == ["compact"]
+
+
+def test_vacuum_collects_orphans_from_aborted_commits(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    # simulate a loser committer: data written, publish lost the race
+    t._write_data(
+        spark.createDataFrame([(9, "z")], "k int, v string"), 2, "orphan"
+    )
+    removed = t.vacuum(retain_last=1)
+    assert len(removed) == 1 and "orphan" in removed[0]
+    assert rows(t.read()) == [(1, "a")]

@@ -7804,3 +7804,114 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
         F.col("qdot").cast("long").alias("qdot"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+_Q191_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@register(
+    "q191_theil_sen_trend",
+    f"""WITH daily AS (
+          SELECT n_name AS nation,
+                 date_diff('day', DATE '1995-01-01', o_orderdate) AS x,
+                 sum({_Q191_CENTS}) AS y
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1996-01-01'
+          GROUP BY 1, 2),
+       pairs AS (
+         SELECT a.nation,
+                CAST(floor((b.y - a.y) * 1000000.0 / (b.x - a.x)) AS BIGINT)
+                  AS s
+         FROM daily a JOIN daily b
+           ON a.nation = b.nation AND a.x < b.x),
+       perv AS (SELECT nation, s, count(*) AS c FROM pairs GROUP BY 1, 2),
+       cumv AS (
+         SELECT nation, s,
+                sum(c) OVER (PARTITION BY nation ORDER BY s) AS cum,
+                sum(c) OVER (PARTITION BY nation) AS tot
+         FROM perv),
+       med AS (
+         SELECT nation, min(s) FILTER (WHERE cum * 2 >= tot) AS median_slope_ppm,
+                max(tot) AS n_pairs
+         FROM cumv GROUP BY nation),
+       days AS (SELECT nation, count(*) AS n_days FROM daily GROUP BY 1)
+       SELECT med.nation, CAST(n_days AS BIGINT) AS n_days,
+              CAST(n_pairs AS BIGINT) AS n_pairs,
+              CAST(median_slope_ppm AS BIGINT) AS median_slope_ppm
+       FROM med JOIN days USING (nation)""",
+    "Theil-Sen robust trend per nation (the outlier-proof slope "
+    "estimator: median of all pairwise slopes — one wild revenue day "
+    "cannot move it, unlike least squares): daily revenue cents over "
+    "one year, slope in ppm-cents/day as floor((dy * 1e6) / dx) with "
+    "the division in DOUBLE (+ * / floor are the bit-portable IEEE "
+    "ops; integer div is NOT portable here — Spark truncates toward "
+    "zero while DuckDB floors, and pairwise dy is routinely negative). "
+    " The quadratic pair step is bounded STRUCTURALLY: it runs on the "
+    "pre-aggregated (nation, day) grain — <= 365 rows per nation at "
+    "ANY corpus scale, like q157's basket bound — never on raw "
+    "orders; the median then comes from the per-(nation, slope) "
+    "aggregate through cumulative windows over bounded bins.  Spark "
+    "side uses grouped_weighted_quantile's two-phase shape via the "
+    "same relational definition",
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profile import grouped_weighted_quantile
+
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= _ts_lit(o, "o_orderdate", "1995-01-01"))
+            & (F.col("o_orderdate") < _ts_lit(o, "o_orderdate", "1996-01-01"))
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(F.sum(cents).alias("y"))
+    )
+    # daily feeds four consumers (both pair sides, the day count, the
+    # quantile's two passes); measured: AQE ReusedExchange dedups the
+    # aggregate across branches, and a localCheckpoint barrier costs
+    # MORE than the recompute it saves (3.8 s vs 5.2 s at sf0.1)
+    a = daily.select("nation", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select("nation", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, "nation")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "nation",
+            # try_divide: codegen can fuse this projection ahead of the
+            # xa<xb residual check; a guarded NULL (filtered row) beats
+            # an ANSI DIVIDE_BY_ZERO on a row that never survives
+            F.floor(
+                F.try_divide(
+                    (F.col("yb") - F.col("ya")) * F.lit(1000000.0),
+                    (F.col("xb") - F.col("xa")).cast("double"),
+                )
+            )
+            .cast("long")
+            .alias("s"),
+            F.lit(1).alias("w"),
+        )
+    )
+    med = grouped_weighted_quantile(pairs, "nation", "s", "w")
+    days = daily.groupBy("nation").agg(F.count("*").alias("n_days"))
+    return (
+        med.join(days, "nation")
+        .select(
+            "nation",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("total_weight").cast("long").alias("n_pairs"),
+            F.col("quantile_value").cast("long").alias("median_slope_ppm"),
+        )
+    )

@@ -70,6 +70,7 @@ DEFAULT_QUERIES = [
     "q186_dup_span_table",
     "q188_source_overlap",
     "q190_hard_negatives",
+    "q191_theil_sen_trend",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the

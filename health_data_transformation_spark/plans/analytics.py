@@ -7915,3 +7915,37 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
             F.col("quantile_value").cast("long").alias("median_slope_ppm"),
         )
     )
+
+
+@register(
+    "q192_watermark_late_drop",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                AS window_start,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(user_id % 1000003) AS BIGINT) AS user_mod_sum
+       FROM events
+       WHERE (ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-10 06:00:00')
+          OR (ts >= TIMESTAMP '2024-01-10 12:00:00'
+              AND ts < TIMESTAMP '2024-01-10 14:00:00')
+       GROUP BY 1""",
+    "watermark late-data semantics differential (streaming/windows.py:"
+    "stream_late_data_drop): hourly append-mode counts where the final "
+    "microbatch is time-shifted into windows the watermark already "
+    "CLOSED, so every one of its rows must be dropped, every closed "
+    "on-time window must emit exactly once, and the never-closed "
+    "advancer window must be withheld.  (Measured engine rule: a late "
+    "row drops iff its window was evicted in a PRIOR batch — a "
+    "below-watermark row whose window is still open merges — hence "
+    "the three-arrival staging with an eviction batch between on-time "
+    "and late.)  The oracle states the on-time hours only — admitted "
+    "late rows, missing emissions, or a leaked open window all "
+    "hash-mismatch.  This is the state-bound "
+    "mechanism at 100 TB: the watermark evicts windows older than the "
+    "lateness SLA, keeping streaming state O(SLA window count), not "
+    "O(history)",
+)
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.windows import stream_late_data_drop
+
+    return stream_late_data_drop(spark, sf)

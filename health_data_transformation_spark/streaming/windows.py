@@ -301,3 +301,115 @@ def stream_dedup_events(
         finally:
             query.stop()
     return spark.table(name)
+
+
+def stream_late_data_drop(
+    spark: SparkSession,
+    sf_dir: str,
+    day: str = "2024-01-10",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Watermark late-data differential: append-mode hourly counts
+    where a final microbatch of late rows targets windows the watermark
+    already CLOSED — every one of them must be dropped.
+
+    Measured semantics of the microbatch engine (and what this stages):
+    a late row is dropped iff its window was evicted in a PRIOR batch;
+    a row merely below the watermark whose window is still in state
+    merges normally.  So the guarantee needs three arrivals:
+
+    - arrival 1: the day's 00-06 rows PLUS the 23:00 hour (the
+      watermark advancer) — fills state, watermark still at epoch;
+    - arrival 2: the 12:00-14:00 rows (may be empty at tiny SFs; the
+      batch itself is what matters).  It runs with watermark ~21:xx
+      (advancer - 2 h), which closes and emits every window ending
+      before ~21:00: the 00-06 set and arrival 2's own 12-14 windows;
+    - arrival 3: copies of the 06-12 rows time-shifted into 00-06 —
+      every target window is now evicted, so ALL of them drop
+      (numRowsDroppedByWatermark > 0), emitting nothing.
+
+    Final output = on-time hourly counts for 00-06 and 12-14 only; the
+    23:00 window never closes and is withheld.  The oracle states
+    exactly that, so admitted-late rows (duplicate or inflated
+    windows), missing emissions, or a leaked open window all
+    hash-mismatch.  Margins are data-independent: every asserted
+    window end is hours below the advancer-derived watermark,
+    regardless of scale factor.
+
+    At 100 TB this is the mechanism that BOUNDS streaming state: the
+    watermark evicts windows older than the lateness SLA, keeping
+    state O(windows in SLA), not O(history).
+    """
+    ensure_compat(spark)
+    import os
+    import tempfile
+    import time as _time
+
+    from ..sources.tables import load_events_range
+
+    nxt = f"{day[:8]}{int(day[8:]) + 1:02d}"
+    ev = load_events_range(spark, sf_dir, lo=day, hi=nxt).select(
+        "event_id", "ts", "user_id"
+    )
+    hour = F.hour("ts")
+    arrival1 = ev.filter((hour < 6) | (hour == 23))
+    arrival2 = ev.filter((hour >= 12) & (hour < 14))
+    arrival3 = (
+        ev.filter((hour >= 6) & (hour < 12))
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 6 HOURS"))
+    )
+
+    stage = tempfile.mkdtemp(prefix="hdt_stream_late_")
+    out_dir = os.path.join(stage, "_windows")
+
+    def stage_file(df, name: str, mtime: float) -> None:
+        tmp = os.path.join(stage, "_tmp_" + name)
+        df.coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(stage, name)
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    stage_file(arrival1, "arrival1.parquet", now - 240)
+    stage_file(arrival2, "arrival2.parquet", now - 120)
+    stage_file(arrival3, "arrival3.parquet", now)
+
+    stream = (
+        spark.readStream.schema(arrival1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("user_id") % 1000003).alias("user_mod_sum"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("user_mod_sum").cast("long").alias("user_mod_sum"),
+        )
+    )
+    name = f"late_drop_{uuid.uuid4().hex[:8]}"
+    with narrow_shuffle(spark):
+        query = (
+            agg.writeStream.format("parquet")
+            .queryName(name)
+            .outputMode("append")
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation", os.path.join(stage, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
+    return spark.read.parquet(out_dir)

@@ -196,3 +196,56 @@ def frame_sample(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes})
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = "doc_id bigint, win_idx int, energy bigint"
+
+
+def audio_energy_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window_samples: int = 32,
+) -> DataFrame:
+    """Audio-style windowed energy over an opaque binary payload.
+
+    Interprets the payload as 16-bit little-endian PCM and emits the
+    exact integer energy (sum of squared samples) of each full
+    non-overlapping ``window_samples`` window — the voice-activity /
+    silence-trim primitive of every audio curation pipeline.  Unlike
+    the decode/resize stubs, this needs NO media library: PCM framing
+    plus integer arithmetic is the real computation, so the operator
+    runs honestly end-to-end and the oracle recomputes it from the
+    same bytes.  Same boundary discipline as decode_pipeline: (id,
+    payload) projected before Python, Arrow-batched, fixed narrow
+    output; output rows are bounded by payload_bytes / (2 *
+    window_samples) per input row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    frame_bytes = 2 * window_samples
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            ids, idxs, energies = [], [], []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload)
+                n_win = len(payload) // frame_bytes
+                if not n_win:
+                    continue
+                samples = np.frombuffer(
+                    payload[: n_win * frame_bytes], dtype="<i2"
+                ).astype(np.int64)
+                sq = samples * samples
+                per_win = sq.reshape(n_win, window_samples).sum(axis=1)
+                ids.extend([doc_id] * n_win)
+                idxs.extend(range(n_win))
+                energies.extend(per_win.tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "win_idx": idxs, "energy": energies}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=AUDIO_ENERGY_SCHEMA
+    )

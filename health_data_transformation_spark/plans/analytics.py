@@ -7949,3 +7949,117 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.windows import stream_late_data_drop
 
     return stream_late_data_drop(spark, sf)
+
+
+@register(
+    "q193_audio_energy",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+       wins AS (
+         SELECT doc_id, text, unnest(range(0, length(text) // 64)) AS w
+         FROM d),
+       samp AS (
+         SELECT doc_id, CAST(w AS INTEGER) AS win_idx,
+                list_transform(range(0, 32), i ->
+                  ord(substr(text, CAST(w * 64 + 2 * i + 1 AS INTEGER), 1))
+                  + 256 * ord(substr(text, CAST(w * 64 + 2 * i + 2 AS INTEGER), 1))
+                ) AS s
+         FROM wins)
+       SELECT doc_id, win_idx,
+              CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT)
+                AS energy
+       FROM samp""",
+    "audio windowed-energy extraction (multimodal.py:"
+    "audio_energy_windows): the payload bytes are framed as 16-bit LE "
+    "PCM and each full 32-sample window's exact integer energy (sum "
+    "of squared samples) is computed in an Arrow-batched mapInPandas "
+    "— the voice-activity / silence-trim primitive.  Unlike the "
+    "decode/resize stubs this is the REAL computation (PCM framing + "
+    "integer arithmetic needs no media library), so the Python "
+    "boundary, batch shape, and per-row fan-out (bytes/64 windows per "
+    "doc) are all exercised honestly, and the oracle recomputes the "
+    "identical energies byte-by-byte from the same payload via "
+    "ord()/substr.  ASCII payloads keep every sample < 2^15, so the "
+    "unsigned recomputation equals the int16 interpretation exactly",
+)
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    from ..multimodal import audio_energy_windows, with_payload
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return audio_energy_windows(with_payload(d))
+
+
+_Q194_K = 8
+_Q194_DF_CAP = 20
+_Q194_MIN_PPM = 500000
+
+
+@register(
+    "q194_containment_pairs",
+    f"""WITH sh AS (
+          SELECT doc_id, md5(s) AS h FROM (
+            SELECT doc_id,
+                   unnest(list_distinct({T.token_shingles_sql('text', 8)})) AS s
+            FROM documents)),
+        rare AS (
+          SELECT h FROM sh GROUP BY h
+          HAVING count(*) <= {_Q194_DF_CAP}),
+        shc AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+        na AS (SELECT doc_id, count(*) AS n_a FROM shc GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id != b.doc_id
+          GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              CAST(n_shared AS BIGINT) AS n_shared,
+              CAST(n_a AS BIGINT) AS n_a,
+              CAST((n_shared * 1000000) // n_a AS BIGINT) AS containment_ppm
+       FROM shared JOIN na ON shared.id_a = na.doc_id
+       WHERE (n_shared * 1000000) // n_a >= {_Q194_MIN_PPM}""",
+    "asymmetric containment dedup (the quote/subsumption detector "
+    "Jaccard misses: a short doc fully copied into a long one has low "
+    "Jaccard but containment ~1): directed pairs where >= 50% of A's "
+    "rare 8-token shingles also occur in B.  The scale control is the "
+    "document-frequency cap — shingles occurring in more than "
+    f"{_Q194_DF_CAP} docs (boilerplate) are dropped BEFORE the "
+    "shingle equi-join, so per-shingle fan-out is bounded by cap^2 "
+    "and the join never sees a hot key; containment is then exact "
+    "integer ppm over A's rare-shingle count.  Plan: distinct "
+    "(doc, md5-shingle) -> df aggregate -> capped semi-join -> "
+    "self-equi-join on fixed-width hashes -> two bounded aggregates",
+)
+def q194(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(T.token_shingles("text", _Q194_K))
+            ).alias("s"),
+        )
+        .select("doc_id", F.md5("s").alias("h"))
+    )
+    rare = sh.groupBy("h").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= _Q194_DF_CAP
+    )
+    shc = sh.join(rare.select("h"), "h")
+    na = shc.groupBy("doc_id").agg(F.count("*").alias("n_a"))
+    a = shc.select(F.col("doc_id").alias("id_a"), "h")
+    b = shc.select(F.col("doc_id").alias("id_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ppm = F.expr("(n_shared * 1000000) div n_a")
+    return (
+        shared.join(na.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .filter(ppm >= _Q194_MIN_PPM)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            ppm.cast("long").alias("containment_ppm"),
+        )
+    )

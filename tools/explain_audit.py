@@ -71,6 +71,7 @@ DEFAULT_QUERIES = [
     "q188_source_overlap",
     "q190_hard_negatives",
     "q191_theil_sen_trend",
+    "q194_containment_pairs",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the

@@ -6834,6 +6834,42 @@ def _q177_state_sql(version: int) -> str:
     )
 
 
+def _q177_build(spark: SparkSession, sf: str, tag: str):
+    """The q177 three-commit snapshot lifecycle (overwrite, append,
+    MERGE-upsert) on an orders-derived table; shared by q177 (version
+    fingerprints) and q196 (change-data feed)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotTable
+
+    o = load_table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        cents.alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_%s_%s_%d"
+        % (tag, os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(spark, root)
+    t.commit_overwrite(base.filter(F.col("k") % 3 == 0))
+    t.commit_append(base.filter(F.col("k") % 3 == 1))
+    batch = (
+        base.filter(F.col("k") % 6 == 0)
+        .withColumn("cents", F.col("cents") + 10000)
+        .unionByName(base.filter(F.col("k") % 3 == 2))
+    )
+    t.commit_upsert(batch, ["k"])
+    return t
+
+
+
 @register(
     "q177_time_travel",
     "WITH "
@@ -6865,34 +6901,7 @@ def _q177_state_sql(version: int) -> str:
     "concurrent committers conflict instead of clobbering",
 )
 def q177(spark: SparkSession, sf: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
-    from ..snapshots import SnapshotTable
-
-    o = load_table(spark, sf, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-    base = o.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("st"),
-        cents.alias("cents"),
-    )
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "hdt_q177_%s_%d"
-        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    t = SnapshotTable(spark, root)
-    t.commit_overwrite(base.filter(F.col("k") % 3 == 0))
-    t.commit_append(base.filter(F.col("k") % 3 == 1))
-    batch = (
-        base.filter(F.col("k") % 6 == 0)
-        .withColumn("cents", F.col("cents") + 10000)
-        .unionByName(base.filter(F.col("k") % 3 == 2))
-    )
-    t.commit_upsert(batch, ["k"])
+    t = _q177_build(spark, sf, "q177")
 
     h = T.hex_hash64(
         F.concat(
@@ -8063,3 +8072,131 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
             ppm.cast("long").alias("containment_ppm"),
         )
     )
+
+
+@register(
+    "q195_event_trigrams",
+    f"""WITH ev AS (
+          SELECT user_id, event_type, ts, event_id FROM events
+          WHERE ts >= TIMESTAMP '{WEEK_LO}' AND ts < TIMESTAMP '{WEEK_HI}'),
+       seq AS (
+         SELECT user_id, event_type AS t1,
+                lead(event_type, 1) OVER w AS t2,
+                lead(event_type, 2) OVER w AS t3
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       paths AS (
+         SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+         FROM seq WHERE t3 IS NOT NULL GROUP BY 1)
+       SELECT path, CAST(n AS BIGINT) AS n
+       FROM paths ORDER BY n DESC, path LIMIT 20""",
+    "behavioral path mining: the top-20 3-event sequences users "
+    "actually walk (q134's Markov transitions extended to trigrams — "
+    "the 'what do people do next-next' product question).  One window "
+    "per user (two leads, total event-time order with event_id "
+    "tiebreak), then a map-combinable path count and "
+    "TakeOrderedAndProject.  Partitioning is per-user — the natural "
+    "session key; at 100 TB per-user partitions stay small because "
+    "activity per user is bounded by the analysis week, not corpus "
+    "size — and |event_type|^3 bounds the aggregate output",
+)
+def q195(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf, lo=WEEK_LO, hi=WEEK_HI).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    paths = (
+        seq.select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return K.top_k(paths, [F.col("n").desc(), F.col("path")], 20)
+
+
+def _q196_cdf_sql(v: int) -> str:
+    """Change-data feed between q177 state v and v+1, relationally."""
+    row_hash = hex_hash64_sql(
+        "CAST(k AS VARCHAR) || '|' || st || '|' || CAST(cents AS VARCHAR)"
+    )
+    return f"""
+      SELECT {v} AS from_version,
+             CASE WHEN o.k IS NULL THEN 'insert'
+                  WHEN n.k IS NULL THEN 'delete'
+                  WHEN o.h != n.h THEN 'update'
+                  ELSE 'unchanged' END AS change_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(bit_xor(coalesce(n.h, o.h)) AS BIGINT) AS xor_hash
+      FROM (SELECT k, {row_hash} AS h FROM s{v}) o
+      FULL JOIN (SELECT k, {row_hash} AS h FROM s{v + 1}) n
+        ON o.k = n.k
+      GROUP BY 1, 2"""
+
+
+@register(
+    "q196_change_data_feed",
+    "WITH "
+    + ", ".join(f"s{v} AS ({_q177_state_sql(v)})" for v in (1, 2, 3))
+    + " SELECT * FROM ("
+    + " UNION ALL ".join(_q196_cdf_sql(v) for v in (1, 2))
+    + ") t",
+    "change-data feed between snapshot versions (the Delta CDF / "
+    "Iceberg changelog read): for each consecutive version pair of the "
+    "q177 lifecycle, classify every key as insert / delete / update / "
+    "unchanged via ONE full-outer join of the two time-travel reads on "
+    "the key, comparing 60-bit row hashes — emitting per-class counts "
+    "and an xor checksum of the post-image (pre-image for deletes).  "
+    "v1->v2 must be pure inserts (blind append); v2->v3 must be the "
+    "upsert's exact update/insert split with zero deletes.  The oracle "
+    "restates both diffs from the relational version states.  At "
+    "100 TB a manifest-level diff prunes the join to files that "
+    "changed between the versions; the row-level classification here "
+    "is what runs inside those files",
+)
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    t = _q177_build(spark, sf, "q196")
+
+    h = T.hex_hash64(
+        F.concat(
+            F.col("k").cast("string"), F.lit("|"), F.col("st"),
+            F.lit("|"), F.col("cents").cast("string"),
+        )
+    )
+
+    def cdf(v: int) -> DataFrame:
+        old = t.read(version=v).select("k", h.alias("h_old"))
+        new = t.read(version=v + 1).select(
+            F.col("k").alias("k_new"), h.alias("h_new")
+        )
+        j = old.join(new, F.col("k") == F.col("k_new"), "full_outer")
+        change = (
+            F.when(F.col("h_old").isNull(), F.lit("insert"))
+            .when(F.col("h_new").isNull(), F.lit("delete"))
+            .when(F.col("h_old") != F.col("h_new"), F.lit("update"))
+            .otherwise(F.lit("unchanged"))
+        )
+        return (
+            j.select(
+                change.alias("change_type"),
+                F.coalesce(F.col("h_new"), F.col("h_old")).alias("h"),
+            )
+            .groupBy("change_type")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+            )
+            .select(
+                F.lit(v).alias("from_version"),
+                "change_type",
+                "n_rows",
+                "xor_hash",
+            )
+        )
+
+    return cdf(1).unionByName(cdf(2))

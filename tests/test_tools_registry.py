@@ -87,3 +87,16 @@ def test_explain_audit_names_exist_in_registry():
     assert not missing, f"audit names not in registry: {missing}"
     stale = [n for n in mod.ALLOWED_TINY_BROADCAST_CROSS if n not in qs]
     assert not stale, f"allowlist names not in registry: {stale}"
+
+
+def test_registry_fn_names_match_keys():
+    """Every registered fn must be the q-function its key names — a
+    helper def slipped between @register and its query silently
+    rebinds the entry (the q177/_q177_build regression)."""
+    from health_data_transformation_spark.plans.analytics import REGISTRY
+
+    for name, spec in REGISTRY.items():
+        qnum = name.split("_", 1)[0]
+        assert spec.fn.__name__ == qnum, (
+            f"{name} registered fn {spec.fn.__name__!r}, expected {qnum!r}"
+        )

@@ -284,3 +284,33 @@ def test_warehouse_scan_prunes_partitions(spark, warehouse, hhs_csv_1):
     # leaves a single matching partition directory to read
     assert plan.count("collection_week") >= 1
     assert df.count() == 3  # H1, H2, H3 for that week
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """A selective filter on the DIM side of a join must prune the
+    partitioned FACT side at runtime (DPP) — the fact filter is not
+    known until the dim is evaluated, so static PartitionFilters can't
+    do it; the plan must carry a dynamicpruning subquery on the
+    partition column.  This is the mechanism that keeps a 100 TB
+    date-partitioned fact from full-scanning when joined to a
+    filtered calendar/dim table."""
+    fact_dir = str(tmp_path / "fact")
+    fact = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("day_bucket"),
+        (F.col("id") * 3).alias("v"),
+    )
+    fact.write.partitionBy("day_bucket").parquet(fact_dir)
+    dim = spark.range(10).select(
+        F.col("id").alias("day_bucket"),
+        (F.col("id") % 2 == 0).alias("keep"),
+    )
+    f = spark.read.parquet(fact_dir)
+    joined = f.join(dim.filter(F.col("keep")), "day_bucket").select(
+        F.sum("v").alias("s")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    [row] = joined.collect()
+    expected = sum(i * 3 for i in range(1000) if (i % 10) % 2 == 0)
+    assert row["s"] == expected

@@ -47,6 +47,24 @@ def main(argv: list[str] | None = None) -> int:
     p_d.add_argument("values", nargs="+", help="key values to delete")
     p_d.add_argument("--warehouse", required=True)
 
+    p_sh = sub.add_parser(
+        "snapshot-history", help="list a snapshot table's commits"
+    )
+    p_sh.add_argument("--root", required=True, help="snapshot table root")
+
+    p_sc = sub.add_parser(
+        "snapshot-compact",
+        help="OPTIMIZE: rewrite the current snapshot as one directory",
+    )
+    p_sc.add_argument("--root", required=True)
+
+    p_sv = sub.add_parser(
+        "snapshot-vacuum",
+        help="GC data dirs unreachable from the retained versions",
+    )
+    p_sv.add_argument("--root", required=True)
+    p_sv.add_argument("--retain-last", type=int, default=1)
+
     p_r = sub.add_parser("report", help="run a dashboard query")
     p_r.add_argument(
         "query",
@@ -60,6 +78,27 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     spark = get_spark(app_name=f"hdt-cli-{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd.startswith("snapshot-"):
+        from .snapshots import SnapshotTable
+
+        t0 = time.time()
+        t = SnapshotTable(spark, args.root)
+        if args.cmd == "snapshot-history":
+            print(json.dumps({"history": t.history()}))
+        elif args.cmd == "snapshot-compact":
+            v = t.compact()
+            print(json.dumps({"compact": args.root,
+                              "seconds": round(time.time() - t0, 2),
+                              "version": v}))
+        else:
+            removed = t.vacuum(retain_last=args.retain_last)
+            print(json.dumps({"vacuum": args.root,
+                              "seconds": round(time.time() - t0, 2),
+                              "removed_dirs": len(removed)}))
+        spark.stop()
+        return 0
+
     wh = Warehouse(spark, args.warehouse)
 
     t0 = time.time()

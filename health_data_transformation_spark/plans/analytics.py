@@ -52,6 +52,7 @@ from ..functions.text import (
     fingerprint,
     fingerprint_sql,
     hex_hash64_sql,
+    normalize_text_sql,
 )
 from ..functions import text as T
 from ..functions.vector import cosine_sql
@@ -8200,3 +8201,152 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return cdf(1).unionByName(cdf(2))
+
+
+_Q197_BUDGET = 100000
+
+
+@register(
+    "q197_temperature_mixture",
+    f"""WITH c AS (
+          SELECT lang, sum(len(string_split(text, ' '))) AS toks
+          FROM documents GROUP BY 1),
+       w AS (
+         SELECT lang, toks,
+                CAST(floor(sqrt(CAST(toks AS DOUBLE))) AS BIGINT) AS w
+         FROM c),
+       quota AS (
+         SELECT lang, toks, w,
+                ({_Q197_BUDGET} * w) // sum(w) OVER () AS base,
+                ({_Q197_BUDGET} * w) % sum(w) OVER () AS rem
+         FROM w),
+       ranked AS (
+         SELECT lang, toks, w, base, rem,
+                row_number() OVER (ORDER BY rem DESC, lang) AS rr,
+                {_Q197_BUDGET} - sum(base) OVER () AS leftover
+         FROM quota)
+       SELECT lang, CAST(toks AS BIGINT) AS total_tokens,
+              CAST(w AS BIGINT) AS w,
+              CAST((toks * 1000000) // sum(toks) OVER () AS BIGINT)
+                AS natural_ppm,
+              CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                   AS BIGINT) AS alloc_tokens
+       FROM ranked""",
+    "temperature-scaled mixture allocation (the UniMax / T=2 "
+    "multilingual data-mixing step: sampling proportional to "
+    "size^(1/T) so high-resource languages stop drowning the tail): "
+    "per-language token masses are re-weighted by floor(sqrt(tokens)) "
+    "— sqrt is one of the bit-portable IEEE ops, so the weights are "
+    "engine-exact — and a 100k-token budget is apportioned by the "
+    "q172 largest-remainder method, summing EXACTLY to the budget.  "
+    "natural_ppm (the untempered share, decimal(38,0) numerator — "
+    "100 TB token counts pass the BIGINT*1e6 wrap) sits beside "
+    "alloc_tokens so the flattening is visible in the result.  "
+    "Plan: one map-combinable per-language count, then windows over "
+    "the |langs|-row aggregate — never the corpus",
+)
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    c = d.groupBy("lang").agg(F.sum(T.token_count("text")).alias("toks"))
+    w = c.withColumn(
+        "w", F.floor(F.sqrt(F.col("toks").cast("double"))).cast("long")
+    )
+    win = Window.partitionBy()
+    quota = w.select(
+        "lang",
+        "toks",
+        "w",
+        F.expr(f"({_Q197_BUDGET} * w) div sum(w) OVER ()").alias("base"),
+        F.expr(f"({_Q197_BUDGET} * w) % sum(w) OVER ()").alias("rem"),
+        F.sum("toks").over(win).alias("_tot"),
+    )
+    ranked = quota.select(
+        "lang",
+        "toks",
+        "w",
+        "base",
+        "_tot",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.asc("lang")))
+        .alias("rr"),
+        (F.lit(_Q197_BUDGET) - F.sum("base").over(win)).alias("leftover"),
+    )
+    return ranked.select(
+        "lang",
+        F.col("toks").cast("long").alias("total_tokens"),
+        F.col("w").cast("long").alias("w"),
+        F.expr("(CAST(toks AS DECIMAL(38,0)) * 1000000) div _tot")
+        .cast("long")
+        .alias("natural_ppm"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+
+
+@register(
+    "q198_golden_record",
+    f"""WITH m AS (
+          SELECT md5(array_to_string(list_slice(
+                   string_split({normalize_text_sql('text')}, ' '), 1, 8),
+                 ' ')) AS fp,
+                 doc_id, source, lang, n_chars
+          FROM documents),
+       clusters AS (
+         SELECT fp,
+                count(*) AS n_members,
+                min(doc_id) AS keeper_id,
+                max(n_chars) AS max_chars,
+                count(DISTINCT lang) AS n_langs,
+                max_by(source, n_chars * 100000000000 - doc_id)
+                  AS best_source
+         FROM m GROUP BY fp
+         HAVING count(*) >= 2)
+       SELECT fp, CAST(n_members AS BIGINT) AS n_members,
+              CAST(keeper_id AS BIGINT) AS keeper_id,
+              CAST(max_chars AS BIGINT) AS max_chars,
+              CAST(n_langs AS BIGINT) AS n_langs,
+              best_source
+       FROM clusters""",
+    "entity-resolution survivorship (the golden-record step after "
+    "matching: each duplicate cluster collapses to ONE canonical row "
+    "whose fields are selected per-field, not per-row): template "
+    "families clustered by the md5 of the normalized 8-token prefix "
+    "(the q99 boilerplate key — the synthetic corpus has no whole-text "
+    "exact dups, and prefix families are the realistic ER input), "
+    "then per cluster — "
+    "lowest doc_id as keeper, the LONGEST member's source (max_by on "
+    "an integer composite n_chars*1e11 - doc_id: longest wins, ties "
+    "break to the lowest id, no row-order dependence), char maximum "
+    "and language spread.  One groupBy on the fingerprint hash; "
+    "max_by/min are all single-pass commutative aggregates, so the "
+    "whole survivorship is map-side combinable — no window, no "
+    "self-join, no collect",
+)
+def q198(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    pfx = F.array_join(
+        F.slice(F.split(T.normalize_text("text"), " "), 1, 8), " "
+    )
+    m = d.select(
+        F.md5(pfx).alias("fp"),
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+    )
+    pref = F.col("n_chars") * F.lit(100000000000) - F.col("doc_id")
+    return (
+        m.groupBy("fp")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("doc_id").cast("long").alias("keeper_id"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.max_by("source", pref).alias("best_source"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

@@ -8463,3 +8463,110 @@ def q199(spark: SparkSession, sf: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+@register(
+    "q200_corpus_export",
+    f"""WITH scored AS (
+          SELECT doc_id, lang, text,
+                 len(string_split(text, ' ')) AS n_tok,
+                 len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                 {fingerprint_sql('text')} AS fp,
+                 {hex_hash64_sql("CAST(doc_id AS VARCHAR)", "shard")} AS shk
+          FROM documents WHERE doc_id % 10 != 0),
+       quality AS (
+         SELECT * FROM scored
+         WHERE n_tok >= 20 AND n_uniq * 1000 >= 300 * n_tok),
+       keeper AS (
+         SELECT * FROM (
+           SELECT *, min(doc_id) OVER (PARTITION BY fp) AS k0
+           FROM quality) q
+         WHERE doc_id = k0),
+       eval_sh AS (
+         SELECT DISTINCT unnest(list_distinct(
+                  {T.token_shingles_sql('text', 5)})) AS sh
+         FROM documents WHERE doc_id % 10 = 0),
+       train_sh AS (
+         SELECT doc_id, unnest(list_distinct(
+                  {T.token_shingles_sql('text', 5)})) AS sh
+         FROM keeper),
+       contaminated AS (
+         SELECT DISTINCT t.doc_id FROM train_sh t JOIN eval_sh e USING (sh)),
+       clean AS (
+         SELECT k.* FROM keeper k
+         WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       ordered AS (
+         SELECT *, row_number() OVER (ORDER BY shk, doc_id) AS rn
+         FROM clean)
+       SELECT CAST((rn - 1) // 500 AS BIGINT) AS shard,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              CAST(sum(shk % 1000000007) AS BIGINT) AS checksum_mod
+       FROM ordered GROUP BY 1""",
+    "corpus-export capstone: the full curation pipeline as ONE "
+    "differential — quality gate (>= 20 tokens, >= 30% lexical "
+    "diversity, exact integer ratio), exact dedup (min-id keeper per "
+    "normalized fingerprint), eval-set decontamination (drop any "
+    "train doc sharing a 5-token shingle with the held-out doc_id%10 "
+    "slice — q117's semi-join flipped to an anti-join), then the q183 "
+    "reproducible hash-ordered 500-doc shard manifest over the "
+    "surviving corpus.  Every stage is individually proven elsewhere "
+    "(q31/q33/q117/q183); this pins their COMPOSITION, which is what "
+    "actually ships.  Plan: row-local scoring, one fingerprint "
+    "aggregate + keeper join, one broadcast shingle anti-join, the "
+    "range-partitioned global rank, one manifest aggregate — every "
+    "shuffle on bounded keys, nothing quadratic",
+)
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    scored = train.select(
+        "doc_id",
+        "lang",
+        "text",
+        T.token_count("text").alias("n_tok"),
+        T.unique_token_count("text").alias("n_uniq"),
+        fingerprint("text").alias("fp"),
+        T.hex_hash64(F.col("doc_id").cast("string"), salt="shard").alias(
+            "shk"
+        ),
+    )
+    quality = scored.filter(
+        (F.col("n_tok") >= 20)
+        & (F.col("n_uniq") * 1000 >= 300 * F.col("n_tok"))
+    )
+    keeper_ids = quality.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    keeper = quality.join(keeper_ids, ["fp", "doc_id"])
+    eval_sh = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.explode(
+                F.array_distinct(T.token_shingles("text", 5))
+            ).alias("sh")
+        )
+        .distinct()
+    )
+    train_sh = keeper.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.token_shingles("text", 5))).alias("sh"),
+    )
+    contaminated = (
+        train_sh.join(F.broadcast(eval_sh), "sh").select("doc_id").distinct()
+    )
+    clean = keeper.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_tok", "shk"
+    )
+    ordered = K.global_row_number(clean, [F.col("shk"), F.col("doc_id")])
+    return (
+        ordered.withColumn("shard", F.expr("(rn - 1) div 500"))
+        .groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(F.col("shk") % 1000000007)
+            .cast("long")
+            .alias("checksum_mod"),
+        )
+    )

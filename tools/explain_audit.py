@@ -72,6 +72,7 @@ DEFAULT_QUERIES = [
     "q190_hard_negatives",
     "q191_theil_sen_trend",
     "q194_containment_pairs",
+    "q200_corpus_export",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the

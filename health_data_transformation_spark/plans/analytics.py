@@ -8570,3 +8570,268 @@ def q200(spark: SparkSession, sf: str) -> DataFrame:
             .alias("checksum_mod"),
         )
     )
+
+
+@register(
+    "q201_join_fanout_preflight",
+    f"""WITH ev AS (
+          SELECT user_id FROM events
+          WHERE ts >= TIMESTAMP '{WEEK_LO}' AND ts < TIMESTAMP '{WEEK_HI}'),
+       per_key AS (SELECT user_id, count(*) AS c FROM ev GROUP BY 1),
+       tot AS (
+         SELECT sum(c) AS n_rows, count(*) AS n_keys,
+                sum(c * c) AS est_pairs
+         FROM per_key)
+       SELECT user_id, CAST(c AS BIGINT) AS c,
+              CAST(c * c AS BIGINT) AS pairs,
+              CAST((c * c * 1000000) // est_pairs AS BIGINT)
+                AS contribution_ppm,
+              CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(n_keys AS BIGINT) AS n_keys,
+              CAST(est_pairs AS BIGINT) AS est_pairs
+       FROM per_key, tot
+       ORDER BY c DESC, user_id LIMIT 5""",
+    "join-explosion preflight (the cardinality check every pipeline "
+    "should run BEFORE a self-join ships): for a week of events keyed "
+    "by user, the exact self-join output size sum(c^2), key count, "
+    "and the five hottest keys with their contribution in ppm — the "
+    "direct input to the q49/q50 salting decision (if the top key "
+    "owns >10% of the pair volume, salt it).  One map-combinable "
+    "per-key count, a 1-row total broadcast back onto the "
+    "|keys|-row aggregate, TakeOrderedAndProject for the top-5 — the "
+    "raw events are scanned once and never joined",
+)
+def q201(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf, lo=WEEK_LO, hi=WEEK_HI).select(
+        "user_id"
+    )
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    tot = per_key.agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).alias("est_pairs"),
+    )
+    out = per_key.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        F.col("c").cast("long").alias("c"),
+        (F.col("c") * F.col("c")).cast("long").alias("pairs"),
+        F.expr("(c * c * 1000000) div est_pairs")
+        .cast("long")
+        .alias("contribution_ppm"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("est_pairs").cast("long").alias("est_pairs"),
+    )
+    return K.top_k(out, [F.desc("c"), F.asc("user_id")], 5)
+
+
+_Q202_SUBJECTS = "(1, 2, 3)"
+
+
+@register(
+    "q202_dsar_export",
+    f"""WITH subj AS (
+          SELECT c_custkey AS subject FROM customer
+          WHERE c_custkey IN {_Q202_SUBJECTS}),
+       cust AS (
+         SELECT c_custkey AS subject, 'customer' AS tbl,
+                {hex_hash64_sql("CAST(c_custkey AS VARCHAR) || '|' || c_name")} AS h
+         FROM customer WHERE c_custkey IN {_Q202_SUBJECTS}),
+       ords AS (
+         SELECT o_custkey AS subject, 'orders' AS tbl,
+                {hex_hash64_sql("CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)")} AS h
+         FROM orders WHERE o_custkey IN {_Q202_SUBJECTS}),
+       items AS (
+         SELECT o.o_custkey AS subject, 'lineitem' AS tbl,
+                {hex_hash64_sql("CAST(l.l_orderkey AS VARCHAR) || '|' || CAST(l.l_linenumber AS VARCHAR)")} AS h
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_custkey IN {_Q202_SUBJECTS}),
+       ev AS (
+         SELECT user_id AS subject, 'events' AS tbl,
+                {hex_hash64_sql("CAST(event_id AS VARCHAR)")} AS h
+         FROM events WHERE user_id IN {_Q202_SUBJECTS}),
+       unioned AS (
+         SELECT * FROM cust UNION ALL SELECT * FROM ords
+         UNION ALL SELECT * FROM items UNION ALL SELECT * FROM ev)
+       SELECT subject, tbl, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(bit_xor(h) AS BIGINT) AS xor_hash
+       FROM unioned GROUP BY 1, 2""",
+    "data-subject access export (the GDPR/CCPA DSAR op, sibling of "
+    "catalog.py's delete_keys right-to-be-forgotten): every row "
+    "about each subject across the warehouse — direct rows "
+    "(customer), FK rows (orders, events) and transitive rows "
+    "(lineitem through the subject's orders) — fingerprinted per "
+    "(subject, table) with counts and xor row-hashes so the export "
+    "is verifiable without moving row payloads.  Plan: each table "
+    "contributes one scan filtered by the (broadcastable, tiny) "
+    "subject set — the lineitem leg is a semi-join through orders — "
+    "then one union and one bounded aggregate.  At 100 TB the "
+    "subject-key pushdown is what matters: every scan carries an IN "
+    "filter at the parquet reader",
+)
+def q202(spark: SparkSession, sf: str) -> DataFrame:
+    subjects = [1, 2, 3]
+    c = load_table(spark, sf, "customer").filter(
+        F.col("c_custkey").isin(subjects)
+    )
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_custkey").isin(subjects)
+    )
+    li = load_table(spark, sf, "lineitem")
+    ev = load_table(spark, sf, "events").filter(
+        F.col("user_id").isin(subjects)
+    )
+
+    def leg(df, subject_col, tbl, parts):
+        h = T.hex_hash64(
+            F.concat_ws("|", *[F.col(p).cast("string") for p in parts])
+        )
+        return df.select(
+            F.col(subject_col).cast("long").alias("subject"),
+            F.lit(tbl).alias("tbl"),
+            h.alias("h"),
+        )
+
+    items = li.join(
+        F.broadcast(o.select("o_orderkey", "o_custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    unioned = (
+        leg(c, "c_custkey", "customer", ["c_custkey", "c_name"])
+        .unionByName(leg(o, "o_custkey", "orders", ["o_orderkey", "o_custkey"]))
+        .unionByName(
+            leg(items, "o_custkey", "lineitem", ["l_orderkey", "l_linenumber"])
+        )
+        .unionByName(leg(ev, "user_id", "events", ["event_id"]))
+    )
+    return unioned.groupBy("subject", "tbl").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+    )
+
+
+_Q203_HASH = hex_hash64_sql("CAST(user_id AS VARCHAR)", "hll")
+
+
+@register(
+    "q203_hll_rolling_merge",
+    f"""WITH ev AS (
+          SELECT date_diff('day', DATE '2024-01-01', ts) AS d, user_id
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+            AND ts < TIMESTAMP '2024-02-01 00:00:00'),
+       hashed AS (
+         SELECT d, user_id,
+                CAST({_Q203_HASH} % 64 AS INTEGER) AS idx,
+                {_Q203_HASH} // 64 AS v
+         FROM ev),
+       rho AS (
+         SELECT d, idx,
+                55 - (CASE WHEN v = 0 THEN 0
+                      ELSE length(printf('%b', v)) END) AS r
+         FROM hashed),
+       daily AS (SELECT d, idx, max(r) AS m FROM rho GROUP BY 1, 2),
+       days AS (SELECT DISTINCT d FROM ev),
+       served AS (
+         SELECT unnest(range(d, d + 7)) AS sd, idx, m FROM daily),
+       merged AS (
+         SELECT sd, idx, max(m) AS m FROM served
+         JOIN days ON served.sd = days.d GROUP BY 1, 2),
+       sketch AS (
+         SELECT sd, count(*) AS n_registers, sum(m) AS sum_m,
+                max(m) AS max_m,
+                sum(m * (idx + 1)) % 1000000007 AS checksum_mod
+         FROM merged GROUP BY sd),
+       exact_served AS (
+         SELECT DISTINCT unnest(range(d, d + 7)) AS sd, user_id FROM ev),
+       exact AS (
+         SELECT sd, count(DISTINCT user_id) AS exact_distinct
+         FROM exact_served JOIN days ON exact_served.sd = days.d
+         GROUP BY sd)
+       SELECT CAST(sketch.sd AS BIGINT) AS day_idx,
+              CAST(exact_distinct AS BIGINT) AS exact_distinct,
+              CAST(n_registers AS BIGINT) AS n_registers,
+              CAST(sum_m AS BIGINT) AS sum_m,
+              CAST(max_m AS BIGINT) AS max_m,
+              CAST(checksum_mod AS BIGINT) AS checksum_mod
+       FROM sketch JOIN exact ON sketch.sd = exact.sd""",
+    "mergeable-sketch rolling distinct (HLL's defining property, "
+    "register-exact): daily 64-register HLL tables built from the md5 "
+    "hash family (register = h%64, rank = leading-zero count via the "
+    "integer bit-length trick — every register value is EXACT and "
+    "engine-reproducible, unlike the estimate), then 7-day rolling "
+    "DISTINCT = register-wise max of the daily sketches — computed as "
+    "a bounded 7x serve-day replication of the tiny daily register "
+    "rows, never of the events.  The exact 7-day rolling distinct "
+    "(q121's bounded explode of the distinct day-user set) rides "
+    "along for calibration.  This is THE 100 TB pattern: daily "
+    "sketches are 64 ints regardless of volume; any window, backfill, "
+    "or cross-partition union is a max-merge of fixed-size state "
+    "instead of a re-scan",
+)
+def q203(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(
+        spark, sf, lo="2024-01-01", hi="2024-02-01"
+    ).select(
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")).alias("d"),
+        "user_id",
+    )
+    h = T.hex_hash64(F.col("user_id").cast("string"), salt="hll")
+    hashed = ev.select(
+        "d",
+        "user_id",
+        (h % 64).cast("int").alias("idx"),
+        F.floor(h / 64).cast("long").alias("v"),
+    )
+    rho = hashed.select(
+        "d",
+        "idx",
+        (
+            F.lit(55)
+            - F.when(F.col("v") == 0, 0).otherwise(
+                F.length(F.bin(F.col("v")))
+            )
+        ).alias("r"),
+    )
+    daily = rho.groupBy("d", "idx").agg(F.max("r").alias("m"))
+    days = ev.select("d").distinct()
+    served = daily.select(
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("sd"),
+        "idx",
+        "m",
+    )
+    merged = (
+        served.join(F.broadcast(days.withColumnRenamed("d", "sd")), "sd")
+        .groupBy("sd", "idx")
+        .agg(F.max("m").alias("m"))
+    )
+    sketch = merged.groupBy("sd").agg(
+        F.count("*").alias("n_registers"),
+        F.sum("m").alias("sum_m"),
+        F.max("m").alias("max_m"),
+        (F.sum(F.col("m") * (F.col("idx") + 1)) % 1000000007).alias(
+            "checksum_mod"
+        ),
+    )
+    exact_served = (
+        ev.select(
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("sd"),
+            "user_id",
+        )
+        .distinct()
+    )
+    exact = (
+        exact_served.join(
+            F.broadcast(days.withColumnRenamed("d", "sd")), "sd"
+        )
+        .groupBy("sd")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return sketch.join(exact, "sd").select(
+        F.col("sd").cast("long").alias("day_idx"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.col("n_registers").cast("long").alias("n_registers"),
+        F.col("sum_m").cast("long").alias("sum_m"),
+        F.col("max_m").cast("long").alias("max_m"),
+        F.col("checksum_mod").cast("long").alias("checksum_mod"),
+    )

@@ -73,6 +73,9 @@ DEFAULT_QUERIES = [
     "q191_theil_sen_trend",
     "q194_containment_pairs",
     "q200_corpus_export",
+    "q201_join_fanout_preflight",
+    "q202_dsar_export",
+    "q203_hll_rolling_merge",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -119,6 +122,8 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # constant 20-row anchor set broadcast against the candidate scan
     # (non-equi label filter makes this BNL by construction)
     "q190_hard_negatives",
+    # 1-row totals table attached to the per-key aggregate
+    "q201_join_fanout_preflight",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

@@ -8835,3 +8835,166 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
         F.col("max_m").cast("long").alias("max_m"),
         F.col("checksum_mod").cast("long").alias("checksum_mod"),
     )
+
+
+@register(
+    "q204_exactly_once_sink",
+    f"""SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(bit_xor({hex_hash64_sql("CAST(event_id AS VARCHAR)")})
+                   AS BIGINT) AS xor_hash
+       FROM events
+       WHERE ts >= TIMESTAMP '{WEEK_LO}' AND ts < TIMESTAMP '{WEEK_HI}'
+       GROUP BY 1""",
+    "exactly-once sink differential (streaming/ingest.py:"
+    "stream_exactly_once_sink): a week of events streams through "
+    "foreachBatch into a sink partitioned by batch_id with dynamic "
+    "partition overwrite, and then batch 0 is REPLAYED through the "
+    "same writer — the at-least-once redelivery every real source "
+    "eventually produces.  Idempotence means the replay replaces its "
+    "own partition instead of appending, so the sink still equals the "
+    "one-shot batch result, which is exactly what the oracle states "
+    "(per-type counts + xor of event-id hashes: one duplicated row "
+    "flips the hash).  This is the production foreachBatch "
+    "exactly-once recipe — (epochId -> partition) + overwrite — "
+    "proven by differential rather than asserted",
+)
+def q204(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.ingest import stream_exactly_once_sink
+
+    sink = stream_exactly_once_sink(spark, sf)
+    h = T.hex_hash64(F.col("event_id").cast("string"))
+    return (
+        sink.select("event_type", h.alias("h"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+        )
+    )
+
+
+_Q205_H = hex_hash64_sql("CAST(c_custkey AS VARCHAR)", "scd")
+
+
+def _q205_dim_sql() -> str:
+    """Synthesized SCD2 customer-segment dimension, relationally.
+
+    Every customer starts in its base segment at 1993-01-01; customers
+    with h%2=0 change segment at 1995-07-01; of those, h%3=0 change
+    again at 1997-01-01.  Version labels derive from (custkey, version)
+    via the md5 family, so both engines rebuild identical history.
+    """
+    seg = (
+        "'seg' || substr(md5('v' || CAST(v AS VARCHAR) || '|' "
+        "|| CAST(c_custkey AS VARCHAR)), 1, 1)"
+    )
+    return f"""
+      SELECT c_custkey AS k, {seg} AS seg,
+             CASE v WHEN 0 THEN TIMESTAMP '1993-01-01'
+                    WHEN 1 THEN TIMESTAMP '1995-07-01'
+                    ELSE TIMESTAMP '1997-01-01' END AS valid_from,
+             CASE WHEN v = 0 AND {_Q205_H} % 2 = 0
+                    THEN TIMESTAMP '1995-07-01'
+                  WHEN v = 1 AND {_Q205_H} % 3 = 0
+                    THEN TIMESTAMP '1997-01-01'
+                  ELSE TIMESTAMP '9999-12-31' END AS valid_to
+      FROM customer
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS v) vs
+      WHERE v = 0
+         OR (v = 1 AND {_Q205_H} % 2 = 0)
+         OR (v = 2 AND {_Q205_H} % 2 = 0 AND {_Q205_H} % 3 = 0)"""
+
+
+@register(
+    "q205_pit_scd2_join",
+    f"""WITH dim AS ({_q205_dim_sql()}),
+       j AS (
+         SELECT d.seg,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS cents
+         FROM orders o JOIN dim d
+           ON o.o_custkey = d.k
+          AND d.valid_from <= o.o_orderdate
+          AND o.o_orderdate < d.valid_to)
+       SELECT seg, CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(cents) AS BIGINT) AS sum_cents
+       FROM j GROUP BY seg""",
+    "point-in-time SCD2 join (the feature-store / leakage-safety "
+    "kernel: every fact row joins the dimension VERSION that was "
+    "valid at the fact's own timestamp, never today's): a synthesized "
+    "customer-segment SCD2 history (0-2 deterministic changes per "
+    "customer, md5-derived labels so the oracle rebuilds it) joined "
+    "to orders on key + [valid_from, valid_to) containment.  The "
+    "join is an equi-join on the customer key with a row-local "
+    "interval residual — per-key version counts are bounded (<= 3 "
+    "here, tens in practice), so fan-out is bounded and there is no "
+    "range-bucketing to tune; at 100 TB the dim is still the small "
+    "side and broadcasts.  Every order lands in EXACTLY one version "
+    "by construction (intervals partition the timeline), which the "
+    "per-segment counts pin",
+)
+def q205(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    h = T.hex_hash64(F.col("c_custkey").cast("string"), salt="scd")
+    ts = lambda x: F.lit(x).cast("timestamp")  # noqa: E731
+    base = c.select(F.col("c_custkey").alias("k"), h.alias("h"))
+    v0 = base.select(
+        "k",
+        F.lit(0).alias("v"),
+        ts("1993-01-01").alias("valid_from"),
+        F.when(F.col("h") % 2 == 0, ts("1995-07-01"))
+        .otherwise(ts("9999-12-31"))
+        .alias("valid_to"),
+    )
+    v1 = base.filter(F.col("h") % 2 == 0).select(
+        "k",
+        F.lit(1).alias("v"),
+        ts("1995-07-01").alias("valid_from"),
+        F.when(F.col("h") % 3 == 0, ts("1997-01-01"))
+        .otherwise(ts("9999-12-31"))
+        .alias("valid_to"),
+    )
+    v2 = base.filter((F.col("h") % 2 == 0) & (F.col("h") % 3 == 0)).select(
+        "k",
+        F.lit(2).alias("v"),
+        ts("1997-01-01").alias("valid_from"),
+        ts("9999-12-31").alias("valid_to"),
+    )
+    dim = (
+        v0.unionByName(v1)
+        .unionByName(v2)
+        .select(
+            "k",
+            F.concat(
+                F.lit("seg"),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("v"),
+                            F.col("v").cast("string"),
+                            F.lit("|"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+            ).alias("seg"),
+            "valid_from",
+            "valid_to",
+        )
+    )
+    o = load_table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    od = F.col("o_orderdate")
+    j = o.join(
+        F.broadcast(dim),
+        (F.col("o_custkey") == F.col("k"))
+        & (F.col("valid_from") <= od)
+        & (od < F.col("valid_to")),
+    )
+    return j.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(cents).cast("long").alias("sum_cents"),
+    )

@@ -290,3 +290,96 @@ def stream_static_enrich(
         )
         query.awaitTermination(timeout_sec)
     return spark.read.parquet(out_dir)
+
+
+def stream_exactly_once_sink(
+    spark,
+    sf_dir: str,
+    lo: str = "2024-01-08",
+    hi: str = "2024-01-15",
+    timeout_sec: int = 300,
+):
+    """Exactly-once delivery via an IDEMPOTENT sink, with the retry
+    actually exercised: after the stream completes, the first batch is
+    REPLAYED through the same writer (the at-least-once redelivery
+    every real source eventually produces) and the sink must come out
+    unchanged.
+
+    The writer achieves idempotence the way production foreachBatch
+    sinks do: output is partitioned by batch_id and written with
+    dynamic partition overwrite, so re-processing a batch replaces its
+    own partition byte-for-byte instead of appending a duplicate.  The
+    q204 oracle is the plain batch statement over the week — an
+    append-only sink would double the replayed batch and hash-mismatch.
+    At 100 TB this is the foreachBatch exactly-once recipe verbatim:
+    (epochId -> partition) + overwrite = retries are free.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from ..sources.tables import load_events_range
+    from .windows import narrow_shuffle
+
+    ev = load_events_range(spark, sf_dir, lo=lo, hi=hi).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+    stage = tempfile.mkdtemp(prefix="hdt_stream_eos_")
+    out_dir = os.path.join(stage, "_sink")
+
+    def stage_file(df, name: str, mtime: float) -> None:
+        tmp = os.path.join(stage, "_tmp_" + name)
+        df.coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(stage, name)
+        os.rename(os.path.join(tmp, part), dst)
+        # pin arrival order (file source orders by mtime): the replay
+        # below assumes arrival1 WAS batch 0
+        os.utime(dst, (mtime, mtime))
+
+    import time as _time
+
+    now = _time.time()
+    stage_file(ev.filter(F.col("event_id") % 2 == 0), "arrival1.parquet", now - 120)
+    stage_file(ev.filter(F.col("event_id") % 2 == 1), "arrival2.parquet", now)
+
+    def write_batch(bdf, batch_id: int) -> None:
+        (
+            bdf.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    name = f"eos_{uuid.uuid4().hex[:8]}"
+    with narrow_shuffle(spark):
+        query = (
+            stream.writeStream.foreachBatch(write_batch)
+            .queryName(name)
+            .option(
+                "checkpointLocation", os.path.join(stage, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
+
+    # redelivery: batch 0's file goes through the SAME writer again
+    replay = spark.read.schema(ev.schema).parquet(
+        os.path.join(stage, "arrival1.parquet")
+    )
+    write_batch(replay, 0)
+
+    return spark.read.parquet(out_dir)

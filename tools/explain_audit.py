@@ -76,6 +76,7 @@ DEFAULT_QUERIES = [
     "q201_join_fanout_preflight",
     "q202_dsar_export",
     "q203_hll_rolling_merge",
+    "q205_pit_scd2_join",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the

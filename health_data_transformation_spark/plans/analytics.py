@@ -8998,3 +8998,166 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.sum(cents).cast("long").alias("sum_cents"),
     )
+
+
+@register(
+    "q206_novelty_rate",
+    f"""WITH fp AS (
+          SELECT doc_id, {fingerprint_sql('text')} AS fp,
+                 doc_id % 8 AS week
+          FROM documents),
+       first_seen AS (
+         SELECT fp, min(week) AS w0 FROM fp GROUP BY fp),
+       stats AS (
+         SELECT f.week,
+                count(*) AS n_docs,
+                count(DISTINCT f.fp) AS n_distinct_fp,
+                count(DISTINCT CASE WHEN f.week = s.w0 THEN f.fp END)
+                  AS n_novel_fp
+         FROM fp f JOIN first_seen s USING (fp)
+         GROUP BY f.week)
+       SELECT CAST(week AS BIGINT) AS week,
+              CAST(n_docs AS BIGINT) AS n_docs,
+              CAST(n_distinct_fp AS BIGINT) AS n_distinct_fp,
+              CAST(n_novel_fp AS BIGINT) AS n_novel_fp,
+              CAST((n_novel_fp * 1000000) // n_distinct_fp AS BIGINT)
+                AS novelty_ppm
+       FROM stats""",
+    "crawl novelty rate (the diminishing-returns curve every "
+    "continued crawl is judged by: how much of each ingest wave is "
+    "content we have never seen?): docs bucketed into 8 synthetic "
+    "ingest weeks, per week the distinct fingerprints present and the "
+    "fraction whose FIRST appearance is that week, in exact ppm.  "
+    "One fingerprint aggregate for first-seen week, one join back, "
+    "one per-week aggregate — the min-week table is |distinct "
+    "content| rows and the shuffles are all on the fingerprint hash.  "
+    "When novelty_ppm decays toward zero the crawl has saturated its "
+    "frontier and the budget should move",
+)
+def q206(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    fp = d.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        (F.col("doc_id") % 8).alias("week"),
+    )
+    first_seen = fp.groupBy("fp").agg(F.min("week").alias("w0"))
+    joined = fp.join(first_seen, "fp")
+    return (
+        joined.groupBy("week")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
+            F.countDistinct(
+                F.when(F.col("week") == F.col("w0"), F.col("fp"))
+            )
+            .cast("long")
+            .alias("n_novel_fp"),
+        )
+        .select(
+            F.col("week").cast("long").alias("week"),
+            "n_docs",
+            "n_distinct_fp",
+            "n_novel_fp",
+            F.expr("(n_novel_fp * 1000000) div n_distinct_fp")
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )
+
+
+@register(
+    "q207_group_kfold",
+    f"""WITH ev AS (
+          SELECT event_id, user_id,
+                 CAST({hex_hash64_sql("CAST(user_id AS VARCHAR)", "fold")} % 5
+                      AS INTEGER) AS fold
+          FROM events
+          WHERE ts >= TIMESTAMP '{WEEK_LO}' AND ts < TIMESTAMP '{WEEK_HI}')
+       SELECT fold, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_groups,
+              CAST(bit_xor({hex_hash64_sql("CAST(event_id AS VARCHAR)")})
+                   AS BIGINT) AS xor_hash
+       FROM ev GROUP BY fold""",
+    "group-aware k-fold assignment (GroupKFold: all of a user's rows "
+    "land in ONE fold, so evaluation never sees a training user — the "
+    "leakage rule hash assignment gives for free, since fold is a "
+    "pure function of user_id): per-fold row counts, group counts, "
+    "and content hashes for a week of events under a 5-fold salted "
+    "md5 split.  Row-local assignment, one aggregate; the no-leakage "
+    "property is structural (same user => same hash => same fold), "
+    "not something that needs a second pass to verify.  Contrast "
+    "q63's row-hash split, which balances ROWS but splits users",
+)
+def q207(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf, lo=WEEK_LO, hi=WEEK_HI).select(
+        "event_id", "user_id"
+    )
+    fold = (
+        T.hex_hash64(F.col("user_id").cast("string"), salt="fold") % 5
+    ).cast("int")
+    h = T.hex_hash64(F.col("event_id").cast("string"))
+    return (
+        ev.select(fold.alias("fold"), "user_id", h.alias("h"))
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_groups"),
+            F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+        )
+    )
+
+
+_Q208_LEVELS = (100, 250, 500, 1000)  # permille thresholds of 1000
+
+
+@register(
+    "q208_ablation_manifest",
+    f"""WITH scored AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+                 {hex_hash64_sql("CAST(doc_id AS VARCHAR)", "abl")} % 1000
+                   AS bucket
+          FROM documents),
+       levels AS (SELECT unnest(ARRAY{list(_Q208_LEVELS)}) AS permille)
+       SELECT CAST(permille AS INTEGER) AS permille,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              CAST(sum(bucket * doc_id % 1000000007) AS BIGINT)
+                AS checksum_mod
+       FROM scored JOIN levels ON bucket < permille
+       GROUP BY permille""",
+    "scaling-law ablation manifest (the nested data subsets behind "
+    "every 'performance vs data size' curve): 10% / 25% / 50% / 100% "
+    "subsets selected by a salted hash bucket THRESHOLD, which makes "
+    "them nested by construction — bucket < 100 implies bucket < 250 "
+    "— so each larger run strictly extends the smaller one's data "
+    "(the property that makes ablation curves comparable; independent "
+    "random samples would not be).  Per level: doc count, token mass, "
+    "content checksum.  The level join is a 4-row broadcast against "
+    "the row-local bucket; everything aggregates map-side",
+)
+def q208(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tok"),
+        (
+            T.hex_hash64(F.col("doc_id").cast("string"), salt="abl") % 1000
+        ).alias("bucket"),
+    )
+    levels = spark.createDataFrame(
+        [(p,) for p in _Q208_LEVELS], "permille int"
+    )
+    return (
+        scored.join(
+            F.broadcast(levels), F.col("bucket") < F.col("permille")
+        )
+        .groupBy(F.col("permille").cast("int").alias("permille"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(F.col("bucket") * F.col("doc_id") % 1000000007)
+            .cast("long")
+            .alias("checksum_mod"),
+        )
+    )

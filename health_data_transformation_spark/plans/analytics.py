@@ -9161,3 +9161,199 @@ def q208(spark: SparkSession, sf: str) -> DataFrame:
             .alias("checksum_mod"),
         )
     )
+
+
+def _q209_oracle() -> str:
+    from ..functions.vector import int8_quantize_sql, int_dot_sql
+
+    return f"""WITH qv AS (
+          SELECT vec_id, {int8_quantize_sql('embedding')} AS q
+          FROM embeddings),
+        anchors AS (SELECT vec_id AS aid, q AS aq FROM qv
+                    WHERE vec_id < 50),
+        exact AS (
+          SELECT aid, nid FROM (
+            SELECT a.aid, c.vec_id AS nid,
+                   row_number() OVER (
+                     PARTITION BY a.aid
+                     ORDER BY {int_dot_sql('a.aq', 'c.q')} DESC, c.vec_id
+                   ) AS rk
+            FROM anchors a, qv c WHERE c.vec_id != a.aid) t
+          WHERE rk <= 3),
+        pairs AS ({_q100_oracle()}),
+        sym AS (SELECT id_a AS src, id_b AS dst, qdot FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst, qdot FROM pairs),
+        lsh AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY qdot DESC, dst) AS rk
+            FROM sym WHERE src < 50) t
+          WHERE rk <= 3),
+        ex_n AS (SELECT aid, count(*) AS n_exact FROM exact GROUP BY aid),
+        lsh_n AS (SELECT src, count(*) AS n_lsh FROM lsh GROUP BY src),
+        hits AS (
+          SELECT aid, count(*) AS n_hit
+          FROM exact JOIN lsh ON exact.aid = lsh.src
+                             AND exact.nid = lsh.dst
+          GROUP BY aid)
+       SELECT a.aid AS vec_id,
+              CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
+              CAST(coalesce(l.n_lsh, 0) AS BIGINT) AS n_lsh,
+              CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+              CAST(coalesce(h.n_hit, 0) * 1000000
+                   // coalesce(e.n_exact, 1) AS BIGINT) AS recall_ppm
+       FROM anchors a
+       LEFT JOIN ex_n e ON a.aid = e.aid
+       LEFT JOIN lsh_n l ON a.aid = l.src
+       LEFT JOIN hits h ON a.aid = h.aid"""
+
+
+@register(
+    "q209_ann_recall_eval",
+    _q209_oracle(),
+    "ANN recall@k evaluation (the acceptance test of every "
+    "approximate index deployment: what fraction of the TRUE top-k "
+    "does the index return?): for 50 anchor vectors, exact brute-force "
+    "top-3 by integer dot (broadcast anchors, linear candidate scan, "
+    "two-phase per-group top-k) vs the q105 LSH-prefiltered top-3, "
+    "joined on (anchor, neighbor) to count hits — per-anchor recall "
+    "in exact ppm, with the LSH candidate count beside it (an anchor "
+    "with no signature collisions returns fewer than 3).  At 100 TB "
+    "the exact arm runs on a sampled anchor set exactly like this — "
+    "recall is estimated, never computed corpus-wide — and the knob "
+    "traded against it is q100's n_planes",
+)
+def q209(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vector import int8_quantize, int_dot
+    from ..operators.similarity import embedding_lsh_pairs
+
+    e = load_table(spark, sf, "embeddings")
+    qv = e.select("vec_id", int8_quantize("embedding").alias("q"))
+    anchors = qv.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("aid"), F.col("q").alias("aq")
+    )
+    cand = (
+        qv.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid",
+            F.col("vec_id").alias("nid"),
+            int_dot("aq", "q").alias("dot"),
+        )
+    )
+    exact = K.top_k_per_group_scalable(
+        cand, ["aid"], [F.desc("dot"), F.asc("nid")], 3
+    ).select("aid", "nid")
+
+    pairs = embedding_lsh_pairs(e, n_planes=8)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("dst"),
+                    F.col("qdot"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("dst"),
+                    F.col("qdot"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst", "p.qdot")
+    w = Window.partitionBy("src").orderBy(F.desc("qdot"), "dst")
+    lsh = (
+        sym.filter(F.col("src") < 50)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst")
+    )
+
+    ex_n = exact.groupBy("aid").agg(F.count("*").alias("n_exact"))
+    lsh_n = lsh.groupBy("src").agg(F.count("*").alias("n_lsh"))
+    hits = (
+        exact.join(
+            lsh,
+            (F.col("aid") == F.col("src")) & (F.col("nid") == F.col("dst")),
+        )
+        .groupBy("aid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        anchors.select("aid")
+        .join(ex_n, "aid", "left")
+        .join(lsh_n, F.col("aid") == F.col("src"), "left")
+        .join(hits, "aid", "left")
+        .select(
+            F.col("aid").cast("long").alias("vec_id"),
+            F.coalesce(F.col("n_exact"), F.lit(0))
+            .cast("long")
+            .alias("n_exact"),
+            F.coalesce(F.col("n_lsh"), F.lit(0)).cast("long").alias("n_lsh"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(
+                "coalesce(n_hit, 0) * 1000000 div coalesce(n_exact, 1)"
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+@register(
+    "q210_incremental_view_maintenance",
+    f"""WITH s3 AS ({_q177_state_sql(3)})
+       SELECT st, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(cents) AS BIGINT) AS sum_cents
+       FROM s3 GROUP BY st""",
+    "incremental materialized-view maintenance under updates (the "
+    "Materialize/Delta-live-tables kernel: keep an aggregate current "
+    "by applying the CHANGE BATCH'S delta, never re-scanning the "
+    "base): the per-status (count, cents) view over the q177 table is "
+    "maintained from state v2 to v3 as view(v2) + agg(upsert batch) "
+    "- agg(replaced rows), where the replaced rows are v2 semi-joined "
+    "on the batch's keys — O(|batch|) work against O(|table|) for the "
+    "recompute.  The oracle IS the full recompute of v3, so the "
+    "differential proves maintained == recomputed exactly (counts "
+    "and cents).  Deletes would enter the same way with negative "
+    "deltas (q159's CDC op-classes)",
+)
+def q210(spark: SparkSession, sf: str) -> DataFrame:
+    t = _q177_build(spark, sf, "q210")
+
+    def agg(df, sign: int):
+        return df.groupBy("st").agg(
+            (F.lit(sign) * F.count("*")).alias("dn"),
+            (F.lit(sign) * F.sum("cents")).alias("dc"),
+        )
+
+    v2 = t.read(version=2)
+    # the same deterministic batch _q177_build upserted into v3
+    o = load_table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        cents.alias("cents"),
+    )
+    batch = (
+        base.filter(F.col("k") % 6 == 0)
+        .withColumn("cents", F.col("cents") + 10000)
+        .unionByName(base.filter(F.col("k") % 3 == 2))
+    )
+    replaced = v2.join(batch.select("k"), "k", "left_semi")
+    deltas = agg(batch, 1).unionByName(agg(replaced, -1))
+    maintained = (
+        agg(v2, 1)
+        .unionByName(deltas)
+        .groupBy("st")
+        .agg(F.sum("dn").alias("n_rows"), F.sum("dc").alias("sum_cents"))
+    )
+    return maintained.select(
+        "st",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )

@@ -77,6 +77,7 @@ DEFAULT_QUERIES = [
     "q202_dsar_export",
     "q203_hll_rolling_merge",
     "q205_pit_scd2_join",
+    "q209_ann_recall_eval",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -125,6 +126,8 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q190_hard_negatives",
     # 1-row totals table attached to the per-key aggregate
     "q201_join_fanout_preflight",
+    # constant 50-row anchor set broadcast against the candidate scan
+    "q209_ann_recall_eval",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

@@ -9357,3 +9357,92 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("sum_cents").cast("long").alias("sum_cents"),
     )
+
+
+_Q211_SPLIT = hex_hash64_sql("CAST({id} AS VARCHAR)", "split")
+
+
+@register(
+    "q211_split_leakage_audit",
+    f"""WITH pairs AS (SELECT id_a, id_b
+                       FROM ({_lsh_near_dup_oracle(0.4)}) t),
+       labeled AS (
+         SELECT id_a, id_b,
+                CASE WHEN {_Q211_SPLIT.format(id='id_a')} % 10 = 0
+                     THEN 'test' ELSE 'train' END AS sa,
+                CASE WHEN {_Q211_SPLIT.format(id='id_b')} % 10 = 0
+                     THEN 'test' ELSE 'train' END AS sb
+         FROM pairs),
+       classed AS (
+         SELECT CASE WHEN sa = sb THEN sa || '-' || sb
+                     ELSE 'straddle' END AS pair_class,
+                id_a, id_b
+         FROM labeled),
+       tot AS (SELECT count(*) AS n_total FROM classed)
+       SELECT pair_class,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(count(*) * 1000000 // n_total AS BIGINT) AS share_ppm,
+              CAST(bit_xor({hex_hash64_sql("CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR)")}) AS BIGINT) AS xor_hash
+       FROM classed, tot GROUP BY pair_class, n_total""",
+    "train/test split leakage audit (the eval-inflation bug class: a "
+    "near-duplicate pair straddling the split lets the model 'see' "
+    "test content in training — documented to inflate benchmarks, "
+    "and invisible to row-level dedup): every q51-style LSH near-dup "
+    "pair labeled by each member's hash-split assignment (10% test) "
+    "and classed train-train / test-test / STRADDLE, with counts, "
+    "shares in exact ppm, and pair-hash checksums.  The fix when "
+    "straddle_ppm is nonzero is group-aware splitting on the q76 "
+    "component id (q207's principle with dedup clusters as groups).  "
+    "Cost: the pair table is the q51 banded candidate set — the "
+    "audit adds only row-local labeling and one bounded aggregate",
+)
+def q211(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    pairs = D.lsh_near_dup_pairs(
+        d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
+    ).select("id_a", "id_b")
+
+    def split(col):
+        return F.when(
+            T.hex_hash64(F.col(col).cast("string"), salt="split") % 10 == 0,
+            F.lit("test"),
+        ).otherwise(F.lit("train"))
+
+    labeled = pairs.select(
+        "id_a",
+        "id_b",
+        split("id_a").alias("sa"),
+        split("id_b").alias("sb"),
+    )
+    classed = labeled.select(
+        F.when(
+            F.col("sa") == F.col("sb"),
+            F.concat_ws("-", "sa", "sb"),
+        )
+        .otherwise(F.lit("straddle"))
+        .alias("pair_class"),
+        T.hex_hash64(
+            F.concat(
+                F.col("id_a").cast("string"),
+                F.lit("|"),
+                F.col("id_b").cast("string"),
+            )
+        ).alias("h"),
+    )
+    tot = classed.agg(F.count("*").alias("n_total"))
+    return (
+        classed.groupBy("pair_class")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pair_class",
+            "n_pairs",
+            F.expr("n_pairs * 1000000 div n_total")
+            .cast("long")
+            .alias("share_ppm"),
+            "xor_hash",
+        )
+    )

@@ -9446,3 +9446,133 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
             "xor_hash",
         )
     )
+
+
+_Q212_WINDOW_HASH = hex_hash64_sql(
+    "t[CAST(p AS INTEGER)] || ' ' || t[CAST(p AS INTEGER) + 1] || ' ' "
+    "|| t[CAST(p AS INTEGER) + 2]",
+    "cdc",
+)
+
+
+@register(
+    "q212_content_defined_chunks",
+    f"""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       pos AS (
+         SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM toks),
+       marked AS (
+         SELECT doc_id, p, t[CAST(p AS INTEGER)] AS tok,
+                CASE WHEN p <= len(t) - 2
+                      AND {_Q212_WINDOW_HASH} % 16 = 0
+                     THEN 1 ELSE 0 END AS cut_after
+         FROM pos),
+       cids AS (
+         SELECT doc_id, p, tok,
+                sum(cut_after) OVER (
+                  PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) AS cid
+         FROM marked),
+       chunks AS (
+         SELECT doc_id, coalesce(cid, 0) AS cid,
+                md5(string_agg(tok, ' ' ORDER BY p)) AS ch,
+                count(*) AS n_tok
+         FROM cids GROUP BY doc_id, coalesce(cid, 0)),
+       per_hash AS (
+         SELECT ch, count(*) AS cnt, max(n_tok) AS n_tok
+         FROM chunks GROUP BY ch)
+       SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+              CAST(count(*) AS BIGINT) AS n_distinct,
+              CAST((sum(cnt) - count(*)) * 1000000 // sum(cnt) AS BIGINT)
+                AS dup_ppm,
+              CAST(sum(cnt * n_tok) AS BIGINT) AS tokens_total,
+              CAST(sum((cnt - 1) * n_tok) AS BIGINT) AS tokens_saved
+       FROM per_hash""",
+    "content-defined chunking (the restic/borgbackup/LLM-cache "
+    "storage-dedup primitive: cut points come from a rolling CONTENT "
+    "hash, so an insertion shifts only its own chunk's boundary while "
+    "byte-offset chunking would shift every subsequent chunk): cut "
+    "after token i wherever the 3-token window hash = 0 mod 16 "
+    "(expected chunk ~16 tokens), chunk ids via a cumulative cut "
+    "count, chunk content hashed, then the global dedup ledger — "
+    "total vs distinct chunks, duplicate share in exact ppm, and the "
+    "token mass a content-addressed store would save.  Plan: "
+    "row-local window hashing, one explode bounded by corpus tokens, "
+    "a per-doc cumulative window (per-doc partitions — bounded by "
+    "document length), one chunk aggregate keyed by md5, one "
+    "fixed-width rollup.  Deterministic end to end: the same corpus "
+    "always cuts identically, which is what makes cross-snapshot "
+    "chunk dedup work",
+)
+def q212(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = d.select("doc_id", T.tokens("text").alias("t"))
+    pos = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.size("t"))).alias("p"),
+    )
+    wh = T.hex_hash64(
+        F.concat_ws(
+            " ",
+            F.element_at("t", F.col("p")),
+            F.element_at("t", F.col("p") + 1),
+            F.element_at("t", F.col("p") + 2),
+        ),
+        salt="cdc",
+    )
+    marked = pos.select(
+        "doc_id",
+        "p",
+        F.element_at("t", F.col("p")).alias("tok"),
+        F.when(
+            (F.col("p") <= F.size("t") - 2) & (wh % 16 == 0), 1
+        )
+        .otherwise(0)
+        .alias("cut_after"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cids = marked.select(
+        "doc_id",
+        "p",
+        "tok",
+        F.coalesce(F.sum("cut_after").over(w), F.lit(0)).alias("cid"),
+    )
+    chunks = (
+        cids.groupBy("doc_id", "cid")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("p", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("ch"),
+            F.count("*").alias("n_tok"),
+        )
+    )
+    per_hash = chunks.groupBy("ch").agg(
+        F.count("*").alias("cnt"), F.max("n_tok").alias("n_tok")
+    )
+    return per_hash.agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.expr("(sum(cnt) - count(*)) * 1000000 div sum(cnt)")
+        .cast("long")
+        .alias("dup_ppm"),
+        F.sum(F.col("cnt") * F.col("n_tok"))
+        .cast("long")
+        .alias("tokens_total"),
+        F.sum((F.col("cnt") - 1) * F.col("n_tok"))
+        .cast("long")
+        .alias("tokens_saved"),
+    )

@@ -9576,3 +9576,155 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("tokens_saved"),
     )
+
+
+_Q213_DELAY = f"({hex_hash64_sql('CAST(event_id AS VARCHAR)', 'lag')} % 600)"
+
+
+@register(
+    "q213_event_lag_percentiles",
+    f"""WITH ev AS (
+          SELECT event_type, {_Q213_DELAY} AS lag_s
+          FROM events
+          WHERE ts >= TIMESTAMP '{WEEK_LO}' AND ts < TIMESTAMP '{WEEK_HI}'),
+       perv AS (
+         SELECT event_type, lag_s, count(*) AS c
+         FROM ev GROUP BY 1, 2),
+       cumv AS (
+         SELECT event_type, lag_s,
+                sum(c) OVER (PARTITION BY event_type ORDER BY lag_s) AS cum,
+                sum(c) OVER (PARTITION BY event_type) AS tot
+         FROM perv)
+       SELECT event_type,
+              CAST(max(tot) AS BIGINT) AS n_events,
+              CAST(min(lag_s) FILTER (WHERE cum * 2 >= tot) AS BIGINT)
+                AS p50_s,
+              CAST(min(lag_s) FILTER (WHERE cum * 20 >= 19 * tot) AS BIGINT)
+                AS p95_s,
+              CAST(min(lag_s) FILTER (WHERE cum * 100 >= 99 * tot) AS BIGINT)
+                AS p99_s
+       FROM cumv GROUP BY event_type""",
+    "event-time vs arrival-time lag distribution (the observability "
+    "number behind every watermark decision: withWatermark's delay "
+    "should cover ~p99 of real lag, and this query IS how you pick "
+    "it): per event type the exact p50/p95/p99 of arrival lag — "
+    "synthesized deterministically per event from the md5 family "
+    "(0-599 s) since the testdata carries no processing-time column; "
+    "a real pipeline feeds ingest_ts - event_ts into the identical "
+    "plan.  Exact lower quantiles via the per-(type, lag) aggregate "
+    "and cumulative windows over it — windows run over at most 600 "
+    "distinct lag values per type, never the events.  The q192 "
+    "watermark (2 h) sits far above this p99, which is the documented "
+    "design margin",
+)
+def q213(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf, lo=WEEK_LO, hi=WEEK_HI).select(
+        "event_type",
+        (
+            T.hex_hash64(F.col("event_id").cast("string"), salt="lag") % 600
+        ).alias("lag_s"),
+    )
+    perv = ev.groupBy("event_type", "lag_s").agg(F.count("*").alias("c"))
+    wc = Window.partitionBy("event_type").orderBy("lag_s")
+    wt = Window.partitionBy("event_type")
+    cumv = perv.select(
+        "event_type",
+        "lag_s",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wt).alias("tot"),
+    )
+
+    def q_at(num: int, den: int):
+        return F.min(
+            F.when(F.col("cum") * den >= num * F.col("tot"), F.col("lag_s"))
+        )
+
+    return cumv.groupBy("event_type").agg(
+        F.max("tot").cast("long").alias("n_events"),
+        q_at(1, 2).cast("long").alias("p50_s"),
+        q_at(19, 20).cast("long").alias("p95_s"),
+        q_at(99, 100).cast("long").alias("p99_s"),
+    )
+
+
+#: hash-bucket thresholds approximating Poisson(1) pmf over {0,1,2,3+}
+#: (368, 368, 184, 80 per mille) — fixed, documented, engine-exact
+_Q214_REPS = 8
+
+
+@register(
+    "q214_bootstrap_ci",
+    f"""WITH reps AS (SELECT unnest(range(0, {_Q214_REPS})) AS rep),
+       weighted AS (
+         SELECT rep,
+                CASE
+                  WHEN ({hex_hash64_sql("CAST(rep AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)", "boot")} % 1000) < 368 THEN 0
+                  WHEN ({hex_hash64_sql("CAST(rep AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)", "boot")} % 1000) < 736 THEN 1
+                  WHEN ({hex_hash64_sql("CAST(rep AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)", "boot")} % 1000) < 920 THEN 2
+                  ELSE 3 END AS w,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS cents
+         FROM orders CROSS JOIN reps),
+       per_rep AS (
+         SELECT rep, sum(w) AS n_eff, sum(w * cents) AS total
+         FROM weighted GROUP BY rep),
+       base AS (SELECT sum(1) AS n0,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS t0
+                FROM orders)
+       SELECT CAST(rep AS INTEGER) AS rep,
+              CAST(n_eff AS BIGINT) AS n_eff,
+              CAST(total AS BIGINT) AS total_cents,
+              CAST((total - t0) * 1000000 // t0 AS BIGINT)
+                AS delta_ppm
+       FROM per_rep, base""",
+    "deterministic Poisson bootstrap (the distributed-CI trick: "
+    "instead of resampling rows — impossible to coordinate across a "
+    "cluster — each row gets an independent Poisson(1) replication "
+    "weight per replicate, here drawn from fixed md5-bucket "
+    "thresholds 368/368/184/80 per mille over {{0,1,2,3}}, so every "
+    "engine and every retry derives the IDENTICAL resamples): 8 "
+    "replicates of total order revenue, each replicate's effective n "
+    "and exact-cents total, and its deviation from the true total in "
+    "ppm — the spread across replicates IS the bootstrap CI.  "
+    "Row-local weights, one aggregate per replicate via an 8-row "
+    "broadcast cross join, map-side combinable; zero data movement "
+    "beyond the 8-row rollup",
+)
+def q214(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    reps = spark.range(_Q214_REPS).select(F.col("id").cast("int").alias("rep"))
+    h = (
+        T.hex_hash64(
+            F.concat(
+                F.col("rep").cast("string"),
+                F.lit("|"),
+                F.col("o_orderkey").cast("string"),
+            ),
+            salt="boot",
+        )
+        % 1000
+    )
+    w = (
+        F.when(h < 368, 0)
+        .when(h < 736, 1)
+        .when(h < 920, 2)
+        .otherwise(3)
+    )
+    weighted = o.crossJoin(F.broadcast(reps)).select(
+        "rep", w.alias("w"), cents.alias("cents")
+    )
+    per_rep = weighted.groupBy("rep").agg(
+        F.sum("w").alias("n_eff"),
+        F.sum(F.col("w") * F.col("cents")).alias("total"),
+    )
+    base = o.agg(F.sum(cents).alias("t0"))
+    return per_rep.crossJoin(F.broadcast(base)).select(
+        F.col("rep").cast("int").alias("rep"),
+        F.col("n_eff").cast("long").alias("n_eff"),
+        F.col("total").cast("long").alias("total_cents"),
+        F.expr("(total - t0) * 1000000 div t0")
+        .cast("long")
+        .alias("delta_ppm"),
+    )

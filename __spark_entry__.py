@@ -36,9 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: families (connected components, LSH ANN, PPJoin, k-means, banded
 #: SimHash, BM25, ingest lifecycle) move in so they get driver-grade
 #: verification instead of only the local harness.  Displaced to make
-#: room: eight small single-operator relational queries (q15/q16/q19/
-#: q20/q21/q22/q28/q29 — not §2 proof queries, each covered by unit
-#: tests and the committed full-registry local artifact).
+#: room: small single-operator relational queries (q15-q22/q28/q29) and
+#: a second tier of covered-elsewhere operators (q54/q55/q58/q62/q63/
+#: q64/q66) — none are §2 proof queries, and all stay green in the
+#: committed full-registry local artifact and unit tests.
 _PROMOTED = [
     "q76_dedup_clusters",
     "q100_embedding_lsh_pairs",
@@ -51,6 +52,15 @@ _PROMOTED = [
     "q173_semantic_dedup",
     "q180_versioned_dedup_ingest",
     "q181_stream_incremental_dedup",
+    "q184_perplexity_buckets",
+    "q186_dup_span_table",
+    "q191_theil_sen_trend",
+    "q194_containment_pairs",
+    "q199_warehouse_profile",
+    "q200_corpus_export",
+    "q204_exactly_once_sink",
+    "q209_ann_recall_eval",
+    "q212_content_defined_chunks",
 ]
 
 _DEMOTED = {
@@ -64,6 +74,13 @@ _DEMOTED = {
     "q22_except",
     "q28_cube_counts",
     "q29_pivot",
+    "q54_range_join",
+    "q55_grouping_sets",
+    "q58_frame_sample",
+    "q62_stream_session_windows",
+    "q63_hash_split",
+    "q64_profile",
+    "q66_pack_bins",
     "q70_sorted_collect",
 }
 

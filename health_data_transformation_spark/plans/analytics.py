@@ -9728,3 +9728,189 @@ def q214(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("delta_ppm"),
     )
+
+
+@register(
+    "q215_bigram_surprisal",
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       pos AS (
+         SELECT doc_id, unnest(range(2, len(t) + 1)) AS p, t FROM toks),
+       grams AS (
+         SELECT doc_id,
+                t[CAST(p AS INTEGER) - 1] AS w1,
+                t[CAST(p AS INTEGER) - 1] || ' ' || t[CAST(p AS INTEGER)]
+                  AS w12
+         FROM pos),
+       uni AS (SELECT w1, count(*) AS c1 FROM grams GROUP BY w1),
+       bi AS (SELECT w12, count(*) AS c12 FROM grams GROUP BY w12),
+       vocab AS (SELECT count(DISTINCT w1) AS v FROM grams),
+       scored AS (
+         SELECT g.doc_id,
+                length(printf('%b',
+                  CAST((c1 + v) // (c12 + 1) AS BIGINT))) - 1 AS s
+         FROM grams g
+         JOIN uni ON g.w1 = uni.w1
+         JOIN bi ON g.w12 = bi.w12
+         CROSS JOIN vocab),
+       per_doc AS (
+         SELECT doc_id, count(*) AS n_bigrams, sum(s) AS ssum
+         FROM scored GROUP BY doc_id)
+       SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+              CAST((ssum * 1000000) // n_bigrams AS BIGINT)
+                AS surprisal_ppm
+       FROM per_doc""",
+    "bigram-LM surprisal (q174's unigram proxy upgraded to a "
+    "CONDITIONAL model — the first-order approximation of real "
+    "perplexity filtering a la CCNet/KenLM): each bigram scores "
+    "floor(log2((c(w1) + V) / (c(w1 w2) + 1))) — add-one-smoothed "
+    "-log2 P(w2 | w1) computed as the bit length of an exact integer "
+    "ratio (printf('%b') / F.bin; no fp log anywhere), with V the "
+    "context vocabulary attached via a 1-row broadcast.  Per-doc mean "
+    "bits in exact ppm ranks gibberish above fluent text more sharply "
+    "than unigrams (a rare word after its natural context is cheap; "
+    "a common word in the wrong context is expensive).  Plan: one "
+    "bigram explode (corpus tokens), two map-combinable count "
+    "aggregates, two equi-joins back on bounded keys, one per-doc "
+    "aggregate — the q174 shape plus one join",
+)
+def q215(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = d.select("doc_id", T.tokens("text").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(2), F.size("t"))).alias("p"),
+        "t",
+    ).select(
+        "doc_id",
+        F.element_at("t", F.col("p") - 1).alias("w1"),
+        F.concat_ws(
+            " ",
+            F.element_at("t", F.col("p") - 1),
+            F.element_at("t", F.col("p")),
+        ).alias("w12"),
+    )
+    uni = grams.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = grams.groupBy("w12").agg(F.count("*").alias("c12"))
+    vocab = grams.agg(F.countDistinct("w1").alias("v"))
+    scored = (
+        grams.join(uni, "w1")
+        .join(bi, "w12")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                F.length(F.bin(F.expr("(c1 + v) div (c12 + 1)"))) - 1
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("s").alias("ssum"))
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.expr("(ssum * 1000000) div n_bigrams")
+            .cast("long")
+            .alias("surprisal_ppm"),
+        )
+    )
+
+
+def _q216_oracle() -> str:
+    from ..functions.vector import int8_quantize_sql
+
+    return f"""WITH qv AS (
+          SELECT label, {int8_quantize_sql('embedding')} AS q
+          FROM embeddings),
+        dims AS (
+          SELECT label, unnest(range(1, 65)) AS pos, q FROM qv),
+        percell AS (
+          SELECT label, pos,
+                 sum(q[CAST(pos AS INTEGER)]) AS s, count(*) AS c
+          FROM dims GROUP BY 1, 2),
+        cent AS (
+          SELECT label, pos,
+                 (s - ((s % c) + c) % c) // c AS v
+          FROM percell),
+        vecs AS (
+          SELECT label, list(v ORDER BY pos) AS cv FROM cent GROUP BY label),
+        pairs AS (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 CAST(list_dot_product(CAST(a.cv AS DOUBLE[]),
+                                       CAST(b.cv AS DOUBLE[])) AS BIGINT)
+                   AS dot,
+                 CAST(list_dot_product(CAST(a.cv AS DOUBLE[]),
+                                       CAST(a.cv AS DOUBLE[])) AS BIGINT)
+                   AS na2,
+                 CAST(list_dot_product(CAST(b.cv AS DOUBLE[]),
+                                       CAST(b.cv AS DOUBLE[])) AS BIGINT)
+                   AS nb2
+          FROM vecs a JOIN vecs b ON a.label < b.label)
+       SELECT label_a, label_b, dot,
+              CAST(floor(dot * 1000000.0
+                   / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)))
+                   AS BIGINT) AS cos_ppm
+       FROM pairs"""
+
+
+@register(
+    "q216_label_centroid_matrix",
+    _q216_oracle(),
+    "dataset similarity map (which slices of the corpus are "
+    "semantically close — the input to mixture design, domain "
+    "weighting, and contamination triage): per-label INTEGER "
+    "centroids of the int8-quantized embeddings — element-wise exact "
+    "floor means via the sign-safe (s - ((s%c)+c)%c)/c identity, the "
+    "q158 k-means centroid rule — then the full pairwise cosine "
+    "matrix between the ~|labels| centroids in floor-ppm (only *, /, "
+    "sqrt, floor — all bit-portable IEEE ops).  Plan: one posexplode "
+    "bounded by vectors x 64 dims, one (label, dim) aggregate "
+    "(map-combinable), centroids reassembled by sorted position, and "
+    "a |labels|^2 self-join on a table of ~10 rows.  The corpus-sized "
+    "data is touched exactly once; the quadratic part is over "
+    "LABELS, never vectors",
+)
+def q216(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vector import int8_quantize, int_dot
+
+    e = load_table(spark, sf, "embeddings")
+    qv = e.select("label", int8_quantize("embedding").alias("q"))
+    dims = qv.select("label", F.posexplode("q").alias("pos", "val"))
+    percell = dims.groupBy("label", "pos").agg(
+        F.sum("val").alias("s"), F.count("*").alias("c")
+    )
+    cent = percell.select(
+        "label",
+        "pos",
+        F.expr("(s - ((s % c) + c) % c) div c").alias("v"),
+    )
+    vecs = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda x: x["v"],
+        ).alias("cv")
+    )
+    a = vecs.select(F.col("label").alias("label_a"), F.col("cv").alias("ca"))
+    b = vecs.select(F.col("label").alias("label_b"), F.col("cv").alias("cb"))
+    pairs = a.join(b, F.col("label_a") < F.col("label_b")).select(
+        "label_a",
+        "label_b",
+        int_dot("ca", "cb").alias("dot"),
+        int_dot("ca", "ca").alias("na2"),
+        int_dot("cb", "cb").alias("nb2"),
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.col("dot").cast("long").alias("dot"),
+        F.floor(
+            F.col("dot")
+            * F.lit(1000000.0)
+            / F.sqrt(
+                F.col("na2").cast("double") * F.col("nb2").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("cos_ppm"),
+    )

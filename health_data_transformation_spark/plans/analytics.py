@@ -9914,3 +9914,86 @@ def q216(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("cos_ppm"),
     )
+
+
+@register(
+    "q217_interval_coverage",
+    f"""WITH iv AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                 CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+          FROM events
+          WHERE ts >= TIMESTAMP '{WEEK_LO}' AND ts < TIMESTAMP '{WEEK_HI}'),
+       marked AS (
+         SELECT user_id, s, e,
+                max(e) OVER (
+                  PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) AS prev_max
+         FROM iv),
+       islands AS (
+         SELECT user_id, s, e,
+                sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY s, e) AS isl
+         FROM marked),
+       merged AS (
+         SELECT user_id, isl, min(s) AS ms, max(e) AS me
+         FROM islands GROUP BY user_id, isl),
+       per_user AS (
+         SELECT user_id, count(*) AS n_islands,
+                sum(me - ms) AS covered_s
+         FROM merged GROUP BY user_id)
+       SELECT CAST(count(*) AS BIGINT) AS n_users,
+              CAST(sum(n_islands) AS BIGINT) AS n_islands,
+              CAST(sum(covered_s) AS BIGINT) AS covered_s,
+              CAST(max(covered_s) AS BIGINT) AS max_user_covered_s
+       FROM per_user""",
+    "interval-union coverage (the uptime/billing/active-time kernel: "
+    "total seconds covered by the UNION of possibly-overlapping "
+    "activity intervals, overlaps counted once): each event opens a "
+    "300 s interval; per user, islands form where an interval starts "
+    "past the running max of prior ends (one cumulative-max window + "
+    "one island-count window, q126's gaps-and-islands generalized "
+    "from points to intervals), then merged island lengths sum to "
+    "exact covered seconds.  Per-user partitions bound the windows by "
+    "individual activity; the rollup here is the corpus-level "
+    "coverage summary.  Integer epoch seconds end to end — no "
+    "timestamp arithmetic in fp",
+)
+def q217(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf, lo=WEEK_LO, hi=WEEK_HI).select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + 300).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn("prev_max", F.max("e").over(wprev))
+    wisl = Window.partitionBy("user_id").orderBy("s", "e")
+    islands = marked.withColumn(
+        "isl",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(wisl),
+    )
+    merged = islands.groupBy("user_id", "isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    per_user = merged.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("me") - F.col("ms")).alias("covered_s"),
+    )
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_islands").cast("long").alias("n_islands"),
+        F.sum("covered_s").cast("long").alias("covered_s"),
+        F.max("covered_s").cast("long").alias("max_user_covered_s"),
+    )

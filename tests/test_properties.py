@@ -347,3 +347,77 @@ def test_hamilton_allocation_properties(spark):
     for r in rows:
         base = (1000 * r["n_docs"]) // total_docs
         assert r["alloc"] in (base, base + 1), (r, base)
+
+
+def test_content_defined_chunks_reconstruct_document(spark):
+    """CDC chunking invariant: concatenating a document's chunks in
+    chunk order reproduces the document exactly (no token lost,
+    duplicated, or reordered), for any cut pattern the rolling hash
+    produces — the property that makes chunk-level dedup lossless."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from health_data_transformation_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o p"),
+            (2, "x"),
+            (3, "one two three four five six seven eight nine ten "
+                "eleven twelve thirteen fourteen"),
+            (4, "a a a a a a a a a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = docs.select("doc_id", T.tokens("text").alias("t"))
+    pos = toks.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(1), F.size("t"))).alias("p"),
+    )
+    wh = T.hex_hash64(
+        F.concat_ws(
+            " ",
+            F.element_at("t", F.col("p")),
+            F.element_at("t", F.col("p") + 1),
+            F.element_at("t", F.col("p") + 2),
+        ),
+        salt="cdc",
+    )
+    marked = pos.select(
+        "doc_id", "p", F.element_at("t", F.col("p")).alias("tok"),
+        F.when((F.col("p") <= F.size("t") - 2) & (wh % 4 == 0), 1)
+        .otherwise(0).alias("cut_after"),
+    )
+    w = (
+        Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cids = marked.select(
+        "doc_id", "p", "tok",
+        F.coalesce(F.sum("cut_after").over(w), F.lit(0)).alias("cid"),
+    )
+    chunks = cids.groupBy("doc_id", "cid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk")
+    )
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("cid", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    joined = docs.join(rebuilt, "doc_id").collect()
+    assert len(joined) == 4
+    for r in joined:
+        assert r["rebuilt"] == r["text"], r["doc_id"]

@@ -9997,3 +9997,85 @@ def q217(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("covered_s").cast("long").alias("covered_s"),
         F.max("covered_s").cast("long").alias("max_user_covered_s"),
     )
+
+
+_Q218_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@register(
+    "q218_conditional_merge",
+    f"""WITH cur AS (
+          SELECT o_orderkey AS k, o_orderstatus AS st,
+                 {_Q218_CENTS} AS cents
+          FROM orders WHERE o_orderkey % 3 = 0),
+       batch AS (
+          SELECT o_orderkey AS k, o_orderstatus AS st,
+                 {_Q218_CENTS} + 5000 AS cents
+          FROM orders WHERE o_orderkey % 2 = 0),
+       merged AS (
+         SELECT coalesce(c.k, b.k) AS k,
+                coalesce(c.st, b.st) AS st,
+                CASE WHEN c.k IS NOT NULL AND b.k IS NOT NULL
+                          AND c.st = 'O'
+                     THEN b.cents              -- WHEN MATCHED AND open
+                     WHEN c.k IS NOT NULL THEN c.cents  -- matched, closed
+                     ELSE b.cents END AS cents  -- WHEN NOT MATCHED INSERT
+         FROM cur c FULL JOIN batch b ON c.k = b.k)
+       SELECT st, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(cents) AS BIGINT) AS sum_cents,
+              CAST(bit_xor({hex_hash64_sql("CAST(k AS VARCHAR) || '|' || st || '|' || CAST(cents AS VARCHAR)")}) AS BIGINT) AS xor_hash
+       FROM merged GROUP BY st""",
+    "conditional MERGE (the full WHEN MATCHED AND <predicate> clause "
+    "family: update only rows meeting a condition, leave other "
+    "matches untouched, insert the unmatched): the q177 table's "
+    "one-full-outer-join MERGE kernel extended with a match "
+    "predicate — matched AND status 'O' takes the batch's cents, "
+    "matched-but-closed keeps the current row byte-for-byte, "
+    "unmatched batch rows insert.  Per-status counts, exact cents, "
+    "and row-hash xors pin all three clause outcomes at once (an "
+    "unconditional MERGE would corrupt the closed-row hashes).  "
+    "Same scale shape as q159: one equi-join on the key, row-local "
+    "clause selection, partition-pruned rewrite on a real table",
+)
+def q218(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cur = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("ck"),
+        F.col("o_orderstatus").alias("cst"),
+        cents.alias("ccents"),
+    )
+    batch = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("bk"),
+        F.col("o_orderstatus").alias("bst"),
+        (cents + 5000).alias("bcents"),
+    )
+    j = cur.join(batch, F.col("ck") == F.col("bk"), "full_outer")
+    merged = j.select(
+        F.coalesce(F.col("ck"), F.col("bk")).alias("k"),
+        F.coalesce(F.col("cst"), F.col("bst")).alias("st"),
+        F.when(
+            F.col("ck").isNotNull()
+            & F.col("bk").isNotNull()
+            & (F.col("cst") == "O"),
+            F.col("bcents"),
+        )
+        .when(F.col("ck").isNotNull(), F.col("ccents"))
+        .otherwise(F.col("bcents"))
+        .alias("cents"),
+    )
+    h = T.hex_hash64(
+        F.concat(
+            F.col("k").cast("string"), F.lit("|"), F.col("st"),
+            F.lit("|"), F.col("cents").cast("string"),
+        )
+    )
+    return (
+        merged.select("st", h.alias("h"), "cents")
+        .groupBy("st")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+        )
+    )

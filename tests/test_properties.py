@@ -421,3 +421,77 @@ def test_content_defined_chunks_reconstruct_document(spark):
     assert len(joined) == 4
     for r in joined:
         assert r["rebuilt"] == r["text"], r["doc_id"]
+
+
+def test_global_row_number_partition_invariant(spark):
+    """global_row_number must assign the SAME rank to every row no
+    matter how many partitions the input arrives in — the property
+    that makes hash-ordered shard manifests reproducible across
+    cluster sizes (q183/q200)."""
+    import pyspark.sql.functions as F
+
+    from health_data_transformation_spark.operators.topk import (
+        global_row_number,
+    )
+
+    base = spark.range(500).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 1000003).alias("k"),
+    )
+    expected = None
+    for n_parts in (1, 3, 8):
+        df = base.repartition(n_parts)
+        got = sorted(
+            (r["id"], r["rn"])
+            for r in global_row_number(
+                df, [F.col("k"), F.col("id")]
+            ).collect()
+        )
+        if expected is None:
+            expected = got
+            ranks = sorted(rn for _, rn in got)
+            assert ranks == list(range(1, 501))  # dense, 1-based, total
+        else:
+            assert got == expected, f"rank drift at {n_parts} partitions"
+
+
+def test_grouped_weighted_quantile_arbitrary_q(spark):
+    """q_num/q_den generalization: the two-phase quantile must equal
+    the direct 'smallest v with cum*den >= num*total' definition for
+    several q, with duplicate values, negative values, and weights."""
+    import pyspark.sql.functions as F
+
+    from health_data_transformation_spark.operators.profile import (
+        grouped_weighted_quantile,
+    )
+
+    rows = []
+    vals = [-50, -3, -3, 0, 1, 1, 1, 7, 20, 20, 999, -1000]
+    for g in ("a", "b"):
+        for i, v in enumerate(vals):
+            rows.append((g, v, (i % 3) + 1))
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+
+    def brute(q_num, q_den):
+        out = {}
+        for g in ("a", "b"):
+            items = sorted(
+                (v, w) for gg, v, w in rows if gg == g
+            )
+            tot = sum(w for _, w in items)
+            cum = 0
+            for v, w in items:
+                cum += w
+                if cum * q_den >= q_num * tot:
+                    out[g] = v
+                    break
+        return out
+
+    for q_num, q_den in [(1, 2), (1, 3), (2, 3), (9, 10), (1, 100), (99, 100)]:
+        got = {
+            r["g"]: r["quantile_value"]
+            for r in grouped_weighted_quantile(
+                df, "g", "v", "w", q_num=q_num, q_den=q_den
+            ).collect()
+        }
+        assert got == brute(q_num, q_den), (q_num, q_den, got)

@@ -10079,3 +10079,128 @@ def q218(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
         )
     )
+
+
+_Q219_CENTS = "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@register(
+    "q219_keyset_pagination",
+    f"""WITH ranked AS (
+          SELECT c_nationkey AS nk, c_custkey AS k,
+                 {_Q219_CENTS} AS cents,
+                 row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY {_Q219_CENTS} DESC, c_custkey) AS rk
+          FROM customer)
+       SELECT CAST(nk AS INTEGER) AS nk, CAST(k AS BIGINT) AS k,
+              cents, CAST(rk AS INTEGER) AS rk
+       FROM ranked WHERE rk BETWEEN 6 AND 10""",
+    "keyset pagination differential (the serving-layer rule: page N "
+    "via OFFSET costs O(N*page) re-scan and skew; page N via KEYSET — "
+    "'rows strictly after the last row I saw' — costs O(page)): page "
+    "2 of each nation's balance-ranked customer list computed the "
+    "KEYSET way — the page-1 anchor row (rank 5) per nation is "
+    "broadcast back, rows strictly after it in (cents DESC, key) "
+    "order are filtered ROW-LOCALLY, and the per-group top-5 of the "
+    "remainder comes from the two-phase scalable top-k.  The oracle "
+    "states the same page as the rank-window definition (rk 6..10), "
+    "so keyset == offset is proven, not assumed.  Nations with fewer "
+    "than 6 customers produce no anchor and correctly no page",
+)
+def q219(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    base = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("k"),
+        cents.alias("cents"),
+    )
+    order = [F.desc("cents"), F.asc("k")]
+    page1 = K.top_k_per_group_scalable(base, ["nk"], order, 5)
+    anchor = page1.filter(F.col("rank") == 5).select(
+        "nk",
+        F.col("cents").alias("a_cents"),
+        F.col("k").alias("a_k"),
+    )
+    after = (
+        base.join(F.broadcast(anchor), "nk")
+        .filter(
+            (F.col("cents") < F.col("a_cents"))
+            | (
+                (F.col("cents") == F.col("a_cents"))
+                & (F.col("k") > F.col("a_k"))
+            )
+        )
+        .select("nk", "k", "cents")
+    )
+    page2 = K.top_k_per_group_scalable(after, ["nk"], order, 5)
+    return page2.select(
+        F.col("nk").cast("int").alias("nk"),
+        F.col("k").cast("long").alias("k"),
+        F.col("cents").cast("long").alias("cents"),
+        (F.col("rank") + 5).cast("int").alias("rk"),
+    )
+
+
+@register(
+    "q220_metric_parity_check",
+    f"""WITH a AS (
+          SELECT n_name AS nation,
+                 sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS cents
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1),
+       b AS (
+          SELECT n_name AS nation, sum(cust_cents) AS cents FROM (
+            SELECT o_custkey,
+                   sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS cust_cents
+            FROM orders GROUP BY o_custkey) per_cust
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1)
+       SELECT coalesce(a.nation, b.nation) AS nation,
+              CAST(a.cents AS BIGINT) AS cents_join_first,
+              CAST(b.cents AS BIGINT) AS cents_agg_first,
+              (a.cents IS NOT DISTINCT FROM b.cents) AS parity
+       FROM a FULL JOIN b ON a.nation = b.nation""",
+    "metric-refactoring parity check (the safety net for changing a "
+    "metric's plan without changing its meaning — the root cause of "
+    "most 'dashboard moved' incidents): per-nation revenue computed "
+    "TWO ways — join-then-aggregate vs pre-aggregate-per-customer-"
+    "then-join (the scale refactoring that shrinks the join's left "
+    "side from |orders| to |customers|) — full-outer joined with a "
+    "null-safe equality verdict per nation.  Exact integer cents "
+    "make the parity decidable; with fp sums the two plans would "
+    "disagree in the last bits and the check would be impossible — "
+    "the determinism contract is what buys refactoring freedom.  "
+    "Every parity row must read true; the oracle recomputes both "
+    "arms independently",
+)
+def q220(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    a = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).alias("cents_a"))
+    )
+    per_cust = o.groupBy("o_custkey").agg(F.sum(cents).alias("cust_cents"))
+    b = (
+        per_cust.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("cust_cents").alias("cents_b"))
+    )
+    return a.join(b, "nation", "full_outer").select(
+        "nation",
+        F.col("cents_a").cast("long").alias("cents_join_first"),
+        F.col("cents_b").cast("long").alias("cents_agg_first"),
+        F.col("cents_a").eqNullSafe(F.col("cents_b")).alias("parity"),
+    )

@@ -78,6 +78,8 @@ DEFAULT_QUERIES = [
     "q203_hll_rolling_merge",
     "q205_pit_scd2_join",
     "q209_ann_recall_eval",
+    "q219_keyset_pagination",
+    "q220_metric_parity_check",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the

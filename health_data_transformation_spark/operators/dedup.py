@@ -677,3 +677,87 @@ def lsh_incremental_matches(
             F.col("n_matches").isNull().alias("admitted"),
         )
     )
+
+
+def deletion_neighborhood_keys(
+    df: DataFrame, str_col: str, id_col: str, out_key: str = "dnk"
+) -> DataFrame:
+    """Explode each string into its FastSS k=1 blocking keys.
+
+    Key set of ``s`` = {s} U {s with the i-th char deleted}.  Two
+    strings with Levenshtein distance <= 1 ALWAYS share at least one
+    key (substitution: delete the differing position in both;
+    insert/delete: the shorter string is itself a deletion variant of
+    the longer; equality: the string itself) — so an equi-join on the
+    key is a complete candidate generator for distance-1 matching with
+    NO cross join anywhere.  Key fan-out is len(s)+1 rows per string:
+    linear in data size, and the join key is short and high-cardinality
+    (no hot buckets), so this scales as an ordinary shuffle join.
+    """
+    pos = F.sequence(F.lit(0), F.length(str_col))
+    # _i == len(s) encodes "no deletion" (the string itself); otherwise
+    # drop the 0-based _i-th character
+    variant = F.when(
+        F.col("_i") == F.length(str_col), F.col(str_col)
+    ).otherwise(
+        F.concat(
+            F.expr(f"substr({str_col}, 1, _i)"),
+            F.expr(f"substr({str_col}, _i + 2)"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.col(str_col), F.explode(pos).alias("_i"))
+        .select(
+            F.col(id_col),
+            F.col(str_col),
+            variant.alias(out_key),
+        )
+        .drop("_i")
+    )
+
+
+def fuzzy_best_match(
+    dirty: DataFrame,
+    clean: DataFrame,
+    str_col: str = "name",
+    id_col: str = "id",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Best distance-<=1 match per dirty record via FastSS blocking.
+
+    Candidates come from the deletion-neighborhood equi-join (complete
+    for distance 1 — see deletion_neighborhood_keys), are verified with
+    the exact Levenshtein distance, and the winner per dirty id is the
+    argmin on (distance, clean id) via one commutative min_by — no
+    window, fully map-side combinable.  The quadratic all-pairs scan
+    the naive form needs never happens: cost is O(avg_len x N) keys on
+    each side plus the bucket-bounded verify joins.
+    """
+    dk = deletion_neighborhood_keys(
+        dirty.select(
+            F.col(id_col).alias("dirty_id"), F.col(str_col).alias("dirty_s")
+        ),
+        "dirty_s",
+        "dirty_id",
+    )
+    ck = deletion_neighborhood_keys(
+        clean.select(
+            F.col(id_col).alias("clean_id"), F.col(str_col).alias("clean_s")
+        ),
+        "clean_s",
+        "clean_id",
+    )
+    cand = (
+        dk.join(ck, "dnk")
+        .select("dirty_id", "dirty_s", "clean_id", "clean_s")
+        .distinct()
+        .withColumn("dist", F.levenshtein("dirty_s", "clean_s"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    # argmin by (dist, clean_id): integer composite keeps min_by exact
+    composite = F.col("dist") * F.lit(1_000_000_000) + F.col("clean_id")
+    return cand.groupBy("dirty_id").agg(
+        F.min_by(F.col("clean_id"), composite).alias("matched_id"),
+        F.min("dist").alias("dist"),
+        F.count("*").alias("n_candidates"),
+    )

@@ -240,3 +240,89 @@ def hll_distinct_bounded(
             <= F.lit(bound) * F.count_distinct(F.col(key_col))
         ).alias("hll_within_bound"),
     )
+
+
+def misra_gries_update(summary: dict, item, capacity: int) -> None:
+    """One Misra-Gries step: bounded-state frequency summary update.
+
+    Pure-Python core shared by the Spark partition pass and the
+    property tests.  Invariant: len(summary) <= capacity, and after
+    processing n items every true count c(x) satisfies
+    summary.get(x, 0) >= c(x) - n / capacity.
+    """
+    if item in summary:
+        summary[item] += 1
+    elif len(summary) < capacity:
+        summary[item] = 1
+    else:
+        dead = []
+        for k in summary:
+            summary[k] -= 1
+            if summary[k] == 0:
+                dead.append(k)
+        for k in dead:
+            del summary[k]
+
+
+def misra_gries_summarize(items, capacity: int) -> dict:
+    """Run Misra-Gries over an iterable; returns the bounded summary."""
+    summary: dict = {}
+    for it in items:
+        misra_gries_update(summary, it, capacity)
+    return summary
+
+
+def heavy_hitters_exact(
+    df: DataFrame, item_col: str, capacity: int
+) -> DataFrame:
+    """Exact heavy hitters (count * capacity > N) in two bounded passes.
+
+    Pass 1 (sketch): each partition runs Misra-Gries with ``capacity``
+    counters over its slice inside one Arrow-batched mapInPandas — the
+    ONLY rows that leave the pass are the <= capacity surviving
+    (item, est) pairs per partition, so no corpus-sized state ever
+    shuffles and driver memory is O(partitions x capacity).
+    Completeness: per-partition error <= n_p/capacity, so for any item
+    with true count > N/capacity the per-partition estimates sum to a
+    positive number — the item MUST survive in at least one partition
+    summary.  The union of partition summaries is therefore a superset
+    of the true heavy-hitter set (it can hold false positives, never
+    false negatives).
+
+    Pass 2 (verify): exact recount of the candidate set only — the
+    candidate list is broadcast, the groupBy is map-side combined down
+    to <= candidates per task, and the exact threshold
+    ``cnt * capacity > N`` decides.  Output is EXACT and independent of
+    partitioning/batch order (the order-dependent sketch only ever
+    proposes candidates).
+
+    At 100 TB this is the frequent-items answer when the key space is
+    too large to aggregate exactly: bounded memory per executor,
+    bounded shuffle, one broadcast.
+    """
+    import pandas as pd
+
+    def sketch(batches):
+        summary: dict = {}
+        for pdf in batches:
+            for item in pdf[item_col]:
+                misra_gries_update(summary, item, capacity)
+        yield pd.DataFrame(
+            {item_col: list(summary.keys()), "est": list(summary.values())}
+        )
+
+    items_only = df.select(item_col)
+    cands = (
+        items_only.mapInPandas(sketch, schema=f"{item_col} string, est long")
+        .select(item_col)
+        .distinct()
+    )
+    total = items_only.agg(F.count("*").alias("n_total"))
+    return (
+        items_only.join(F.broadcast(cands), item_col)
+        .groupBy(item_col)
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * capacity > F.col("n_total"))
+        .select(item_col, "cnt", "n_total")
+    )

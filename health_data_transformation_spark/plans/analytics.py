@@ -57,6 +57,7 @@ from ..functions.text import (
 from ..functions import text as T
 from ..functions.vector import cosine_sql
 from ..operators import dedup as D
+from ..operators import sketch as SK
 from ..operators import similarity as SIM
 from ..operators import spatial as SP
 from ..operators import topk as K
@@ -10204,3 +10205,89 @@ def q220(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cents_b").cast("long").alias("cents_agg_first"),
         F.col("cents_a").eqNullSafe(F.col("cents_b")).alias("parity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# continuation batch 4: fuzzy matching, frequent items, data contracts
+# ---------------------------------------------------------------------------
+
+_Q221_DIRTY = (
+    "substr(c_name, 1, c_custkey % length(c_name)) || "
+    "substr(c_name, c_custkey % length(c_name) + 2)"
+)
+
+
+@register(
+    "q221_fuzzy_match_fastss",
+    f"""WITH dirty AS (
+          SELECT c_custkey AS dirty_id, {_Q221_DIRTY} AS dirty_s
+          FROM customer WHERE c_custkey % 37 = 3),
+       cand AS (
+          SELECT d.dirty_id, c.c_custkey AS clean_id,
+                 levenshtein(d.dirty_s, c.c_name) AS dist
+          FROM dirty d CROSS JOIN customer c
+          WHERE levenshtein(d.dirty_s, c.c_name) <= 1)
+       SELECT dirty_id,
+              arg_min(clean_id, dist * 1000000000 + clean_id) AS matched_id,
+              CAST(min(dist) AS INTEGER) AS dist,
+              count(*) AS n_candidates
+       FROM cand GROUP BY dirty_id""",
+    "fuzzy record linkage via FastSS deletion-neighborhood blocking "
+    "(operators/dedup.py:fuzzy_best_match): dirty names are synthesized "
+    "by deleting the (custkey % len)-th character, and each is matched "
+    "to its best Levenshtein<=1 clean customer WITHOUT any cross join — "
+    "both sides explode into their len+1 single-deletion variants, and "
+    "the variant equi-join is a COMPLETE candidate generator for "
+    "distance 1 (substitution: delete the differing position in both; "
+    "indel: the short string is a deletion of the long; proof in the "
+    "operator docstring).  Exact levenshtein verifies candidates, and "
+    "the winner is a commutative min_by on the (dist, id) integer "
+    "composite — no window.  The oracle states the naive O(n^2) cross "
+    "join, so blocking completeness is proven, not assumed.  At 100 TB "
+    "the key fan-out is len+1 rows per record (linear) and the join key "
+    "is high-cardinality — ordinary shuffle join, no hot buckets",
+)
+def q221(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    dirty = c.filter(F.col("c_custkey") % 37 == 3).select(
+        F.col("c_custkey").alias("id"),
+        F.expr(_Q221_DIRTY).alias("name"),
+    )
+    clean = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    out = D.fuzzy_best_match(dirty, clean, str_col="name", id_col="id")
+    return out.select(
+        "dirty_id",
+        F.col("matched_id").cast("long").alias("matched_id"),
+        F.col("dist").cast("int").alias("dist"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+    )
+
+
+@register(
+    "q222_heavy_hitters_mg",
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+       tot AS (SELECT count(*) AS n_total FROM t)
+       SELECT token, count(*) AS cnt, (SELECT n_total FROM tot) AS n_total
+       FROM t GROUP BY token
+       HAVING count(*) * 40 > (SELECT n_total FROM tot)""",
+    "exact frequent items via a Misra-Gries candidate pass + exact "
+    "recount (operators/sketch.py:heavy_hitters_exact): each partition "
+    "summarizes its token slice with 40 bounded counters inside one "
+    "Arrow-batched mapInPandas — only the <=40 surviving (item, est) "
+    "rows per partition ever leave the pass — and the union of "
+    "summaries provably contains every item with count > N/40 (the "
+    "per-partition errors sum below N/40, so a true heavy hitter's "
+    "estimates cannot all be zero).  The candidate set is then "
+    "broadcast into an exact recount and the exact threshold decides, "
+    "so the output is EXACT and partitioning-independent even though "
+    "the sketch itself is order-dependent.  This is the frequent-items "
+    "shape when the key space dwarfs memory at 100 TB: bounded state "
+    "per executor, bounded shuffle, one broadcast; the testdata "
+    "vocabulary is tiny, but capacity stays fixed while real "
+    "vocabularies explode.  Oracle recounts everything exactly",
+)
+def q222(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(F.explode(T.tokens("text")).alias("token"))
+    return SK.heavy_hitters_exact(toks, "token", capacity=40)

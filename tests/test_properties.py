@@ -495,3 +495,102 @@ def test_grouped_weighted_quantile_arbitrary_q(spark):
             ).collect()
         }
         assert got == brute(q_num, q_den), (q_num, q_den, got)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=5), min_size=1, max_size=14
+    ),
+)
+@settings(**SETTINGS)
+def test_fastss_blocking_equals_brute_force(spark, words):
+    """FastSS deletion-neighborhood candidate generation is COMPLETE for
+    Levenshtein distance <= 1: best-match via the blocked join equals
+    best-match via the all-pairs scan, for arbitrary short strings
+    (including empty strings, duplicates, and pure indel chains)."""
+    import itertools
+
+    from health_data_transformation_spark.operators.dedup import fuzzy_best_match
+
+    clean = list(enumerate(sorted(set(words))))
+    dirty = [(1000 + i, w) for i, w in enumerate(words[: max(1, len(words) // 2)])]
+
+    # brute force oracle in python
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expect = {}
+    for did, ds in dirty:
+        cands = [
+            (cid, lev(ds, cs)) for cid, cs in clean if lev(ds, cs) <= 1
+        ]
+        if cands:
+            best = min(cands, key=lambda t: (t[1], t[0]))
+            expect[did] = (best[0], best[1], len(cands))
+
+    cdf = spark.createDataFrame(clean or [(0, "")], "id long, name string")
+    ddf = spark.createDataFrame(dirty, "id long, name string")
+    got = {
+        r["dirty_id"]: (r["matched_id"], r["dist"], r["n_candidates"])
+        for r in fuzzy_best_match(ddf, cdf, "name", "id").collect()
+    }
+    assert got == expect
+
+
+@given(
+    stream=st.lists(st.integers(0, 9), min_size=1, max_size=60),
+    capacity=st.integers(2, 5),
+    splits=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_misra_gries_candidates_cover_heavy_hitters(spark, stream, capacity, splits):
+    """The union of per-slice Misra-Gries summaries contains EVERY item
+    with global count > N/capacity, for any slicing of the stream and
+    any capacity (this exercises the decrement path: capacity < key
+    cardinality).  Estimates also never exceed true counts."""
+    from collections import Counter
+
+    from health_data_transformation_spark.operators.sketch import (
+        misra_gries_summarize,
+    )
+
+    n = len(stream)
+    chunk = max(1, n // splits)
+    slices = [stream[i : i + chunk] for i in range(0, n, chunk)]
+    union: set = set()
+    for sl in slices:
+        summ = misra_gries_summarize(sl, capacity)
+        assert len(summ) <= capacity
+        for item, est in summ.items():
+            assert est <= Counter(sl)[item]
+        union |= set(summ)
+    true = Counter(stream)
+    heavy = {x for x, c in true.items() if c * capacity > n}
+    assert heavy <= union
+
+
+def test_heavy_hitters_exact_partition_invariant(spark):
+    """heavy_hitters_exact returns the same exact rows at 1, 3, and 8
+    input partitions (the sketch pass is order-dependent; the exact
+    recount must erase that)."""
+    from health_data_transformation_spark.operators.sketch import heavy_hitters_exact
+
+    data = [("a",)] * 30 + [("c",)] * 12 + [(c, ) for c in "defghij"] * 2
+    expect = {("a", 30, 56), ("c", 12, 56)}  # threshold cnt*5 > 56
+    for parts in (1, 3, 8):
+        df = spark.createDataFrame(data, "token string").repartition(parts)
+        got = {
+            (r["token"], r["cnt"], r["n_total"])
+            for r in heavy_hitters_exact(df, "token", capacity=5).collect()
+        }
+        assert got == expect

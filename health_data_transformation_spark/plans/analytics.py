@@ -10291,3 +10291,197 @@ def q222(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     toks = docs.select(F.explode(T.tokens("text")).alias("token"))
     return SK.heavy_hitters_exact(toks, "token", capacity=40)
+
+
+_Q223_SEGS = "'AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'"
+
+
+@register(
+    "q223_expectations_report",
+    f"""SELECT tbl, expectation, n_checked, n_failed,
+              n_failed = 0 AS passed
+       FROM (
+        SELECT 'customer' AS tbl, 'c_acctbal_not_null' AS expectation,
+               count(*) AS n_checked,
+               count(*) FILTER (c_acctbal IS NULL) AS n_failed
+        FROM customer
+        UNION ALL
+        SELECT 'customer', 'c_acctbal_non_negative', count(*),
+               count(*) FILTER (c_acctbal < 0) FROM customer
+        UNION ALL
+        SELECT 'customer', 'c_mktsegment_accepted', count(*),
+               count(*) FILTER (c_mktsegment NOT IN ({_Q223_SEGS}))
+        FROM customer
+        UNION ALL
+        SELECT 'orders', 'o_orderstatus_accepted', count(*),
+               count(*) FILTER (o_orderstatus NOT IN ('O','F','P'))
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_totalprice_positive', count(*),
+               count(*) FILTER (o_totalprice <= 0) FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_custkey_fk_customer', count(*),
+               count(*) FILTER (c_custkey IS NULL)
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'lineitem', 'l_quantity_in_1_50', count(*),
+               count(*) FILTER (l_quantity < 1 OR l_quantity > 50)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem', 'l_discount_in_0_10pct', count(*),
+               count(*) FILTER (l_discount < 0 OR l_discount > 0.1)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events', 'value_not_null', count(*),
+               count(*) FILTER (value IS NULL) FROM events
+        UNION ALL
+        SELECT 'documents', 'n_chars_consistent', count(*),
+               count(*) FILTER (n_chars <> length(text)) FROM documents
+       ) t (tbl, expectation, n_checked, n_failed)""",
+    "data-contract expectations suite (the Great-Expectations shape as "
+    "one engine pass per table): 10 declared expectations — not-null, "
+    "accepted-values, numeric range, FK existence, and a cross-column "
+    "consistency invariant — each emitting (n_checked, n_failed, "
+    "passed).  Every per-table block is ONE conditional aggregate over "
+    "one column-pruned scan (stack() unpivots the counters to rows); "
+    "the FK check is a left join + null count, never a driver-side "
+    "anti-join count.  The acctbal_non_negative expectation genuinely "
+    "FAILS on this data (negative balances exist) — the report proves "
+    "the failure path, not just green checkmarks.  At 100 TB each "
+    "expectation adds a counter to an existing scan, not a new scan",
+)
+def q223(spark: SparkSession, sf: str) -> DataFrame:
+    def fail(cond) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    ev = load_table(spark, sf, "events")
+    docs = load_table(spark, sf, "documents")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+    cust = c.agg(
+        F.count("*").alias("n"),
+        fail(F.col("c_acctbal").isNull()).alias("f1"),
+        fail(F.col("c_acctbal") < 0).alias("f2"),
+        fail(~F.col("c_mktsegment").isin(segs)).alias("f3"),
+    ).select(
+        F.lit("customer").alias("tbl"),
+        F.expr(
+            "stack(3, 'c_acctbal_not_null', f1, 'c_acctbal_non_negative', f2,"
+            " 'c_mktsegment_accepted', f3) AS (expectation, n_failed)"
+        ),
+        F.col("n").alias("n_checked"),
+    )
+    ords = o.agg(
+        F.count("*").alias("n"),
+        fail(~F.col("o_orderstatus").isin(["O", "F", "P"])).alias("f1"),
+        fail(F.col("o_totalprice") <= 0).alias("f2"),
+    ).select(
+        F.lit("orders").alias("tbl"),
+        F.expr(
+            "stack(2, 'o_orderstatus_accepted', f1, 'o_totalprice_positive',"
+            " f2) AS (expectation, n_failed)"
+        ),
+        F.col("n").alias("n_checked"),
+    )
+    fk = (
+        o.select("o_custkey")
+        .join(c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .agg(
+            F.count("*").alias("n"),
+            fail(F.col("c_custkey").isNull()).alias("f1"),
+        )
+        .select(
+            F.lit("orders").alias("tbl"),
+            F.lit("o_custkey_fk_customer").alias("expectation"),
+            F.col("f1").alias("n_failed"),
+            F.col("n").alias("n_checked"),
+        )
+    )
+    line = li.agg(
+        F.count("*").alias("n"),
+        fail((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("f1"),
+        fail((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias("f2"),
+    ).select(
+        F.lit("lineitem").alias("tbl"),
+        F.expr(
+            "stack(2, 'l_quantity_in_1_50', f1, 'l_discount_in_0_10pct', f2)"
+            " AS (expectation, n_failed)"
+        ),
+        F.col("n").alias("n_checked"),
+    )
+    evs = ev.agg(
+        F.count("*").alias("n"), fail(F.col("value").isNull()).alias("f1")
+    ).select(
+        F.lit("events").alias("tbl"),
+        F.lit("value_not_null").alias("expectation"),
+        F.col("f1").alias("n_failed"),
+        F.col("n").alias("n_checked"),
+    )
+    doc = docs.agg(
+        F.count("*").alias("n"),
+        fail(F.col("n_chars") != F.length("text")).alias("f1"),
+    ).select(
+        F.lit("documents").alias("tbl"),
+        F.lit("n_chars_consistent").alias("expectation"),
+        F.col("f1").alias("n_failed"),
+        F.col("n").alias("n_checked"),
+    )
+    out = cust.unionByName(ords).unionByName(fk).unionByName(line).unionByName(
+        evs
+    ).unionByName(doc)
+    return out.select(
+        "tbl",
+        "expectation",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_failed").cast("long").alias("n_failed"),
+        (F.col("n_failed") == 0).alias("passed"),
+    )
+
+
+@register(
+    "q224_inverted_index",
+    f"""WITH post AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+       dp AS (SELECT DISTINCT token, doc_id FROM post),
+       hashes AS (
+          SELECT token, doc_id,
+                 {hex_hash64_sql("CAST(doc_id AS VARCHAR)")} AS h
+          FROM dp)
+       SELECT h.token,
+              count(*) AS df,
+              (SELECT count(*) FROM post p WHERE p.token = h.token) AS cf,
+              CAST(bit_xor(h.h) AS BIGINT) AS postings_xor,
+              CAST(sum(h.h % 1000000007) AS BIGINT) AS postings_summod
+       FROM hashes h GROUP BY h.token""",
+    "inverted-index build (the retrieval-serving artifact): per token "
+    "the document frequency (distinct postings), collection frequency "
+    "(total occurrences), and an order-insensitive postings-set "
+    "fingerprint (60-bit md5 XOR + modular sum — the q142 triple).  "
+    "The checksum aggregates are commutative and map-side combinable, "
+    "so NO posting list is ever materialized in one aggregation "
+    "buffer: a stopword's corpus-sized posting would OOM any "
+    "collect_list/sort approach at 100 TB, while set-fingerprint "
+    "equality proves the same content (equal sets => equal sorted "
+    "postings).  The physical index write is repartition(token) + "
+    "sortWithinPartitions(token, doc_id) on top of exactly this frame",
+)
+def q224(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    post = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    cf = post.groupBy("token").agg(F.count("*").alias("cf"))
+    dp = post.distinct().withColumn(
+        "h", T.hex_hash64(F.col("doc_id").cast("string"))
+    )
+    idx = dp.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.expr("bit_xor(h)").cast("long").alias("postings_xor"),
+        F.sum(F.col("h") % 1000000007).cast("long").alias("postings_summod"),
+    )
+    return idx.join(cf, "token").select(
+        "token", "df", F.col("cf").cast("long").alias("cf"),
+        "postings_xor", "postings_summod",
+    )

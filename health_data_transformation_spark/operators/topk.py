@@ -122,3 +122,56 @@ def top_k_per_group_scalable(
         survivors.withColumn(rank_col, F.row_number().over(w2))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    val_col: str,
+    out_col: str = "cum_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive global prefix sum WITHOUT a single-partition window.
+
+    Same two-phase shape as global_row_number: range-partition on the
+    sort key (preserving global order across partitions), take the
+    per-partition EXCLUSIVE running sum locally, then shift each
+    partition by the total of all earlier partitions.  The offset table
+    is one (partition, sum) row per partition — collected, never the
+    data.  ``out_col`` = sum of ``val_col`` over all rows strictly
+    before this row in ``order_by`` order.
+
+    Callers must make ``order_by`` a total order for deterministic
+    prefix sums.  This is the scalable cumulative-sum for manifest- and
+    ledger-sized frames that can still reach millions of rows (file
+    compaction planning, quota ledgers) where
+    ``Window.orderBy(...)`` alone would funnel everything through one
+    task.
+    """
+    part = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    part = part.withColumn("_pid", F.spark_partition_id())
+    sums = part.groupBy("_pid").agg(F.sum(val_col).alias("_s"))
+    rows = sorted((r["_pid"], r["_s"] or 0) for r in sums.collect())
+    offsets, acc = {}, 0
+    for pid, s in rows:
+        offsets[pid] = acc
+        acc += s
+    off_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(val_col).over(w), F.lit(0))
+    return part.withColumn(out_col, local + off_expr).drop("_pid")

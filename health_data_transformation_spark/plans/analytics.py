@@ -10485,3 +10485,159 @@ def q224(spark: SparkSession, sf: str) -> DataFrame:
         "token", "df", F.col("cf").cast("long").alias("cf"),
         "postings_xor", "postings_summod",
     )
+
+
+_Q225_CENTS = "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@register(
+    "q225_group_mean_impute",
+    f"""WITH base AS (
+          SELECT c_nationkey AS nk, {_Q225_CENTS} AS cents,
+                 c_custkey % 11 = 0 AS miss
+          FROM customer),
+       agg AS (
+          SELECT nk, count(*) AS n_rows,
+                 count(*) FILTER (miss) AS n_imputed,
+                 count(*) FILTER (NOT miss) AS n_obs,
+                 coalesce(sum(cents) FILTER (NOT miss), 0) AS sum_obs
+          FROM base GROUP BY nk)
+       SELECT CAST(nk AS INTEGER) AS nk, n_rows, n_imputed,
+              CAST(CASE WHEN n_obs > 0 THEN
+                (sum_obs - ((sum_obs % n_obs) + n_obs) % n_obs) // n_obs
+              END AS BIGINT) AS impute_cents,
+              CAST(CASE WHEN n_obs > 0 THEN
+                sum_obs + n_imputed *
+                ((sum_obs - ((sum_obs % n_obs) + n_obs) % n_obs) // n_obs)
+              END AS BIGINT) AS sum_after_cents
+       FROM agg""",
+    "group-mean imputation (the feature-pipeline missing-value fill): "
+    "rows deterministically masked as missing (custkey % 11) receive "
+    "their nation's exact floor-mean of OBSERVED balances — the "
+    "sign-safe (s - pmod(s,n)) div n rule (q158), because balances go "
+    "negative and Spark's integer div truncates while DuckDB's // "
+    "floors.  One conditional aggregate per nation computes observed "
+    "sum/count and imputed count together (single scan, map-side "
+    "combined); the imputed-total invariant sum_after = sum_obs + "
+    "n_imputed*fill is emitted so downstream mean-shift is auditable.  "
+    "Groups with zero observed rows yield NULL fills, not 0 — absence "
+    "of evidence stays visible.  At 100 TB this is one shuffle on the "
+    "group key at nation cardinality; the fill join back to rows (not "
+    "materialized here) is a broadcast",
+)
+def q225(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    base = c.select(
+        F.col("c_nationkey").alias("nk"),
+        cents.alias("cents"),
+        (F.col("c_custkey") % 11 == 0).alias("miss"),
+    )
+    agg = base.groupBy("nk").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("miss"), 1).otherwise(0)).alias("n_imputed"),
+        F.sum(F.when(~F.col("miss"), 1).otherwise(0)).alias("n_obs"),
+        F.coalesce(
+            F.sum(F.when(~F.col("miss"), F.col("cents"))), F.lit(0)
+        ).alias("sum_obs"),
+    )
+    fill = F.when(
+        F.col("n_obs") > 0,
+        F.expr("(sum_obs - pmod(sum_obs, n_obs)) div n_obs"),
+    )
+    return agg.select(
+        F.col("nk").cast("int").alias("nk"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_imputed").cast("long").alias("n_imputed"),
+        fill.cast("long").alias("impute_cents"),
+        (F.col("sum_obs") + F.col("n_imputed") * fill)
+        .cast("long")
+        .alias("sum_after_cents"),
+    )
+
+
+@register(
+    "q226_compaction_planner",
+    """WITH files AS (
+          SELECT CAST(floor(sqrt(CAST(l_orderkey % 39601 AS DOUBLE)))
+                      AS BIGINT) AS file_id,
+                 count(*) AS n_rows,
+                 128 * count(*)
+                   + sum(length(l_returnflag || l_linestatus)) AS bytes
+          FROM lineitem GROUP BY 1),
+       tot AS (SELECT sum(bytes) AS total FROM files),
+       tgt AS (SELECT ((total + 15) - (((total + 15) % 16) + 16) % 16) // 16
+                      AS t FROM tot),
+       cum AS (
+          SELECT file_id, n_rows, bytes,
+                 coalesce(sum(bytes) OVER (ORDER BY file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+          FROM files)
+       SELECT CAST(cum_before // t AS BIGINT) AS bin_id,
+              count(*) AS n_files,
+              CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+              min(file_id) AS first_file, max(file_id) AS last_file,
+              CAST((sum(bytes) * 1000000
+                    - (((sum(bytes) * 1000000) % t) + t) % t)
+                // t AS BIGINT) AS fill_ppm
+       FROM cum CROSS JOIN tgt GROUP BY 1, t""",
+    "small-file compaction planner (the OPTIMIZE bin-packing step): a "
+    "synthetic file manifest (sqrt-skewed ids so sizes vary) is packed "
+    "into ~16 target-sized output groups by EXCLUSIVE global running "
+    "byte total — bin = cum_before div target — which preserves file "
+    "order (cheap range-merge rewrites) and gives every bin except "
+    "possibly the last >= target fill; an oversized file simply owns "
+    "its bin.  The prefix sum is operators/topk.py:global_running_sum "
+    "— range-partition + per-partition exclusive sums + broadcast "
+    "partition offsets — because real manifests reach millions of "
+    "files and a bare Window.orderBy cumsum would funnel them through "
+    "one task.  Target bytes derive from the total via a broadcast "
+    "1-row cross join (no driver literal).  Output: per-bin file "
+    "count, byte total, file range, and floor-ppm fill factor",
+)
+def q226(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    files = (
+        li.select(
+            F.floor(
+                F.sqrt((F.col("l_orderkey") % 39601).cast("double"))
+            ).alias("file_id"),
+            F.length(F.concat("l_returnflag", "l_linestatus")).alias("_len"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (128 * F.count("*") + F.sum("_len")).alias("bytes"),
+        )
+    )
+    tot = files.agg(F.sum("bytes").alias("total"))
+    tgt = tot.select(
+        F.expr("((total + 15) - pmod(total + 15, 16)) div 16").alias("t")
+    )
+    cum = K.global_running_sum(
+        files, [F.asc("file_id")], "bytes", out_col="cum_before"
+    )
+    return (
+        cum.crossJoin(F.broadcast(tgt))
+        .withColumn("bin_id", F.expr("cum_before div t"))
+        .groupBy("bin_id", "t")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("bytes").alias("bin_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+        .select(
+            F.col("bin_id").cast("long").alias("bin_id"),
+            F.col("n_files").cast("long").alias("n_files"),
+            F.col("bin_bytes").cast("long").alias("bin_bytes"),
+            F.col("first_file").cast("long").alias("first_file"),
+            F.col("last_file").cast("long").alias("last_file"),
+            F.expr(
+                "(bin_bytes * 1000000 - pmod(bin_bytes * 1000000, t)) div t"
+            )
+            .cast("long")
+            .alias("fill_ppm"),
+        )
+    )

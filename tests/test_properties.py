@@ -594,3 +594,30 @@ def test_heavy_hitters_exact_partition_invariant(spark):
             for r in heavy_hitters_exact(df, "token", capacity=5).collect()
         }
         assert got == expect
+
+
+def test_global_running_sum_partition_invariant(spark):
+    """global_running_sum's exclusive prefix sums equal the
+    single-partition window definition at 1, 3, and 8 input partitions
+    (the compaction-planner guarantee: bin assignment must not depend
+    on physical layout)."""
+    from pyspark.sql import Window
+
+    from health_data_transformation_spark.operators.topk import global_running_sum
+
+    data = [(i, (i * 37) % 11 - 3) for i in range(50)]
+    df0 = spark.createDataFrame(data, "k long, v long")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    expect = {
+        r["k"]: r["c"]
+        for r in df0.withColumn(
+            "c", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    for parts in (1, 3, 8):
+        df = df0.repartition(parts)
+        got = {
+            r["k"]: r["cum_before"]
+            for r in global_running_sum(df, [F.asc("k")], "v").collect()
+        }
+        assert got == expect

@@ -10641,3 +10641,231 @@ def q226(spark: SparkSession, sf: str) -> DataFrame:
             .alias("fill_ppm"),
         )
     )
+
+
+def _q227_oracle() -> str:
+    sh = T.token_shingles_sql("text", 3)
+    h = hex_hash64_sql("CAST(perm AS VARCHAR) || '|' || sh")
+    return f"""WITH dp AS (
+          SELECT DISTINCT source, unnest({sh}) AS sh FROM documents),
+       regs AS (
+          SELECT source, perm, min({h}) AS reg
+          FROM dp CROSS JOIN (SELECT unnest(range(64)) AS perm)
+          GROUP BY source, perm),
+       agree AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 count(*) FILTER (a.reg = b.reg) AS agree64
+          FROM regs a JOIN regs b
+            ON a.perm = b.perm AND a.source < b.source
+          GROUP BY 1, 2),
+       sizes AS (SELECT source, count(*) AS n FROM dp GROUP BY source),
+       inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+          FROM dp a JOIN dp b ON a.sh = b.sh AND a.source < b.source
+          GROUP BY 1, 2)
+       SELECT g.src_a, g.src_b, g.agree64,
+              CAST(g.agree64 * 1000000 // 64 AS BIGINT) AS est_ppm,
+              CAST(coalesce(i.i, 0) * 1000000
+                   // (sa.n + sb.n - coalesce(i.i, 0)) AS BIGINT)
+                AS exact_ppm
+       FROM agree g
+       JOIN sizes sa ON sa.source = g.src_a
+       JOIN sizes sb ON sb.source = g.src_b
+       LEFT JOIN inter i ON i.src_a = g.src_a AND i.src_b = g.src_b"""
+
+
+@register(
+    "q227_corpus_overlap_minhash",
+    _q227_oracle(),
+    "corpus-level overlap matrix from MERGEABLE minhash registers: per "
+    "source and each of 64 md5 hash permutations, the register is the "
+    "min hash over the source's distinct 3-shingles — a pure min "
+    "aggregate, so registers are map-side combinable, shard-mergeable "
+    "(min of mins), and maintainable incrementally at ingest time "
+    "without touching stored data; the pairwise register-agreement "
+    "count estimates Jaccard (floor-ppm of agree/64).  The exact "
+    "corpus-pair Jaccard rides along from the distinct (source, "
+    "shingle) frame for calibration, q203-style: the sketch estimate "
+    "itself is register-exact (md5 family), so even the APPROXIMATION "
+    "is oracle-gated bit-for-bit, and the estimate-vs-exact gap is "
+    "visible in the output.  At 100 TB the register table is "
+    "|sources| x 64 rows — the overlap dashboard ships sketches, "
+    "never shingle sets; the exact arm is the sf-bounded audit",
+)
+def q227(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    dp = docs.select(
+        "source", F.explode(T.token_shingles("text", 3)).alias("sh")
+    ).distinct()
+    perms = spark.range(64).select(F.col("id").cast("int").alias("perm"))
+    regs = (
+        dp.crossJoin(F.broadcast(perms))
+        .select(
+            "source",
+            "perm",
+            T.hex_hash64(
+                F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("sh"))
+            ).alias("h"),
+        )
+        .groupBy("source", "perm")
+        .agg(F.min("h").alias("reg"))
+    )
+    a = regs.select(
+        F.col("source").alias("src_a"), "perm", F.col("reg").alias("reg_a")
+    )
+    b = regs.select(
+        F.col("source").alias("src_b"), "perm", F.col("reg").alias("reg_b")
+    )
+    agree = (
+        a.join(b, ["perm"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.when(F.col("reg_a") == F.col("reg_b"), 1).otherwise(0)
+            ).alias("agree64")
+        )
+    )
+    sizes = dp.groupBy("source").agg(F.count("*").alias("n"))
+    inter = (
+        dp.alias("x")
+        .join(dp.alias("y"), "sh")
+        .filter(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    out = (
+        agree.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))),
+            "src_b",
+        )
+        .join(F.broadcast(inter), ["src_a", "src_b"], "left")
+        .withColumn("i", F.coalesce(F.col("i"), F.lit(0)))
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        F.col("agree64").cast("long").alias("agree64"),
+        F.expr("(agree64 * 1000000) div 64").cast("long").alias("est_ppm"),
+        F.expr(
+            "(i * 1000000 - pmod(i * 1000000, na + nb - i)) div (na + nb - i)"
+        )
+        .cast("long")
+        .alias("exact_ppm"),
+    )
+
+
+@register(
+    "q228_seasonal_anomaly_gate",
+    """WITH hourly AS (
+          SELECT event_type,
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')
+                   AS hour_str,
+                 CAST(dayofweek(ts) * 24 + hour(ts) AS INTEGER) AS how,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2, 3),
+       base AS (
+          SELECT event_type, how, count(*) AS n,
+                 sum(c) AS s, sum(c * c) AS q
+          FROM hourly GROUP BY 1, 2),
+       scored AS (
+          SELECT h.event_type, h.hour_str, h.c, b.n,
+                 CAST(h.c AS HUGEINT) * b.n - b.s AS dd,
+                 CAST(b.n AS HUGEINT) * b.q - CAST(b.s AS HUGEINT) * b.s
+                   AS vv
+          FROM hourly h JOIN base b
+            ON h.event_type = b.event_type AND h.how = b.how),
+       z AS (
+          SELECT event_type, hour_str, c, n,
+                 CASE WHEN vv > 0 THEN
+                   floor(CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE)
+                         / CAST(vv AS DOUBLE) * 1000000.0) / 1000000.0
+                 ELSE 0.0 END AS z2,
+                 dd * dd > 9 * vv AS is_anomaly
+          FROM scored),
+       ranked AS (
+          SELECT *, row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY z2 DESC, hour_str) AS rk
+          FROM z)
+       SELECT event_type, hour_str, CAST(c AS BIGINT) AS cnt,
+              CAST(n AS BIGINT) AS n_samples, z2, is_anomaly,
+              CAST(rk AS INTEGER) AS rk
+       FROM ranked WHERE rk <= 3""",
+    "seasonality-aware anomaly gate (the alerting query behind every "
+    "ops dashboard): hourly counts per event type are scored against "
+    "their own hour-of-week baseline — mean and variance held as exact "
+    "integer moment sums (n, sum c, sum c^2) per (type, how) — and an "
+    "hour is anomalous iff (cn - s)^2 > 9(nq - s^2), the 3-sigma test "
+    "as pure integer cross-multiplication, NO float in the decision "
+    "(Spark side routes the products through DECIMAL(38,0): counts at "
+    "100 TB put cn past int64, the q149 overflow rule; DuckDB "
+    "promotes via HUGEINT).  The reported z^2 uses one IEEE multiply "
+    "+ divide (portable) quantized floor6, for ranking only.  Raw "
+    "events reduce to |types| x hours rows BEFORE any join or window "
+    "(aggregate-then-window), and the baseline table (<= types x 168) "
+    "broadcasts.  Top-3 hours per type keep the report bounded; the "
+    "exact flag rides on every reported row",
+)
+def q228(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    how = ((F.dayofweek("ts") - 1) * 24 + F.hour("ts")).cast("int")
+    hour_str = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00")
+    hourly = (
+        ev.select(
+            "event_type", hour_str.alias("hour_str"), how.alias("how")
+        )
+        .groupBy("event_type", "hour_str", "how")
+        .agg(F.count("*").alias("c"))
+    )
+    base = hourly.groupBy("event_type", "how").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    dec = "decimal(38,0)"
+    scored = hourly.join(F.broadcast(base), ["event_type", "how"]).select(
+        "event_type",
+        "hour_str",
+        "c",
+        "n",
+        (F.col("c").cast(dec) * F.col("n") - F.col("s")).alias("dd"),
+        (
+            F.col("n").cast(dec) * F.col("q")
+            - F.col("s").cast(dec) * F.col("s")
+        ).alias("vv"),
+    )
+    z2 = F.when(
+        F.col("vv") > 0,
+        floor6(
+            F.col("dd").cast("double")
+            * F.col("dd").cast("double")
+            / F.col("vv").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    zf = scored.select(
+        "event_type",
+        "hour_str",
+        "c",
+        "n",
+        z2.alias("z2"),
+        (F.col("dd") * F.col("dd") > 9 * F.col("vv")).alias("is_anomaly"),
+    )
+    ranked = K.top_k_per_group(
+        zf, ["event_type"], [F.desc("z2"), F.asc("hour_str")], 3, rank_col="rk"
+    )
+    return ranked.select(
+        "event_type",
+        "hour_str",
+        F.col("c").cast("long").alias("cnt"),
+        F.col("n").cast("long").alias("n_samples"),
+        "z2",
+        "is_anomaly",
+        F.col("rk").cast("int").alias("rk"),
+    )

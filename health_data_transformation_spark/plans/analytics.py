@@ -10869,3 +10869,232 @@ def q228(spark: SparkSession, sf: str) -> DataFrame:
         "is_anomaly",
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+@register(
+    "q229_histogram_rolling_p99",
+    """WITH ev AS (
+          SELECT date_diff('day', DATE '2024-01-01', ts) AS d, event_type,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+            AND ts < TIMESTAMP '2024-02-01 00:00:00'),
+       daily AS (
+          SELECT d, event_type,
+                 CASE WHEN cents <= 0 THEN 0
+                      ELSE length(printf('%b', cents)) END AS bucket,
+                 count(*) AS cnt
+          FROM ev GROUP BY 1, 2, 3),
+       days AS (SELECT DISTINCT d FROM ev),
+       served AS (
+          SELECT unnest(range(d, d + 7)) AS sd, event_type, bucket, cnt
+          FROM daily),
+       merged AS (
+          SELECT sd, event_type, bucket, sum(cnt) AS cnt
+          FROM served JOIN days ON served.sd = days.d
+          GROUP BY 1, 2, 3),
+       cum AS (
+          SELECT sd, event_type, bucket, cnt,
+                 sum(cnt) OVER (PARTITION BY sd, event_type
+                                ORDER BY bucket) AS c,
+                 sum(cnt) OVER (PARTITION BY sd, event_type) AS total
+          FROM merged)
+       SELECT CAST(sd AS BIGINT) AS day_idx, event_type,
+              CAST(max(total) AS BIGINT) AS total,
+              CAST(min(bucket) AS INTEGER) AS p99_bucket,
+              CAST(1 << (min(bucket) - 1) AS BIGINT) AS lo_cents,
+              CAST((1 << min(bucket)) - 1 AS BIGINT) AS hi_cents
+       FROM cum WHERE c * 100 >= 99 * total
+       GROUP BY sd, event_type""",
+    "mergeable-histogram rolling p99 (the latency-SLO counterpart of "
+    "q203's rolling HLL): daily per-type exponential-bucket histograms "
+    "— bucket = highest-set-bit of integer cents via binary-string "
+    "length (q147's trick; fp log2 is banned) — then the 7-day rolling "
+    "histogram is a bucket-wise SUM of the tiny daily tables, computed "
+    "by a bounded 7x replication of the <=64 bucket rows per day, "
+    "NEVER of the events.  p99 is the smallest bucket whose cumulative "
+    "count crosses 99% (exact integer cross-multiplication, the "
+    "two-phase-quantile rule), reported with its [2^(b-1), 2^b-1] "
+    "bracket — the HdrHistogram accuracy contract made explicit: the "
+    "true p99 provably lies in the bracket, error bounded by bucket "
+    "width.  Histograms are THE mergeable quantile summary at 100 TB: "
+    "daily state is constant-size, any window/backfill/shard union is "
+    "counter addition, and the cum window runs on <=64-row groups",
+)
+def q229(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf, lo="2024-01-01", hi="2024-02-01")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select(
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")).alias("d"),
+        "event_type",
+        cents.alias("cents"),
+    )
+    bucket = (
+        F.when(F.col("cents") <= 0, 0)
+        .otherwise(F.length(F.bin("cents")))
+        .cast("int")
+    )
+    daily = (
+        base.select("d", "event_type", bucket.alias("bucket"))
+        .groupBy("d", "event_type", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    days = base.select("d").distinct()
+    served = daily.select(
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("sd"),
+        "event_type",
+        "bucket",
+        "cnt",
+    )
+    merged = (
+        served.join(F.broadcast(days.withColumnRenamed("d", "sd")), "sd")
+        .groupBy("sd", "event_type", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wc = Window.partitionBy("sd", "event_type").orderBy("bucket")
+    wt = Window.partitionBy("sd", "event_type")
+    cum = merged.select(
+        "sd",
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    return (
+        cum.filter(F.col("c") * 100 >= 99 * F.col("total"))
+        .groupBy("sd", "event_type")
+        .agg(
+            F.max("total").cast("long").alias("total"),
+            F.min("bucket").cast("int").alias("p99_bucket"),
+        )
+        .select(
+            F.col("sd").cast("long").alias("day_idx"),
+            "event_type",
+            "total",
+            "p99_bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), p99_bucket - 1)")
+            .cast("long")
+            .alias("lo_cents"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), p99_bucket) - 1")
+            .cast("long")
+            .alias("hi_cents"),
+        )
+    )
+
+
+_Q230_ARM = "CAST({h} % 2 AS INTEGER)"
+_Q230_SPLIT = "2024-01-15 00:00:00"
+
+
+def _q230_oracle() -> str:
+    h = hex_hash64_sql("CAST(user_id AS VARCHAR)", salt="exp1")
+    return f"""WITH per_user AS (
+          SELECT user_id,
+                 CAST({h} % 2 AS INTEGER) AS arm,
+                 coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) FILTER (ts < TIMESTAMP '{_Q230_SPLIT}'),
+                       0) AS x,
+                 coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) FILTER (ts >= TIMESTAMP '{_Q230_SPLIT}'),
+                       0) AS y
+          FROM events GROUP BY 1, 2),
+       pooled AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM per_user),
+       theta AS (
+          SELECT n, sx,
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS t
+          FROM pooled),
+       arms AS (
+          SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS sx_a,
+                 CAST(sum(y) AS BIGINT) AS sy_a
+          FROM per_user GROUP BY arm)
+       SELECT arm, n_users,
+              floor(CAST(sy_a AS DOUBLE) / CAST(n_users AS DOUBLE)
+                    * 1000000.0) / 1000000.0 AS mean_y,
+              floor((CAST(sy_a AS DOUBLE) / CAST(n_users AS DOUBLE)
+                     - t * (CAST(sx_a AS DOUBLE) / CAST(n_users AS DOUBLE)
+                            - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * 1000000.0) / 1000000.0 AS adj_mean_y,
+              floor(t * 1000000.0) / 1000000.0 AS theta
+       FROM arms CROSS JOIN theta"""
+
+
+@register(
+    "q230_cuped_adjustment",
+    _q230_oracle(),
+    "CUPED variance-reduced experiment readout (the industry-standard "
+    "pre-period adjustment): per user, pre-period covariate x and "
+    "experiment-period metric y as exact integer cents (one "
+    "conditional aggregate, arm = q136's salted md5 parity), pooled "
+    "theta = cov(x,y)/var(x) from five exact int64 moment sums, and "
+    "per-arm adjusted mean y_adj = mean_y - theta*(mean_x - pooled "
+    "mean_x).  The moment sums stay exact integers all the way to ONE "
+    "double division per ratio and the final fused multiply-subtract "
+    "— every fp op in the chain is +,*,/ on identical operands in "
+    "both engines (the portability whitelist), quantized floor6 at "
+    "the very end.  The pooled stats attach via broadcast 1-row cross "
+    "join, q93-style — no driver round-trip.  At 100 TB: one shuffle "
+    "to per-user grain, then arm-cardinality aggregates; moment sums "
+    "past int64 route through decimal(38,0) per the q149 rule",
+)
+def q230(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    split = _ts_lit(ev, "ts", _Q230_SPLIT)
+    arm = (
+        T.hex_hash64(F.col("user_id").cast("string"), salt="exp1") % 2
+    ).cast("int")
+    per_user = (
+        ev.select(
+            "user_id",
+            arm.alias("arm"),
+            F.when(F.col("ts") < split, cents).otherwise(0).alias("xc"),
+            F.when(F.col("ts") >= split, cents).otherwise(0).alias("yc"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(F.sum("xc").alias("x"), F.sum("yc").alias("y"))
+    )
+    pooled = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    theta = pooled.select(
+        "n",
+        "sx",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("t"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").alias("sx_a"),
+        F.sum("y").alias("sy_a"),
+    )
+    out = arms.crossJoin(F.broadcast(theta))
+    mean_y = F.col("sy_a").cast("double") / F.col("n_users").cast("double")
+    mean_x = F.col("sx_a").cast("double") / F.col("n_users").cast("double")
+    pooled_mx = F.col("sx").cast("double") / F.col("n").cast("double")
+    return out.select(
+        "arm",
+        "n_users",
+        floor6(mean_y).alias("mean_y"),
+        floor6(mean_y - F.col("t") * (mean_x - pooled_mx)).alias(
+            "adj_mean_y"
+        ),
+        floor6(F.col("t")).alias("theta"),
+    )

@@ -11098,3 +11098,202 @@ def q230(spark: SparkSession, sf: str) -> DataFrame:
         ),
         floor6(F.col("t")).alias("theta"),
     )
+
+
+def _q231_oracle() -> str:
+    from ..functions.vector import int8_quantize_sql, int_dot_sql
+
+    return f"""WITH qv AS (
+          SELECT vec_id, {int8_quantize_sql('embedding')} AS q
+          FROM embeddings),
+       qa AS (SELECT q AS aq FROM qv WHERE vec_id = 0),
+       qb AS (SELECT q AS bq FROM qv WHERE vec_id = 1),
+       scored AS (
+          SELECT vec_id,
+                 {int_dot_sql('q', 'aq')} AS sa,
+                 {int_dot_sql('q', 'bq')} AS sb
+          FROM qv CROSS JOIN qa CROSS JOIN qb),
+       ranked AS (
+          SELECT vec_id, sa, sb, sa + sb AS combined,
+                 row_number() OVER (ORDER BY sa + sb DESC, vec_id) AS rk
+          FROM scored)
+       SELECT CAST(vec_id AS BIGINT) AS vec_id,
+              CAST(sa AS BIGINT) AS sa, CAST(sb AS BIGINT) AS sb,
+              CAST(combined AS BIGINT) AS combined,
+              CAST(rk AS INTEGER) AS rk
+       FROM ranked WHERE rk <= 10"""
+
+
+@register(
+    "q231_threshold_algorithm_topk",
+    _q231_oracle(),
+    "Fagin's Threshold Algorithm over two retrieval arms (operators/"
+    "similarity.py:ta_topk_fusion): exact top-10 by SUMMED score — two "
+    "exact int8 query dots, the multi-aspect / multi-head retrieval "
+    "fusion — touching only the HEADS of the per-arm rankings.  Each "
+    "round reads the top-m of each arm (TakeOrderedAndProject per-"
+    "partition heaps), and the TA certificate (k-th candidate strictly "
+    "above tau_a + tau_b, the m-th per-arm scores) proves no unseen "
+    "item can reach the top-k, ties included; on failure m doubles, "
+    "and at m >= n exactness holds by construction — O(log n) scalar "
+    "driver reads for control flow only.  The oracle scores the FULL "
+    "corpus, so the early-termination answer is proven equal to the "
+    "exhaustive one.  At 100 TB sorted access is the index read order "
+    "(IVF cells, BM25 postings) and scan depth m is the entire cost — "
+    "the algorithm exists to keep m << n",
+)
+def q231(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vector import int8_quantize, int_dot
+
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", int8_quantize("embedding").alias("q")
+    )
+    qa = e.filter(F.col("vec_id") == 0).select(F.col("q").alias("aq"))
+    qb = e.filter(F.col("vec_id") == 1).select(F.col("q").alias("bq"))
+    scored = (
+        e.crossJoin(F.broadcast(qa))
+        .crossJoin(F.broadcast(qb))
+        .select(
+            "vec_id",
+            int_dot("q", "aq").alias("sa"),
+            int_dot("q", "bq").alias("sb"),
+        )
+    )
+    top = SIM.ta_topk_fusion(scored, 10, id_col="vec_id")
+    return top.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("sa").cast("long").alias("sa"),
+        F.col("sb").cast("long").alias("sb"),
+        F.col("combined").cast("long").alias("combined"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+#: floor(1e6 / log2(rank+1)) for ranks 1..10 — precomputed LITERALS so
+#: neither engine ever evaluates a transcendental (log is off the
+#: portability whitelist); the discount table is part of the metric's
+#: identity, like q136's salt.
+_Q232_W = [
+    1000000, 630929, 500000, 430676, 386852,
+    356207, 333333, 315464, 301029, 289064,
+]
+
+
+def _q232_oracle() -> str:
+    from ..functions.vector import int8_quantize_sql, int_dot_sql
+
+    w_rows = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_Q232_W))
+    return f"""WITH qv AS (
+          SELECT vec_id, label, {int8_quantize_sql('embedding')} AS q
+          FROM embeddings),
+       anchors AS (
+          SELECT vec_id AS aid, label AS albl, q AS aq
+          FROM qv WHERE vec_id < 8),
+       weights (rk, w) AS (VALUES {w_rows}),
+       cand AS (
+          SELECT aid,
+                 CASE WHEN label = albl THEN 7
+                      WHEN abs(label - albl) = 1 THEN 1
+                      ELSE 0 END AS gain,
+                 {int_dot_sql('q', 'aq')} AS dot, vec_id AS cid
+          FROM qv CROSS JOIN anchors WHERE vec_id <> aid),
+       run AS (
+          SELECT aid, gain,
+                 row_number() OVER (PARTITION BY aid
+                                    ORDER BY dot DESC, cid) AS rk
+          FROM cand),
+       ideal AS (
+          SELECT aid, gain,
+                 row_number() OVER (PARTITION BY aid
+                                    ORDER BY gain DESC, cid) AS rk
+          FROM cand),
+       dcg AS (
+          SELECT aid, sum(gain * w) AS dcg_micro
+          FROM run JOIN weights USING (rk) GROUP BY aid),
+       idcg AS (
+          SELECT aid, sum(gain * w) AS idcg_micro
+          FROM ideal JOIN weights USING (rk) GROUP BY aid)
+       SELECT CAST(d.aid AS BIGINT) AS anchor_id,
+              CAST(dcg_micro AS BIGINT) AS dcg_micro,
+              CAST(idcg_micro AS BIGINT) AS idcg_micro,
+              CAST(CASE WHEN idcg_micro > 0
+                   THEN dcg_micro * 1000000 // idcg_micro
+                   ELSE 0 END AS BIGINT) AS ndcg_ppm
+       FROM dcg d JOIN idcg i ON d.aid = i.aid"""
+
+
+@register(
+    "q232_ndcg_retrieval_eval",
+    _q232_oracle(),
+    "graded retrieval quality (nDCG@10), the ranking-eval counterpart "
+    "of q209's recall: each of 8 anchor queries retrieves its exact "
+    "int8-dot top-10; graded relevance (same label = gain 7, adjacent "
+    "= 1, else 0, i.e. 2^rel - 1) is discounted by rank with "
+    "PRECOMPUTED literal micro-weights floor(1e6/log2(rk+1)) — the "
+    "discount table ships as constants in both engines, because log "
+    "is off the fp portability whitelist, making DCG pure integer "
+    "arithmetic.  IDCG re-ranks the same candidate pool by gain (the "
+    "corpus-ideal ordering) and ndcg_ppm is an exact integer floor "
+    "division.  Both rankings run through the two-phase scalable "
+    "per-group top-k; candidates are one linear pass over broadcast "
+    "anchors.  This is the acceptance metric for every ranking change "
+    "— and it is differentially pinned, so a re-ranker regression "
+    "shows up as a hash mismatch, not a dashboard vibe",
+)
+def q232(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vector import int8_quantize, int_dot
+
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", "label", int8_quantize("embedding").alias("q")
+    )
+    anchors = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("albl"),
+        F.col("q").alias("aq"),
+    )
+    gain = (
+        F.when(F.col("label") == F.col("albl"), 7)
+        .when(F.abs(F.col("label") - F.col("albl")) == 1, 1)
+        .otherwise(0)
+    )
+    cand = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid",
+            gain.alias("gain"),
+            int_dot("q", "aq").alias("dot"),
+            F.col("vec_id").alias("cid"),
+        )
+    )
+    weights = spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(_Q232_W)], "rk int, w long"
+    )
+    run = K.top_k_per_group_scalable(
+        cand, ["aid"], [F.desc("dot"), F.asc("cid")], 10, rank_col="rk"
+    )
+    ideal = K.top_k_per_group_scalable(
+        cand, ["aid"], [F.desc("gain"), F.asc("cid")], 10, rank_col="rk"
+    )
+    dcg = (
+        run.join(F.broadcast(weights), "rk")
+        .groupBy("aid")
+        .agg(F.sum(F.col("gain") * F.col("w")).alias("dcg_micro"))
+    )
+    idcg = (
+        ideal.join(F.broadcast(weights), "rk")
+        .groupBy("aid")
+        .agg(F.sum(F.col("gain") * F.col("w")).alias("idcg_micro"))
+    )
+    return dcg.join(idcg, "aid").select(
+        F.col("aid").cast("long").alias("anchor_id"),
+        F.col("dcg_micro").cast("long").alias("dcg_micro"),
+        F.col("idcg_micro").cast("long").alias("idcg_micro"),
+        F.when(
+            F.col("idcg_micro") > 0,
+            F.expr("(dcg_micro * 1000000) div idcg_micro"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("ndcg_ppm"),
+    )

@@ -11297,3 +11297,170 @@ def q232(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("ndcg_ppm"),
     )
+
+
+_Q233_CENTS = "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_Q233_FD = "(({s}) - ((({s}) % ({n})) + ({n})) % ({n})) // ({n})"
+
+
+def _q233_oracle() -> str:
+    fd1 = _Q233_FD.format(s="s", n="n")
+    return f"""WITH {_graph_edges_sql()},
+       sym AS (SELECT a AS src, b AS dst FROM e
+               UNION ALL SELECT b, a FROM e),
+       f0 AS (SELECT c_custkey AS node, {_Q233_CENTS} AS h FROM customer),
+       m1 AS (SELECT dst AS node, sum(f0.h) AS s, count(*) AS n
+              FROM sym JOIN f0 ON f0.node = sym.src GROUP BY dst),
+       h1 AS (SELECT node, CAST({fd1} AS BIGINT) AS h FROM m1),
+       m2 AS (SELECT dst AS node, sum(h1.h) AS s, count(*) AS n
+              FROM sym JOIN h1 ON h1.node = sym.src GROUP BY dst),
+       h2 AS (SELECT node, CAST({fd1} AS BIGINT) AS h FROM m2)
+       SELECT f0.node, f0.h AS h0_cents,
+              h1.h AS h1_cents, h2.h AS h2_cents
+       FROM f0
+       LEFT JOIN h1 ON h1.node = f0.node
+       LEFT JOIN h2 ON h2.node = f0.node
+       WHERE f0.node % 7 = 0"""
+
+
+@register(
+    "q233_graph_feature_propagation",
+    _q233_oracle(),
+    "two rounds of GNN-style neighborhood mean aggregation over the "
+    "deterministic synthetic graph (the message-passing primitive "
+    "behind GraphSAGE-mean / LightGCN feature propagation): h_r(x) = "
+    "sign-safe floor-mean of neighbors' h_{r-1}, with balances as the "
+    "seed feature.  Each round IS the sparse matrix-vector multiply "
+    "expressed relationally — edges join the feature table on src, "
+    "aggregate on dst — so one round = one shuffle on node id, state "
+    "per round is one (node, h) table, and R rounds compose linearly "
+    "(no recursion, no driver loop; the plan is two stacked joins).  "
+    "Nodes whose neighborhood is empty stay NULL rather than 0 — "
+    "absence of messages is not a zero message.  Exact integer "
+    "arithmetic end-to-end (the q158 floor-mean rule), so round "
+    "results are bit-identical on any cluster size or partitioning",
+)
+def q233(spark: SparkSession, sf: str) -> DataFrame:
+    e = _graph_edges(spark, sf)
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    c = load_table(spark, sf, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    f0 = c.select(F.col("c_custkey").alias("node"), cents.alias("h"))
+
+    def mean_round(feat: DataFrame) -> DataFrame:
+        m = (
+            sym.join(feat.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("s"), F.count("*").alias("n"))
+        )
+        return m.select(
+            F.col("dst").alias("node"),
+            F.expr("(s - pmod(s, n)) div n").cast("long").alias("h"),
+        )
+
+    h1 = mean_round(f0)
+    h2 = mean_round(h1)
+    return (
+        f0.join(h1.withColumnRenamed("h", "h1"), "node", "left")
+        .join(h2.withColumnRenamed("h", "h2"), "node", "left")
+        .filter(F.col("node") % 7 == 0)
+        .select(
+            "node",
+            F.col("h").cast("long").alias("h0_cents"),
+            F.col("h1").cast("long").alias("h1_cents"),
+            F.col("h2").cast("long").alias("h2_cents"),
+        )
+    )
+
+
+#: (table, fixed bytes per row, string columns, array columns)
+_Q234_LAYOUT = [
+    ("lineitem", 68, ["l_returnflag", "l_linestatus"], []),
+    ("orders", 32, ["o_orderstatus", "o_orderpriority"], []),
+    ("customer", 20, ["c_name", "c_mktsegment"], []),
+    ("events", 32, ["event_type", "props"], []),
+    ("documents", 16, ["text", "lang", "source"], []),
+    ("embeddings", 12, [], ["embedding"]),
+]
+_Q234_SHUFFLE_TGT = 128 * 1024 * 1024
+_Q234_FILE_TGT = 512 * 1024 * 1024
+_Q234_BCAST = 10 * 1024 * 1024
+
+
+def _q234_oracle() -> str:
+    blocks = []
+    for tbl, fixed, strs, arrs in _Q234_LAYOUT:
+        var = " + ".join(
+            [f"coalesce(sum(length({s})), 0)" for s in strs]
+            + [f"coalesce(sum(4 * len({a})), 0)" for a in arrs]
+        ) or "0"
+        blocks.append(
+            f"SELECT '{tbl}' AS tbl, count(*) AS n_rows,\n"
+            f"       {fixed} * count(*) + {var} AS est_bytes\n"
+            f"FROM {tbl}"
+        )
+    un = "\n       UNION ALL ".join(blocks)
+    return f"""WITH sizes AS ({un})
+       SELECT tbl, n_rows, CAST(est_bytes AS BIGINT) AS est_bytes,
+              CAST((est_bytes + {_Q234_SHUFFLE_TGT - 1})
+                   // {_Q234_SHUFFLE_TGT} AS BIGINT) AS shuffle_parts_128mb,
+              CAST((est_bytes + {_Q234_FILE_TGT - 1})
+                   // {_Q234_FILE_TGT} AS BIGINT) AS files_512mb,
+              est_bytes < {_Q234_BCAST} AS broadcastable
+       FROM sizes"""
+
+
+@register(
+    "q234_partition_advisor",
+    _q234_oracle(),
+    "physical-design advisor (SCALE.md's sizing rules made executable): "
+    "per table, estimated uncompressed bytes from fixed per-type widths "
+    "plus MEASURED variable-width mass (string lengths, array "
+    "elements), then the three decisions every Spark job tunes by "
+    "hand — shuffle partition count at a 128 MB target "
+    "(spark.sql.shuffle.partitions for shuffles carrying this table), "
+    "output file count at a 512 MB compaction target (q226's input), "
+    "and broadcast eligibility under the 10 MB autoBroadcastJoinThreshold "
+    "convention.  One column-pruned conditional aggregate per table; "
+    "ceilings are exact integer (x + t - 1) div t.  The advisor row is "
+    "the input contract for AQE overrides and the q49/q50 salting "
+    "decisions — measured, not guessed, and cheap enough to run per "
+    "ingest batch",
+)
+def q234(spark: SparkSession, sf: str) -> DataFrame:
+    frames = []
+    for tbl, fixed, strs, arrs in _Q234_LAYOUT:
+        t = load_table(spark, sf, tbl)
+        var_terms = [
+            F.coalesce(F.sum(F.length(s)), F.lit(0)) for s in strs
+        ] + [
+            F.coalesce(F.sum(4 * F.size(a)), F.lit(0)) for a in arrs
+        ]
+        var = var_terms[0] if var_terms else F.lit(0)
+        for extra in var_terms[1:]:
+            var = var + extra
+        frames.append(
+            t.agg(
+                F.count("*").alias("n_rows"),
+                (F.lit(fixed) * F.count("*") + var).alias("est_bytes"),
+            ).select(F.lit(tbl).alias("tbl"), "n_rows", "est_bytes")
+        )
+    sizes = frames[0]
+    for fdf in frames[1:]:
+        sizes = sizes.unionByName(fdf)
+    return sizes.select(
+        "tbl",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("est_bytes").cast("long").alias("est_bytes"),
+        F.expr(
+            f"(est_bytes + {_Q234_SHUFFLE_TGT - 1}) div {_Q234_SHUFFLE_TGT}"
+        )
+        .cast("long")
+        .alias("shuffle_parts_128mb"),
+        F.expr(f"(est_bytes + {_Q234_FILE_TGT - 1}) div {_Q234_FILE_TGT}")
+        .cast("long")
+        .alias("files_512mb"),
+        (F.col("est_bytes") < _Q234_BCAST).alias("broadcastable"),
+    )

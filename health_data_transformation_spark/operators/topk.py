@@ -68,13 +68,22 @@ def global_row_number(
 
     Callers must make ``order_by`` a total order (include a tiebreak
     column) for deterministic ids.
+
+    The range-partitioned frame is localCheckpointed BEFORE
+    spark_partition_id() is read: the offsets are collected from one
+    evaluation, but without the barrier a later consumer (a self-join,
+    an AQE-re-coalesced branch) could re-evaluate the exchange with
+    different runtime partition ids and silently mis-rank — observed
+    as a real wrong-answer at sf0.1 when the ranked frame was joined
+    twice in one plan.  The checkpoint freezes the physical layout the
+    offsets were measured on.
     """
     part = (
         df.repartitionByRange(num_partitions, *order_by)
         if num_partitions
         else df.repartitionByRange(*order_by)
     )
-    part = part.withColumn("_pid", F.spark_partition_id())
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
     counts = part.groupBy("_pid").agg(F.count("*").alias("_n"))
     rows = sorted((r["_pid"], r["_n"]) for r in counts.collect())
     offsets, acc = {}, 0
@@ -153,7 +162,10 @@ def global_running_sum(
         if num_partitions
         else df.repartitionByRange(*order_by)
     )
-    part = part.withColumn("_pid", F.spark_partition_id())
+    # localCheckpoint BEFORE reading spark_partition_id — see
+    # global_row_number: offsets must be measured on the same physical
+    # layout every consumer reads.
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
     sums = part.groupBy("_pid").agg(F.sum(val_col).alias("_s"))
     rows = sorted((r["_pid"], r["_s"] or 0) for r in sums.collect())
     offsets, acc = {}, 0

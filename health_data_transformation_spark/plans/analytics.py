@@ -11380,6 +11380,10 @@ _Q234_LAYOUT = [
     ("lineitem", 68, ["l_returnflag", "l_linestatus"], []),
     ("orders", 32, ["o_orderstatus", "o_orderpriority"], []),
     ("customer", 20, ["c_name", "c_mktsegment"], []),
+    ("supplier", 20, ["s_name"], []),
+    ("part", 20, ["p_name", "p_brand", "p_type"], []),
+    ("nation", 8, ["n_name"], []),
+    ("region", 4, ["r_name"], []),
     ("events", 32, ["event_type", "props"], []),
     ("documents", 16, ["text", "lang", "source"], []),
     ("embeddings", 12, [], ["embedding"]),
@@ -11463,4 +11467,370 @@ def q234(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("files_512mb"),
         (F.col("est_bytes") < _Q234_BCAST).alias("broadcastable"),
+    )
+
+
+#: candidate joins: (name, fact table, fact key, dim table)
+_Q235_JOINS = [
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders"),
+    ("lineitem_part", "lineitem", "l_partkey", "part"),
+    ("orders_customer", "orders", "o_custkey", "customer"),
+    ("customer_nation", "customer", "c_nationkey", "nation"),
+    ("events_customer", "events", "user_id", "customer"),
+    ("orders_lineitem", "orders", "o_orderkey", "lineitem"),
+]
+_Q235_HOT_PPM = 20000  # >2% of fact rows on one key => salt
+
+
+def _q235_oracle() -> str:
+    size_exprs = {
+        tbl: f"{fixed} * count(*) + "
+        + (
+            " + ".join(
+                [f"coalesce(sum(length({s})), 0)" for s in strs]
+                + [f"coalesce(sum(4 * len({a})), 0)" for a in arrs]
+            )
+            or "0"
+        )
+        for tbl, fixed, strs, arrs in _Q234_LAYOUT
+    }
+    blocks = []
+    for name, fact, fkey, dim in _Q235_JOINS:
+        blocks.append(f"""
+        SELECT '{name}' AS join_name,
+               (SELECT CAST({size_exprs[fact]} AS BIGINT) FROM {fact})
+                 AS fact_bytes,
+               (SELECT CAST({size_exprs[dim]} AS BIGINT) FROM {dim})
+                 AS dim_bytes,
+               ks.n AS n_fact_rows, ks.k AS n_keys, ks.hot_ppm
+        FROM (SELECT CAST(sum(c) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS k,
+                     CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS hot_ppm
+              FROM (SELECT count(*) AS c FROM {fact}
+                    GROUP BY {fkey})) ks""")
+    un = "\n       UNION ALL ".join(blocks)
+    return f"""WITH cand AS ({un})
+       SELECT join_name, fact_bytes, dim_bytes, n_fact_rows, n_keys,
+              hot_ppm,
+              CASE WHEN dim_bytes < {_Q234_BCAST} THEN 'broadcast'
+                   WHEN hot_ppm > {_Q235_HOT_PPM} THEN 'salted_smj'
+                   ELSE 'smj' END AS strategy
+       FROM cand"""
+
+
+@register(
+    "q235_join_strategy_advisor",
+    _q235_oracle(),
+    "join-strategy advisor (the decision table behind every q49/q50 "
+    "salting and broadcast() call in this repo, made executable): for "
+    "each candidate join, the dim side's estimated bytes (q234's "
+    "measured layout math), the fact side's key cardinality and "
+    "hottest-key concentration in exact ppm (q201's one-scan "
+    "aggregate — max(c)*1e6/sum(c), no join performed), and the "
+    "verdict: broadcast when the build side fits under the 10 MB "
+    "autoBroadcastJoinThreshold convention, salted sort-merge when "
+    "one key holds >2% of the fact rows (the skew cliff), plain "
+    "sort-merge otherwise.  The decisions genuinely flip with scale "
+    "factor — the reversed orders->lineitem probe crosses the "
+    "broadcast threshold as data grows — so the differential pins "
+    "the advisor's behavior on BOTH sides of each threshold.  Cost: "
+    "one groupBy per fact key, dim sizes from single aggregates; "
+    "nothing here touches a joined row",
+)
+def q235(spark: SparkSession, sf: str) -> DataFrame:
+    layout = {t: (f, s, a) for t, f, s, a in _Q234_LAYOUT}
+
+    def size_frame(tbl: str, out: str) -> DataFrame:
+        fixed, strs, arrs = layout[tbl]
+        var_terms = [
+            F.coalesce(F.sum(F.length(s)), F.lit(0)) for s in strs
+        ] + [F.coalesce(F.sum(4 * F.size(a)), F.lit(0)) for a in arrs]
+        var = var_terms[0] if var_terms else F.lit(0)
+        for extra in var_terms[1:]:
+            var = var + extra
+        return load_table(spark, sf, tbl).agg(
+            (F.lit(fixed) * F.count("*") + var).cast("long").alias(out)
+        )
+
+    frames = []
+    for name, fact, fkey, dim in _Q235_JOINS:
+        ks = (
+            load_table(spark, sf, fact)
+            .groupBy(fkey)
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.sum("c").cast("long").alias("n_fact_rows"),
+                F.count("*").cast("long").alias("n_keys"),
+                F.expr("(max(c) * 1000000) div sum(c)")
+                .cast("long")
+                .alias("hot_ppm"),
+            )
+        )
+        frames.append(
+            ks.crossJoin(F.broadcast(size_frame(fact, "fact_bytes")))
+            .crossJoin(F.broadcast(size_frame(dim, "dim_bytes")))
+            .select(
+                F.lit(name).alias("join_name"),
+                "fact_bytes",
+                "dim_bytes",
+                "n_fact_rows",
+                "n_keys",
+                "hot_ppm",
+            )
+        )
+    cand = frames[0]
+    for fdf in frames[1:]:
+        cand = cand.unionByName(fdf)
+    strategy = (
+        F.when(F.col("dim_bytes") < _Q234_BCAST, "broadcast")
+        .when(F.col("hot_ppm") > _Q235_HOT_PPM, "salted_smj")
+        .otherwise("smj")
+    )
+    return cand.withColumn("strategy", strategy)
+
+
+_Q236_PAIRS = 256
+
+
+def _q236_oracle() -> str:
+    sh = T.token_shingles_sql("text", 3)
+    ha = hex_hash64_sql("CAST(i AS VARCHAR)", salt="pa")
+    hb = hex_hash64_sql("CAST(i AS VARCHAR)", salt="pb")
+    return f"""WITH ranked AS (
+          SELECT doc_id, list_distinct({sh}) AS s,
+                 row_number() OVER (ORDER BY doc_id) AS rn
+          FROM documents),
+       nn AS (SELECT count(*) AS n FROM ranked),
+       spec AS (
+          SELECT i, 1 + ({ha}) % n AS ra, 1 + ({hb}) % n AS rb
+          FROM (SELECT unnest(range({_Q236_PAIRS})) AS i), nn),
+       pairs AS (
+          SELECT spec.i,
+                 len(list_intersect(a.s, b.s)) AS inter,
+                 len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+          FROM spec
+          JOIN ranked a ON a.rn = spec.ra
+          JOIN ranked b ON b.rn = spec.rb
+          WHERE spec.ra <> spec.rb),
+       ppm AS (
+          SELECT i, CASE WHEN un > 0 THEN inter * 1000000 // un
+                         ELSE 0 END AS p
+          FROM pairs)
+       SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(p) // count(*) AS BIGINT) AS mean_jaccard_ppm,
+              CAST(min(p) AS BIGINT) AS min_ppm,
+              CAST(max(p) AS BIGINT) AS max_ppm
+       FROM ppm"""
+
+
+@register(
+    "q236_sampled_pair_similarity",
+    _q236_oracle(),
+    "corpus mean pairwise similarity WITHOUT the O(n^2) pair space: "
+    "256 deterministic hash-sampled pairs — row positions come from "
+    "the scalable global row_number, pair endpoints from two salted "
+    "md5 streams over the pair index, so every engine, retry, and "
+    "shard draws the IDENTICAL sample (the q214 determinism rule) — "
+    "each scored with exact row-local 3-shingle Jaccard after two "
+    "broadcast-spec joins against the ranked corpus.  The estimator "
+    "costs O(corpus) for ranking plus O(sample), versus the O(n^2) "
+    "truth it estimates (q141's exact pair join is the calibration "
+    "partner); self-pairs are excluded, empty-union pairs score 0.  "
+    "This is how corpus-drift and diversity dashboards stay runnable "
+    "at 100 TB: fixed sample size, error shrinking as 1/sqrt(k), "
+    "sample reproducible forever",
+)
+def q236(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(T.token_shingles("text", 3)).alias("s")
+    )
+    ranked = K.global_row_number(docs, [F.asc("doc_id")], out_col="rn")
+    nn = ranked.agg(F.count("*").alias("n"))
+    idx = spark.range(_Q236_PAIRS).select(F.col("id").cast("int").alias("i"))
+    spec = (
+        idx.crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            (
+                1
+                + T.hex_hash64(F.col("i").cast("string"), salt="pa")
+                % F.col("n")
+            ).alias("ra"),
+            (
+                1
+                + T.hex_hash64(F.col("i").cast("string"), salt="pb")
+                % F.col("n")
+            ).alias("rb"),
+        )
+        .filter(F.col("ra") != F.col("rb"))
+    )
+    a = ranked.select(F.col("rn").alias("ra"), F.col("s").alias("sa"))
+    b = ranked.select(F.col("rn").alias("rb"), F.col("s").alias("sb"))
+    pairs = (
+        spec.join(a, "ra")
+        .join(b, "rb")
+        .select(
+            "i",
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            (
+                F.size("sa") + F.size("sb")
+                - F.size(F.array_intersect("sa", "sb"))
+            ).alias("un"),
+        )
+    )
+    ppm = pairs.select(
+        F.when(
+            F.col("un") > 0, F.expr("(inter * 1000000) div un")
+        )
+        .otherwise(0)
+        .alias("p")
+    )
+    return ppm.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("sum(p) div count(*)").cast("long").alias("mean_jaccard_ppm"),
+        F.min("p").cast("long").alias("min_ppm"),
+        F.max("p").cast("long").alias("max_ppm"),
+    )
+
+
+_Q237_BUCKETS = 64
+
+
+def _q237_oracle() -> str:
+    cents = "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    bkt = hex_hash64_sql("CAST(c_custkey AS VARCHAR)", salt="mb")
+    rh = hex_hash64_sql("CAST(k AS VARCHAR) || '|' || CAST(cents AS VARCHAR)")
+    return f"""WITH a AS (
+          SELECT c_custkey AS k, {cents} AS cents,
+                 CAST({bkt} % {_Q237_BUCKETS} AS INTEGER) AS bkt
+          FROM customer),
+       b AS (
+          SELECT k,
+                 cents + CASE WHEN k % 101 = 5 THEN 1 ELSE 0 END AS cents,
+                 bkt
+          FROM a WHERE k % 307 <> 9),
+       ha AS (SELECT k, bkt, {rh} AS h FROM a),
+       hb AS (SELECT k, bkt, {rh} AS h FROM b),
+       ta AS (SELECT bkt, count(*) AS n, bit_xor(h) AS x,
+                     sum(h % 1000000007) AS sm
+              FROM ha GROUP BY bkt),
+       tb AS (SELECT bkt, count(*) AS n, bit_xor(h) AS x,
+                     sum(h % 1000000007) AS sm
+              FROM hb GROUP BY bkt),
+       mismatch AS (
+          SELECT ta.bkt, ta.n AS n_a, coalesce(tb.n, 0) AS n_b
+          FROM ta LEFT JOIN tb ON ta.bkt = tb.bkt
+          WHERE tb.bkt IS NULL OR ta.n <> tb.n OR ta.x <> tb.x
+             OR ta.sm <> tb.sm),
+       detail AS (
+          SELECT m.bkt,
+                 count(*) FILTER (hb.k IS NULL) AS n_missing_b,
+                 count(*) FILTER (hb.k IS NOT NULL
+                                  AND ha.h <> hb.h) AS n_differing
+          FROM mismatch m
+          JOIN ha ON ha.bkt = m.bkt
+          LEFT JOIN hb ON hb.k = ha.k
+          GROUP BY m.bkt)
+       SELECT m.bkt, CAST(m.n_a AS BIGINT) AS n_a,
+              CAST(m.n_b AS BIGINT) AS n_b,
+              CAST(d.n_missing_b AS BIGINT) AS n_missing_b,
+              CAST(d.n_differing AS BIGINT) AS n_differing
+       FROM mismatch m JOIN detail d ON d.bkt = m.bkt"""
+
+
+@register(
+    "q237_merkle_repair_plan",
+    _q237_oracle(),
+    "two-level anti-entropy repair plan (the Dynamo/Cassandra Merkle "
+    "walk, relationally): replica B is replica A with deterministic "
+    "drift injected (every 101st key bit-rotted by one cent, every "
+    "307th key missing).  Level 1 compares per-bucket q142 checksum "
+    "triples (count, xor, modular sum of 60-bit row hashes) — 64 "
+    "constant-size rows per replica cross the wire, NEVER data.  "
+    "Level 2 rehydrates ONLY the mismatched buckets (a broadcast "
+    "semi-join on the tiny mismatch list) and classifies each key as "
+    "missing-in-B or content-differing via a left join on the row "
+    "hash.  Repair cost is proportional to the DAMAGED fraction, not "
+    "the table: with d damaged buckets of 64, level 2 touches d/64 of "
+    "the rows — at 100 TB the difference between re-shipping a "
+    "table and shipping 64 integers plus the drifted rows.  The "
+    "checksum triple's collision resistance is what makes level-1 "
+    "silence trustworthy; the differential pins both levels",
+)
+def q237(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    bkt = (
+        T.hex_hash64(F.col("c_custkey").cast("string"), salt="mb")
+        % _Q237_BUCKETS
+    ).cast("int")
+    a = c.select(
+        F.col("c_custkey").alias("k"), cents.alias("cents"), bkt.alias("bkt")
+    )
+    b = a.filter(F.col("k") % 307 != 9).select(
+        "k",
+        (
+            F.col("cents")
+            + F.when(F.col("k") % 101 == 5, 1).otherwise(0)
+        ).alias("cents"),
+        "bkt",
+    )
+
+    def hashed(df: DataFrame) -> DataFrame:
+        h = T.hex_hash64(
+            F.concat(
+                F.col("k").cast("string"),
+                F.lit("|"),
+                F.col("cents").cast("string"),
+            )
+        )
+        return df.select("k", "bkt", h.alias("h"))
+
+    ha, hb = hashed(a), hashed(b)
+
+    def triple(df: DataFrame, pre: str) -> DataFrame:
+        return df.groupBy("bkt").agg(
+            F.count("*").alias(f"{pre}n"),
+            F.expr("bit_xor(h)").alias(f"{pre}x"),
+            F.sum(F.col("h") % 1000000007).alias(f"{pre}sm"),
+        )
+
+    mismatch = (
+        triple(ha, "a_")
+        .join(triple(hb, "b_"), "bkt", "left")
+        .filter(
+            F.col("b_n").isNull()
+            | (F.col("a_n") != F.col("b_n"))
+            | (F.col("a_x") != F.col("b_x"))
+            | (F.col("a_sm") != F.col("b_sm"))
+        )
+        .select(
+            "bkt",
+            F.col("a_n").alias("n_a"),
+            F.coalesce(F.col("b_n"), F.lit(0)).alias("n_b"),
+        )
+    )
+    detail = (
+        ha.join(F.broadcast(mismatch.select("bkt")), "bkt")
+        .join(
+            hb.select(F.col("k"), F.col("h").alias("hb")), "k", "left"
+        )
+        .groupBy("bkt")
+        .agg(
+            F.sum(F.when(F.col("hb").isNull(), 1).otherwise(0)).alias(
+                "n_missing_b"
+            ),
+            F.sum(
+                F.when(
+                    F.col("hb").isNotNull() & (F.col("h") != F.col("hb")), 1
+                ).otherwise(0)
+            ).alias("n_differing"),
+        )
+    )
+    return mismatch.join(detail, "bkt").select(
+        "bkt",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_missing_b").cast("long").alias("n_missing_b"),
+        F.col("n_differing").cast("long").alias("n_differing"),
     )

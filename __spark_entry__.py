@@ -61,9 +61,23 @@ _PROMOTED = [
     "q204_exactly_once_sink",
     "q209_ann_recall_eval",
     "q212_content_defined_chunks",
+    # batch-4 steering: the three newest family representatives with
+    # the most distinctive execution paths (FastSS blocking proof,
+    # Python-side bounded-state sketch via mapInPandas, adaptive
+    # driver-loop Threshold Algorithm).  Displaced: q47/q48/q50 —
+    # their families stay represented (two-phase quantiles via q184,
+    # moment-sum statistics via the promoted CUPED-adjacent entries,
+    # salting via q49) and all remain green in the committed local
+    # artifact and unit tests.
+    "q221_fuzzy_match_fastss",
+    "q222_heavy_hitters_mg",
+    "q231_threshold_algorithm_topk",
 ]
 
 _DEMOTED = {
+    "q47_percentiles",
+    "q48_stats_moments",
+    "q50_salted_agg",
     "q15_orders_per_customer",
     "q16_topk_orders",
     "q17_top3_per_customer",

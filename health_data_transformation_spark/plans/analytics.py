@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.deterministic import (
     bucket_str_sql,
+    day_str,
     day_str_sql,
     floor6,
     dec_avg,
@@ -11833,4 +11834,79 @@ def q237(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_b").cast("long").alias("n_b"),
         F.col("n_missing_b").cast("long").alias("n_missing_b"),
         F.col("n_differing").cast("long").alias("n_differing"),
+    )
+
+
+@register(
+    "q238_stream_stream_join",
+    f"""WITH ev AS (
+          SELECT * FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+            AND ts < TIMESTAMP '2024-02-01 00:00:00'),
+       c AS (SELECT event_id AS click_id, ts AS click_ts, user_id
+             FROM ev WHERE event_type = 'click'),
+       p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id
+             FROM ev WHERE event_type = 'purchase'),
+       j AS (
+          SELECT c.user_id, c.click_id, c.click_ts,
+                 p.purchase_id, p.purchase_ts
+          FROM c JOIN p ON c.user_id = p.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 2 HOUR)
+       SELECT {day_str_sql('click_ts')} AS day,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              CAST(sum(epoch_us(purchase_ts) - epoch_us(click_ts))
+                   AS BIGINT) AS sum_lag_us,
+              CAST(bit_xor({hex_hash64_sql(
+                  "CAST(click_id AS VARCHAR) || '|' || CAST(purchase_id AS VARCHAR)"
+              )}) AS BIGINT) AS pair_xor
+       FROM j GROUP BY 1""",
+    "TRUE stream-stream event-time interval join (streaming/ingest.py:"
+    "stream_stream_interval_join) — the conversion-attribution kernel "
+    "and the one Structured Streaming operator with state on BOTH "
+    "sides: the click stream joins the purchase stream on user_id "
+    "with the purchase inside [click_ts, click_ts + 2h], each side "
+    "arriving as two mtime-pinned microbatches from its own file "
+    "source.  Both watermarks are wider than the data span, so no "
+    "join state evicts and the emitted matches are independent of how "
+    "the sources interleave — the sink provably equals the batch "
+    "interval join, which is exactly what the oracle states (per "
+    "click-day pair counts, distinct users, exact microsecond lag "
+    "mass, and an order-insensitive pair-set xor so a lost or "
+    "duplicated match flips the hash).  At 100 TB join state is "
+    "bounded by watermark horizon x per-key arrival rate, shuffled "
+    "on user_id; the interval predicate prunes inside key groups",
+)
+def q238(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.ingest import stream_stream_interval_join
+
+    j = stream_stream_interval_join(spark, sf)
+    pair_h = T.hex_hash64(
+        F.concat(
+            F.col("click_id").cast("string"),
+            F.lit("|"),
+            F.col("purchase_id").cast("string"),
+        )
+    )
+    return (
+        j.select(
+            F.col("cu").alias("user_id"),
+            "click_id",
+            "click_ts",
+            "purchase_id",
+            "purchase_ts",
+            pair_h.alias("ph"),
+        )
+        .groupBy(day_str("click_ts").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(
+                F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+            )
+            .cast("long")
+            .alias("sum_lag_us"),
+            F.expr("bit_xor(ph)").cast("long").alias("pair_xor"),
+        )
     )

@@ -383,3 +383,127 @@ def stream_exactly_once_sink(
     write_batch(replay, 0)
 
     return spark.read.parquet(out_dir)
+
+
+def stream_stream_interval_join(
+    spark,
+    sf_dir: str,
+    lo: str = "2024-01-01",
+    hi: str = "2024-02-01",
+    timeout_sec: int = 300,
+):
+    """TRUE stream-stream event-time interval join (not foreachBatch):
+    the click stream joins the purchase stream on user_id with the
+    purchase inside [click_ts, click_ts + 2h] — the conversion-
+    attribution shape, and the one Structured Streaming operator whose
+    state lives on BOTH sides.
+
+    Each side arrives from its own file source in two microbatches
+    (split by event_id parity, mtimes pinned so arrival order is
+    deterministic).  Both sides carry a 30-day watermark — wider than
+    the data span, so NO join state is ever evicted and every match is
+    emitted regardless of how the two sources interleave (the q192
+    lesson applied in reverse: eviction is the only batching-order-
+    dependent behavior, so the differential keeps eviction out of
+    frame; q192 pins the eviction rule itself).  The sink's content
+    therefore equals the batch interval join, which IS the q238
+    oracle.  At 100 TB the join state is bounded by the watermark
+    horizon x arrival rate per side, keyed and shuffled on user_id —
+    the interval condition prunes within key groups.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from ..sources.tables import load_events_range
+    from .windows import narrow_shuffle
+
+    ev = load_events_range(spark, sf_dir, lo=lo, hi=hi).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("cu"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("pu"),
+    )
+
+    stage = tempfile.mkdtemp(prefix="hdt_stream_ssj_")
+    cdir = os.path.join(stage, "clicks")
+    pdir = os.path.join(stage, "purchases")
+    out_dir = os.path.join(stage, "_joined")
+    os.makedirs(cdir)
+    os.makedirs(pdir)
+
+    def stage_file(df, dirname: str, name: str, mtime: int) -> None:
+        tmp = os.path.join(stage, "_tmp_" + name)
+        df.coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(dirname, name)
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    base = 1_700_000_000
+    stage_file(
+        clicks.filter(F.col("click_id") % 2 == 0), cdir,
+        "c1.parquet", base,
+    )
+    stage_file(
+        clicks.filter(F.col("click_id") % 2 == 1), cdir,
+        "c2.parquet", base + 10,
+    )
+    stage_file(
+        purchases.filter(F.col("purchase_id") % 2 == 0), pdir,
+        "p1.parquet", base,
+    )
+    stage_file(
+        purchases.filter(F.col("purchase_id") % 2 == 1), pdir,
+        "p2.parquet", base + 10,
+    )
+
+    cs = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir)
+        .withWatermark("click_ts", "30 days")
+    )
+    ps = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+        .withWatermark("purchase_ts", "30 days")
+    )
+    joined = cs.join(
+        ps,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")
+        ),
+    ).select("cu", "click_id", "click_ts", "purchase_id", "purchase_ts")
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    with narrow_shuffle(spark):
+        query = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation", os.path.join(stage, "_checkpoint")
+            )
+            .outputMode("append")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
+    return spark.read.parquet(out_dir)

@@ -11910,3 +11910,161 @@ def q238(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("bit_xor(ph)").cast("long").alias("pair_xor"),
         )
     )
+
+
+_Q239_CHANGE_DATE = "1995-06-01"
+
+
+@register(
+    "q239_backfill_blast_radius",
+    f"""WITH changed AS (
+          SELECT c_custkey FROM customer WHERE c_custkey % 53 = 7),
+       parts AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 count(*) AS n_rows,
+                 count(*) FILTER (
+                   o_custkey IN (SELECT c_custkey FROM changed)
+                   AND o_orderdate >= TIMESTAMP '{_Q239_CHANGE_DATE}')
+                   AS n_affected
+          FROM orders GROUP BY 1)
+       SELECT month, CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(n_affected AS BIGINT) AS n_affected,
+              CAST(n_affected * 1000000 // n_rows AS BIGINT)
+                AS affected_ppm
+       FROM parts WHERE n_affected > 0""",
+    "backfill blast-radius planner (the reprocessing decision when a "
+    "dimension correction arrives late): a batch of changed customer "
+    "keys effective from a change date, and the question every "
+    "pipeline owner asks before rerunning — WHICH fact partitions "
+    "must recompute, and how much of each is actually touched.  One "
+    "scan of the fact computes per month-partition totals and "
+    "affected counts together (the changed-key set rides as a "
+    "broadcast semi-join inside a conditional aggregate — no separate "
+    "probe pass), and only partitions with nonzero damage appear: "
+    "everything before the change date is provably untouched, which "
+    "is the partition-pruning argument that turns a full-history "
+    "rerun into a bounded one.  affected_ppm is the triage column — "
+    "a partition 0.1% affected wants a targeted MERGE (q159), one "
+    "90% affected wants dynamic partition overwrite (q204's sink "
+    "rule).  At 100 TB this report is the difference between "
+    "recomputing 3 partitions and recomputing 3 years",
+)
+def q239(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    changed = c.filter(F.col("c_custkey") % 53 == 7).select(
+        F.col("c_custkey").alias("ck")
+    )
+    marked = o.join(
+        F.broadcast(changed), F.col("o_custkey") == F.col("ck"), "left"
+    ).select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (
+            F.col("ck").isNotNull()
+            & (
+                F.col("o_orderdate")
+                >= F.lit(_Q239_CHANGE_DATE).cast("timestamp")
+            )
+        ).alias("hit"),
+    )
+    parts = marked.groupBy("month").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_affected"),
+    )
+    return parts.filter(F.col("n_affected") > 0).select(
+        "month",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_affected").cast("long").alias("n_affected"),
+        F.expr("(n_affected * 1000000) div n_rows")
+        .cast("long")
+        .alias("affected_ppm"),
+    )
+
+
+_Q240_W, _Q240_D = 256, 3
+
+
+def _q240_oracle() -> str:
+    from ..operators.sketch import count_min_cells_sql
+
+    ca = count_min_cells_sql(
+        "SELECT o_custkey AS k FROM orders", "k", _Q240_W, _Q240_D
+    )
+    cb = count_min_cells_sql(
+        "SELECT user_id AS k FROM events", "k", _Q240_W, _Q240_D
+    )
+    return f"""WITH ca AS ({ca}), cb AS ({cb}),
+       per_row AS (
+          SELECT ca.row, sum(ca.cnt * cb.cnt) AS est
+          FROM ca JOIN cb ON ca.row = cb.row AND ca.bucket = cb.bucket
+          GROUP BY ca.row),
+       est AS (SELECT min(est) AS cms_join_size FROM per_row),
+       ta AS (SELECT o_custkey AS k, count(*) AS a FROM orders GROUP BY 1),
+       tb AS (SELECT user_id AS k, count(*) AS b FROM events GROUP BY 1),
+       tru AS (SELECT coalesce(sum(a * b), 0) AS true_join_size
+               FROM ta JOIN tb USING (k))
+       SELECT CAST(cms_join_size AS BIGINT) AS cms_join_size,
+              CAST(true_join_size AS BIGINT) AS true_join_size,
+              CAST((cms_join_size - true_join_size) * 1000000
+                   // CASE WHEN true_join_size > 0 THEN true_join_size
+                           ELSE 1 END AS BIGINT) AS overestimate_ppm
+       FROM est CROSS JOIN tru"""
+
+
+@register(
+    "q240_cms_join_size_estimate",
+    _q240_oracle(),
+    "join-size estimation from Count-Min sketches (the AMS/CMS "
+    "inner-product bound every cost-based optimizer wants): "
+    "|A join B| = sum_k a_k*b_k is estimated by the minimum over "
+    "depth rows of the sketch inner product sum_w cmsA[d][w]*"
+    "cmsB[d][w] — each side summarized INDEPENDENTLY into 3x256 "
+    "counters (one pass each, never scanned together), so the "
+    "estimate is computable from sketches shipped by two different "
+    "teams, pipelines, or datacenters.  CMS guarantees estimate >= "
+    "truth (collisions only add), and because the counters use the "
+    "md5 hash family the estimate is register-exact and oracle-gated "
+    "bit-for-bit, q80-style — the exact join size (a key-cardinality-"
+    "bounded aggregate join, q201's shape) rides along so the "
+    "overestimate is measured, not assumed.  At 100 TB this answers "
+    "'dare we run this join?' for the q235 advisor without either "
+    "table's rows ever meeting",
+)
+def q240(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sketch import count_min_build
+
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    ev = load_events_range(spark, sf).select(F.col("user_id").alias("k"))
+    ca = count_min_build(o, "k", _Q240_W, _Q240_D)
+    cb = count_min_build(ev, "k", _Q240_W, _Q240_D)
+    per_row = (
+        ca.alias("a")
+        .join(
+            cb.alias("b"),
+            (F.col("a.row") == F.col("b.row"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.row"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("est"))
+    )
+    est = per_row.agg(F.min("est").alias("cms_join_size"))
+    ta = o.groupBy("k").agg(F.count("*").alias("a"))
+    tb = ev.groupBy("k").agg(F.count("*").alias("b"))
+    tru = (
+        ta.join(tb, "k")
+        .agg(
+            F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0)).alias(
+                "true_join_size"
+            )
+        )
+    )
+    return est.crossJoin(F.broadcast(tru)).select(
+        F.col("cms_join_size").cast("long").alias("cms_join_size"),
+        F.col("true_join_size").cast("long").alias("true_join_size"),
+        F.expr(
+            "((cms_join_size - true_join_size) * 1000000) div "
+            "(CASE WHEN true_join_size > 0 THEN true_join_size ELSE 1 END)"
+        )
+        .cast("long")
+        .alias("overestimate_ppm"),
+    )

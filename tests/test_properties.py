@@ -621,3 +621,35 @@ def test_global_running_sum_partition_invariant(spark):
             for r in global_running_sum(df, [F.asc("k")], "v").collect()
         }
         assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_ta_topk_fusion_equals_full_sort(spark, rows, k):
+    """Threshold-Algorithm early termination returns EXACTLY the full
+    sort's top-k by (sa+sb desc, id) for arbitrary score tables —
+    small score domains make ties abundant, which is where the strict
+    certificate matters; start_m=2 forces several deepening rounds."""
+    from health_data_transformation_spark.operators.similarity import (
+        ta_topk_fusion,
+    )
+
+    data = [(i, sa, sb) for i, (sa, sb) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, sa long, sb long")
+    got = [
+        (r["id"], r["combined"], r["rk"])
+        for r in ta_topk_fusion(df, k, id_col="id", start_m=2)
+        .orderBy("rk")
+        .collect()
+    ]
+    expect = sorted(data, key=lambda t: (-(t[1] + t[2]), t[0]))[:k]
+    assert got == [
+        (i, sa + sb, rk) for rk, (i, sa, sb) in enumerate(expect, 1)
+    ]

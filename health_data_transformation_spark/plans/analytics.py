@@ -12068,3 +12068,144 @@ def q240(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("overestimate_ppm"),
     )
+
+
+@register(
+    "q241_k_anonymity_audit",
+    """WITH qi AS (
+          SELECT c_nationkey AS nk, c_mktsegment AS seg,
+                 CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / 1000)
+                      AS INTEGER) AS bal_band,
+                 count(*) AS k
+          FROM customer GROUP BY 1, 2, 3)
+       SELECT CAST(nk AS INTEGER) AS nk, seg,
+              CAST(bal_band AS INTEGER) AS bal_band,
+              CAST(k AS BIGINT) AS k
+       FROM qi WHERE k < 5""",
+    "k-anonymity audit (the re-identification risk report behind "
+    "every data-release review, complementing q152's PII scrub and "
+    "q202's DSAR export): customers grouped by their quasi-identifier "
+    "combination — nation x market segment x coarse balance band — "
+    "and every combination with k < 5 members is emitted as a "
+    "re-identification risk: those rows are linkable by an adversary "
+    "holding only the quasi-identifiers.  One map-side-combinable "
+    "aggregate over the column-pruned scan; the emitted rows ARE the "
+    "suppression/generalization work list (widen the band or drop "
+    "the cell).  The banding uses exact decimal floor division so "
+    "band edges are engine-identical.  At 100 TB the QI aggregate is "
+    "bounded by the QI domain, not the population — auditing a "
+    "release costs one scan regardless of table size",
+)
+def q241(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    band = F.floor(F.col("c_acctbal").cast("decimal(18,2)") / 1000).cast(
+        "int"
+    )
+    qi = (
+        c.select(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+            band.alias("bal_band"),
+        )
+        .groupBy("nk", "seg", "bal_band")
+        .agg(F.count("*").alias("k"))
+    )
+    return qi.filter(F.col("k") < 5).select(
+        F.col("nk").cast("int").alias("nk"),
+        "seg",
+        F.col("bal_band").cast("int").alias("bal_band"),
+        F.col("k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "q242_diff_in_diff",
+    f"""WITH per AS (
+          SELECT CAST({hex_hash64_sql("CAST(user_id AS VARCHAR)", salt="exp1")} % 2
+                      AS INTEGER) AS arm,
+                 ts >= TIMESTAMP '{_Q230_SPLIT}' AS post,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+       cell AS (
+          SELECT arm, post, count(*) AS n, sum(cents) AS s
+          FROM per GROUP BY 1, 2),
+       wide AS (
+          SELECT
+            max(CASE WHEN arm = 1 AND post THEN s END) AS s11,
+            max(CASE WHEN arm = 1 AND post THEN n END) AS n11,
+            max(CASE WHEN arm = 1 AND NOT post THEN s END) AS s10,
+            max(CASE WHEN arm = 1 AND NOT post THEN n END) AS n10,
+            max(CASE WHEN arm = 0 AND post THEN s END) AS s01,
+            max(CASE WHEN arm = 0 AND post THEN n END) AS n01,
+            max(CASE WHEN arm = 0 AND NOT post THEN s END) AS s00,
+            max(CASE WHEN arm = 0 AND NOT post THEN n END) AS n00
+          FROM cell)
+       SELECT CAST(n11 AS BIGINT) AS n_treat_post,
+              CAST(n01 AS BIGINT) AS n_ctrl_post,
+              floor((CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+                     - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+                    * 1000000.0) / 1000000.0 AS treat_delta,
+              floor((CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+                     - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE))
+                    * 1000000.0) / 1000000.0 AS ctrl_delta,
+              floor(((CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+                      - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+                     - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+                        - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)))
+                    * 1000000.0) / 1000000.0 AS did_estimate
+       FROM wide""",
+    "difference-in-differences readout (the quasi-experimental "
+    "counterpart of q230's CUPED): the 2x2 (arm x pre/post) cell "
+    "table from ONE conditional aggregate over exact integer cents, "
+    "then DiD = (treat post-pre delta) - (control post-pre delta), "
+    "the estimator that removes both time trends and fixed arm "
+    "differences.  Each cell mean is a single IEEE division of exact "
+    "int64 sums, deltas compose with +/- only (the fp portability "
+    "whitelist), floor6 quantized at the end.  Arms are q136's "
+    "salted md5 parity, the split is q230's date — so CUPED and DiD "
+    "read the same experiment and a platform can cross-check the "
+    "estimators.  The 2x2 pivot is max(CASE...) over a 4-row "
+    "aggregate — no window, no second scan",
+)
+def q242(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    split = _ts_lit(ev, "ts", _Q230_SPLIT)
+    arm = (
+        T.hex_hash64(F.col("user_id").cast("string"), salt="exp1") % 2
+    ).cast("int")
+    cell = (
+        ev.select(
+            arm.alias("arm"),
+            (F.col("ts") >= split).alias("post"),
+            cents.alias("cents"),
+        )
+        .groupBy("arm", "post")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    )
+
+    def pick(a: int, p: bool, col: str):
+        return F.max(
+            F.when((F.col("arm") == a) & (F.col("post") == p), F.col(col))
+        )
+
+    wide = cell.agg(
+        pick(1, True, "s").alias("s11"),
+        pick(1, True, "n").alias("n11"),
+        pick(1, False, "s").alias("s10"),
+        pick(1, False, "n").alias("n10"),
+        pick(0, True, "s").alias("s01"),
+        pick(0, True, "n").alias("n01"),
+        pick(0, False, "s").alias("s00"),
+        pick(0, False, "n").alias("n00"),
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n).cast("double")
+    treat_delta = mean("s11", "n11") - mean("s10", "n10")
+    ctrl_delta = mean("s01", "n01") - mean("s00", "n00")
+    return wide.select(
+        F.col("n11").cast("long").alias("n_treat_post"),
+        F.col("n01").cast("long").alias("n_ctrl_post"),
+        floor6(treat_delta).alias("treat_delta"),
+        floor6(ctrl_delta).alias("ctrl_delta"),
+        floor6(treat_delta - ctrl_delta).alias("did_estimate"),
+    )

@@ -12209,3 +12209,174 @@ def q242(spark: SparkSession, sf: str) -> DataFrame:
         floor6(ctrl_delta).alias("ctrl_delta"),
         floor6(treat_delta - ctrl_delta).alias("did_estimate"),
     )
+
+
+#: content-derived tiebreak: (l_orderkey, l_linenumber) is NOT unique in
+#: the testdata, and a non-total window order makes lag() engine-
+#: dependent.  Remaining ties after the hash are byte-identical rows,
+#: whose relative order cannot change any run or delta.
+_Q243_OH = hex_hash64_sql(
+    "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+    " || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)"
+    " || '|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)"
+    " || '|' || CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+    " || '|' || l_returnflag || '|' || l_linestatus"
+    " || '|' || CAST(date_diff('day', DATE '1992-01-01', l_shipdate) AS VARCHAR)"
+)
+
+
+def _q243_oracle() -> str:
+    bits = "CASE WHEN {x} <= 0 THEN 0 ELSE length(printf('%b', {x})) END"
+    blocks = []
+    # (label, value expr as BIGINT-or-string, is_numeric)
+    cols = [
+        ("l_returnflag", "l_returnflag", False),
+        ("l_orderkey", "l_orderkey", True),
+        ("l_shipdate_days", "date_diff('day', DATE '1992-01-01', l_shipdate)", True),
+    ]
+    oh = _Q243_OH
+    for label, expr, numeric in cols:
+        delta = (
+            f"SELECT max(abs(v - pv)) AS mad, max(v) AS mx FROM w WHERE pv IS NOT NULL"
+            if numeric
+            else "SELECT CAST(NULL AS BIGINT) AS mad, CAST(NULL AS BIGINT) AS mx"
+        )
+        vcast = f"CAST({expr} AS BIGINT)" if numeric else f"({expr})"
+        blocks.append(f"""
+        SELECT '{label}' AS col, n_rows, n_runs,
+               CAST(n_runs * 1000000 // n_rows AS BIGINT) AS rle_ratio_ppm,
+               CAST({bits.format(x='d.mx')} AS INTEGER) AS plain_bits,
+               CAST({bits.format(x='d.mad')} AS INTEGER) AS delta_bits,
+               CASE WHEN n_runs * 4 < n_rows THEN 'rle'
+                    WHEN d.mad IS NOT NULL
+                         AND {bits.format(x='d.mad')} * 2
+                             <= {bits.format(x='d.mx')} THEN 'delta'
+                    ELSE 'plain' END AS encoding
+        FROM (
+          SELECT count(*) AS n_rows,
+                 count(*) FILTER (v IS DISTINCT FROM pv) AS n_runs
+          FROM (SELECT v, lag(v) OVER (PARTITION BY fid
+                        ORDER BY l_orderkey, l_linenumber, oh) AS pv
+                FROM (SELECT {vcast} AS v, l_orderkey % 64 AS fid,
+                             l_orderkey, l_linenumber, {oh} AS oh
+                      FROM lineitem))
+        ) r CROSS JOIN (
+          {delta.replace('FROM w', '''FROM (SELECT v, lag(v) OVER (PARTITION BY fid
+                        ORDER BY l_orderkey, l_linenumber, oh) AS pv
+                FROM (SELECT ''' + vcast + ''' AS v, l_orderkey % 64 AS fid,
+                             l_orderkey, l_linenumber, ''' + _Q243_OH + ''' AS oh
+                      FROM lineitem))''')}
+        ) d""")
+    return "SELECT * FROM (" + "\nUNION ALL ".join(blocks) + ") t"
+
+
+@register(
+    "q243_encoding_advisor",
+    _q243_oracle(),
+    "columnar encoding advisor (the parquet/ORC physical-design "
+    "decision, measured not guessed): for each audited column in the "
+    "table's natural write order, the RLE run count and ratio, the "
+    "plain bit width of the max value, and the delta bit width (bits "
+    "of the max absolute successor delta) — then the verdict: RLE "
+    "when runs < rows/4, delta when delta values need at most half "
+    "the plain width, else plain.  Runs and deltas are computed "
+    "WITHIN synthetic 64-way file groups (lag windows partitioned by "
+    "file id — real encoders reset per row group, and the bounded "
+    "partitions keep the window off the single-task trap).  Bit "
+    "widths use the binary-string-length trick (fp log banned).  The "
+    "three audited columns deliberately span the verdicts: a "
+    "low-cardinality flag (RLE), a sorted key (delta), and a "
+    "day-granular date.  At 100 TB this report drives file rewrite "
+    "decisions (q226) — encoding chosen from measured runs, not "
+    "column-type folklore",
+)
+def q243(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    days = F.datediff(
+        F.col("l_shipdate"), F.lit("1992-01-01").cast("date")
+    ).cast("long")
+    oh = T.hex_hash64(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+            F.col("l_quantity").cast("long").cast("string"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .cast("string"),
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+            days.cast("string"),
+        )
+    )
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") % 64).alias("fid"),
+        oh.alias("oh"),
+        F.col("l_returnflag").alias("v_flag"),
+        F.col("l_orderkey").cast("long").alias("v_key"),
+        days.alias("v_days"),
+    )
+    w = Window.partitionBy("fid").orderBy(
+        "l_orderkey", "l_linenumber", "oh"
+    )
+
+    def bits(col):
+        return (
+            F.when(col <= 0, 0)
+            .otherwise(F.length(F.bin(col)))
+            .cast("int")
+        )
+
+    frames = []
+    for label, vcol, numeric in [
+        ("l_returnflag", "v_flag", False),
+        ("l_orderkey", "v_key", True),
+        ("l_shipdate_days", "v_days", True),
+    ]:
+        lagged = base.select(
+            F.col(vcol).alias("v"), F.lag(vcol).over(w).alias("pv")
+        )
+        stats = lagged.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(
+                    ~F.col("v").eqNullSafe(F.col("pv")), 1
+                ).otherwise(0)
+            ).alias("n_runs"),
+            (
+                F.max(F.abs(F.col("v") - F.col("pv")))
+                if numeric
+                else F.lit(None).cast("long")
+            ).alias("mad"),
+            (F.max("v") if numeric else F.lit(None).cast("long")).alias(
+                "mx"
+            ),
+        )
+        frames.append(
+            stats.select(
+                F.lit(label).alias("col"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_runs").cast("long").alias("n_runs"),
+                F.expr("(n_runs * 1000000) div n_rows")
+                .cast("long")
+                .alias("rle_ratio_ppm"),
+                bits(F.col("mx")).alias("plain_bits"),
+                bits(F.col("mad")).alias("delta_bits"),
+                F.when(F.col("n_runs") * 4 < F.col("n_rows"), "rle")
+                .when(
+                    F.col("mad").isNotNull()
+                    & (bits(F.col("mad")) * 2 <= bits(F.col("mx"))),
+                    "delta",
+                )
+                .otherwise("plain")
+                .alias("encoding"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out

@@ -11841,8 +11841,8 @@ def q237(spark: SparkSession, sf: str) -> DataFrame:
     "q238_stream_stream_join",
     f"""WITH ev AS (
           SELECT * FROM events
-          WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
-            AND ts < TIMESTAMP '2024-02-01 00:00:00'),
+          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+            AND ts < TIMESTAMP '2024-01-15 00:00:00'),
        c AS (SELECT event_id AS click_id, ts AS click_ts, user_id
              FROM ev WHERE event_type = 'click'),
        p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id
@@ -12380,3 +12380,72 @@ def q243(spark: SparkSession, sf: str) -> DataFrame:
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out
+
+
+@register(
+    "q244_stream_outer_join",
+    f"""WITH ev AS (
+          SELECT * FROM events
+          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+            AND ts < TIMESTAMP '2024-01-15 00:00:00'),
+       c AS (SELECT event_id AS click_id, ts AS click_ts, user_id
+             FROM ev WHERE event_type = 'click'),
+       p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id
+             FROM ev WHERE event_type = 'purchase'),
+       j AS (
+          SELECT c.user_id, c.click_id, c.click_ts,
+                 p.purchase_id, p.purchase_ts
+          FROM c LEFT JOIN p ON c.user_id = p.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 2 HOUR)
+       SELECT {day_str_sql('click_ts')} AS day,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) FILTER (purchase_id IS NULL) AS BIGINT)
+                AS n_unmatched,
+              CAST(bit_xor({hex_hash64_sql(
+                  "CAST(click_id AS VARCHAR) || '|' || "
+                  "coalesce(CAST(purchase_id AS VARCHAR), 'NULL')"
+              )}) AS BIGINT) AS row_xor
+       FROM j GROUP BY 1""",
+    "stream-stream LEFT OUTER interval join (streaming/ingest.py:"
+    "stream_stream_left_outer) — the watermark state machine q238's "
+    "inner join avoids: unmatched clicks emit their null row ONLY "
+    "when the watermark proves no qualifying purchase can still "
+    "arrive, which makes null emission batching-dependent.  The "
+    "staging pins it: all of January lands in ONE batch per side "
+    "(splitting it under a 1-hour watermark would evict open state "
+    "before matches arrived — divergence by construction), then two "
+    "far-future advancer batches push the watermark past every "
+    "January horizon AND give the engine the extra batch in which "
+    "evicted state actually flushes (state transitions land one "
+    "batch after the watermark that causes them — q192's measured "
+    "rule).  Advancers are filtered out; every January click "
+    "provably reached matched-or-null terminal state, so the sink "
+    "equals the batch LEFT JOIN stated by the oracle, whose row_xor "
+    "(null-sentinel pair hashes) flips on any lost match, duplicated "
+    "null, or never-flushed click",
+)
+def q244(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.ingest import stream_stream_left_outer
+
+    j = stream_stream_left_outer(spark, sf)
+    row_h = T.hex_hash64(
+        F.concat(
+            F.col("click_id").cast("string"),
+            F.lit("|"),
+            F.coalesce(F.col("purchase_id").cast("string"), F.lit("NULL")),
+        )
+    )
+    return (
+        j.select("click_id", "click_ts", "purchase_id", row_h.alias("rh"))
+        .groupBy(day_str("click_ts").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("purchase_id").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_unmatched"),
+            F.expr("bit_xor(rh)").cast("long").alias("row_xor"),
+        )
+    )

@@ -388,8 +388,8 @@ def stream_exactly_once_sink(
 def stream_stream_interval_join(
     spark,
     sf_dir: str,
-    lo: str = "2024-01-01",
-    hi: str = "2024-02-01",
+    lo: str = "2024-01-08",
+    hi: str = "2024-01-15",
     timeout_sec: int = 300,
 ):
     """TRUE stream-stream event-time interval join (not foreachBatch):
@@ -507,3 +507,160 @@ def stream_stream_interval_join(
         )
         query.awaitTermination(timeout_sec)
     return spark.read.parquet(out_dir)
+
+
+def stream_stream_left_outer(
+    spark,
+    sf_dir: str,
+    lo: str = "2024-01-08",
+    hi: str = "2024-01-15",
+    timeout_sec: int = 300,
+):
+    """Stream-stream LEFT OUTER interval join — the state-machine case:
+    matched pairs emit on arrival like the inner join (q238), but an
+    UNMATCHED click can only emit its null row once the watermark
+    proves no qualifying purchase can still arrive (click_ts + 2h
+    below the watermark).  That makes null emission watermark-driven
+    and hence batching-dependent — exactly the q192 lesson — so the
+    differential stages arrivals to pin it:
+
+    - batch 1 delivers ALL of January on BOTH sides in one file each
+      (delivering the data split across batches with a 1-hour
+      watermark would evict open click state before its match arrived
+      and diverge from the batch oracle by construction);
+    - batches 2 and 3 deliver far-future ADVANCER rows (2024-06-01 /
+      2024-06-10, sentinel user) whose only job is to push the
+      watermark past every January click's match horizon: the batch-2
+      advancer raises the watermark, and batch 3 runs with that
+      watermark so the evicted state's null rows actually flush (state
+      transitions apply one batch AFTER the watermark that causes
+      them — the measured rule q192 documents).
+
+    Advancer rows are scaffolding and are filtered out of the
+    returned frame; every January click provably reached its terminal
+    state (matched or flushed-null), so the sink equals the batch
+    LEFT JOIN the q244 oracle states.  At 100 TB the same advancer
+    role is played by live traffic; the explicit staging here is what
+    makes the semantics testable.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from ..sources.tables import load_events_range
+    from .windows import narrow_shuffle
+
+    ev = load_events_range(spark, sf_dir, lo=lo, hi=hi).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("cu"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("pu"),
+    )
+
+    def advancer_clicks(ts: str, eid: int):
+        return spark.createDataFrame(
+            [(eid, ts, 999_999_999)],
+            "click_id long, click_ts string, cu long",
+        ).select(
+            "click_id",
+            F.col("click_ts").cast(dict(clicks.dtypes)["click_ts"]).alias("click_ts"),
+            "cu",
+        )
+
+    def advancer_purchases(ts: str, eid: int):
+        return spark.createDataFrame(
+            [(eid, ts, 999_999_999)],
+            "purchase_id long, purchase_ts string, pu long",
+        ).select(
+            "purchase_id",
+            F.col("purchase_ts")
+            .cast(dict(purchases.dtypes)["purchase_ts"])
+            .alias("purchase_ts"),
+            "pu",
+        )
+
+    stage = tempfile.mkdtemp(prefix="hdt_stream_sslo_")
+    cdir = os.path.join(stage, "clicks")
+    pdir = os.path.join(stage, "purchases")
+    out_dir = os.path.join(stage, "_joined")
+    os.makedirs(cdir)
+    os.makedirs(pdir)
+
+    def stage_file(df, dirname: str, name: str, mtime: int) -> None:
+        tmp = os.path.join(stage, "_tmp_" + name)
+        df.coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(dirname, name)
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    base = 1_700_000_000
+    stage_file(clicks, cdir, "c1.parquet", base)
+    stage_file(
+        advancer_clicks("2024-06-01 00:00:00", -1), cdir,
+        "c2.parquet", base + 10,
+    )
+    stage_file(
+        advancer_clicks("2024-06-10 00:00:00", -2), cdir,
+        "c3.parquet", base + 20,
+    )
+    stage_file(purchases, pdir, "p1.parquet", base)
+    stage_file(
+        advancer_purchases("2024-06-01 00:00:00", -1), pdir,
+        "p2.parquet", base + 10,
+    )
+    stage_file(
+        advancer_purchases("2024-06-10 00:00:00", -2), pdir,
+        "p3.parquet", base + 20,
+    )
+
+    cs = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir)
+        .withWatermark("click_ts", "1 hour")
+    )
+    ps = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = cs.join(
+        ps,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")
+        ),
+        "left_outer",
+    ).select("cu", "click_id", "click_ts", "purchase_id", "purchase_ts")
+
+    name = f"sslo_{uuid.uuid4().hex[:8]}"
+    with narrow_shuffle(spark):
+        query = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation", os.path.join(stage, "_checkpoint")
+            )
+            .outputMode("append")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
+    return spark.read.parquet(out_dir).filter(F.col("cu") != 999_999_999)

@@ -80,6 +80,28 @@ DEFAULT_QUERIES = [
     "q209_ann_recall_eval",
     "q219_keyset_pagination",
     "q220_metric_parity_check",
+    "q221_fuzzy_match_fastss",
+    "q222_heavy_hitters_mg",
+    "q223_expectations_report",
+    "q224_inverted_index",
+    "q225_group_mean_impute",
+    "q226_compaction_planner",
+    "q227_corpus_overlap_minhash",
+    "q228_seasonal_anomaly_gate",
+    "q229_histogram_rolling_p99",
+    "q230_cuped_adjustment",
+    "q231_threshold_algorithm_topk",
+    "q232_ndcg_retrieval_eval",
+    "q233_graph_feature_propagation",
+    "q234_partition_advisor",
+    "q235_join_strategy_advisor",
+    "q236_sampled_pair_similarity",
+    "q237_merkle_repair_plan",
+    "q239_backfill_blast_radius",
+    "q240_cms_join_size_estimate",
+    "q241_k_anonymity_audit",
+    "q242_diff_in_diff",
+    "q243_encoding_advisor",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -130,6 +152,25 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q201_join_fanout_preflight",
     # constant 50-row anchor set broadcast against the candidate scan
     "q209_ann_recall_eval",
+    # 1-row heavy-hitter total / bin target / pooled stats / pair-count
+    # / join-size-truth aggregates cross-joined into constant-size
+    # results or attached per row — the q93/q166 broadcast-total idiom
+    "q222_heavy_hitters_mg",
+    "q226_compaction_planner",
+    "q229_histogram_rolling_p99",
+    "q230_cuped_adjustment",
+    "q235_join_strategy_advisor",
+    "q236_sampled_pair_similarity",
+    "q240_cms_join_size_estimate",
+    # two 1-row query-vector frames (the TA arms' anchors) attached to
+    # every embedding before the head reads
+    "q231_threshold_algorithm_topk",
+    # constant 8-anchor set broadcast against the candidate scan
+    # (graded-relevance non-equi filter => BNL by construction)
+    "q232_ndcg_retrieval_eval",
+    # 64-row perm frame replicated against the distinct shingle set —
+    # the signature fan-out IS the algorithm (q203's register shape)
+    "q227_corpus_overlap_minhash",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

@@ -12449,3 +12449,237 @@ def q244(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("bit_xor(rh)").cast("long").alias("row_xor"),
         )
     )
+
+
+def _q245_oracle() -> str:
+    cents = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    num = "(vn - vp) * (hidx - tp)"
+    den = "(tn - tp)"
+    interp = f"vp + (({num}) - ((({num}) % ({den})) + ({den})) % ({den})) // ({den})"
+    return f"""WITH ev AS (
+          SELECT event_type,
+                 CAST(date_diff('hour',
+                      TIMESTAMP '{WEEK_LO} 00:00:00', ts) AS BIGINT)
+                   AS hidx,
+                 {cents} AS cents
+          FROM events
+          WHERE ts >= TIMESTAMP '{WEEK_LO} 00:00:00'
+            AND ts < TIMESTAMP '{WEEK_HI} 00:00:00'),
+       grid AS (
+          SELECT t.event_type, g.hidx, coalesce(a.s, 0) AS actual
+          FROM (SELECT DISTINCT event_type FROM ev) t
+          CROSS JOIN (SELECT unnest(range(168)) AS hidx) g
+          LEFT JOIN (SELECT event_type, hidx, sum(cents) AS s
+                     FROM ev GROUP BY 1, 2) a
+            ON a.event_type = t.event_type AND a.hidx = g.hidx),
+       masked AS (
+          SELECT event_type, hidx, actual,
+                 CASE WHEN hidx % 7 = 3 THEN NULL ELSE actual END AS v
+          FROM grid),
+       nb AS (
+          SELECT event_type, hidx, actual, v,
+                 last_value(v IGNORE NULLS) OVER wp AS vp,
+                 last_value(CASE WHEN v IS NOT NULL THEN hidx END
+                            IGNORE NULLS) OVER wp AS tp,
+                 first_value(v IGNORE NULLS) OVER wn AS vn,
+                 first_value(CASE WHEN v IS NOT NULL THEN hidx END
+                             IGNORE NULLS) OVER wn AS tn
+          FROM masked
+          WINDOW wp AS (PARTITION BY event_type ORDER BY hidx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 wn AS (PARTITION BY event_type ORDER BY hidx
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+       it AS (
+          SELECT event_type, hidx, actual, {interp} AS interp
+          FROM nb WHERE v IS NULL)
+       SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_masked,
+              CAST(sum(abs(interp - actual)) AS BIGINT) AS sum_abs_err,
+              CAST(sum(abs(interp - actual)) // count(*) AS BIGINT)
+                AS mae_cents,
+              CAST(bit_xor({hex_hash64_sql(
+                  "CAST(hidx AS VARCHAR) || '|' || CAST(interp AS VARCHAR)"
+              )}) AS BIGINT) AS interp_xor
+       FROM it GROUP BY event_type"""
+
+
+@register(
+    "q245_linear_interpolation",
+    _q245_oracle(),
+    "time-series gap interpolation WITH a built-in accuracy eval: the "
+    "hourly per-type revenue series over one week (q123's generated "
+    "grid, explicit zeros) has every 7th hour MASKED — a simulated "
+    "sensor outage whose ground truth we keep — and masked points are "
+    "linearly interpolated between their nearest present neighbors "
+    "using IGNORE-NULLS carry windows on the bounded (type x 168) "
+    "grid: v = vp + floor((vn-vp)(t-tp)/(tn-tp)), sign-safe exact "
+    "integer floor division because the series genuinely decreases.  "
+    "Because the mask hides KNOWN values, the query reports the "
+    "interpolation error (sum |err|, floor-mean MAE) per type plus a "
+    "checksum of the interpolated series — the backfill-quality "
+    "report a real gap-filling job should always emit instead of "
+    "silently inventing data.  Aggregate-then-window throughout: raw "
+    "events reduce to the grid before any window touches them",
+)
+def q245(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf, lo=WEEK_LO, hi=WEEK_HI)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base_ts = F.lit(f"{WEEK_LO} 00:00:00").cast(dict(ev.dtypes)["ts"])
+    hidx = F.floor(
+        (F.unix_micros("ts") - F.unix_micros(base_ts)) / 3_600_000_000
+    ).cast("long")
+    actual = (
+        ev.select("event_type", hidx.alias("hidx"), cents.alias("cents"))
+        .groupBy("event_type", "hidx")
+        .agg(F.sum("cents").alias("s"))
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(168).select(
+                    F.col("id").cast("long").alias("hidx")
+                )
+            )
+        )
+        .join(actual, ["event_type", "hidx"], "left")
+        .select(
+            "event_type",
+            "hidx",
+            F.coalesce(F.col("s"), F.lit(0)).alias("actual"),
+        )
+    )
+    masked = grid.withColumn(
+        "v",
+        F.when(F.col("hidx") % 7 == 3, F.lit(None)).otherwise(
+            F.col("actual")
+        ),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    present_h = F.when(F.col("v").isNotNull(), F.col("hidx"))
+    nb = masked.select(
+        "event_type",
+        "hidx",
+        "actual",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("vp"),
+        F.last(present_h, ignorenulls=True).over(wp).alias("tp"),
+        F.first("v", ignorenulls=True).over(wn).alias("vn"),
+        F.first(present_h, ignorenulls=True).over(wn).alias("tn"),
+    )
+    it = nb.filter(F.col("v").isNull()).select(
+        "event_type",
+        "hidx",
+        "actual",
+        F.expr(
+            "vp + ((vn - vp) * (hidx - tp)"
+            " - pmod((vn - vp) * (hidx - tp), tn - tp)) div (tn - tp)"
+        ).alias("interp"),
+    )
+    ih = T.hex_hash64(
+        F.concat(
+            F.col("hidx").cast("string"),
+            F.lit("|"),
+            F.col("interp").cast("string"),
+        )
+    )
+    return (
+        it.select(
+            "event_type",
+            F.abs(F.col("interp") - F.col("actual")).alias("err"),
+            ih.alias("ih"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_masked"),
+            F.sum("err").cast("long").alias("sum_abs_err"),
+            F.expr("sum(err) div count(*)").cast("long").alias("mae_cents"),
+            F.expr("bit_xor(ih)").cast("long").alias("interp_xor"),
+        )
+    )
+
+
+@register(
+    "q246_bitmap_index",
+    """WITH bits AS (
+          SELECT c_mktsegment AS seg, c_nationkey AS nk,
+                 c_custkey // 32 AS word_id,
+                 1 << (c_custkey % 32) AS bit
+          FROM customer),
+       seg_bm AS (
+          SELECT seg, word_id, bit_or(bit) AS w
+          FROM bits GROUP BY 1, 2),
+       nat_bm AS (
+          SELECT nk, word_id, bit_or(bit) AS w
+          FROM bits GROUP BY 1, 2),
+       inter AS (
+          SELECT s.seg, n.nk,
+                 sum(bit_count(s.w & n.w)) AS bm_count
+          FROM seg_bm s JOIN nat_bm n USING (word_id)
+          GROUP BY 1, 2),
+       exact AS (
+          SELECT c_mktsegment AS seg, c_nationkey AS nk, count(*) AS c
+          FROM customer GROUP BY 1, 2)
+       SELECT i.seg, CAST(i.nk AS INTEGER) AS nk,
+              CAST(i.bm_count AS BIGINT) AS bm_count,
+              CAST(e.c AS BIGINT) AS exact_count,
+              i.bm_count = e.c AS parity
+       FROM inter i JOIN exact e ON i.seg = e.seg AND i.nk = e.nk
+       WHERE i.bm_count > 0""",
+    "bitmap-index build and word-aligned intersection (the roaring-"
+    "bitmap acceleration pattern OLAP engines use for multi-predicate "
+    "counts): customers pack into 32-bit words (word = key div 32, "
+    "bit = key mod 32 — 63-bit shifts overflow SIGNED int64 in both "
+    "engines, so the packing stays in the safe half), one bitmap per market segment and one per "
+    "nation via the commutative bit_or aggregate — bitmaps are "
+    "mergeable the way sketches are, but EXACT.  The (segment AND "
+    "nation) membership count is then sum(bit_count(a & b)) over a "
+    "word-aligned equi-join: the shuffle carries one word per 32 "
+    "members (a 32x compression of the intersection problem), and no "
+    "customer row is touched after the build.  The exact per-cell "
+    "count rides along and every parity bit must read true — the "
+    "differential proves the packed representation IS the set.  At "
+    "100 TB this is how 'how many rows match segment=X AND "
+    "nation=Y AND ...' answers in milliseconds from pre-built "
+    "bitmaps: ANDs compose word-wise without rescanning anything",
+)
+def q246(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    bits = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nk"),
+        F.expr("c_custkey div 32").alias("word_id"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(c_custkey % 32 AS INT))")
+        .alias("bit"),
+    )
+    seg_bm = bits.groupBy("seg", "word_id").agg(
+        F.expr("bit_or(bit)").alias("sw")
+    )
+    nat_bm = bits.groupBy("nk", "word_id").agg(
+        F.expr("bit_or(bit)").alias("nw")
+    )
+    inter = (
+        seg_bm.join(nat_bm, "word_id")
+        .groupBy("seg", "nk")
+        .agg(F.sum(F.bit_count(F.expr("sw & nw"))).alias("bm_count"))
+        .filter(F.col("bm_count") > 0)
+    )
+    exact = c.groupBy(
+        F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nk")
+    ).agg(F.count("*").alias("c"))
+    return inter.join(exact, ["seg", "nk"]).select(
+        "seg",
+        F.col("nk").cast("int").alias("nk"),
+        F.col("bm_count").cast("long").alias("bm_count"),
+        F.col("c").cast("long").alias("exact_count"),
+        (F.col("bm_count") == F.col("c")).alias("parity"),
+    )

@@ -12683,3 +12683,182 @@ def q246(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c").cast("long").alias("exact_count"),
         (F.col("bm_count") == F.col("c")).alias("parity"),
     )
+
+
+_Q247_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@register(
+    "q247_cohort_ltv_curve",
+    f"""WITH firsts AS (
+          SELECT o_custkey AS ck,
+                 min(strftime(o_orderdate, '%Y-%m')) AS cohort
+          FROM orders GROUP BY 1),
+       rev AS (
+          SELECT f.cohort,
+                 (CAST(substr(strftime(o_orderdate, '%Y-%m'), 1, 4) AS BIGINT)
+                  - CAST(substr(f.cohort, 1, 4) AS BIGINT)) * 12
+                 + CAST(substr(strftime(o_orderdate, '%Y-%m'), 6, 2) AS BIGINT)
+                 - CAST(substr(f.cohort, 6, 2) AS BIGINT) AS age,
+                 {_Q247_CENTS} AS cents
+          FROM orders JOIN firsts f ON o_custkey = f.ck),
+       sizes AS (SELECT cohort, count(*) AS n_custs FROM firsts GROUP BY 1),
+       monthly AS (
+          SELECT cohort, age, sum(cents) AS mcents
+          FROM rev GROUP BY 1, 2),
+       cum AS (
+          SELECT cohort, age, mcents,
+                 sum(mcents) OVER (PARTITION BY cohort ORDER BY age)
+                   AS cum_cents
+          FROM monthly)
+       SELECT cohort, CAST(age AS INTEGER) AS age,
+              CAST(cum_cents AS BIGINT) AS cum_cents,
+              CAST(n_custs AS BIGINT) AS n_custs,
+              CAST(cum_cents // n_custs AS BIGINT) AS ltv_per_cust_cents
+       FROM cum JOIN sizes USING (cohort)
+       WHERE age <= 12""",
+    "cohort lifetime-value curves (the unit-economics readout behind "
+    "every growth model): customers cohorted by first-order month, "
+    "revenue bucketed by cohort AGE in months, cumulative per-cohort "
+    "revenue and exact floor per-customer LTV at each age up to 12.  "
+    "The raw orders scan reduces to the (cohort x age) grain BEFORE "
+    "the cumulative window runs (aggregate-then-window; partitions "
+    "bounded by the calendar, never the customer count), the first-"
+    "order table is one min-aggregate, and cohort sizes attach via a "
+    "cohort-cardinality broadcast.  Month arithmetic is pure string/"
+    "integer (engine date-diff 'month' semantics differ; substring "
+    "math does not).  Ages clip at 12 to keep the report the "
+    "familiar triangle.  At 100 TB: two shuffles (first-order, "
+    "cohort-age aggregate), windows over calendar-sized groups",
+)
+def q247(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    firsts = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.min(month).alias("cohort")
+    )
+    ym = lambda c: (
+        F.substring(c, 1, 4).cast("long") * 12
+        + F.substring(c, 6, 2).cast("long")
+    )
+    rev = (
+        o.join(firsts, F.col("o_custkey") == F.col("ck"))
+        .select(
+            "cohort",
+            (ym(month) - ym(F.col("cohort"))).alias("age"),
+            cents.alias("cents"),
+        )
+        .groupBy("cohort", "age")
+        .agg(F.sum("cents").alias("mcents"))
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count("*").alias("n_custs"))
+    wc = Window.partitionBy("cohort").orderBy("age")
+    cum = rev.withColumn("cum_cents", F.sum("mcents").over(wc))
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .filter(F.col("age") <= 12)
+        .select(
+            "cohort",
+            F.col("age").cast("int").alias("age"),
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+            F.col("n_custs").cast("long").alias("n_custs"),
+            F.expr("cum_cents div n_custs")
+            .cast("long")
+            .alias("ltv_per_cust_cents"),
+        )
+    )
+
+
+@register(
+    "q248_ma_crossover_signals",
+    f"""WITH daily AS (
+          SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                 sum({_Q247_CENTS}) AS cents
+          FROM orders GROUP BY 1),
+       ma AS (
+          SELECT day, cents,
+                 sum(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+                 count(*) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7,
+                 sum(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS s28,
+                 count(*) OVER (ORDER BY day
+                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS n28
+          FROM daily),
+       st AS (
+          SELECT day, cents,
+                 s7 * n28 - s28 * n7 AS diff_num,
+                 lag(s7 * n28 - s28 * n7) OVER (ORDER BY day) AS prev_num,
+                 n7 = 7 AND n28 = 28 AS warm
+          FROM ma)
+       SELECT day, CAST(cents AS BIGINT) AS cents,
+              CASE WHEN diff_num > 0 AND prev_num <= 0 THEN 'golden'
+                   ELSE 'death' END AS signal
+       FROM st
+       WHERE warm
+         AND ((diff_num > 0 AND prev_num <= 0)
+              OR (diff_num < 0 AND prev_num >= 0))""",
+    "moving-average crossover detector (the 7/28-day trend-shift "
+    "signal, the integer-exact form of the 50/200 golden cross): "
+    "daily revenue in exact cents, short and long rolling sums over "
+    "ROWS frames, and the comparison mean7 vs mean28 done as the "
+    "cross-multiplication s7*n28 - s28*n7 — NO division anywhere, so "
+    "sign changes are exact and the signal cannot flicker from fp "
+    "rounding.  A signal fires only on an actual sign crossing "
+    "(lag of the same integer) and only once both windows are warm "
+    "(partial windows lie).  Everything beyond the daily aggregate "
+    "runs on the calendar-bounded frame — the window never sees raw "
+    "orders.  The single-partition day window is the documented "
+    "aggregate-then-window exception: its input is one row per day "
+    "at any corpus scale",
+)
+def q248(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            cents.alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    w28 = Window.orderBy("day").rowsBetween(-27, 0)
+    ma = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("n7"),
+        F.sum("cents").over(w28).alias("s28"),
+        F.count("*").over(w28).alias("n28"),
+    )
+    wl = Window.orderBy("day")
+    num = F.col("s7") * F.col("n28") - F.col("s28") * F.col("n7")
+    st = ma.select(
+        "day",
+        "cents",
+        num.alias("diff_num"),
+        F.lag(num).over(wl).alias("prev_num"),
+        ((F.col("n7") == 7) & (F.col("n28") == 28)).alias("warm"),
+    )
+    return (
+        st.filter(
+            F.col("warm")
+            & (
+                ((F.col("diff_num") > 0) & (F.col("prev_num") <= 0))
+                | ((F.col("diff_num") < 0) & (F.col("prev_num") >= 0))
+            )
+        )
+        .select(
+            "day",
+            F.col("cents").cast("long").alias("cents"),
+            F.when(
+                (F.col("diff_num") > 0) & (F.col("prev_num") <= 0), "golden"
+            )
+            .otherwise("death")
+            .alias("signal"),
+        )
+    )

@@ -12862,3 +12862,72 @@ def q248(spark: SparkSession, sf: str) -> DataFrame:
             .alias("signal"),
         )
     )
+
+
+@register(
+    "q249_abc_classification",
+    """WITH rev AS (
+          SELECT l_partkey AS pk,
+                 sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS cents
+          FROM lineitem GROUP BY 1),
+       tot AS (SELECT sum(cents) AS t FROM rev),
+       cum AS (
+          SELECT pk, cents,
+                 sum(cents) OVER (ORDER BY cents DESC, pk) AS cum_incl
+          FROM rev),
+       classed AS (
+          SELECT pk, cents,
+                 CASE WHEN cum_incl * 5 <= 4 * t THEN 'A'
+                      WHEN cum_incl * 20 <= 19 * t THEN 'B'
+                      ELSE 'C' END AS cls
+          FROM cum CROSS JOIN tot)
+       SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+              CAST(sum(cents) AS BIGINT) AS cls_cents,
+              CAST(sum(cents) * 1000000 // (SELECT t FROM tot) AS BIGINT)
+                AS share_ppm
+       FROM classed GROUP BY cls""",
+    "ABC / Pareto inventory classification (the 80/15/5 revenue-"
+    "concentration triage): parts ranked by exact revenue cents, "
+    "classed by INCLUSIVE cumulative share — A while cum <= 80% of "
+    "total, B while <= 95%, C after — with both thresholds as exact "
+    "integer cross-multiplications (cum*5 <= 4*total), never a "
+    "percentage division.  The Spark side computes the global "
+    "cumulative sum with operators/topk.py:global_running_sum (range "
+    "partition + per-partition exclusive sums + broadcast offsets; "
+    "the q236-hardened operator), because the part catalog at 100 TB "
+    "is tens of millions of rows — a bare Window.orderBy would "
+    "funnel them through one task.  Totals attach via broadcast "
+    "1-row cross join.  Output: three rows the supply-chain team "
+    "actually reads, each with exact class revenue and floor-ppm "
+    "share",
+)
+def q249(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    rev = (
+        li.select(F.col("l_partkey").alias("pk"), cents.alias("cents"))
+        .groupBy("pk")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    cum = K.global_running_sum(
+        rev, [F.desc("cents"), F.asc("pk")], "cents", out_col="cum_before"
+    ).withColumn("cum_incl", F.col("cum_before") + F.col("cents"))
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.when(F.col("cum_incl") * 5 <= 4 * F.col("t"), "A")
+        .when(F.col("cum_incl") * 20 <= 19 * F.col("t"), "B")
+        .otherwise("C")
+        .alias("cls"),
+        "t",
+    )
+    return classed.groupBy("cls").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("cls_cents"),
+        F.expr("(sum(cents) * 1000000) div max(t)")
+        .cast("long")
+        .alias("share_ppm"),
+    )

@@ -12387,7 +12387,7 @@ def q243(spark: SparkSession, sf: str) -> DataFrame:
     f"""WITH ev AS (
           SELECT * FROM events
           WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
-            AND ts < TIMESTAMP '2024-01-15 00:00:00'),
+            AND ts < TIMESTAMP '2024-01-10 00:00:00'),
        c AS (SELECT event_id AS click_id, ts AS click_ts, user_id
              FROM ev WHERE event_type = 'click'),
        p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id
@@ -12930,4 +12930,119 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("(sum(cents) * 1000000) div max(t)")
         .cast("long")
         .alias("share_ppm"),
+    )
+
+
+def _q250_oracle() -> str:
+    sig_exprs = ",\n".join(
+        f"         list_min(list_transform(t, x -> {hex_hash64_sql('x', f'mh{i}')})) AS sig{i}"
+        for i in range(8)
+    )
+
+    def band(b: int, lo: int) -> str:
+        concat = " || ',' || ".join(
+            f"CAST(sig{j} AS VARCHAR)" for j in range(lo, lo + 4)
+        )
+        return f"SELECT doc_id, md5('{b},' || {concat}) AS bucket FROM sigs"
+
+    return f"""WITH toks AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+          FROM documents),
+       exact AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.t, b.t)) * 2
+                >= len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))
+            AND len(a.t) + len(b.t) > 0),
+       sigs AS (SELECT doc_id,\n{sig_exprs}\n  FROM toks),
+       bands AS ({band(0, 0)} UNION ALL {band(1, 4)}),
+       capped AS (SELECT doc_id, bucket FROM (
+            SELECT doc_id, bucket,
+                   count(*) OVER (PARTITION BY bucket) AS bn
+            FROM bands) WHERE bn <= 50),
+       cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM capped a JOIN capped b
+                   ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       lsh AS (
+          SELECT c.id_a, c.id_b
+          FROM cands c
+          JOIN toks ta ON c.id_a = ta.doc_id
+          JOIN toks tb ON c.id_b = tb.doc_id
+          WHERE len(list_intersect(ta.t, tb.t)) * 2
+                >= len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))
+            AND len(ta.t) + len(tb.t) > 0),
+       j AS (
+          SELECT e.id_a, e.id_b, l.id_a IS NOT NULL AS hit
+          FROM exact e LEFT JOIN lsh l
+            ON e.id_a = l.id_a AND e.id_b = l.id_b)
+       SELECT CAST(count(*) AS BIGINT) AS n_exact,
+              CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+              CAST(count(*) FILTER (NOT hit) AS BIGINT) AS n_missed,
+              CAST(count(*) FILTER (hit) * 1000000
+                   // CASE WHEN count(*) > 0 THEN count(*) ELSE 1 END
+                   AS BIGINT) AS recall_ppm,
+              (SELECT count(*) FROM lsh)
+                = count(*) FILTER (hit) AS lsh_subset_of_exact
+       FROM j"""
+
+
+@register(
+    "q250_lsh_recall_eval",
+    _q250_oracle(),
+    "MinHash-LSH recall evaluation against the exact truth (the dedup "
+    "counterpart of q209's ANN recall, closing the loop on the q51 "
+    "family): the exact >=50%-Jaccard pair set comes from the scale-"
+    "safe prefix-filter join (q141's operator — the oracle states the "
+    "O(n^2) scan), the LSH arm runs the production 8-hash/2-band/"
+    "bucket-cap-50 pipeline with the same exact integer verification, "
+    "and the report gives n_exact, n_lsh, missed pairs, floor-ppm "
+    "recall, and the structural invariant that verified LSH pairs are "
+    "a SUBSET of the exact set (precision 1 by construction — "
+    "banding can only miss, never invent).  This is the table that "
+    "justifies an LSH parameter choice at 100 TB: recall measured "
+    "against ground truth at audit scale, cost measured by the "
+    "candidate count, both pinned by the differential",
+)
+def q250(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(T.tokens("text")).alias("s")
+    )
+    exact = D.prefix_filter_jaccard_pairs(
+        toks, set_col="s", id_col="doc_id", threshold_pct=50
+    ).select("id_a", "id_b")
+    lsh = D.lsh_near_dup_pairs(
+        docs,
+        band_size=4,
+        num_hashes=8,
+        min_jaccard=0.5,
+        max_bucket=50,
+    ).select("id_a", "id_b")
+    j = exact.join(
+        lsh.withColumn("hit", F.lit(True)), ["id_a", "id_b"], "left"
+    ).select(F.coalesce(F.col("hit"), F.lit(False)).alias("hit"))
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
+    return (
+        j.agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.when(~F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missed"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_hit"),
+        )
+        .crossJoin(F.broadcast(n_lsh))
+        .select(
+            "n_exact",
+            F.col("n_lsh").cast("long").alias("n_lsh"),
+            "n_missed",
+            F.expr(
+                "(n_hit * 1000000) div "
+                "(CASE WHEN n_exact > 0 THEN n_exact ELSE 1 END)"
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+            (F.col("n_lsh") == F.col("n_hit")).alias(
+                "lsh_subset_of_exact"
+            ),
+        )
     )

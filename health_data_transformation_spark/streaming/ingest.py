@@ -420,8 +420,13 @@ def stream_stream_interval_join(
     from ..sources.tables import load_events_range
     from .windows import narrow_shuffle
 
-    ev = load_events_range(spark, sf_dir, lo=lo, hi=hi).select(
-        "event_id", "ts", "user_id", "event_type"
+    # one scan of events, materialized tiny, instead of re-scanning the
+    # parquet (with the nanos-ts conversion) once per staged side
+    ev = (
+        load_events_range(spark, sf_dir, lo=lo, hi=hi)
+        .select("event_id", "ts", "user_id", "event_type")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .localCheckpoint()
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
@@ -493,7 +498,7 @@ def stream_stream_interval_join(
     ).select("cu", "click_id", "click_ts", "purchase_id", "purchase_ts")
 
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    with narrow_shuffle(spark):
+    with narrow_shuffle(spark, 2):
         query = (
             joined.writeStream.format("parquet")
             .option("path", out_dir)
@@ -513,7 +518,7 @@ def stream_stream_left_outer(
     spark,
     sf_dir: str,
     lo: str = "2024-01-08",
-    hi: str = "2024-01-15",
+    hi: str = "2024-01-10",
     timeout_sec: int = 300,
 ):
     """Stream-stream LEFT OUTER interval join — the state-machine case:
@@ -552,8 +557,13 @@ def stream_stream_left_outer(
     from ..sources.tables import load_events_range
     from .windows import narrow_shuffle
 
-    ev = load_events_range(spark, sf_dir, lo=lo, hi=hi).select(
-        "event_id", "ts", "user_id", "event_type"
+    # one scan of events, materialized tiny, instead of re-scanning the
+    # parquet (with the nanos-ts conversion) once per staged side
+    ev = (
+        load_events_range(spark, sf_dir, lo=lo, hi=hi)
+        .select("event_id", "ts", "user_id", "event_type")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .localCheckpoint()
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
@@ -566,26 +576,23 @@ def stream_stream_left_outer(
         F.col("user_id").alias("pu"),
     )
 
+    # advancers via spark.range: a pure-JVM LocalRelation.  The
+    # createDataFrame path spins up Python workers per 1-row frame
+    # (measured ~5 s per staged advancer write on this box).
     def advancer_clicks(ts: str, eid: int):
-        return spark.createDataFrame(
-            [(eid, ts, 999_999_999)],
-            "click_id long, click_ts string, cu long",
-        ).select(
-            "click_id",
-            F.col("click_ts").cast(dict(clicks.dtypes)["click_ts"]).alias("click_ts"),
-            "cu",
+        return spark.range(1).select(
+            F.lit(eid).cast("long").alias("click_id"),
+            F.lit(ts).cast(dict(clicks.dtypes)["click_ts"]).alias("click_ts"),
+            F.lit(999_999_999).cast("long").alias("cu"),
         )
 
     def advancer_purchases(ts: str, eid: int):
-        return spark.createDataFrame(
-            [(eid, ts, 999_999_999)],
-            "purchase_id long, purchase_ts string, pu long",
-        ).select(
-            "purchase_id",
-            F.col("purchase_ts")
+        return spark.range(1).select(
+            F.lit(eid).cast("long").alias("purchase_id"),
+            F.lit(ts)
             .cast(dict(purchases.dtypes)["purchase_ts"])
             .alias("purchase_ts"),
-            "pu",
+            F.lit(999_999_999).cast("long").alias("pu"),
         )
 
     stage = tempfile.mkdtemp(prefix="hdt_stream_sslo_")
@@ -650,7 +657,7 @@ def stream_stream_left_outer(
     ).select("cu", "click_id", "click_ts", "purchase_id", "purchase_ts")
 
     name = f"sslo_{uuid.uuid4().hex[:8]}"
-    with narrow_shuffle(spark):
+    with narrow_shuffle(spark, 2):
         query = (
             joined.writeStream.format("parquet")
             .option("path", out_dir)

@@ -13046,3 +13046,197 @@ def q250(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q251_conversion_lag_quantiles",
+    f"""WITH ev AS (
+          SELECT * FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+            AND ts < TIMESTAMP '2024-02-01 00:00:00'),
+       c AS (SELECT event_id AS click_id, ts AS click_ts, user_id
+             FROM ev WHERE event_type = 'click'),
+       p AS (SELECT ts AS purchase_ts, user_id
+             FROM ev WHERE event_type = 'purchase'),
+       conv AS (
+          SELECT c.click_id, {day_str_sql('c.click_ts')} AS day,
+                 min(epoch_us(p.purchase_ts) - epoch_us(c.click_ts))
+                   AS lag_us
+          FROM c JOIN p ON c.user_id = p.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 2 HOUR
+          GROUP BY 1, 2),
+       per AS (SELECT day, lag_us, count(*) AS w FROM conv GROUP BY 1, 2),
+       cum AS (
+          SELECT day, lag_us,
+                 sum(w) OVER (PARTITION BY day ORDER BY lag_us) AS cw,
+                 sum(w) OVER (PARTITION BY day) AS tot
+          FROM per),
+       p50 AS (SELECT day, min(lag_us) AS p50_us, max(tot) AS n_conv
+               FROM cum WHERE cw * 2 >= tot GROUP BY day),
+       p90 AS (SELECT day, min(lag_us) AS p90_us
+               FROM cum WHERE cw * 10 >= 9 * tot GROUP BY day)
+       SELECT p50.day, CAST(n_conv AS BIGINT) AS n_conv,
+              CAST(p50_us AS BIGINT) AS p50_us,
+              CAST(p90_us AS BIGINT) AS p90_us
+       FROM p50 JOIN p90 ON p50.day = p90.day""",
+    "time-to-convert quantiles (the funnel-latency SLO): each click's "
+    "FIRST qualifying purchase within 2h (min-aggregate over the "
+    "interval join — the attribution rule, not an arbitrary pick), "
+    "then exact per-day p50/p90 of the conversion lag in microseconds "
+    "via two calls to the two-phase grouped weighted quantile "
+    "(profile.grouped_weighted_quantile — bin-locate then refine, no "
+    "whole-group window on the engine side; the oracle states the "
+    "naive cumulative-window definition).  The interval join is the "
+    "batch twin of q238's stream-stream join, so the lag distribution "
+    "measured here is exactly what the streaming pipeline would "
+    "produce — one definition, two execution modes.  At 100 TB: one "
+    "user-keyed interval join, quantiles over per-(day, lag) "
+    "aggregates",
+)
+def q251(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profile import grouped_weighted_quantile
+
+    ev = load_events_range(spark, sf, lo="2024-01-01", hi="2024-02-01")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("cu"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("purchase_ts"), F.col("user_id").alias("pu")
+    )
+    conv = (
+        c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")
+            ),
+        )
+        .groupBy("click_id", day_str("click_ts").alias("day"))
+        .agg(
+            F.min(
+                F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+            ).alias("lag_us")
+        )
+        .withColumn("w", F.lit(1))
+    )
+    p50 = grouped_weighted_quantile(
+        conv, "day", "lag_us", "w", q_num=1, q_den=2
+    ).select(F.col("day"), F.col("quantile_value").alias("p50_us"))
+    p90 = grouped_weighted_quantile(
+        conv, "day", "lag_us", "w", q_num=9, q_den=10
+    ).select(F.col("day"), F.col("quantile_value").alias("p90_us"))
+    counts = conv.groupBy("day").agg(F.count("*").alias("n_conv"))
+    return (
+        counts.join(p50, "day")
+        .join(p90, "day")
+        .select(
+            "day",
+            F.col("n_conv").cast("long").alias("n_conv"),
+            F.col("p50_us").cast("long").alias("p50_us"),
+            F.col("p90_us").cast("long").alias("p90_us"),
+        )
+    )
+
+
+@register(
+    "q252_bitmap_rolling_distinct",
+    """WITH ev AS (
+          SELECT date_diff('day', DATE '2024-01-01', ts) AS d, user_id
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+            AND ts < TIMESTAMP '2024-02-01 00:00:00'),
+       daily AS (
+          SELECT DISTINCT d, user_id // 32 AS word_id,
+                 1 << (user_id % 32) AS bit
+          FROM ev),
+       words AS (
+          SELECT d, word_id, bit_or(bit) AS w FROM daily GROUP BY 1, 2),
+       days AS (SELECT DISTINCT d FROM ev),
+       served AS (
+          SELECT unnest(range(d, d + 7)) AS sd, word_id, w FROM words),
+       merged AS (
+          SELECT sd, word_id, bit_or(w) AS w
+          FROM served JOIN days ON served.sd = days.d GROUP BY 1, 2),
+       bm AS (
+          SELECT sd, sum(bit_count(w)) AS bm_distinct,
+                 count(*) AS n_words
+          FROM merged GROUP BY sd),
+       exact AS (
+          SELECT sd, count(DISTINCT user_id) AS exact_distinct
+          FROM (SELECT DISTINCT unnest(range(d, d + 7)) AS sd, user_id
+                FROM ev) e
+          JOIN days ON e.sd = days.d GROUP BY sd)
+       SELECT CAST(bm.sd AS BIGINT) AS day_idx,
+              CAST(bm_distinct AS BIGINT) AS bm_distinct,
+              CAST(exact_distinct AS BIGINT) AS exact_distinct,
+              bm_distinct = exact_distinct AS parity,
+              CAST(n_words AS BIGINT) AS n_words
+       FROM bm JOIN exact ON bm.sd = exact.sd""",
+    "EXACT rolling 7-day distinct users via mergeable bitmaps — the "
+    "deterministic sibling of q203's HLL registers and the windowed "
+    "application of q246's packing: daily per-user presence packs "
+    "into 32-bit words (one word per 32 users via commutative "
+    "bit_or), and the rolling window is a word-wise OR-merge of the "
+    "tiny daily word tables — a bounded 7x replication of words, "
+    "never of events, exactly q203's serve-day shape.  popcount over "
+    "the merged words IS the distinct count: exact, mergeable, "
+    "re-shardable, at 32x key compression.  The brute-force rolling "
+    "distinct rides along and every parity bit must read true.  The "
+    "honest tradeoff vs HLL: bitmap state grows with the KEY RANGE "
+    "(words ~ max_id/32) while HLL stays at 64 registers — which is "
+    "why warehouses use bitmaps for dense integer keys and sketches "
+    "for open domains; this registry now demonstrates both ends",
+)
+def q252(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(
+        spark, sf, lo="2024-01-01", hi="2024-02-01"
+    ).select(
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")).alias("d"),
+        "user_id",
+    )
+    daily = ev.select(
+        "d",
+        F.expr("user_id div 32").alias("word_id"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        .alias("bit"),
+    ).distinct()
+    words = daily.groupBy("d", "word_id").agg(
+        F.expr("bit_or(bit)").alias("w")
+    )
+    days = ev.select("d").distinct()
+    served = words.select(
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("sd"),
+        "word_id",
+        "w",
+    )
+    merged = (
+        served.join(F.broadcast(days.withColumnRenamed("d", "sd")), "sd")
+        .groupBy("sd", "word_id")
+        .agg(F.expr("bit_or(w)").alias("w"))
+    )
+    bm = merged.groupBy("sd").agg(
+        F.sum(F.bit_count("w")).alias("bm_distinct"),
+        F.count("*").alias("n_words"),
+    )
+    exact = (
+        ev.select(
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("sd"),
+            "user_id",
+        )
+        .distinct()
+        .join(F.broadcast(days.withColumnRenamed("d", "sd")), "sd")
+        .groupBy("sd")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return bm.join(exact, "sd").select(
+        F.col("sd").cast("long").alias("day_idx"),
+        F.col("bm_distinct").cast("long").alias("bm_distinct"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (F.col("bm_distinct") == F.col("exact_distinct")).alias("parity"),
+        F.col("n_words").cast("long").alias("n_words"),
+    )

@@ -13240,3 +13240,150 @@ def q252(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("bm_distinct") == F.col("exact_distinct")).alias("parity"),
         F.col("n_words").cast("long").alias("n_words"),
     )
+
+
+_Q253_CUTOFF = "1997-01-01"
+
+
+@register(
+    "q253_retention_sweep_plan",
+    f"""WITH hold AS (
+          SELECT c_custkey FROM customer WHERE c_custkey % 211 = 13),
+       parts AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 count(*) AS n_rows,
+                 count(*) FILTER (
+                   o_custkey IN (SELECT c_custkey FROM hold)) AS n_held
+          FROM orders
+          WHERE o_orderdate < TIMESTAMP '{_Q253_CUTOFF}'
+          GROUP BY 1)
+       SELECT month, CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(n_held AS BIGINT) AS n_held,
+              CAST(n_rows - n_held AS BIGINT) AS n_droppable,
+              n_held = 0 AS whole_partition_drop
+       FROM parts""",
+    "retention/TTL compliance sweep plan (the GDPR storage-limitation "
+    "twin of q239's backfill planner): every order month-partition "
+    "older than the retention cutoff, its row count, the rows pinned "
+    "by LEGAL HOLD (a deterministic subject set, carried as a "
+    "broadcast semi-join inside the same conditional aggregate), and "
+    "the droppable remainder.  whole_partition_drop marks partitions "
+    "with zero held rows — those delete as O(1) partition drops, "
+    "while mixed partitions need the q159 MERGE-delete path; that "
+    "split IS the cost model of a compliance sweep at 100 TB (drop "
+    "the directory vs rewrite the partition).  The cutoff predicate "
+    "prunes every in-retention partition at the scan, so sweep cost "
+    "scales with the EXPIRED fraction, not table size",
+)
+def q253(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    hold = c.filter(F.col("c_custkey") % 211 == 13).select(
+        F.col("c_custkey").alias("hk")
+    )
+    marked = (
+        o.filter(F.col("o_orderdate") < F.lit(_Q253_CUTOFF).cast("timestamp"))
+        .join(F.broadcast(hold), F.col("o_custkey") == F.col("hk"), "left")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.col("hk").isNotNull().alias("held"),
+        )
+    )
+    return (
+        marked.groupBy("month")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("held"), 1).otherwise(0)).alias("n_held"),
+        )
+        .select(
+            "month",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_held").cast("long").alias("n_held"),
+            (F.col("n_rows") - F.col("n_held"))
+            .cast("long")
+            .alias("n_droppable"),
+            (F.col("n_held") == 0).alias("whole_partition_drop"),
+        )
+    )
+
+
+#: candidate functional dependencies (lhs -> rhs) over the joined
+#: order/customer frame and the part table
+_Q254_CANDS = [
+    ("orders_cust", "o_custkey", "c_mktsegment"),  # holds (FK)
+    ("orders_cust", "o_custkey", "o_orderstatus"),  # fails (many orders)
+    ("part", "p_brand", "p_type"),  # fails
+    ("part", "p_partkey", "p_type"),  # holds (key)
+]
+
+
+def _q254_oracle() -> str:
+    blocks = []
+    for src, lhs, rhs in _Q254_CANDS:
+        rel = (
+            "(SELECT o_custkey, o_orderstatus, c_mktsegment FROM orders"
+            " JOIN customer ON o_custkey = c_custkey)"
+            if src == "orders_cust"
+            else "part"
+        )
+        blocks.append(f"""
+        SELECT '{src}' AS rel, '{lhs}' AS lhs, '{rhs}' AS rhs,
+               count(*) AS n_lhs_values,
+               count(*) FILTER (n_rhs > 1) AS n_violating,
+               count(*) FILTER (n_rhs > 1) = 0 AS fd_holds
+        FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs
+              FROM {rel} GROUP BY {lhs})""")
+    return "SELECT * FROM (" + " UNION ALL ".join(blocks) + ") t"
+
+
+@register(
+    "q254_fd_discovery",
+    _q254_oracle(),
+    "functional-dependency audit (the data-profiling step schema "
+    "designers and dedup pipelines both need: does A determine B?): "
+    "for each candidate lhs -> rhs, the number of lhs values, the "
+    "count violating the dependency (more than one distinct rhs), "
+    "and the verdict — over both a base table and a joined relation, "
+    "because the interesting FDs (customer key determines segment) "
+    "only exist across the FK.  Each candidate is one "
+    "count-distinct-per-group aggregate, map-side combinable, "
+    "output bounded by lhs cardinality; the four candidates are "
+    "chosen so both verdicts appear (two hold — a key and an FK-"
+    "implied dependency — and two genuinely fail).  FD discovery at "
+    "100 TB is how you find merge keys, detect denormalization "
+    "drift, and validate that an upsert key actually identifies rows",
+)
+def q254(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    part = load_table(spark, sf, "part")
+    oc = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_custkey", "o_orderstatus", "c_mktsegment"
+    )
+    rels = {"orders_cust": oc, "part": part}
+    frames = []
+    for src, lhs, rhs in _Q254_CANDS:
+        per = (
+            rels[src]
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("n_rhs"))
+        )
+        frames.append(
+            per.agg(
+                F.count("*").alias("n_lhs_values"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).alias(
+                    "n_violating"
+                ),
+            ).select(
+                F.lit(src).alias("rel"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.col("n_lhs_values").cast("long").alias("n_lhs_values"),
+                F.col("n_violating").cast("long").alias("n_violating"),
+                (F.col("n_violating") == 0).alias("fd_holds"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out

@@ -13387,3 +13387,96 @@ def q254(spark: SparkSession, sf: str) -> DataFrame:
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out
+
+
+def _q255_oracle() -> str:
+    h1 = hex_hash64_sql("CAST(doc_id AS VARCHAR)", salt="ann1")
+    h2 = hex_hash64_sql("CAST(doc_id AS VARCHAR)", salt="ann2")
+    return f"""WITH lab AS (
+          SELECT doc_id,
+                 CAST({h1} % 3 AS INTEGER) AS a1,
+                 CAST(CASE WHEN {h2} % 5 = 0
+                      THEN ({h1} + 1) % 3
+                      ELSE {h1} % 3 END AS INTEGER) AS a2
+          FROM documents),
+       conf AS (
+          SELECT a1, a2, count(*) AS n FROM lab GROUP BY 1, 2),
+       m1 AS (SELECT a1 AS k, sum(n) AS c1 FROM conf GROUP BY 1),
+       m2 AS (SELECT a2 AS k, sum(n) AS c2 FROM conf GROUP BY 1),
+       tot AS (SELECT sum(n) AS n FROM conf),
+       agree AS (SELECT sum(n) AS ag FROM conf WHERE a1 = a2),
+       pe AS (SELECT sum(c1 * c2) AS e
+              FROM m1 JOIN m2 USING (k))
+       SELECT CAST(n AS BIGINT) AS n_docs,
+              CAST(ag AS BIGINT) AS n_agree,
+              CAST(ag * 1000000 // n AS BIGINT) AS po_ppm,
+              CAST(e * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
+              CAST((ag * n - e) * 1000000 // (n * n - e) AS BIGINT)
+                AS kappa_ppm
+       FROM tot CROSS JOIN agree CROSS JOIN pe"""
+
+
+@register(
+    "q255_annotator_agreement",
+    _q255_oracle(),
+    "inter-annotator agreement (Cohen's kappa) — the labeling-QA gate "
+    "every supervised training corpus needs before its labels are "
+    "trusted: two deterministic annotators over the documents (the "
+    "second disagrees on an engineered ~20% of items), the full "
+    "confusion aggregate, observed agreement po, chance agreement pe "
+    "from the marginals, and kappa — computed ENTIRELY in exact "
+    "integer rationals: kappa = (agree*n - sum(c1k*c2k)) / (n^2 - "
+    "sum(c1k*c2k)), floor-ppm at the end, no fp anywhere (the "
+    "textbook po/pe division chain would drift across engines).  The "
+    "confusion matrix is one |classes|^2 aggregate, marginals "
+    "re-aggregate it, and the three scalar frames meet by broadcast "
+    "cross join.  At 100 TB annotation QA runs per labeling batch; "
+    "this is one map-side-combined pass regardless of corpus size",
+)
+def q255(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    h1 = T.hex_hash64(F.col("doc_id").cast("string"), salt="ann1")
+    h2 = T.hex_hash64(F.col("doc_id").cast("string"), salt="ann2")
+    lab = d.select(
+        (h1 % 3).cast("int").alias("a1"),
+        F.when((h2 % 5) == 0, (h1 + 1) % 3)
+        .otherwise(h1 % 3)
+        .cast("int")
+        .alias("a2"),
+    )
+    conf = lab.groupBy("a1", "a2").agg(F.count("*").alias("n"))
+    m1 = conf.groupBy(F.col("a1").alias("k")).agg(F.sum("n").alias("c1"))
+    m2 = conf.groupBy(F.col("a2").alias("k")).agg(F.sum("n").alias("c2"))
+    tot = conf.agg(F.sum("n").alias("n"))
+    agree = conf.filter(F.col("a1") == F.col("a2")).agg(
+        F.sum("n").alias("ag")
+    )
+    pe = m1.join(m2, "k").agg(
+        F.sum(F.col("c1") * F.col("c2")).alias("e")
+    )
+    return (
+        tot.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("ag").cast("long").alias("n_agree"),
+            # decimal(38,0) intermediates: n^2 and sum(c1*c2) pass int64
+            # around n ~ 3e9 rows (the q149/q166 overflow class); DuckDB
+            # promotes to HUGEINT natively
+            F.expr("(CAST(ag AS DECIMAL(38,0)) * 1000000) div n")
+            .cast("long")
+            .alias("po_ppm"),
+            F.expr(
+                "(CAST(e AS DECIMAL(38,0)) * 1000000)"
+                " div (CAST(n AS DECIMAL(38,0)) * n)"
+            )
+            .cast("long")
+            .alias("pe_ppm"),
+            F.expr(
+                "((CAST(ag AS DECIMAL(38,0)) * n - e) * 1000000)"
+                " div (CAST(n AS DECIMAL(38,0)) * n - e)"
+            )
+            .cast("long")
+            .alias("kappa_ppm"),
+        )
+    )

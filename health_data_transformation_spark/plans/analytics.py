@@ -13480,3 +13480,96 @@ def q255(spark: SparkSession, sf: str) -> DataFrame:
             .alias("kappa_ppm"),
         )
     )
+
+
+def _q256_oracle() -> str:
+    h = hex_hash64_sql("CAST(user_id AS VARCHAR)", salt="score")
+    return f"""WITH users AS (
+          SELECT user_id,
+                 CAST(({h} % 1000) // 100 AS INTEGER) AS bucket,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS outcome
+          FROM events GROUP BY user_id),
+       b AS (
+          SELECT bucket, count(*) AS n, sum(outcome) AS pos
+          FROM users GROUP BY bucket),
+       tot AS (SELECT sum(n) AS nn FROM b),
+       scored AS (
+          SELECT bucket, n, pos,
+                 CAST(pos * 1000000 // n AS BIGINT) AS acc_ppm,
+                 CAST(50000 + bucket * 100000 AS BIGINT) AS conf_ppm,
+                 abs(pos * 1000000 - (50000 + bucket * 100000) * n)
+                   AS dev
+          FROM b),
+       ece AS (SELECT sum(dev) // (SELECT nn FROM tot) AS e FROM scored)
+       SELECT CAST(bucket AS INTEGER) AS bucket,
+              CAST(n AS BIGINT) AS n_users,
+              CAST(pos AS BIGINT) AS n_pos,
+              acc_ppm, conf_ppm,
+              CAST((SELECT e FROM ece) AS BIGINT) AS ece_ppm
+       FROM scored"""
+
+
+@register(
+    "q256_score_calibration",
+    _q256_oracle(),
+    "model-score calibration table + expected calibration error (the "
+    "model-monitoring artifact that catches silent drift): a "
+    "deterministic per-user 'model score' (hash permille — i.e. an "
+    "UNcalibrated model, so the report genuinely shows "
+    "miscalibration) bucketed into deciles against the realized "
+    "purchase outcome; per bucket the exact accuracy in floor-ppm "
+    "beside the bucket-midpoint confidence, and ECE computed as pure "
+    "integer arithmetic — sum |pos*1e6 - conf*n| over buckets "
+    "divided by N, no fp: the per-bucket deviation keeps the exact "
+    "rational |acc - conf|*n form with denominators cleared.  One "
+    "per-user aggregate, one 10-row bucket table, scalars by "
+    "broadcast.  At 100 TB calibration runs per model release; the "
+    "differential pins the whole table, so a pipeline change that "
+    "shifts any bucket is a hash mismatch, not a drifting dashboard",
+)
+def q256(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    h = T.hex_hash64(F.col("user_id").cast("string"), salt="score")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("outcome")
+        )
+        .select(
+            # (h % 1000) < 1000 is exact in double; toward-zero cast ==
+            # floor for non-negative values
+            ((h % 1000) / 100).cast("int").alias("bucket"),
+            "outcome",
+        )
+    )
+    b = users.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("outcome").alias("pos")
+    )
+    tot = b.agg(F.sum("n").alias("nn"))
+    scored = b.select(
+        "bucket",
+        "n",
+        "pos",
+        F.expr("(pos * 1000000) div n").cast("long").alias("acc_ppm"),
+        (F.lit(50000) + F.col("bucket") * 100000)
+        .cast("long")
+        .alias("conf_ppm"),
+        F.abs(
+            F.col("pos") * 1000000
+            - (F.lit(50000) + F.col("bucket") * 100000) * F.col("n")
+        ).alias("dev"),
+    )
+    ece = scored.agg(F.sum("dev").alias("sd")).crossJoin(
+        F.broadcast(tot)
+    ).select(F.expr("sd div nn").cast("long").alias("ece_ppm"))
+    return scored.crossJoin(F.broadcast(ece)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n").cast("long").alias("n_users"),
+        F.col("pos").cast("long").alias("n_pos"),
+        "acc_ppm",
+        "conf_ppm",
+        "ece_ppm",
+    )

@@ -13573,3 +13573,138 @@ def q256(spark: SparkSession, sf: str) -> DataFrame:
         "conf_ppm",
         "ece_ppm",
     )
+
+
+@register(
+    "q257_ledger_reconciliation",
+    """WITH detail AS (
+          SELECT l_orderkey AS ok,
+                 sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS line_cents
+          FROM lineitem GROUP BY 1),
+       rec AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS hdr_cents,
+                 d.line_cents
+          FROM orders o LEFT JOIN detail d ON o.o_orderkey = d.ok)
+       SELECT month,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(count(*) FILTER (line_cents IS NULL) AS BIGINT)
+                AS n_headers_without_lines,
+              CAST(count(*) FILTER (line_cents = hdr_cents) AS BIGINT)
+                AS n_reconciled,
+              CAST(sum(hdr_cents) AS BIGINT) AS sum_hdr_cents,
+              CAST(coalesce(sum(line_cents), 0) AS BIGINT)
+                AS sum_line_cents,
+              CAST(sum(hdr_cents) - coalesce(sum(line_cents), 0)
+                   AS BIGINT) AS delta_cents
+       FROM rec GROUP BY month""",
+    "ledger-vs-detail reconciliation (the month-end close job every "
+    "finance warehouse runs: do order headers equal the sum of their "
+    "lines?): per order-month, header count, headers with NO detail "
+    "rows, exactly-reconciled count, and the exact cent totals of "
+    "both sides with their delta.  On this synthetic data the books "
+    "deliberately do NOT reconcile — header totals are independent "
+    "of line sums — and the report says so precisely, which is the "
+    "point: a recon job's output is evidence either way, and exact "
+    "integer cents make 'reconciled' a decidable predicate instead "
+    "of an epsilon argument.  One detail aggregate (map-side "
+    "combined at order-key grain), one left join, one month rollup; "
+    "at 100 TB the join key is the natural order clustering so "
+    "detail partials co-locate with headers",
+)
+def q257(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    lcents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    hcents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    detail = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sum(lcents).alias("line_cents")
+    )
+    rec = o.join(detail, F.col("o_orderkey") == F.col("ok"), "left").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        hcents.alias("hdr_cents"),
+        "line_cents",
+    )
+    return rec.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("line_cents").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_headers_without_lines"),
+        F.sum(
+            F.when(F.col("line_cents") == F.col("hdr_cents"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_reconciled"),
+        F.sum("hdr_cents").cast("long").alias("sum_hdr_cents"),
+        F.coalesce(F.sum("line_cents"), F.lit(0))
+        .cast("long")
+        .alias("sum_line_cents"),
+        (F.sum("hdr_cents") - F.coalesce(F.sum("line_cents"), F.lit(0)))
+        .cast("long")
+        .alias("delta_cents"),
+    )
+
+
+@register(
+    "q258_burst_detection",
+    """WITH ev AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+          FROM events),
+       burst AS (
+          SELECT user_id,
+                 count(*) OVER (PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS c
+          FROM ev),
+       peak AS (
+          SELECT user_id, max(c) AS max_burst FROM burst GROUP BY 1),
+       ranked AS (
+          SELECT user_id, max_burst,
+                 row_number() OVER (ORDER BY max_burst DESC, user_id)
+                   AS rk
+          FROM peak)
+       SELECT CAST(user_id AS BIGINT) AS user_id,
+              CAST(max_burst AS BIGINT) AS max_burst,
+              CAST(rk AS INTEGER) AS rk
+       FROM ranked WHERE rk <= 20""",
+    "burst / rate-anomaly detection (the abuse-and-bot screen): each "
+    "user's peak trailing-one-hour event count via a RANGE window "
+    "over epoch seconds — RANGE (not ROWS) makes same-second events "
+    "order-independent, so the count is deterministic under any "
+    "intra-second tie order, which a ROWS frame cannot promise — "
+    "then the top-20 burstiest users.  The window partitions by "
+    "user (each user's history fits a task; the q121/q147 per-key "
+    "contract) and the global top-20 runs on the one-row-per-user "
+    "peak table.  At 100 TB this is the query behind rate-limit "
+    "tuning (q151's debounce picks up the flagged keys) and "
+    "credential-stuffing triage; the trailing-window form needs no "
+    "session state and recomputes incrementally per partition-day",
+)
+def q258(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf).select(
+        "user_id",
+        (F.unix_micros("ts") / 1_000_000).cast("long").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, 0)
+    )
+    burst = ev.select("user_id", F.count("*").over(w).alias("c"))
+    peak = burst.groupBy("user_id").agg(F.max("c").alias("max_burst"))
+    ranked = K.top_k(
+        peak, [F.desc("max_burst"), F.asc("user_id")], 20
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("max_burst"), F.asc("user_id"))
+        ),
+    )
+    return ranked.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("max_burst").cast("long").alias("max_burst"),
+        F.col("rk").cast("int").alias("rk"),
+    )

@@ -102,6 +102,20 @@ DEFAULT_QUERIES = [
     "q241_k_anonymity_audit",
     "q242_diff_in_diff",
     "q243_encoding_advisor",
+    "q245_linear_interpolation",
+    "q246_bitmap_index",
+    "q247_cohort_ltv_curve",
+    "q248_ma_crossover_signals",
+    "q249_abc_classification",
+    "q250_lsh_recall_eval",
+    "q251_conversion_lag_quantiles",
+    "q252_bitmap_rolling_distinct",
+    "q253_retention_sweep_plan",
+    "q254_fd_discovery",
+    "q255_annotator_agreement",
+    "q256_score_calibration",
+    "q257_ledger_reconciliation",
+    "q258_burst_detection",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -171,6 +185,12 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # 64-row perm frame replicated against the distinct shingle set —
     # the signature fan-out IS the algorithm (q203's register shape)
     "q227_corpus_overlap_minhash",
+    # constant-size frames (168-row hour grid, 1-row totals / scalar
+    # kappa / ECE aggregates) attached by broadcast cross join
+    "q245_linear_interpolation",
+    "q249_abc_classification",
+    "q255_annotator_agreement",
+    "q256_score_calibration",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

@@ -12916,10 +12916,17 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
     cum = K.global_running_sum(
         rev, [F.desc("cents"), F.asc("pk")], "cents", out_col="cum_before"
     ).withColumn("cum_incl", F.col("cum_before") + F.col("cents"))
+    # decimal(38,0) intermediates throughout: cum*20 and class_cents*1e6
+    # wrap int64 at ~10x sf0.1 (caught by registry_stress, the q149
+    # overflow class); DuckDB's sum() is HUGEINT natively
+    dec = "decimal(38,0)"
     classed = cum.crossJoin(F.broadcast(tot)).select(
         "cents",
-        F.when(F.col("cum_incl") * 5 <= 4 * F.col("t"), "A")
-        .when(F.col("cum_incl") * 20 <= 19 * F.col("t"), "B")
+        F.when(F.col("cum_incl").cast(dec) * 5 <= 4 * F.col("t").cast(dec), "A")
+        .when(
+            F.col("cum_incl").cast(dec) * 20 <= 19 * F.col("t").cast(dec),
+            "B",
+        )
         .otherwise("C")
         .alias("cls"),
         "t",
@@ -12927,7 +12934,9 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
     return classed.groupBy("cls").agg(
         F.count("*").cast("long").alias("n_parts"),
         F.sum("cents").cast("long").alias("cls_cents"),
-        F.expr("(sum(cents) * 1000000) div max(t)")
+        F.expr(
+            "(CAST(sum(cents) AS DECIMAL(38,0)) * 1000000) div max(t)"
+        )
         .cast("long")
         .alias("share_ppm"),
     )
@@ -13707,4 +13716,75 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
         F.col("user_id").cast("long").alias("user_id"),
         F.col("max_burst").cast("long").alias("max_burst"),
         F.col("rk").cast("int").alias("rk"),
+    )
+
+
+@register(
+    "q259_pandas_udf_parity",
+    f"""WITH q AS (
+          SELECT vec_id,
+                 {__import__('health_data_transformation_spark.functions.vector', fromlist=['int8_quantize_sql']).int8_quantize_sql('embedding')} AS qv
+          FROM embeddings)
+       SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+              CAST(sum(list_sum(qv)) AS BIGINT) AS sum_components,
+              CAST(bit_xor({hex_hash64_sql(
+                  "CAST(vec_id AS VARCHAR) || '|' || array_to_string(qv, ',')"
+              )}) AS BIGINT) AS content_xor
+       FROM q""",
+    "Arrow scalar pandas_udf parity (completing the §2.6 UDF "
+    "taxonomy: mapInPandas (q53/q193/q222), applyInPandas (q90), "
+    "applyInPandasWithState (q56) — and now the vectorized SCALAR "
+    "pandas_udf): int8 symmetric quantization re-implemented as a "
+    "batched numpy kernel over Arrow-transferred embedding arrays, "
+    "and the oracle states the pure-SQL quantization rule — so the "
+    "Python kernel is proven bit-identical to the relational "
+    "definition (count, component sum, and a per-vector content "
+    "xor that flips on any element diverging).  This is the "
+    "contract every Python hot-path extension must meet before it "
+    "ships: same math as the declarative form, Arrow-batched so "
+    "the interchange cost is columnar, and differential-gated.  "
+    "The built-in expression (functions/vector.py) remains the "
+    "production path; the UDF exists to prove the extension seam "
+    "works",
+)
+def q259(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def q_int8(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def one(v):
+            a = np.asarray(v, dtype=np.float64)
+            m = np.abs(a).max() if len(a) else 0.0
+            if m == 0.0:
+                return [0] * len(a)
+            # mirror functions/vector.py:int8_quantize exactly:
+            # round-half-away via floor(x*127/m + 0.5) on the double
+            return [int(x) for x in np.floor(a * 127.0 / m + 0.5)]
+
+        return col.map(one)
+
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", q_int8("embedding").alias("qv")
+    )
+    h = T.hex_hash64(
+        F.concat(
+            F.col("vec_id").cast("string"),
+            F.lit("|"),
+            F.array_join(F.transform("qv", lambda x: x.cast("string")), ","),
+        )
+    )
+    return e.select(
+        "vec_id",
+        F.expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x)").alias(
+            "cs"
+        ),
+        h.alias("h"),
+    ).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("cs").cast("long").alias("sum_components"),
+        F.expr("bit_xor(h)").cast("long").alias("content_xor"),
     )

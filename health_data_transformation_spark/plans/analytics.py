@@ -13719,18 +13719,23 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "q259_pandas_udf_parity",
-    f"""WITH q AS (
-          SELECT vec_id,
-                 {__import__('health_data_transformation_spark.functions.vector', fromlist=['int8_quantize_sql']).int8_quantize_sql('embedding')} AS qv
+def _q259_oracle() -> str:
+    from ..functions.vector import int8_quantize_sql
+
+    return f"""WITH q AS (
+          SELECT vec_id, {int8_quantize_sql('embedding')} AS qv
           FROM embeddings)
        SELECT CAST(count(*) AS BIGINT) AS n_vecs,
               CAST(sum(list_sum(qv)) AS BIGINT) AS sum_components,
               CAST(bit_xor({hex_hash64_sql(
                   "CAST(vec_id AS VARCHAR) || '|' || array_to_string(qv, ',')"
               )}) AS BIGINT) AS content_xor
-       FROM q""",
+       FROM q"""
+
+
+@register(
+    "q259_pandas_udf_parity",
+    _q259_oracle(),
     "Arrow scalar pandas_udf parity (completing the §2.6 UDF "
     "taxonomy: mapInPandas (q53/q193/q222), applyInPandas (q90), "
     "applyInPandasWithState (q56) — and now the vectorized SCALAR "
@@ -13748,24 +13753,30 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
     "works",
 )
 def q259(spark: SparkSession, sf: str) -> DataFrame:
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
-    @pandas_udf(ArrayType(IntegerType()))
-    def q_int8(col: pd.Series) -> pd.Series:
+    def one(v):
         import numpy as np
 
-        def one(v):
-            a = np.asarray(v, dtype=np.float64)
-            m = np.abs(a).max() if len(a) else 0.0
-            if m == 0.0:
-                return [0] * len(a)
-            # mirror functions/vector.py:int8_quantize exactly:
-            # round-half-away via floor(x*127/m + 0.5) on the double
-            return [int(x) for x in np.floor(a * 127.0 / m + 0.5)]
+        # mirror functions/vector.py:int8_quantize EXACTLY, op by op:
+        # scale = 127.0 / max|x| first (one IEEE divide), then
+        # floor(x * scale), then clamp to [-127, 127] — the same
+        # double-rounding sequence the JVM expression performs, so the
+        # outputs are bit-identical, not merely close
+        a = np.asarray(v, dtype=np.float64)
+        m = np.abs(a).max() if len(a) else 0.0
+        scale = np.float64(127.0) / m
+        q = np.floor(a * scale)
+        return [int(x) for x in np.clip(q, -127, 127)]
 
-        return col.map(one)
+    # annotation-free lambda: this module uses `from __future__ import
+    # annotations`, which turns `pd.Series` hints into strings the
+    # pandas_udf signature resolver rejects; the lambda form selects
+    # the legacy Series->Series SCALAR path explicitly
+    q_int8 = pandas_udf(
+        lambda col: col.map(one), ArrayType(IntegerType())
+    )
 
     e = load_table(spark, sf, "embeddings").select(
         "vec_id", q_int8("embedding").alias("qv")

@@ -13855,3 +13855,215 @@ def q260(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("cents").cast("long").alias("subtree_cents"),
         )
     )
+
+
+_Q261_THRESHOLDS = [50, 70, 90]
+
+
+def _q261_oracle() -> str:
+    blocks = []
+    for t in _Q261_THRESHOLDS:
+        blocks.append(f"""
+        SELECT {t} AS threshold_pct,
+               (SELECT count(*) FROM pairs
+                WHERE inter * 100 >= {t} * un) AS n_pairs,
+               (SELECT count(*) FROM (
+                  SELECT DISTINCT b FROM pairs
+                  WHERE inter * 100 >= {t} * un)) AS n_removed,
+               (SELECT coalesce(sum(tok), 0) FROM toks WHERE doc_id IN (
+                  SELECT DISTINCT b FROM pairs
+                  WHERE inter * 100 >= {t} * un)) AS tokens_removed
+        """)
+    return f"""WITH toks AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS s,
+                 len(string_split(text, ' ')) AS tok
+          FROM documents),
+       pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 len(list_intersect(a.s, b.s)) AS inter,
+                 len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+          FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+          WHERE len(a.s) + len(b.s) > 0),
+       tot AS (SELECT sum(tok) AS corpus_tokens FROM toks)
+       SELECT threshold_pct, CAST(n_pairs AS BIGINT) AS n_pairs,
+              CAST(n_removed AS BIGINT) AS n_removed,
+              CAST(tokens_removed AS BIGINT) AS tokens_removed,
+              CAST(tokens_removed * 1000000 // corpus_tokens AS BIGINT)
+                AS removed_ppm
+       FROM ({" UNION ALL ".join(blocks)}) s CROSS JOIN tot"""
+
+
+@register(
+    "q261_dedup_threshold_sweep",
+    _q261_oracle(),
+    "dedup-policy ROI sweep (the decision table behind 'which Jaccard "
+    "threshold do we ship?'): for thresholds 50/70/90%, the exact "
+    "qualifying pair count, the documents removed under the greedy "
+    "min-id keeper rule (drop any doc with a qualifying neighbor of "
+    "smaller id — pair-local, needs NO connected components, and is "
+    "exactly the rule q180's ingest gate applies), and the token mass "
+    "removed in floor-ppm of the corpus.  The Spark side computes the "
+    "pair set ONCE with the scale-safe prefix filter at the loosest "
+    "threshold and derives the tighter tiers by exact integer "
+    "re-thresholding of the same (inter, union) pairs — one similarity "
+    "join feeds the whole sweep, versus re-running it per candidate "
+    "policy.  The oracle states each tier independently from the "
+    "O(n^2) scan.  This is how a 100 TB dedup threshold is actually "
+    "chosen: measure the removal curve at audit scale, then run the "
+    "one selected threshold in production",
+)
+def q261(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(T.tokens("text")).alias("s"),
+        T.token_count("text").alias("tok"),
+    )
+    pairs = D.prefix_filter_jaccard_pairs(
+        toks.select("doc_id", "s"),
+        set_col="s",
+        id_col="doc_id",
+        threshold_pct=min(_Q261_THRESHOLDS),
+    ).localCheckpoint()
+    tot = toks.agg(F.sum("tok").alias("corpus_tokens"))
+    frames = []
+    for t in _Q261_THRESHOLDS:
+        qual = pairs.filter(F.col("inter") * 100 >= t * F.col("un"))
+        removed = qual.select(F.col("id_b").alias("doc_id")).distinct()
+        stats = (
+            removed.join(toks.select("doc_id", "tok"), "doc_id")
+            .agg(
+                F.count("*").alias("n_removed"),
+                F.coalesce(F.sum("tok"), F.lit(0)).alias("tokens_removed"),
+            )
+            .crossJoin(F.broadcast(qual.agg(F.count("*").alias("n_pairs"))))
+        )
+        frames.append(
+            stats.select(
+                F.lit(t).alias("threshold_pct"),
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                F.col("n_removed").cast("long").alias("n_removed"),
+                F.col("tokens_removed").cast("long").alias("tokens_removed"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.crossJoin(F.broadcast(tot)).select(
+        "threshold_pct",
+        "n_pairs",
+        "n_removed",
+        "tokens_removed",
+        F.expr("(tokens_removed * 1000000) div corpus_tokens")
+        .cast("long")
+        .alias("removed_ppm"),
+    )
+
+
+#: literal inverse-propensity micro-weights per display position 1..10:
+#: floor(1e6 * log2(pos+1)) — examination probability modeled as
+#: 1/log2(pos+1), so the IPS weight is its reciprocal; literals keep
+#: log out of both engines (the q232 discount-table rule).
+_Q262_IPS = [
+    1000000, 1584962, 2000000, 2321928, 2584962,
+    2807354, 3000000, 3169925, 3321928, 3459431,
+]
+
+
+def _q262_oracle() -> str:
+    h = hex_hash64_sql("CAST(event_id AS VARCHAR)", salt="pos")
+    w_rows = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_Q262_IPS))
+    return f"""WITH imp AS (
+          SELECT event_id, user_id, ts,
+                 CAST(1 + {h} % 10 AS INTEGER) AS pos
+          FROM events WHERE event_type = 'view'),
+       clk AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+       joined AS (
+          SELECT i.event_id, i.pos,
+                 max(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS clicked
+          FROM imp i LEFT JOIN clk c
+            ON c.user_id = i.user_id
+            AND c.ts >= i.ts
+            AND c.ts <= i.ts + INTERVAL 10 MINUTE
+          GROUP BY 1, 2),
+       weights (pos, w) AS (VALUES {w_rows}),
+       agg AS (
+          SELECT pos, count(*) AS n_views, sum(clicked) AS n_clicked,
+                 sum(clicked * w) AS ips_clicks_micro
+          FROM joined JOIN weights USING (pos) GROUP BY pos)
+       SELECT CAST(pos AS INTEGER) AS pos,
+              CAST(n_views AS BIGINT) AS n_views,
+              CAST(n_clicked AS BIGINT) AS n_clicked,
+              CAST(n_clicked * 1000000 // n_views AS BIGINT) AS ctr_ppm,
+              CAST(ips_clicks_micro // n_views AS BIGINT)
+                AS ips_ctr_ppm
+       FROM agg"""
+
+
+@register(
+    "q262_position_bias_ips",
+    _q262_oracle(),
+    "position-bias correction via inverse propensity scoring (the "
+    "counterfactual-learning primitive behind every learning-to-rank "
+    "training set): view impressions get a deterministic display "
+    "position, a click within 10 minutes by the same user marks "
+    "engagement (exists-style left join + max, so multiple clicks "
+    "count once), and per position the raw CTR sits beside the "
+    "IPS-corrected CTR — clicks reweighted by literal 1/propensity "
+    "micro-weights with examination modeled as 1/log2(pos+1).  The "
+    "weights are precomputed literals shipped identically to both "
+    "engines (log is off the fp whitelist, q232's rule), so the "
+    "debiased estimate is pure integer arithmetic.  Raw CTR declines "
+    "with position while IPS-CTR flattens toward the position-free "
+    "rate — the exact correction a ranker's training labels need.  "
+    "One interval join keyed on user, one 10-row weight broadcast",
+)
+def q262(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events_range(spark, sf)
+    h = T.hex_hash64(F.col("event_id").cast("string"), salt="pos")
+    imp = ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        F.col("user_id").alias("iu"),
+        F.col("ts").alias("its"),
+        (1 + h % 10).cast("int").alias("pos"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    joined = (
+        imp.join(
+            clk,
+            (F.col("iu") == F.col("cu"))
+            & (F.col("cts") >= F.col("its"))
+            & (F.col("cts") <= F.col("its") + F.expr("INTERVAL 10 MINUTES")),
+            "left",
+        )
+        .groupBy("event_id", "pos")
+        .agg(
+            F.max(
+                F.when(F.col("cu").isNotNull(), 1).otherwise(0)
+            ).alias("clicked")
+        )
+    )
+    weights = spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(_Q262_IPS)], "pos int, w long"
+    )
+    return (
+        joined.join(F.broadcast(weights), "pos")
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n_views"),
+            F.sum("clicked").alias("n_clicked"),
+            F.sum(F.col("clicked") * F.col("w")).alias("ipsm"),
+        )
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            F.col("n_views").cast("long").alias("n_views"),
+            F.col("n_clicked").cast("long").alias("n_clicked"),
+            F.expr("(n_clicked * 1000000) div n_views")
+            .cast("long")
+            .alias("ctr_ppm"),
+            F.expr("ipsm div n_views").cast("long").alias("ips_ctr_ppm"),
+        )
+    )

@@ -13861,19 +13861,26 @@ _Q261_THRESHOLDS = [50, 70, 90]
 
 
 def _q261_oracle() -> str:
-    blocks = []
-    for t in _Q261_THRESHOLDS:
-        blocks.append(f"""
-        SELECT {t} AS threshold_pct,
-               (SELECT count(*) FROM pairs
-                WHERE inter * 100 >= {t} * un) AS n_pairs,
-               (SELECT count(*) FROM (
-                  SELECT DISTINCT b FROM pairs
-                  WHERE inter * 100 >= {t} * un)) AS n_removed,
-               (SELECT coalesce(sum(tok), 0) FROM toks WHERE doc_id IN (
-                  SELECT DISTINCT b FROM pairs
-                  WHERE inter * 100 >= {t} * un)) AS tokens_removed
-        """)
+    tiers = ", ".join(str(t) for t in _Q261_THRESHOLDS)
+    flags = ",\n".join(
+        f"                 max(CASE WHEN inter * 100 >= {t} * un"
+        f" THEN 1 ELSE 0 END) AS q{t}"
+        for t in _Q261_THRESHOLDS
+    )
+    pair_counts = ",\n".join(
+        f"            count(*) FILTER (inter * 100 >= {t} * un)"
+        f" AS p{t}"
+        for t in _Q261_THRESHOLDS
+    )
+    tier_rows = " UNION ALL ".join(
+        f"""SELECT {t} AS threshold_pct,
+               (SELECT p{t} FROM pc) AS n_pairs,
+               (SELECT count(*) FROM flags WHERE q{t} = 1) AS n_removed,
+               (SELECT coalesce(sum(tok), 0) FROM flags
+                JOIN toks ON flags.b = toks.doc_id
+                WHERE q{t} = 1) AS tokens_removed"""
+        for t in _Q261_THRESHOLDS
+    )
     return f"""WITH toks AS (
           SELECT doc_id, list_distinct(string_split(text, ' ')) AS s,
                  len(string_split(text, ' ')) AS tok
@@ -13883,14 +13890,21 @@ def _q261_oracle() -> str:
                  len(list_intersect(a.s, b.s)) AS inter,
                  len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
           FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-          WHERE len(a.s) + len(b.s) > 0),
+          WHERE len(a.s) + len(b.s) > 0
+            AND len(list_intersect(a.s, b.s)) * 100
+                >= {min(_Q261_THRESHOLDS)} *
+                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+       pc AS (SELECT\n{pair_counts}\n          FROM pairs),
+       flags AS (
+          SELECT b,\n{flags}
+          FROM pairs GROUP BY b),
        tot AS (SELECT sum(tok) AS corpus_tokens FROM toks)
        SELECT threshold_pct, CAST(n_pairs AS BIGINT) AS n_pairs,
               CAST(n_removed AS BIGINT) AS n_removed,
               CAST(tokens_removed AS BIGINT) AS tokens_removed,
               CAST(tokens_removed * 1000000 // corpus_tokens AS BIGINT)
                 AS removed_ppm
-       FROM ({" UNION ALL ".join(blocks)}) s CROSS JOIN tot"""
+       FROM ({tier_rows}) s CROSS JOIN tot"""
 
 
 @register(

@@ -14081,3 +14081,79 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("ipsm div n_views").cast("long").alias("ips_ctr_ppm"),
         )
     )
+
+
+@register(
+    "q263_bucketed_join_exchange_free",
+    """SELECT o_orderstatus AS status,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS sum_cents,
+              TRUE AS exchange_free
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY o_orderstatus""",
+    "co-bucketed big x big join with the ZERO-EXCHANGE plan pinned by "
+    "the differential (sources/bucketed.py): orders and lineitem are "
+    "written as catalog tables bucketed AND sorted on the order key, "
+    "broadcast is disabled, and the recurring join compiles to a "
+    "SortMergeJoin with NO Exchange on either side — the physical "
+    "property that makes a repeated 100 TB fact-fact join shuffle-"
+    "free forever after one bucketed write.  The exchange_free column "
+    "is measured from the EXECUTED plan (both 'Exchange' absence and "
+    "SortMergeJoin presence) and the oracle states TRUE, so a "
+    "regression that silently reintroduces a shuffle — a bucket-count "
+    "mismatch, a lost sort spec, an optimizer change — flips the "
+    "differential, not just a perf chart.  The join result itself is "
+    "checksummed against the plain-join oracle (per-status counts and "
+    "exact sums).  Result is localCheckpointed so the scratch "
+    "database can be dropped before returning",
+)
+def q263(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..sources.bucketed import cobucketed_join, write_bucketed
+
+    db = f"bdemo_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix="hdt_bucket_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        orders = load_table(spark, sf, "orders").select(
+            F.col("o_orderkey").alias("orderkey"), "o_orderstatus"
+        )
+        lineitem = load_table(spark, sf, "lineitem").select(
+            F.col("l_orderkey").alias("orderkey"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+        write_bucketed(orders, f"{db}.orders_b", ["orderkey"], 8, ["orderkey"])
+        write_bucketed(
+            lineitem, f"{db}.lineitem_b", ["orderkey"], 8, ["orderkey"]
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cobucketed_join(
+            spark, f"{db}.orders_b", f"{db}.lineitem_b", ["orderkey"]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        exchange_free = ("Exchange" not in plan) and ("SortMergeJoin" in plan)
+        cents = (
+            F.col("l_extendedprice").cast("decimal(18,2)") * 100
+        ).cast("long")
+        out = (
+            joined.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("long"))
+                .cast("long")
+                .alias("sum_qty"),
+                F.sum(cents).cast("long").alias("sum_cents"),
+            )
+            .withColumn("exchange_free", F.lit(exchange_free))
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return out

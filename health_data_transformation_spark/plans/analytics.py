@@ -14157,3 +14157,87 @@ def q263(spark: SparkSession, sf: str) -> DataFrame:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     return out
+
+
+@register(
+    "q264_approx_percentile_gate",
+    """WITH ev AS (
+          SELECT event_type,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM events),
+       per AS (
+          SELECT event_type, cents, count(*) AS w
+          FROM ev GROUP BY 1, 2),
+       cum AS (
+          SELECT event_type, cents,
+                 sum(w) OVER (PARTITION BY event_type ORDER BY cents)
+                   AS cw,
+                 sum(w) OVER (PARTITION BY event_type) AS tot
+          FROM per)
+       SELECT event_type,
+              CAST(min(cents) AS BIGINT) AS exact_p95_cents,
+              CAST(max(tot) AS BIGINT) AS n_rows,
+              TRUE AS approx_within_bound
+       FROM cum WHERE cw * 100 >= 95 * tot
+       GROUP BY event_type""",
+    "accuracy-gated approximate percentile (the q81-HLL pattern "
+    "applied to Spark's percentile_approx / Greenwald-Khanna sketch): "
+    "the sketch's p95 estimate is partition-order-dependent and so "
+    "never oracle-portable — but its CONTRACT is: the returned value's "
+    "true rank lies within n/accuracy of the target rank.  The query "
+    "computes the exact p95 via the two-phase grouped quantile, the "
+    "approx p95 via percentile_approx(accuracy=100), then verifies "
+    "the approx value's exact rank against the guarantee (an exact "
+    "integer comparison over the same cumulative aggregate) and emits "
+    "the boolean — deterministically TRUE while the sketch honors its "
+    "bound, failing loudly the day it does not.  Approximate "
+    "quantiles are the only way to get p95s over 10^12 rows in one "
+    "pass; gating them against exact math at audit scale is how you "
+    "earn the right to trust them at 100 TB",
+)
+def q264(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profile import grouped_weighted_quantile
+
+    ev = load_events_range(spark, sf)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select("event_type", cents.alias("cents")).withColumn(
+        "w", F.lit(1)
+    )
+    exact = grouped_weighted_quantile(
+        base, "event_type", "cents", "w", q_num=95, q_den=100
+    ).select(
+        "event_type",
+        F.col("quantile_value").alias("exact_p95_cents"),
+        F.col("total_weight").alias("n_rows"),
+    )
+    approx = base.groupBy("event_type").agg(
+        F.percentile_approx("cents", 0.95, 100).alias("ap")
+    )
+    # exact rank of the approx value: rows <= ap, via one conditional agg
+    ranked = (
+        base.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("cents") <= F.col("ap"), 1).otherwise(0)
+            ).alias("rank_of_ap"),
+            F.count("*").alias("n"),
+        )
+    )
+    gate = ranked.select(
+        "event_type",
+        (
+            (F.col("rank_of_ap") * 100 >= 95 * F.col("n") - F.col("n"))
+            & (
+                (F.col("rank_of_ap") - 1) * 100
+                <= 95 * F.col("n") + F.col("n")
+            )
+        ).alias("approx_within_bound"),
+    )
+    return exact.join(gate, "event_type").select(
+        "event_type",
+        F.col("exact_p95_cents").cast("long").alias("exact_p95_cents"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "approx_within_bound",
+    )

@@ -80,14 +80,24 @@ def exact_content_groups(df: DataFrame, text_col: str = "text", id_col: str = "d
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 8
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 8,
+    shingle_k: int | None = None,
 ) -> DataFrame:
-    """MinHash signature per document over its distinct-token set.
+    """MinHash signature per document over its distinct-token set (or,
+    with ``shingle_k``, its distinct k-token-shingle set — the
+    high-cardinality unit that keeps downstream similarity joins off
+    hot keys when the raw vocabulary is small).
 
     sig_i = min over tokens of hex_hash64(token, salt=i).  Computed as a
     per-row array expression (no explode, no shuffle).
     """
-    toks = distinct_tokens(text_col)
+    from ..functions.text import token_shingles
+
+    toks = (
+        F.array_distinct(token_shingles(text_col, shingle_k))
+        if shingle_k
+        else distinct_tokens(text_col)
+    )
 
     def hasher(salt: str):
         # single-arg closure: a two-arg lambda would be (element, index)
@@ -190,6 +200,7 @@ def lsh_near_dup_pairs(
     num_hashes: int = 8,
     min_jaccard: float = 0.5,
     max_bucket: int | None = None,
+    shingle_k: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection:
     shingle -> minhash -> band -> bucket-join candidates -> exact-Jaccard
@@ -202,9 +213,16 @@ def lsh_near_dup_pairs(
     sets for the *candidate* pairs only — never a quadratic pass over
     the corpus.  Output: (id_a, id_b, jaccard), id_a < id_b.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     cands = lsh_candidate_pairs(sigs, id_col, band_size, num_hashes, max_bucket)
-    toks = df.select(F.col(id_col), distinct_tokens(text_col).alias("toks"))
+    from ..functions.text import token_shingles
+
+    set_expr = (
+        F.array_distinct(token_shingles(text_col, shingle_k))
+        if shingle_k
+        else distinct_tokens(text_col)
+    )
+    toks = df.select(F.col(id_col), set_expr.alias("toks"))
     a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")

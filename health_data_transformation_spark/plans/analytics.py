@@ -12954,8 +12954,9 @@ def _q250_oracle() -> str:
         )
         return f"SELECT doc_id, md5('{b},' || {concat}) AS bucket FROM sigs"
 
+    sh = T.token_shingles_sql("text", 3)
     return f"""WITH toks AS (
-          SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+          SELECT doc_id, list_distinct({sh}) AS t
           FROM documents),
        exact AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -13014,8 +13015,13 @@ def _q250_oracle() -> str:
 )
 def q250(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
+    # 3-shingle sets, NOT whole-token sets: the 31-word vocabulary makes
+    # token sets near-identical across the corpus, which degenerates the
+    # prefix filter into an all-pairs verify (measured 150 s at sf0.1);
+    # shingles are high-cardinality, the q141 regime, and similarity
+    # defined over them is the unit production dedup actually uses
     toks = docs.select(
-        "doc_id", F.array_distinct(T.tokens("text")).alias("s")
+        "doc_id", F.array_distinct(T.token_shingles("text", 3)).alias("s")
     )
     exact = D.prefix_filter_jaccard_pairs(
         toks, set_col="s", id_col="doc_id", threshold_pct=50
@@ -13026,6 +13032,7 @@ def q250(spark: SparkSession, sf: str) -> DataFrame:
         num_hashes=8,
         min_jaccard=0.5,
         max_bucket=50,
+        shingle_k=3,
     ).select("id_a", "id_b")
     j = exact.join(
         lsh.withColumn("hit", F.lit(True)), ["id_a", "id_b"], "left"
@@ -13881,8 +13888,9 @@ def _q261_oracle() -> str:
                 WHERE q{t} = 1) AS tokens_removed"""
         for t in _Q261_THRESHOLDS
     )
+    sh = T.token_shingles_sql("text", 3)
     return f"""WITH toks AS (
-          SELECT doc_id, list_distinct(string_split(text, ' ')) AS s,
+          SELECT doc_id, list_distinct({sh}) AS s,
                  len(string_split(text, ' ')) AS tok
           FROM documents),
        pairs AS (
@@ -13928,9 +13936,11 @@ def _q261_oracle() -> str:
 )
 def q261(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
+    # 3-shingle similarity for the same reason as q250: whole-token
+    # sets over the tiny vocabulary defeat the prefix filter
     toks = docs.select(
         "doc_id",
-        F.array_distinct(T.tokens("text")).alias("s"),
+        F.array_distinct(T.token_shingles("text", 3)).alias("s"),
         T.token_count("text").alias("tok"),
     )
     pairs = D.prefix_filter_jaccard_pairs(

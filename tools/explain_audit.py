@@ -116,6 +116,11 @@ DEFAULT_QUERIES = [
     "q256_score_calibration",
     "q257_ledger_reconciliation",
     "q258_burst_detection",
+    "q259_pandas_udf_parity",
+    "q260_hierarchy_rollup",
+    "q261_dedup_threshold_sweep",
+    "q262_position_bias_ips",
+    "q264_approx_percentile_gate",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -191,6 +196,9 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q249_abc_classification",
     "q255_annotator_agreement",
     "q256_score_calibration",
+    # 1-row per-tier pair-count / corpus-token-total aggregates crossed
+    # into the 3-row sweep result
+    "q261_dedup_threshold_sweep",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

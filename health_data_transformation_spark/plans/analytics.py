@@ -14251,3 +14251,63 @@ def q264(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         "approx_within_bound",
     )
+
+
+def _q265_oracle() -> str:
+    ha = hex_hash64_sql(
+        "'crA' || '|' || CAST(c_custkey AS VARCHAR)"
+    )
+    hb = hex_hash64_sql(
+        "'crA' || '|' || CAST(user_id AS VARCHAR)"
+    )
+    return f"""WITH pa AS (
+          SELECT {ha} AS token, c_mktsegment AS seg FROM customer),
+       pb AS (
+          SELECT DISTINCT {hb} AS token, event_type FROM events),
+       cells AS (
+          SELECT seg, event_type, count(*) AS n_matched
+          FROM pa JOIN pb USING (token) GROUP BY 1, 2)
+       SELECT seg, event_type, CAST(n_matched AS BIGINT) AS n_matched
+       FROM cells WHERE n_matched >= 5"""
+
+
+@register(
+    "q265_clean_room_join",
+    _q265_oracle(),
+    "data clean-room join (the privacy-preserving ad-measurement "
+    "shape): two parties match on SALTED-HASH tokens — party A hashes "
+    "its customer keys, party B its user ids, with a shared salt that "
+    "is the clean room's secret — so neither side's raw identifiers "
+    "cross the boundary, and the join itself is an ordinary equi-join "
+    "on 60-bit tokens.  Output is AGGREGATE-ONLY (segment x event-"
+    "type cells) with k-suppression: cells under 5 matched users are "
+    "withheld (q241's k-anonymity rule applied at the output "
+    "boundary), which is what makes the release non-reidentifying.  "
+    "Party B's side is DISTINCT per (token, type) so one noisy user "
+    "cannot inflate a cell.  At 100 TB this is the standard two-"
+    "party measurement topology: hash locally, ship tokens, join on "
+    "high-entropy keys (uniform shuffle), suppress at the edge",
+)
+def q265(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    ev = load_events_range(spark, sf)
+    pa = c.select(
+        T.hex_hash64(F.col("c_custkey").cast("string"), salt="crA").alias(
+            "token"
+        ),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    pb = ev.select(
+        T.hex_hash64(F.col("user_id").cast("string"), salt="crA").alias(
+            "token"
+        ),
+        "event_type",
+    ).distinct()
+    cells = (
+        pa.join(pb, "token")
+        .groupBy("seg", "event_type")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return cells.filter(F.col("n_matched") >= 5).select(
+        "seg", "event_type", F.col("n_matched").cast("long").alias("n_matched")
+    )

@@ -14311,3 +14311,141 @@ def q265(spark: SparkSession, sf: str) -> DataFrame:
     return cells.filter(F.col("n_matched") >= 5).select(
         "seg", "event_type", F.col("n_matched").cast("long").alias("n_matched")
     )
+
+
+def _q266_oracle() -> str:
+    base = (
+        "SELECT o_orderkey AS k, o_orderstatus AS st,"
+        " CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents"
+        " FROM orders"
+    )
+    rh = hex_hash64_sql(
+        "CAST(k AS VARCHAR) || '|' || st || '|' || CAST(cents AS VARCHAR)"
+    )
+    return f"""WITH u AS ({base}),
+       final AS (
+          SELECT k, st,
+                 CASE WHEN k % 9 = 0 THEN cents + 30000
+                      WHEN k % 4 = 0 THEN cents + 20000
+                      WHEN k % 6 = 0 THEN cents + 10000
+                      ELSE cents END AS cents
+          FROM u WHERE k % 3 = 0 OR k % 4 = 0)
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(cents) AS BIGINT) AS sum_cents,
+              CAST(bit_xor({rh}) AS BIGINT) AS xor_hash,
+              TRUE AS paths_equal
+       FROM final"""
+
+
+@register(
+    "q266_merge_composition",
+    _q266_oracle(),
+    "MERGE-composition equivalence (the compaction theorem behind "
+    "every CDC pipeline that batches its upserts): three overlapping "
+    "upsert batches (+10000 on keys %6=0, +20000 on %4=0 — which "
+    "also INSERTS the non-base %4 keys — +30000 on %9=0) are applied "
+    "to a snapshot table SEQUENTIALLY on path A, and as ONE batch on "
+    "path B after last-wins key dedup in batch order — the exact "
+    "compaction a streaming ingest performs when it coalesces a "
+    "backlog.  Both final tables are read back and fingerprinted; "
+    "paths_equal asserts they are byte-identical, and the oracle "
+    "states the final state in closed form (priority CASE over the "
+    "key residues), so BOTH paths are proven against the relational "
+    "truth, not merely against each other.  This equivalence is what "
+    "licenses upsert batching/compaction at 100 TB: N tiny MERGEs "
+    "and one compacted MERGE must commute, and here that is a "
+    "differential fact, not an assumption",
+)
+def q266(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import dedup_first_wins
+    from ..snapshots import SnapshotTable
+
+    o = load_table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    u = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        cents.alias("cents"),
+    ).localCheckpoint()
+    base = u.filter(F.col("k") % 3 == 0)
+    b1 = u.filter(F.col("k") % 6 == 0).withColumn(
+        "cents", F.col("cents") + 10000
+    )
+    b2 = u.filter(F.col("k") % 4 == 0).withColumn(
+        "cents", F.col("cents") + 20000
+    )
+    b3 = u.filter(F.col("k") % 9 == 0).withColumn(
+        "cents", F.col("cents") + 30000
+    )
+
+    def build(tag: str) -> SnapshotTable:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            "hdt_q266_%s_%s_%d"
+            % (tag, os.path.basename(os.path.normpath(sf)), os.getpid()),
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        t = SnapshotTable(u.sparkSession, root)
+        t.commit_overwrite(base)
+        return t
+
+    ta = build("seq")
+    for b in (b1, b2, b3):
+        ta.commit_upsert(b, ["k"])
+    tb = build("merged")
+    # dedup_first_wins keeps the FIRST by ascending order; last-wins
+    # wants the highest batch sequence, so order by negated sequence
+    merged = dedup_first_wins(
+        b1.withColumn("_seq", F.lit(-1))
+        .unionByName(b2.withColumn("_seq", F.lit(-2)))
+        .unionByName(b3.withColumn("_seq", F.lit(-3))),
+        ["k"],
+        ["_seq"],
+    ).drop("_seq")
+    tb.commit_upsert(merged, ["k"])
+
+    rh = T.hex_hash64(
+        F.concat(
+            F.col("k").cast("string"),
+            F.lit("|"),
+            F.col("st"),
+            F.lit("|"),
+            F.col("cents").cast("string"),
+        )
+    )
+
+    def fingerprint(t: SnapshotTable):
+        return (
+            t.read()
+            .select("k", "st", "cents", rh.alias("h"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+                F.expr("bit_xor(h)").alias("xor_hash"),
+            )
+        )
+
+    fa = fingerprint(ta)
+    fb = fingerprint(tb).select(
+        F.col("n_rows").alias("nb"),
+        F.col("sum_cents").alias("sb"),
+        F.col("xor_hash").alias("xb"),
+    )
+    return (
+        fa.crossJoin(F.broadcast(fb))
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            F.col("xor_hash").cast("long").alias("xor_hash"),
+            (
+                (F.col("n_rows") == F.col("nb"))
+                & (F.col("sum_cents") == F.col("sb"))
+                & (F.col("xor_hash") == F.col("xb"))
+            ).alias("paths_equal"),
+        )
+        .localCheckpoint()
+    )

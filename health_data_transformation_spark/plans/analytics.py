@@ -14449,3 +14449,109 @@ def q266(spark: SparkSession, sf: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+def _q267_oracle() -> str:
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return f"""WITH d1 AS (
+          SELECT o_orderstatus AS st, sum({cents}) AS s, count(*) AS n
+          FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+       d2 AS (
+          SELECT o_orderstatus AS st, sum({cents}) AS s, count(*) AS n
+          FROM orders GROUP BY 1),
+       pairs AS (
+          SELECT 1 AS detail_v, 1 AS summary_v, TRUE AS should_match
+          UNION ALL SELECT 2, 2, TRUE
+          UNION ALL SELECT 2, 1, FALSE)
+       SELECT detail_v, summary_v,
+              CASE WHEN detail_v = summary_v THEN TRUE ELSE
+                NOT EXISTS (SELECT 1 FROM d1 JOIN d2 USING (st)
+                            WHERE d1.s <> d2.s OR d1.n <> d2.n)
+              END AS consistent,
+              should_match AS pinned_read
+       FROM pairs"""
+
+
+@register(
+    "q267_snapshot_isolation_join",
+    _q267_oracle(),
+    "cross-table snapshot-isolation read (why version pinning exists): "
+    "a detail table and its per-status summary are committed in "
+    "LOCKSTEP (v1 = even order keys, v2 = all), then three read pairs "
+    "are checked — (detail@1, summary@1) and (detail@2, summary@2) "
+    "must reconcile exactly (the summary equals a recompute of the "
+    "same-version detail, exact cents), while the MIXED pair "
+    "(detail@2, summary@1) demonstrably does NOT: the torn read every "
+    "pipeline without version pinning eventually serves.  The "
+    "consistency bit is computed by full-outer-joining the summary "
+    "against the recompute with null-safe comparisons, so a single "
+    "divergent status cell flips it.  At 100 TB this is the contract "
+    "multi-table transactions (or manifest-pinned reads across "
+    "tables) buy; the differential proves both the guarantee AND the "
+    "failure mode it prevents",
+)
+def q267(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotTable
+
+    o = load_table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        cents.alias("cents"),
+    ).localCheckpoint()
+
+    def mk(tag: str) -> SnapshotTable:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            "hdt_q267_%s_%s_%d"
+            % (tag, os.path.basename(os.path.normpath(sf)), os.getpid()),
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        return SnapshotTable(base.sparkSession, root)
+
+    detail = mk("detail")
+    summary = mk("summary")
+    v1 = base.filter(F.col("k") % 2 == 0)
+    detail.commit_overwrite(v1)
+    summary.commit_overwrite(
+        v1.groupBy("st").agg(
+            F.sum("cents").alias("s"), F.count("*").alias("n")
+        )
+    )
+    detail.commit_overwrite(base)
+    summary.commit_overwrite(
+        base.groupBy("st").agg(
+            F.sum("cents").alias("s"), F.count("*").alias("n")
+        )
+    )
+
+    def consistent(dv: int, sv: int):
+        rec = (
+            detail.read(dv)
+            .groupBy("st")
+            .agg(F.sum("cents").alias("rs"), F.count("*").alias("rn"))
+        )
+        cmpdf = summary.read(sv).join(rec, "st", "full_outer")
+        bad = cmpdf.filter(
+            ~F.col("s").eqNullSafe(F.col("rs"))
+            | ~F.col("n").eqNullSafe(F.col("rn"))
+        ).agg(F.count("*").alias("n_bad"))
+        return bad.select(
+            F.lit(dv).alias("detail_v"),
+            F.lit(sv).alias("summary_v"),
+            (F.col("n_bad") == 0).alias("consistent"),
+            F.lit(dv == sv).alias("pinned_read"),
+        )
+
+    out = (
+        consistent(1, 1)
+        .unionByName(consistent(2, 2))
+        .unionByName(consistent(2, 1))
+        .localCheckpoint()
+    )
+    return out

@@ -56,7 +56,12 @@ def int8_quantize(a: Column | str) -> Column:
     EXACT integer arithmetic — fully portable to the oracle.
     """
     a = F.col(a) if isinstance(a, str) else a
-    scale = F.lit(127.0) / F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    m = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    # all-zero vector: max|x| == 0 would divide by zero (a hard error
+    # under ANSI mode); substituting divisor 1.0 yields floor(0*127)=0
+    # per element — the mathematically sensible all-zero output — and
+    # keeps every path (JVM, oracle SQL, q259 numpy twin) identical
+    scale = F.lit(127.0) / F.when(m == F.lit(0.0), F.lit(1.0)).otherwise(m)
     # clamp: for x == -max|x| the product can round a hair below -127.0
     # and floor to -128, outside int8 (hypothesis-found)
     return F.transform(
@@ -73,7 +78,8 @@ def int8_quantize(a: Column | str) -> Column:
 
 def int8_quantize_sql(a: str) -> str:
     v = f"CAST({a} AS DOUBLE[])"
-    scale = f"(127.0 / list_max(list_transform({v}, x -> abs(x))))"
+    m = f"list_max(list_transform({v}, x -> abs(x)))"
+    scale = f"(127.0 / (CASE WHEN {m} = 0 THEN 1.0 ELSE {m} END))"
     return (
         f"list_transform({v}, x -> greatest(CAST(-127 AS BIGINT), "
         f"least(CAST(127 AS BIGINT), CAST(floor(x * {scale}) AS BIGINT))))"

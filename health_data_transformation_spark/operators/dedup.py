@@ -746,11 +746,23 @@ def fuzzy_best_match(
     Candidates come from the deletion-neighborhood equi-join (complete
     for distance 1 — see deletion_neighborhood_keys), are verified with
     the exact Levenshtein distance, and the winner per dirty id is the
-    argmin on (distance, clean id) via one commutative min_by — no
+    argmin on (distance, clean id) via one commutative min_by over a
+    STRUCT ordering key — structs compare lexicographically field by
+    field, so the tiebreak is exact for ANY id magnitude (an
+    integer-packed composite like dist*1e9+id silently misranks once
+    ids reach 1e9: TPC-H custkeys cross that around sf7000).  No
     window, fully map-side combinable.  The quadratic all-pairs scan
     the naive form needs never happens: cost is O(avg_len x N) keys on
     each side plus the bucket-bounded verify joins.
     """
+    if max_dist != 1:
+        # deletion_neighborhood_keys generates k=1 deletion variants,
+        # which is a COMPLETE candidate generator only for distance<=1;
+        # a larger max_dist would silently drop true matches.
+        raise ValueError(
+            "fuzzy_best_match supports max_dist=1 only (FastSS k=1 "
+            f"blocking is complete only for distance<=1); got {max_dist}"
+        )
     dk = deletion_neighborhood_keys(
         dirty.select(
             F.col(id_col).alias("dirty_id"), F.col(str_col).alias("dirty_s")
@@ -772,8 +784,9 @@ def fuzzy_best_match(
         .withColumn("dist", F.levenshtein("dirty_s", "clean_s"))
         .filter(F.col("dist") <= max_dist)
     )
-    # argmin by (dist, clean_id): integer composite keeps min_by exact
-    composite = F.col("dist") * F.lit(1_000_000_000) + F.col("clean_id")
+    # argmin by (dist, clean_id): struct ordering key compares
+    # lexicographically — exact for any clean_id magnitude
+    composite = F.struct(F.col("dist"), F.col("clean_id"))
     return cand.groupBy("dirty_id").agg(
         F.min_by(F.col("clean_id"), composite).alias("matched_id"),
         F.min("dist").alias("dist"),

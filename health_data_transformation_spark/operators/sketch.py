@@ -312,8 +312,14 @@ def heavy_hitters_exact(
         )
 
     items_only = df.select(item_col)
+    # derive the item field's type from the input schema so non-string
+    # keys (e.g. long ids) round-trip the Arrow boundary without
+    # silent coercion
+    item_type = df.schema[item_col].dataType.simpleString()
     cands = (
-        items_only.mapInPandas(sketch, schema=f"{item_col} string, est long")
+        items_only.mapInPandas(
+            sketch, schema=f"{item_col} {item_type}, est long"
+        )
         .select(item_col)
         .distinct()
     )

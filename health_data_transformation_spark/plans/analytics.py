@@ -5345,7 +5345,7 @@ def _kmeans_d2_sql(vec: str, cent: str) -> str:
 @register(
     "q158_integer_kmeans",
     f"""WITH qv AS (
-         SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), CAST(floor(x * (127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))) AS BIGINT)))) AS v FROM embeddings),
+         SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), CAST(floor(x * (127.0 / (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) = 0 THEN 1.0 ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) END))) AS BIGINT)))) AS v FROM embeddings),
        seeds AS (
          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
          FROM qv ORDER BY vec_id LIMIT 8),
@@ -13773,7 +13773,10 @@ def q259(spark: SparkSession, sf: str) -> DataFrame:
         # outputs are bit-identical, not merely close
         a = np.asarray(v, dtype=np.float64)
         m = np.abs(a).max() if len(a) else 0.0
-        scale = np.float64(127.0) / m
+        # zero-vector guard mirrors functions/vector.py: divisor 1.0
+        # when max|x|==0 -> floor(0*127)=0 per element (the unguarded
+        # 127.0/0.0 path yields 0*inf=NaN and int(NaN) raises)
+        scale = np.float64(127.0) / (m if m != 0.0 else np.float64(1.0))
         q = np.floor(a * scale)
         return [int(x) for x in np.clip(q, -127, 127)]
 

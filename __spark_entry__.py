@@ -41,37 +41,40 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q64/q66) — none are §2 proof queries, and all stay green in the
 #: committed full-registry local artifact and unit tests.
 _PROMOTED = [
-    "q76_dedup_clusters",
-    "q100_embedding_lsh_pairs",
-    "q105_lsh_topk_neighbors",
-    "q141_prefix_jaccard_pairs",
-    "q158_integer_kmeans",
-    "q162_simhash_banded",
-    "q156_bm25_topk",
+    # round-4 rotation (VERDICT r3 #1): driver-grade evidence accrues
+    # by rotating the steered slots each round.  Anchors that stay:
+    # the ingest/versioning/corpus capstones and the three batch-4
+    # execution-path representatives.  Rotated OUT (all 16 were
+    # driver-verified green in CORRECTNESS_r03.json, and stay green in
+    # the committed full-registry local artifact + unit tests):
+    # q76/q100/q105/q141/q156/q158/q162/q173/q181/q184/q186/q191/
+    # q194/q199/q204/q212.  Rotated IN: the batch-4/5 families that
+    # had only local-harness evidence — stream-stream joins, sketch
+    # advisors, dedup-eval layer, bucketed/clean-room/MERGE/snapshot
+    # work.
     "q169_ingest_lifecycle",
-    "q173_semantic_dedup",
     "q180_versioned_dedup_ingest",
-    "q181_stream_incremental_dedup",
-    "q184_perplexity_buckets",
-    "q186_dup_span_table",
-    "q191_theil_sen_trend",
-    "q194_containment_pairs",
-    "q199_warehouse_profile",
     "q200_corpus_export",
-    "q204_exactly_once_sink",
     "q209_ann_recall_eval",
-    "q212_content_defined_chunks",
-    # batch-4 steering: the three newest family representatives with
-    # the most distinctive execution paths (FastSS blocking proof,
-    # Python-side bounded-state sketch via mapInPandas, adaptive
-    # driver-loop Threshold Algorithm).  Displaced: q47/q48/q50 —
-    # their families stay represented (two-phase quantiles via q184,
-    # moment-sum statistics via the promoted CUPED-adjacent entries,
-    # salting via q49) and all remain green in the committed local
-    # artifact and unit tests.
     "q221_fuzzy_match_fastss",
     "q222_heavy_hitters_mg",
     "q231_threshold_algorithm_topk",
+    "q227_corpus_overlap_minhash",
+    "q232_ndcg_retrieval_eval",
+    "q233_graph_feature_propagation",
+    "q234_partition_advisor",
+    "q235_join_strategy_advisor",
+    "q237_merkle_repair_plan",
+    "q238_stream_stream_join",
+    "q240_cms_join_size_estimate",
+    "q243_encoding_advisor",
+    "q244_stream_outer_join",
+    "q250_lsh_recall_eval",
+    "q261_dedup_threshold_sweep",
+    "q263_bucketed_join_exchange_free",
+    "q265_clean_room_join",
+    "q266_merge_composition",
+    "q267_snapshot_isolation_join",
 ]
 
 _DEMOTED = {

@@ -27,7 +27,7 @@ def replicate(df, n, id_cols, text_col=None):
     for i in range(n):
         c = df
         for col in id_cols:
-            c = c.withColumn(col, F.col(col) + F.lit(i * 10_000_000))
+            c = c.withColumn(col, F.col(col) + F.lit(i * 10_000_000))  # ppm-ok: i is the Python replica index (driver-side int, <=30)
         if text_col and i:
             c = c.withColumn(text_col, F.concat_ws(" ", F.col(text_col), F.lit(f"rep{i}")))
         out = c if out is None else out.unionByName(c)

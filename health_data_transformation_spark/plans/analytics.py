@@ -966,14 +966,23 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q53_multimodal_decode",
     """SELECT doc_id,
-              CAST(strlen(text) AS INTEGER) AS n_bytes,
+              CAST(54 + 92 * ((strlen(text) + 29) // 30) AS INTEGER) AS n_bytes,
               CAST((list_sum(list_transform(string_split(text, ''), x -> ord(x)))
-                    * 1000000) // strlen(text) AS DOUBLE) / 1000000 AS feature_mean,
-              CAST(8 AS INTEGER) AS feature_dim
+                    * 1000000) // (30 * ((strlen(text) + 29) // 30)) AS DOUBLE)
+                / 1000000 AS feature_mean,
+              CAST(3 AS INTEGER) AS feature_dim
        FROM documents WHERE doc_id < 500 AND strlen(text) > 0""",
-    "Arrow-batched mapInPandas media-decode pipeline over an opaque binary "
-    "payload column (deterministic fake decoder; real decoder is the same "
-    "plumbing with an image/audio library)",
+    "Arrow-batched mapInPandas media-decode over a REAL image column: "
+    "the text bytes are packed into genuine 24-bpp BMP files (binary "
+    "column; container headers, bottom-up rows, 4-byte stride padding "
+    "— width 30 so the 90-byte rows pad to 92), then bmp_decode parses "
+    "the container back and emits pixel features.  The oracle "
+    "recomputes the file size from the BMP geometry (54 + 92*height) "
+    "and the R-channel mean from the source bytes, so a single "
+    "mis-parsed header field, flipped row order, or mis-strided row "
+    "breaks the differential.  JPEG/PNG would drop into the same "
+    "decode_fn slot (their entropy coders need a library this env "
+    "lacks); the plumbing and the parse are the real thing",
 )
 def q53(spark: SparkSession, sf: str) -> DataFrame:
     from .. import multimodal as MM
@@ -982,7 +991,9 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
         load_table(spark, sf, "documents")
         .filter((F.col("doc_id") < 500) & (F.length("text") > 0))
     )
-    return MM.decode_pipeline(MM.with_payload(d), decode_fn=MM.fake_decode)
+    return MM.decode_pipeline(
+        MM.with_bmp_payload(d), decode_fn=MM.bmp_decode
+    )
 
 
 @register(
@@ -1892,7 +1903,10 @@ def _simhash_pairs_oracle(max_hamming: int) -> str:
 @register(
     "q52_simhash_near_pairs",
     _simhash_pairs_oracle(3),
-    "SimHash near-dup pairs within Hamming radius 3 of the 16-bit signature",
+    "SimHash near-dup pairs within Hamming radius 3 of the 16-bit "
+    "signature — a DEMO bounded to 100 docs whose all-pairs scan is "
+    "deliberate and never the production path; the scale path is "
+    "q162's banded 32-bit SimHash (pigeonhole buckets, no pair scan)",
 )
 def q52(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
@@ -2161,23 +2175,42 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
 RESIZE_W, RESIZE_H = 32, 16
 
 
+#: NN source index for the q84 oracle: target pixel (r, c) samples
+#: source pixel (r*H // out_h, c*30 // out_w) of the width-30 BMP
+_Q84_H = "((strlen(text) + 29) // 30)"
+_Q84_SRC = (
+    f"((r * {_Q84_H}) // {RESIZE_H}) * 30 + ((c * 30) // {RESIZE_W})"
+)
+
+
 @register(
     "q84_multimodal_resize",
     f"""SELECT doc_id, {RESIZE_W} AS out_w, {RESIZE_H} AS out_h,
-               {RESIZE_W * RESIZE_H} AS out_bytes,
-               md5(substr(repeat(text, CAST(ceil({RESIZE_W * RESIZE_H} / CAST(length(text) AS DOUBLE)) AS INT)),
-                          1, {RESIZE_W * RESIZE_H})) AS resized_md5
+               CAST(54 + {(RESIZE_W * 3 + 3) // 4 * 4} * {RESIZE_H} AS INTEGER)
+                 AS out_bytes,
+               CAST(list_sum(flatten(list_transform(range(0, {RESIZE_H}), r ->
+                      list_transform(range(0, {RESIZE_W}), c ->
+                        CASE WHEN {_Q84_SRC} < strlen(text)
+                             THEN ord(text[CAST({_Q84_SRC} + 1 AS INTEGER)])
+                             ELSE 0 END)))) AS BIGINT) AS resized_pixel_sum
         FROM documents WHERE doc_id < 200""",
-    "multimodal resize plumbing: Arrow-batched mapInPandas with a "
-    "fixed-output-size contract (fake resize = cycle-pad/truncate; a "
-    "real PIL resize drops into the same slot) — oracle checks the "
-    "resized bytes via md5 (documents are ASCII so text md5 == byte md5)",
+    "REAL image resize end-to-end: BMP decode -> nearest-neighbor "
+    "resample (src = (r*H div out_h, c*W div out_w)) -> BMP re-encode "
+    "-> decode of the resized file.  The oracle recomputes BOTH the "
+    "resized container size from BMP geometry AND the exact R-channel "
+    "pixel sum of the resampled grid from the source bytes, so the "
+    "whole codec chain (parse, row order, stride, index map, "
+    "re-encode) is differentially pinned.  Replaces the r3 fake "
+    "cycle-pad resize; the mapInPandas plumbing is unchanged — a "
+    "PIL/opencv resampler drops into the same slot",
 )
 def q84(spark: SparkSession, sf: str) -> DataFrame:
-    from ..multimodal import fake_resize, resize_pipeline, with_payload
+    from ..multimodal import resize_features_pipeline, with_bmp_payload
 
-    d = with_payload(load_table(spark, sf, "documents").filter(F.col("doc_id") < 200))
-    return resize_pipeline(d, RESIZE_W, RESIZE_H, resize_fn=fake_resize)
+    d = with_bmp_payload(
+        load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    )
+    return resize_features_pipeline(d, RESIZE_W, RESIZE_H)
 
 
 @register(
@@ -6394,11 +6427,11 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     p = m.select(
         "doc_id",
         F.when(F.col("n_bg") == 0, F.lit(0))
-        .otherwise(F.expr("(top2_cnt * 1000000) div n_bg"))
+        .otherwise(F.expr("(top2_cnt * 1000000) div n_bg"))  # ppm-ok: per-document bigram count, bounded by doc length
         .cast("long")
         .alias("top2_ppm"),
         F.when(F.col("n_tg") == 0, F.lit(0))
-        .otherwise(F.expr("(dup3 * 1000000) div n_tg"))
+        .otherwise(F.expr("(dup3 * 1000000) div n_tg"))  # ppm-ok: per-document trigram dup count, bounded by doc length
         .cast("long")
         .alias("dup3_ppm"),
     )
@@ -6683,7 +6716,7 @@ def q174(spark: SparkSession, sf: str) -> DataFrame:
     per_doc = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tok"), F.sum("s").alias("ssum")
     )
-    ppm = F.expr("(ssum * 1000000) div n_tok")
+    ppm = F.expr("(ssum * 1000000) div n_tok")  # ppm-ok: ssum = per-document sum of <64-bit surprisal over its own tokens; even a 1e10-token document stays ~6e11, x1e6 fits int64
     return per_doc.select(
         "doc_id",
         F.col("n_tok").cast("long").alias("n_tok"),
@@ -7384,7 +7417,7 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
             (F.length(F.bin(F.expr("t div c"))) - 1).alias("s"),
         )
         .groupBy("doc_id")
-        .agg(F.expr("(sum(s) * 1000000) div count(*)").alias("sppm"))
+        .agg(F.expr("(sum(s) * 1000000) div count(*)").alias("sppm"))  # ppm-ok: per-document surprisal sum, bounded by doc length (see q174)
     )
     sc = per_doc.join(d.select("doc_id", "lang"), "doc_id").select(
         "lang", F.col("sppm").alias("s"), F.lit(1).alias("w")
@@ -8063,7 +8096,7 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
     )
-    ppm = F.expr("(n_shared * 1000000) div n_a")
+    ppm = F.expr("(n_shared * 1000000) div n_a")  # ppm-ok: n_shared <= tokens of one document pair, bounded by doc length
     return (
         shared.join(na.withColumnRenamed("doc_id", "id_a"), "id_a")
         .filter(ppm >= _Q194_MIN_PPM)
@@ -8608,16 +8641,18 @@ def q201(spark: SparkSession, sf: str) -> DataFrame:
         "user_id"
     )
     per_key = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    # c^2 (and sum of c^2) outgrow int64 on hot keys long before 100 TB
+    # (c=3e9 rows on one key wraps c*c); DECIMAL(38,0) end to end
     tot = per_key.agg(
         F.sum("c").alias("n_rows"),
         F.count("*").alias("n_keys"),
-        F.sum(F.col("c") * F.col("c")).alias("est_pairs"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("est_pairs"),
     )
     out = per_key.crossJoin(F.broadcast(tot)).select(
         "user_id",
         F.col("c").cast("long").alias("c"),
-        (F.col("c") * F.col("c")).cast("long").alias("pairs"),
-        F.expr("(c * c * 1000000) div est_pairs")
+        F.expr("CAST(c AS DECIMAL(38,0)) * c").cast("long").alias("pairs"),
+        F.expr("(CAST(c AS DECIMAL(38,0)) * c * 1000000) div est_pairs")
         .cast("long")
         .alias("contribution_ppm"),
         F.col("n_rows").cast("long").alias("n_rows"),
@@ -9061,7 +9096,10 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
             "n_docs",
             "n_distinct_fp",
             "n_novel_fp",
-            F.expr("(n_novel_fp * 1000000) div n_distinct_fp")
+            F.expr(
+                "(CAST(n_novel_fp AS DECIMAL(38,0)) * 1000000)"
+                " div n_distinct_fp"
+            )
             .cast("long")
             .alias("novelty_ppm"),
         )
@@ -9297,7 +9335,8 @@ def q209(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.col("n_lsh"), F.lit(0)).cast("long").alias("n_lsh"),
             F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
             F.expr(
-                "coalesce(n_hit, 0) * 1000000 div coalesce(n_exact, 1)"
+                "CAST(coalesce(n_hit, 0) AS DECIMAL(38,0)) * 1000000"
+                " div coalesce(n_exact, 1)"
             )
             .cast("long")
             .alias("recall_ppm"),
@@ -9442,7 +9481,7 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "pair_class",
             "n_pairs",
-            F.expr("n_pairs * 1000000 div n_total")
+            F.expr("CAST(n_pairs AS DECIMAL(38,0)) * 1000000 div n_total")
             .cast("long")
             .alias("share_ppm"),
             "xor_hash",
@@ -9568,7 +9607,10 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
     return per_hash.agg(
         F.sum("cnt").cast("long").alias("n_chunks"),
         F.count("*").cast("long").alias("n_distinct"),
-        F.expr("(sum(cnt) - count(*)) * 1000000 div sum(cnt)")
+        F.expr(
+            "CAST(sum(cnt) - count(*) AS DECIMAL(38,0)) * 1000000"
+            " div sum(cnt)"
+        )
         .cast("long")
         .alias("dup_ppm"),
         F.sum(F.col("cnt") * F.col("n_tok"))
@@ -9726,7 +9768,7 @@ def q214(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rep").cast("int").alias("rep"),
         F.col("n_eff").cast("long").alias("n_eff"),
         F.col("total").cast("long").alias("total_cents"),
-        F.expr("(total - t0) * 1000000 div t0")
+        F.expr("(CAST(total - t0 AS DECIMAL(38,0)) * 1000000) div t0")
         .cast("long")
         .alias("delta_ppm"),
     )
@@ -9812,7 +9854,7 @@ def q215(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("n_bigrams").cast("long").alias("n_bigrams"),
-            F.expr("(ssum * 1000000) div n_bigrams")
+            F.expr("(ssum * 1000000) div n_bigrams")  # ppm-ok: per-document bigram surprisal sum, bounded by doc length (see q174)
             .cast("long")
             .alias("surprisal_ppm"),
         )
@@ -10636,7 +10678,9 @@ def q226(spark: SparkSession, sf: str) -> DataFrame:
             F.col("first_file").cast("long").alias("first_file"),
             F.col("last_file").cast("long").alias("last_file"),
             F.expr(
-                "(bin_bytes * 1000000 - pmod(bin_bytes * 1000000, t)) div t"
+                "(CAST(bin_bytes AS DECIMAL(38,0)) * 1000000"
+                " - pmod(CAST(bin_bytes AS DECIMAL(38,0)) * 1000000, t))"
+                " div t"
             )
             .cast("long")
             .alias("fill_ppm"),
@@ -10753,9 +10797,11 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
         "src_a",
         "src_b",
         F.col("agree64").cast("long").alias("agree64"),
-        F.expr("(agree64 * 1000000) div 64").cast("long").alias("est_ppm"),
+        F.expr("(agree64 * 1000000) div 64").cast("long").alias("est_ppm"),  # ppm-ok: agree64 <= 64 by construction
         F.expr(
-            "(i * 1000000 - pmod(i * 1000000, na + nb - i)) div (na + nb - i)"
+            "(CAST(i AS DECIMAL(38,0)) * 1000000"
+            " - pmod(CAST(i AS DECIMAL(38,0)) * 1000000, na + nb - i))"
+            " div (na + nb - i)"
         )
         .cast("long")
         .alias("exact_ppm"),
@@ -11292,7 +11338,7 @@ def q232(spark: SparkSession, sf: str) -> DataFrame:
         F.col("idcg_micro").cast("long").alias("idcg_micro"),
         F.when(
             F.col("idcg_micro") > 0,
-            F.expr("(dcg_micro * 1000000) div idcg_micro"),
+            F.expr("(dcg_micro * 1000000) div idcg_micro"),  # ppm-ok: dcg_micro is a sum of <=10 literal micro-weights (<1e7) per anchor
         )
         .otherwise(0)
         .cast("long")
@@ -11562,7 +11608,9 @@ def q235(spark: SparkSession, sf: str) -> DataFrame:
             .agg(
                 F.sum("c").cast("long").alias("n_fact_rows"),
                 F.count("*").cast("long").alias("n_keys"),
-                F.expr("(max(c) * 1000000) div sum(c)")
+                F.expr(
+                    "(CAST(max(c) AS DECIMAL(38,0)) * 1000000) div sum(c)"
+                )
                 .cast("long")
                 .alias("hot_ppm"),
             )
@@ -11681,7 +11729,7 @@ def q236(spark: SparkSession, sf: str) -> DataFrame:
     )
     ppm = pairs.select(
         F.when(
-            F.col("un") > 0, F.expr("(inter * 1000000) div un")
+            F.col("un") > 0, F.expr("(inter * 1000000) div un")  # ppm-ok: inter <= token-set size of one sampled document pair
         )
         .otherwise(0)
         .alias("p")
@@ -11975,7 +12023,7 @@ def q239(spark: SparkSession, sf: str) -> DataFrame:
         "month",
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("n_affected").cast("long").alias("n_affected"),
-        F.expr("(n_affected * 1000000) div n_rows")
+        F.expr("(CAST(n_affected AS DECIMAL(38,0)) * 1000000) div n_rows")
         .cast("long")
         .alias("affected_ppm"),
     )
@@ -12062,7 +12110,8 @@ def q240(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cms_join_size").cast("long").alias("cms_join_size"),
         F.col("true_join_size").cast("long").alias("true_join_size"),
         F.expr(
-            "((cms_join_size - true_join_size) * 1000000) div "
+            "(CAST(cms_join_size - true_join_size AS DECIMAL(38,0))"
+            " * 1000000) div "
             "(CASE WHEN true_join_size > 0 THEN true_join_size ELSE 1 END)"
         )
         .cast("long")
@@ -12361,7 +12410,9 @@ def q243(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit(label).alias("col"),
                 F.col("n_rows").cast("long").alias("n_rows"),
                 F.col("n_runs").cast("long").alias("n_runs"),
-                F.expr("(n_runs * 1000000) div n_rows")
+                F.expr(
+                    "(CAST(n_runs AS DECIMAL(38,0)) * 1000000) div n_rows"
+                )
                 .cast("long")
                 .alias("rle_ratio_ppm"),
                 bits(F.col("mx")).alias("plain_bits"),
@@ -13052,7 +13103,7 @@ def q250(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_lsh").cast("long").alias("n_lsh"),
             "n_missed",
             F.expr(
-                "(n_hit * 1000000) div "
+                "(CAST(n_hit AS DECIMAL(38,0)) * 1000000) div "
                 "(CASE WHEN n_exact > 0 THEN n_exact ELSE 1 END)"
             )
             .cast("long")
@@ -13569,13 +13620,15 @@ def q256(spark: SparkSession, sf: str) -> DataFrame:
         "bucket",
         "n",
         "pos",
-        F.expr("(pos * 1000000) div n").cast("long").alias("acc_ppm"),
-        (F.lit(50000) + F.col("bucket") * 100000)
+        F.expr("(CAST(pos AS DECIMAL(38,0)) * 1000000) div n")
+        .cast("long")
+        .alias("acc_ppm"),
+        (F.lit(50000) + F.col("bucket") * 100000)  # ppm-ok: bucket <= 9, literal conf midpoint stays < 1e6
         .cast("long")
         .alias("conf_ppm"),
         F.abs(
-            F.col("pos") * 1000000
-            - (F.lit(50000) + F.col("bucket") * 100000) * F.col("n")
+            F.expr("CAST(pos AS DECIMAL(38,0)) * 1000000")
+            - (F.lit(50000) + F.col("bucket") * 100000) * F.expr("CAST(n AS DECIMAL(38,0))")  # ppm-ok: both terms routed through DECIMAL(38,0)
         ).alias("dev"),
     )
     ece = scored.agg(F.sum("dev").alias("sd")).crossJoin(
@@ -13981,7 +14034,10 @@ def q261(spark: SparkSession, sf: str) -> DataFrame:
         "n_pairs",
         "n_removed",
         "tokens_removed",
-        F.expr("(tokens_removed * 1000000) div corpus_tokens")
+        F.expr(
+            "(CAST(tokens_removed AS DECIMAL(38,0)) * 1000000)"
+            " div corpus_tokens"
+        )
         .cast("long")
         .alias("removed_ppm"),
     )
@@ -14088,7 +14144,9 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
             F.col("pos").cast("int").alias("pos"),
             F.col("n_views").cast("long").alias("n_views"),
             F.col("n_clicked").cast("long").alias("n_clicked"),
-            F.expr("(n_clicked * 1000000) div n_views")
+            F.expr(
+                "(CAST(n_clicked AS DECIMAL(38,0)) * 1000000) div n_views"
+            )
             .cast("long")
             .alias("ctr_ppm"),
             F.expr("ipsm div n_views").cast("long").alias("ips_ctr_ppm"),
@@ -14558,3 +14616,68 @@ def q267(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint()
     )
     return out
+
+
+@register(
+    "q268_multiway_smj_revenue",
+    f"""SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_items,
+               {dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+        FROM customer c
+        JOIN orders o    ON c.c_custkey = o.o_custkey
+        JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                        AND c.c_nationkey = s.s_nationkey
+        JOIN nation n    ON s.s_nationkey = n.n_nationkey
+        JOIN region r    ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name""",
+    "TPC-H Q5 analogue: the 6-way join tier where THREE sides are "
+    "fact-scale (customer x orders x lineitem x supplier, plus "
+    "broadcast nation/region).  At 100 TB customer and supplier are "
+    "far past any broadcast threshold, so the big joins are pinned to "
+    "sort-merge via merge hints — the declarative way to state 'this "
+    "side is never small' without touching session confs (AQE may "
+    "still convert at runtime if a side measures tiny, which is the "
+    "desired behavior at test scale).  The join ORDER is the scale "
+    "decision: orders is date-filtered FIRST (partition-prunable "
+    "predicate pushed to the scan), then lineitem joins the reduced "
+    "orders on orderkey, then customer on custkey, and supplier last "
+    "on (suppkey, nationkey) — each SMJ shuffles both sides once on "
+    "its key; nation/region stay broadcast.  The same-nation residual "
+    "(c_nationkey = s_nationkey) rides the supplier join as part of "
+    "its key, not a post-filter, so no fanout survives the join",
+)
+def q268(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    o = o.filter(
+        (F.col("o_orderdate") >= _ts_lit(o, "o_orderdate", "1996-01-01"))
+        & (F.col("o_orderdate") < _ts_lit(o, "o_orderdate", "1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.hint("merge")
+        .join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .join(cust.hint("merge"), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            supp.hint("merge"),
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n_items"),
+        dec_sum(rev, 4).alias("revenue"),
+    )

@@ -260,3 +260,94 @@ def test_stream_stream_join_equals_batch(spark):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_bmp_codec_roundtrip_and_validation():
+    """Pure-Python BMP codec: encode/decode round-trip, top-down
+    variant, stride padding, and explicit rejection of unsupported
+    containers (no Spark needed)."""
+    import struct
+
+    import numpy as np
+
+    data = bytes(range(256)) * 3  # 768 bytes -> 26 rows at width 30
+    bmp = multimodal.bmp_encode_gray24(data, width=30)
+    assert bmp[:2] == b"BM"
+    h = -(-len(data) // 30)
+    assert len(bmp) == 54 + 92 * h  # 90-byte rows pad to 92
+
+    px = multimodal.bmp_pixels(bmp)
+    assert px.shape == (h, 30, 3)
+    # gray: all channels equal; values = source bytes row-major
+    flat = px[:, :, 2].reshape(-1)
+    assert bytes(flat[: len(data)].tolist()) == data
+    assert (flat[len(data):] == 0).all()
+    assert (px[:, :, 0] == px[:, :, 2]).all()
+
+    # a TOP-DOWN file (negative height) must decode to the same grid
+    td = bytearray(bmp)
+    struct.pack_into("<i", td, 22, -h)
+    body = np.frombuffer(bmp, dtype=np.uint8, offset=54).reshape(h, 92)
+    td[54:] = body[::-1].tobytes()
+    assert multimodal.bmp_pixels(bytes(td)).tolist() == px.tolist()
+
+    feats = multimodal.bmp_decode(bmp)
+    assert feats["n_bytes"] == len(bmp)
+    assert feats["feature_dim"] == 3
+    assert feats["feature_mean"] == ((sum(data) * 10**6) // (30 * h)) / 1e6
+
+    with pytest.raises(ValueError, match="magic"):
+        multimodal.bmp_decode(b"PNG" + bmp[3:])
+    bad_bpp = bytearray(bmp)
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    with pytest.raises(ValueError, match="24-bpp"):
+        multimodal.bmp_decode(bytes(bad_bpp))
+
+
+def test_bmp_resize_nn_matches_index_map():
+    data = b"The quick brown fox jumps over the lazy dog 0123456789!" * 4
+    bmp = multimodal.bmp_encode_gray24(data, width=30)
+    h = -(-len(data) // 30)
+    out = multimodal.bmp_resize_nn(bmp, 8, 4)
+    px = multimodal.bmp_pixels(out)
+    assert px.shape == (4, 8, 3)
+    for r in range(4):
+        for c in range(8):
+            i = (r * h // 4) * 30 + (c * 30 // 8)
+            expect = data[i] if i < len(data) else 0
+            assert px[r, c, 2] == expect
+    # identity resize round-trips exactly
+    same = multimodal.bmp_resize_nn(bmp, 30, h)
+    assert multimodal.bmp_pixels(same).tolist() == multimodal.bmp_pixels(bmp).tolist()
+
+
+def test_bmp_pipelines_on_spark(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "a" * 95)], "doc_id long, text string"
+    )
+    payloads = multimodal.with_bmp_payload(df)
+    decoded = {
+        r["doc_id"]: r
+        for r in multimodal.decode_pipeline(
+            payloads, decode_fn=multimodal.bmp_decode
+        ).collect()
+    }
+    assert decoded[1]["n_bytes"] == 54 + 92  # 11 bytes -> 1 row
+    assert decoded[2]["n_bytes"] == 54 + 92 * 4  # 95 bytes -> 4 rows
+    assert decoded[2]["feature_mean"] == ((ord("a") * 95 * 10**6) // 120) / 1e6
+
+    resized = {
+        r["doc_id"]: r
+        for r in multimodal.resize_features_pipeline(payloads, 8, 4).collect()
+    }
+    assert resized[1]["out_bytes"] == 54 + 24 * 4  # 8*3=24, already 4-aligned
+    # doc 2: all 'a' pixels; NN grid samples (r*4//4, c*30//8) all < 95
+    # except padding region reached only when src row/col land past n
+    import numpy as np
+    n, h = 95, 4
+    s = 0
+    for r in range(4):
+        for c in range(8):
+            i = (r * h // 4) * 30 + (c * 30 // 8)
+            s += ord("a") if i < n else 0
+    assert resized[2]["resized_pixel_sum"] == s

@@ -6,6 +6,17 @@ execution via the no-op sink (measures scan+compute+shuffle without
 driver-side collect costs).  Prints one JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
+
+Variance handling: this box shows ±15% run-to-run totals with 2x
+per-query spikes, which put the bench_diff gate (>=2x AND >=1s) at its
+noise floor.  Queries whose first measurement is >= REP_THRESHOLD are
+re-run once and the MIN of the two is reported — noise is strictly
+additive (GC, page-cache misses, scheduler jitter), so min is the
+robust point estimate of the plan's true cost, and a REAL regression
+is high in both reps.  Queries under the threshold keep a single
+measurement: they cannot trip the gate's 1s absolute floor.  Both raw
+reps land in bench_detail.json under "reps" so the spread is auditable.
+Set SPARK_GRAFT_BENCH_REPS=1 to force the old single-pass behavior.
 """
 
 from __future__ import annotations
@@ -34,19 +45,30 @@ def main() -> None:
     # warm the JVM/codegen path so per-query times measure the plan, not startup
     execute(REGISTRY["q03_pricing_summary"].fn(spark, sf_dir))
 
+    single_pass = os.environ.get("SPARK_GRAFT_BENCH_REPS") == "1"
+    REP_THRESHOLD = 0.95  # under this, a query can't trip the diff gate
+
+    def timed(spec) -> float:
+        t0 = time.time()
+        execute(spec.fn(spark, sf_dir))
+        return time.time() - t0
+
     timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     total = 0.0
     for name, spec in REGISTRY.items():
-        t0 = time.time()
         try:
-            execute(spec.fn(spark, sf_dir))
-            dt = time.time() - t0
+            dt = timed(spec)
+            runs = [dt]
+            if not single_pass and dt >= REP_THRESHOLD:
+                runs.append(timed(spec))
+                dt = min(runs)
         except Exception as e:  # a failing query must not hide the others
-            dt = time.time() - t0
             print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
             continue
         timings[name] = round(dt, 3)
+        reps[name] = [round(r, 3) for r in runs]
         total += dt
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -63,7 +85,12 @@ def main() -> None:
         )
         with open(detail_path, "w") as fh:
             json.dump(
-                {"sf": sf_val, "total_sec": round(total, 3), "queries": timings},
+                {
+                    "sf": sf_val,
+                    "total_sec": round(total, 3),
+                    "queries": timings,
+                    "reps": reps,
+                },
                 fh,
                 indent=1,
                 sort_keys=True,

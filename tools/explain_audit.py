@@ -121,6 +121,14 @@ DEFAULT_QUERIES = [
     "q261_dedup_threshold_sweep",
     "q262_position_bias_ips",
     "q264_approx_percentile_gate",
+    # snapshot-store reads: scans must be manifest-planned (explicit
+    # file lists from the pinned version), never directory listings
+    "q177_time_travel",
+    "q189_schema_evolution",
+    "q196_change_data_feed",
+    "q267_snapshot_isolation_join",
+    # the 6-way SMJ tier: three fact-scale sides pinned to sort-merge
+    "q268_multiway_smj_revenue",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the

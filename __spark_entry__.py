@@ -66,7 +66,6 @@ _PROMOTED = [
     "q235_join_strategy_advisor",
     "q237_merkle_repair_plan",
     "q238_stream_stream_join",
-    "q240_cms_join_size_estimate",
     "q243_encoding_advisor",
     "q244_stream_outer_join",
     "q250_lsh_recall_eval",
@@ -75,6 +74,10 @@ _PROMOTED = [
     "q265_clean_room_join",
     "q266_merge_composition",
     "q267_snapshot_isolation_join",
+    # round-4 addition: the multi-writer race + vacuum differential
+    # (displaces q240, whose sketch/advisor family stays represented
+    # by q234/q235/q243 and which remains green in the local artifact)
+    "q269_snapshot_concurrency",
 ]
 
 _DEMOTED = {

@@ -14681,3 +14681,125 @@ def q268(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("long").alias("n_items"),
         dec_sum(rev, 4).alias("revenue"),
     )
+
+
+@register(
+    "q269_snapshot_concurrency",
+    """WITH fin AS (
+          SELECT o_orderkey AS k, o_orderstatus AS st,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders WHERE o_orderkey % 4 IN (0, 1, 2))
+       SELECT TRUE AS conflict_raised,
+              CAST(3 AS BIGINT) AS loser_retry_version,
+              CAST(4 AS BIGINT) AS n_dirs_removed,
+              TRUE AS expired_read_fails,
+              TRUE AS survives_vacuum,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(cents) AS BIGINT) AS sum_cents,
+              CAST(bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || st || '|' || CAST(cents AS VARCHAR)), 1, 15)) AS BIGINT)) AS BIGINT) AS xor_hash
+       FROM fin""",
+    "snapshot-store MULTI-WRITER differential (the piece q177/q267 "
+    "don't cover): two committers race for the same version — the "
+    "loser's data directory is fully written, then its manifest "
+    "rename loses and raises SnapshotConflict (never a clobber, never "
+    "a path collision: data dirs are uuid-suffixed exactly so the "
+    "loser reaches the atomic rename), and the retry lands on top of "
+    "the winner as v3 with NO data loss.  Then the maintenance path: "
+    "compact() rewrites v3's three directories into one content-"
+    "identical v4, vacuum(retain_last=1) removes exactly 4 "
+    "directories (v1's, both appends', and the loser's orphaned "
+    "first attempt) plus the expired manifests, a time-travel read "
+    "past the horizon fails LOUDLY (ValueError, never half-GC'd "
+    "state), and the surviving snapshot still fingerprint-equals the "
+    "pre-vacuum content (materialized before GC via localCheckpoint). "
+    "The oracle restates the final table relationally from orders and "
+    "pins every staged outcome as a literal — any lost write, silent "
+    "clobber, miscounted GC, or readable-expired-version flips a "
+    "column.  This is the 100 TB multi-writer story: concurrent "
+    "ingest jobs conflict-and-retry instead of corrupting, and GC "
+    "never touches reachable state",
+)
+def q269(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotConflict, SnapshotTable
+
+    o = load_table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        cents.alias("cents"),
+    ).localCheckpoint()
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_q269_%s_%d"
+        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(spark, root)
+    t.commit_overwrite(base.filter(F.col("k") % 4 == 0))  # v1
+
+    # stage the race exactly as two processes would run commit_append:
+    # the LOSER (Y) reads the current version and finishes writing its
+    # data directory BEFORE the winner (X) publishes
+    y_df = base.filter(F.col("k") % 4 == 2)
+    y_version = t.current_version() + 1
+    y_schema = t._evolve_schema(t._table_schema(y_version - 1), y_df.schema)
+    y_dir = t._write_data(y_df, y_version, "append")
+    t.commit_append(base.filter(F.col("k") % 4 == 1))  # X wins v2
+    conflict_raised = False
+    try:
+        prev = t._read_manifest(y_version - 1)["dirs"]
+        t._publish(y_version, prev + [y_dir], "append", y_schema)
+    except SnapshotConflict:
+        conflict_raised = True
+    # loser retries on top of the winner; its first-attempt dir is now
+    # an orphan for vacuum to collect
+    retry_version = t.commit_append(y_df)
+
+    h = T.hex_hash64(
+        F.concat(
+            F.col("k").cast("string"), F.lit("|"), F.col("st"),
+            F.lit("|"), F.col("cents").cast("string"),
+        )
+    )
+
+    def fp(df: DataFrame, pre: str) -> DataFrame:
+        return df.select(h.alias("h"), "cents").agg(
+            F.count("*").cast("long").alias(f"{pre}n"),
+            F.sum("cents").cast("long").alias(f"{pre}s"),
+            F.expr("bit_xor(h)").cast("long").alias(f"{pre}x"),
+        )
+
+    # materialize the pre-maintenance fingerprint BEFORE GC deletes
+    # the directories a lazy plan would still reference
+    pre = fp(t.read(), "pre_").localCheckpoint()
+
+    t.compact()  # v4 = one directory, content-identical
+    removed = t.vacuum(retain_last=1)
+    expired_read_fails = False
+    try:
+        t.read(version=2)
+    except ValueError:
+        expired_read_fails = True
+
+    post = fp(t.read(), "")
+    return post.crossJoin(F.broadcast(pre)).select(
+        F.lit(conflict_raised).alias("conflict_raised"),
+        F.lit(retry_version).cast("long").alias("loser_retry_version"),
+        F.lit(len(removed)).cast("long").alias("n_dirs_removed"),
+        F.lit(expired_read_fails).alias("expired_read_fails"),
+        (
+            (F.col("n") == F.col("pre_n"))
+            & (F.col("s") == F.col("pre_s"))
+            & (F.col("x") == F.col("pre_x"))
+        ).alias("survives_vacuum"),
+        F.col("n").alias("n_rows"),
+        F.col("s").alias("sum_cents"),
+        F.col("x").alias("xor_hash"),
+    )

@@ -107,7 +107,17 @@ class SnapshotTable:
     # -- commits -------------------------------------------------------------
 
     def _write_data(self, df: DataFrame, version: int, tag: str) -> str:
-        d = os.path.join(self.root, "data", f"c{version:06d}-{tag}")
+        # uuid suffix: two RACING committers targeting the same version
+        # must not collide on the data path — the loser has to reach
+        # the manifest rename and get a clean SnapshotConflict there,
+        # not a path-exists error mid-write (the Delta GUID-file-name
+        # rationale); the loser's directory becomes an orphan that
+        # vacuum() collects
+        import uuid
+
+        d = os.path.join(
+            self.root, "data", f"c{version:06d}-{tag}-{uuid.uuid4().hex[:8]}"
+        )
         df.write.mode("error").parquet(d)
         return d
 

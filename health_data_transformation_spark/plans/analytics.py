@@ -14803,3 +14803,130 @@ def q269(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s").alias("sum_cents"),
         F.col("x").alias("xor_hash"),
     )
+
+
+def _zorder_terms(x: str, y: str, dialect: str, bits: int = 16) -> str:
+    """Bit-interleaved Morton/Z value of two non-negative int columns:
+    bit i of x lands at position 2i, bit i of y at 2i+1.  Disjoint bit
+    positions, so summing the shifted bits equals OR-ing them.  Emitted
+    per dialect (Spark: shiftleft/shiftright functions; DuckDB: <<//>>
+    operators); exact integer arithmetic, 32 bits total -> fits BIGINT."""
+    terms = []
+    for i in range(bits):
+        if dialect == "spark":
+            terms.append(
+                f"shiftleft((shiftright(CAST({x} AS BIGINT), {i}) & 1), {2 * i})"
+            )
+            terms.append(
+                f"shiftleft((shiftright(CAST({y} AS BIGINT), {i}) & 1), {2 * i + 1})"
+            )
+        else:
+            terms.append(f"(((CAST({x} AS BIGINT) >> {i}) & 1) << {2 * i})")
+            terms.append(f"(((CAST({y} AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_Q270_FILES = 64
+_Q270_PRED = "pk BETWEEN 100 AND 299 AND sk BETWEEN 10 AND 29"
+_Q270_OVERLAP = "maxp >= 100 AND minp <= 299 AND maxs >= 10 AND mins <= 29"
+
+
+def _q270_layout_sql(layout: str, order_by: str) -> str:
+    return f"""
+      SELECT '{layout}' AS layout,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN {_Q270_OVERLAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+             CAST(sum(CASE WHEN {_Q270_OVERLAP} THEN c ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+             CAST(sum(m) AS BIGINT) AS rows_matched
+      FROM (
+        SELECT fid, min(pk) AS minp, max(pk) AS maxp,
+               min(sk) AS mins, max(sk) AS maxs, count(*) AS c,
+               sum(CASE WHEN {_Q270_PRED} THEN 1 ELSE 0 END) AS m
+        FROM (
+          SELECT ((row_number() OVER (ORDER BY {order_by}) - 1)
+                  * {_Q270_FILES}) // count(*) OVER () AS fid, pk, sk
+          FROM zli) GROUP BY fid)"""
+
+
+@register(
+    "q270_zorder_pruning",
+    f"""WITH zli AS (
+          SELECT l_orderkey AS ok, l_linenumber AS ln,
+                 l_partkey AS pk, l_suppkey AS sk,
+                 {_zorder_terms('l_partkey', 'l_suppkey', 'duck')} AS z
+          FROM lineitem)
+        SELECT * FROM ({_q270_layout_sql('natural', 'ok, ln, pk, sk')}
+        UNION ALL {_q270_layout_sql('zorder', 'z, pk, sk, ok, ln')}) t""",
+    "Z-ORDER clustering + zone-map pruning effectiveness (the Delta "
+    "OPTIMIZE ZORDER story — at 100 TB, file skipping is THE scan-cost "
+    "lever): lineitem is laid out into 64 equal 'files' twice — natural "
+    "(orderkey, linenumber) order vs Morton order on the exact "
+    "bit-interleaved (partkey, suppkey) Z-value — per-file min/max zone "
+    "maps are built for both keys, and a 2-D predicate box (partkey "
+    "100-299 x suppkey 10-29) is planned against each layout: a file "
+    "is scanned iff its [min,max] ranges overlap the box.  The "
+    "differential pins files_scanned / rows_scanned / rows_matched for "
+    "BOTH layouts — z-order must prune most files while the natural "
+    "layout scans nearly all (random key placement makes every zone "
+    "map span the domain), and rows_matched must be identical (pruning "
+    "is lossless).  The file assignment uses the scalable "
+    "range-partitioned global rank (operators/topk.py), which is "
+    "exactly how the real z-order WRITE works at scale "
+    "(repartitionByRange on z, one file per range); Morton bits are "
+    "exact integer arithmetic, portable to the oracle",
+)
+def q270(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+    )
+    li = li.withColumn(
+        "z", F.expr(_zorder_terms("pk", "sk", "spark"))
+    ).localCheckpoint()
+
+    matched = F.when(
+        F.col("pk").between(100, 299) & F.col("sk").between(10, 29), 1
+    ).otherwise(0)
+    overlap = (
+        (F.col("maxp") >= 100) & (F.col("minp") <= 299)
+        & (F.col("maxs") >= 10) & (F.col("mins") <= 29)
+    )
+
+    def layout(name: str, order_cols) -> DataFrame:
+        ranked = K.global_row_number(li, order_cols)
+        tot = ranked.agg(F.count("*").alias("_n"))
+        stats = (
+            ranked.crossJoin(F.broadcast(tot))
+            .select(
+                F.expr(f"((rn - 1) * {_Q270_FILES}) div _n").alias("fid"),
+                "pk",
+                "sk",
+            )
+            .groupBy("fid")
+            .agg(
+                F.min("pk").alias("minp"),
+                F.max("pk").alias("maxp"),
+                F.min("sk").alias("mins"),
+                F.max("sk").alias("maxs"),
+                F.count("*").alias("c"),
+                F.sum(matched).alias("m"),
+            )
+        )
+        return stats.agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(F.when(overlap, 1).otherwise(0))
+            .cast("long")
+            .alias("files_scanned"),
+            F.sum(F.when(overlap, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("m").cast("long").alias("rows_matched"),
+        ).select(F.lit(name).alias("layout"), "*")
+
+    return layout("natural", [F.asc("ok"), F.asc("ln"), F.asc("pk"), F.asc("sk")]).unionByName(
+        layout("zorder", [F.asc("z"), F.asc("pk"), F.asc("sk"), F.asc("ok"), F.asc("ln")])
+    )

@@ -1,0 +1,239 @@
+"""Skewed-key stress wave: Zipf(1.2) key distributions at ~sf1.
+
+registry_stress.py replicates uniformly, so the salting / AQE-skew-join
+claims (q49/q50/q98, SCALE.md §4) had never been proven against real
+skew.  This wave:
+
+1. builds a ~sf1 directory where events.user_id and orders.o_custkey
+   are REMAPPED to a Zipf(1.2) distribution via the discrete-Pareto
+   inverse CDF (rank = floor(u^(-1/(s-1))), s=1.2 -> u^-5; the top key
+   owns ~13% of all rows — 1-2e5 rows on one key at 10x).  Keys stay
+   inside the replica-0 dimension domain so every FK remains valid;
+   all other tables replicate exactly as registry_stress does.
+2. runs the join/agg/window families keyed on the skewed columns with
+   the Spark event log enabled, parses per-task durations, and FAILS
+   if any qualifying stage (>= 8 tasks, median >= 0.3 s) has a
+   straggler task > 5x the stage median.
+3. proves NO WRONG ANSWERS under skew: each wave query's DuckDB oracle
+   runs against the same skewed parquet and the results are compared
+   with the check_oracle canonicalization.
+
+Usage: python tools/skew_stress.py [replicas=10] [query ...]
+Results feed SCALE.md §8.6.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+ZIPF_S = 1.2
+STRAGGLER_FACTOR = 5.0
+MIN_TASKS = 8
+MIN_MEDIAN_S = 0.3
+
+#: join/agg/window families keyed on the skewed columns, plus the
+#: salting/skew machinery itself and the SMJ chain AQE must re-plan
+WAVE = [
+    "q49_salted_join",
+    "q50_salted_agg",
+    "q98_hot_key_detector",
+    "q15_orders_per_customer",
+    "q18_running_user_totals",
+    "q46_sessionize",
+    "q134_markov_transitions",
+    "q201_join_fanout_preflight",
+    "q268_multiway_smj_revenue",
+]
+
+
+def zipf_rank(u: "F.Column", n_keys: int) -> "F.Column":
+    """Discrete-Pareto inverse CDF: P(rank >= r) = r^-(s-1)."""
+    return F.least(
+        F.lit(n_keys), F.floor(F.pow(u, F.lit(-1.0 / (ZIPF_S - 1.0))))
+    ).cast("long")
+
+
+def build_skewed(spark, n: int, dest: str) -> None:
+    from registry_stress import build_replicated
+
+    from health_data_transformation_spark.sources.tables import load_table
+
+    build_replicated(spark, n, dest)
+    marker = os.path.join(dest, "_skewed")
+    if os.path.exists(marker):
+        return
+    # remap the fact keys to Zipf ranks INSIDE the replica-0 dim domain
+    # (user_id in [0,1500), o_custkey in [0,15000)) so FKs stay valid
+    for table, key, n_keys, salt in (
+        ("events", "user_id", 1500, "zipf-ev"),
+        ("orders", "o_custkey", 15000, "zipf-ord"),
+    ):
+        path = os.path.join(dest, f"{table}.parquet")
+        df = spark.read.parquet(path)
+        m = 1_000_003
+        u = (
+            (F.abs(F.xxhash64(F.col(key) + F.lit(hash(salt) % m))) % m + 1)
+            / (m + 1)
+        ).cast("double")
+        skewed = df.withColumn(key, zipf_rank(u, n_keys) - 1)
+        skewed.write.mode("overwrite").parquet(path + ".tmp")
+        shutil.rmtree(path)
+        os.rename(path + ".tmp", path)
+        print(f"skewed {table}.{key} over {n_keys} keys (zipf s={ZIPF_S})")
+    open(marker, "w").close()
+
+
+def event_files(log_dir: str) -> list[str]:
+    """Spark 4 writes a v2 event-log DIRECTORY per app containing one
+    or more ``events_N_...`` files; older builds write a single file."""
+    out: list[str] = []
+    for root, _dirs, files in os.walk(log_dir):
+        for f in files:
+            if f.startswith("events_") or f.startswith("local-"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def task_durations_since(
+    log_dir: str, offsets: dict[str, int]
+) -> list[dict]:
+    """Parse SparkListenerTaskEnd events appended past the recorded
+    per-file offsets (mutated in place); returns per-stage task lists."""
+    stages: dict[int, list[float]] = {}
+    for path in event_files(log_dir):
+        with open(path) as fh:
+            fh.seek(offsets.get(path, 0))
+            for line in fh:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                info = ev.get("Task Info", {})
+                dur = (
+                    info.get("Finish Time", 0) - info.get("Launch Time", 0)
+                ) / 1e3
+                stages.setdefault(ev.get("Stage ID", -1), []).append(dur)
+            offsets[path] = fh.tell()
+    return [
+        {"stage": sid, "tasks": sorted(ds)}
+        for sid, ds in sorted(stages.items())
+    ]
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    n = int(args[0]) if args and args[0].isdigit() else 10
+    names = [a for a in args if not a.isdigit()] or WAVE
+
+    import duckdb
+
+    from check_oracle import TABLES, canon_frame
+
+    import __spark_entry__ as entrymod
+
+    log_dir = "/tmp/hdt_skew_eventlog"
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+        )
+        .appName("skew-stress")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", f"file://{log_dir}")
+        .config("spark.eventLog.compress", "false")  # parse as plain JSONL
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dest = f"/tmp/hdt_skew_sf{n}"
+    t0 = time.time()
+    build_skewed(spark, n, dest)
+    print(f"skewed inputs ready in {time.time() - t0:.1f}s at {dest}")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        # Spark writes directory-style parquet; DuckDB wants a glob
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dest}/{t}.parquet/*.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    offsets = {p: os.path.getsize(p) for p in event_files(log_dir)}
+
+    failures: list[str] = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, dest).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: {type(e).__name__}: {str(e)[:200]}")
+            continue
+        wall = time.time() - t0
+        # flush the event log before reading it
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        stages = task_durations_since(log_dir, offsets)
+        worst = None
+        for st in stages:
+            ts = st["tasks"]
+            if len(ts) < MIN_TASKS:
+                continue
+            med = statistics.median(ts)
+            if med < MIN_MEDIAN_S:
+                continue
+            ratio = ts[-1] / med
+            if worst is None or ratio > worst[0]:
+                worst = (ratio, st["stage"], med, ts[-1], len(ts))
+        straggle = ""
+        if worst:
+            r, sid, med, mx, k = worst
+            straggle = (
+                f" worst-stage {sid}: {k} tasks median {med:.2f}s "
+                f"max {mx:.2f}s ratio {r:.1f}x"
+            )
+            if r > STRAGGLER_FACTOR:
+                failures.append(name)
+                print(f"STRAGGLER {name}: {wall:.1f}s{straggle}")
+                continue
+        # wrong-answer gate: the DuckDB oracle on the SAME skewed data
+        verdict = "rows-only"
+        if name in oracles:
+            odf = con.execute(oracles[name]).fetchdf()
+            if canon_frame(sdf) == canon_frame(odf):
+                verdict = "oracle-match"
+            else:
+                failures.append(name)
+                print(
+                    f"WRONG {name}: {wall:.1f}s spark={len(sdf)} "
+                    f"oracle={len(odf)} rows (values differ)"
+                )
+                continue
+        print(f"OK    {name}: {wall:.1f}s {verdict} rows={len(sdf)}{straggle}")
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("skew wave clean: no wrong answers, no stragglers >5x median")
+
+
+if __name__ == "__main__":
+    main()

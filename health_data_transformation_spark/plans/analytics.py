@@ -14930,3 +14930,253 @@ def q270(spark: SparkSession, sf: str) -> DataFrame:
     return layout("natural", [F.asc("ok"), F.asc("ln"), F.asc("pk"), F.asc("sk")]).unionByName(
         layout("zorder", [F.asc("z"), F.asc("pk"), F.asc("sk"), F.asc("ok"), F.asc("ln")])
     )
+
+
+_Q271_BUDGET = 1000
+
+
+@register(
+    "q271_neyman_allocation",
+    f"""WITH s AS (
+          SELECT o_orderpriority AS stratum,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+                 o_orderkey AS k
+          FROM orders),
+       agg AS (
+          SELECT stratum, count(*) AS n_h,
+                 sum(cents) AS s1, sum(cents * cents) AS s2
+          FROM s GROUP BY stratum),
+       wtab AS (
+          SELECT stratum, n_h,
+                 CAST(floor(sqrt(CAST(n_h * ((n_h * s2 - s1 * s1)
+                                             // (n_h - 1)) AS DOUBLE)))
+                      AS BIGINT) AS w
+          FROM agg),
+       quota AS (
+          SELECT stratum, n_h, w,
+                 ({_Q271_BUDGET} * w) // sum(w) OVER () AS base,
+                 ({_Q271_BUDGET} * w) % sum(w) OVER () AS rem
+          FROM wtab),
+       ranked AS (
+          SELECT stratum, n_h, w, base,
+                 row_number() OVER (ORDER BY rem DESC, stratum) AS rr,
+                 {_Q271_BUDGET} - sum(base) OVER () AS leftover
+          FROM quota),
+       alloc AS (
+          SELECT stratum, n_h, w,
+                 base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS n_alloc
+          FROM ranked),
+       sel AS (
+          SELECT s.stratum, s.k,
+                 row_number() OVER (
+                   PARTITION BY s.stratum
+                   ORDER BY CAST(('0x' || substr(md5('q271|' || CAST(s.k AS VARCHAR)), 1, 15)) AS BIGINT), s.k
+                 ) AS sr
+          FROM s)
+       SELECT a.stratum,
+              CAST(a.n_h AS BIGINT) AS n_h,
+              CAST(a.w AS BIGINT) AS w,
+              CAST(a.n_alloc AS BIGINT) AS n_alloc,
+              CAST(count(*) AS BIGINT) AS n_sampled,
+              CAST(bit_xor(CAST(('0x' || substr(md5(CAST(sel.k AS VARCHAR)), 1, 15)) AS BIGINT)) AS BIGINT) AS sample_xor
+       FROM alloc a JOIN sel ON sel.stratum = a.stratum AND sel.sr <= a.n_alloc
+       GROUP BY a.stratum, a.n_h, a.w, a.n_alloc""",
+    "Neyman-allocation stratified sampling (the variance-optimal "
+    "survey design every eval-set builder should use instead of "
+    "uniform sampling): per-stratum (order priority) allocation "
+    "n_h proportional to N_h * S_h, computed ENGINE-EXACTLY — the "
+    "variance numerator N*sum(x^2) - sum(x)^2 stays in DECIMAL(38,0) "
+    "integers (cents^2 sums pass 1e22 at sf0.1; int64 is long gone), "
+    "one integral division, one IEEE sqrt (bit-portable, q197 "
+    "precedent), then the q172/q197 largest-remainder method makes "
+    "the allocations sum EXACTLY to the 1000-row budget.  Selection "
+    "is deterministic hash-rank per stratum (salted md5 order), so "
+    "the sample itself — not just its size — is pinned by the xor "
+    "fingerprint.  Plan: one map-combinable pass for moments, "
+    "windows over the 5-row aggregate, one per-stratum rank over the "
+    "hash (at 100 TB: top_k_per_group_scalable's two-phase shape "
+    "replaces the window; allocations are per-group constants)",
+)
+def q271(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    s = o.select(
+        F.col("o_orderpriority").alias("stratum"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    )
+    agg = s.groupBy("stratum").agg(
+        F.count("*").alias("n_h"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("s2"),
+    )
+    wtab = agg.select(
+        "stratum",
+        "n_h",
+        F.floor(
+            F.sqrt(
+                F.expr(
+                    # div returns BIGINT; lift back to DECIMAL before
+                    # the N_h multiply (N*N*Var passes int64 fast)
+                    "CAST(CAST(n_h AS DECIMAL(38,0))"
+                    " * ((n_h * s2 - s1 * s1) div (n_h - 1)) AS DOUBLE)"
+                )
+            )
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    win = Window.partitionBy()
+    quota = wtab.select(
+        "stratum",
+        "n_h",
+        "w",
+        F.expr(f"({_Q271_BUDGET} * w) div sum(w) OVER ()").alias("base"),
+        F.expr(f"({_Q271_BUDGET} * w) % sum(w) OVER ()").alias("rem"),
+    )
+    ranked = quota.select(
+        "stratum",
+        "n_h",
+        "w",
+        "base",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.asc("stratum")))
+        .alias("rr"),
+        (F.lit(_Q271_BUDGET) - F.sum("base").over(win)).alias("leftover"),
+    )
+    alloc = ranked.select(
+        "stratum",
+        "n_h",
+        "w",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("n_alloc"),
+    )
+    sel = s.select(
+        "stratum",
+        "k",
+        F.row_number()
+        .over(
+            Window.partitionBy("stratum").orderBy(
+                T.hex_hash64(F.col("k").cast("string"), salt="q271"),
+                F.asc("k"),
+            )
+        )
+        .alias("sr"),
+    )
+    kh = T.hex_hash64(F.col("k").cast("string"))
+    return (
+        sel.join(F.broadcast(alloc), "stratum")
+        .filter(F.col("sr") <= F.col("n_alloc"))
+        .withColumn("h", kh)
+        .groupBy("stratum", "n_h", "w", "n_alloc")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.expr("bit_xor(h)").cast("long").alias("sample_xor"),
+        )
+        .select(
+            "stratum",
+            F.col("n_h").cast("long").alias("n_h"),
+            F.col("w").cast("long").alias("w"),
+            F.col("n_alloc").cast("long").alias("n_alloc"),
+            "n_sampled",
+            "sample_xor",
+        )
+    )
+
+
+def _q272_line(dialect: str) -> str:
+    """Synthesized contact-log line per customer: a name token, an
+    account number, an email, and a phone-shaped number — deterministic
+    from the key so both engines build the identical corpus.  Only the
+    string type name differs per dialect."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return (
+        "'ticket from ' || c_name || ' acct '"
+        f" || substr(md5(CAST(c_custkey AS {s})), 1, 4)"
+        f" || lpad(CAST(c_custkey % 100000 AS {s}), 5, '0')"
+        f" || ' email user' || CAST(c_custkey AS {s}) || '@example.com'"
+        f" || ' phone 555-' || lpad(CAST(c_custkey % 10000 AS {s}), 4, '0')"
+    )
+
+
+_Q272_LINE_SQL = _q272_line("duck")
+_Q272_PATTERNS = [
+    ("email", "[a-z0-9]+@[a-z]+\\.[a-z]+", "<EMAIL>"),
+    ("phone", "[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("digits", "[0-9]{5,}", "<NUM>"),
+]
+
+
+@register(
+    "q272_pii_redaction",
+    f"""WITH log AS (
+          SELECT c_custkey AS k, {_Q272_LINE_SQL} AS line FROM customer),
+       cnt AS (
+          SELECT k,
+                 len(regexp_extract_all(line, '{_Q272_PATTERNS[0][1]}')) AS n_email,
+                 len(regexp_extract_all(line, '{_Q272_PATTERNS[1][1]}')) AS n_phone,
+                 len(regexp_extract_all(line, '{_Q272_PATTERNS[2][1]}')) AS n_digits,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(line, '{_Q272_PATTERNS[0][1]}', '<EMAIL>', 'g'),
+                     '{_Q272_PATTERNS[1][1]}', '<PHONE>', 'g'),
+                   '{_Q272_PATTERNS[2][1]}', '<NUM>', 'g') AS clean
+          FROM log)
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_email) AS BIGINT) AS n_email,
+              CAST(sum(n_phone) AS BIGINT) AS n_phone,
+              CAST(sum(n_digits) AS BIGINT) AS n_digits,
+              CAST(sum(CASE WHEN regexp_matches(clean, '[0-9]{{5,}}')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_residual,
+              CAST(bit_xor(CAST(('0x' || substr(md5(clean), 1, 15)) AS BIGINT)) AS BIGINT) AS clean_xor
+       FROM cnt""",
+    "PII redaction audit (the scrub step every LLM training corpus "
+    "runs before export): a synthesized contact log (name, account "
+    "number, email, phone — deterministic from the customer key so "
+    "the oracle builds the identical corpus) is redacted by an "
+    "ordered regex cascade (email -> phone -> digit-run; order "
+    "matters, the digit rule would eat the phone otherwise), and the "
+    "differential pins per-type match counts, a RESIDUAL scan "
+    "proving no 5+-digit run survives redaction, and the xor "
+    "fingerprint of every redacted line — so the replacement "
+    "byte-for-byte, not just the counts, is verified.  All JVM-side "
+    "regexp_replace/regexp_count (whole-stage codegen, no UDF); at "
+    "100 TB this is one narrow projection pass, map-only, no shuffle "
+    "until the 1-row audit aggregate",
+)
+def q272(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    line = F.expr(_q272_line("spark"))
+    df = c.select(F.col("c_custkey").alias("k"), line.alias("line"))
+    clean = F.col("line")
+    for _name, pat, rep in _Q272_PATTERNS:
+        clean = F.regexp_replace(clean, pat, rep)
+    red = df.select(
+        "k",
+        F.expr(
+            f"size(regexp_extract_all(line, '{_Q272_PATTERNS[0][1]}', 0))"
+        ).alias("n_email"),
+        F.expr(
+            f"size(regexp_extract_all(line, '{_Q272_PATTERNS[1][1]}', 0))"
+        ).alias("n_phone"),
+        F.expr(
+            f"size(regexp_extract_all(line, '{_Q272_PATTERNS[2][1]}', 0))"
+        ).alias("n_digits"),
+        clean.alias("clean"),
+    ).withColumn("h", T.hex_hash64(F.col("clean")))
+    return red.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_email").cast("long").alias("n_email"),
+        F.sum("n_phone").cast("long").alias("n_phone"),
+        F.sum("n_digits").cast("long").alias("n_digits"),
+        F.sum(
+            F.when(F.col("clean").rlike("[0-9]{5,}"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_residual"),
+        F.expr("bit_xor(h)").cast("long").alias("clean_xor"),
+    )

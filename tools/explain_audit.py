@@ -207,6 +207,14 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # 1-row per-tier pair-count / corpus-token-total aggregates crossed
     # into the 3-row sweep result
     "q261_dedup_threshold_sweep",
+    # _graph_edges attaches a 1-row node-count aggregate by broadcast
+    # cross (the q93/q161/q166 no-driver-literal idiom); the two
+    # propagation rounds re-evaluate the edge builder, so the SAME
+    # 1-row cross appears several times in the plan
+    "q233_graph_feature_propagation",
+    # 1-row LSH-pair-count total attached to the recall aggregate
+    # (the exact-truth arm is audit-scale by design, see SCALE.md)
+    "q250_lsh_recall_eval",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

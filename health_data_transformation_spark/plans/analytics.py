@@ -15180,3 +15180,70 @@ def q272(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_residual"),
         F.expr("bit_xor(h)").cast("long").alias("clean_xor"),
     )
+
+
+@register(
+    "q273_grouped_ols_trend",
+    """WITH pts AS (
+          SELECT o_orderpriority AS grp,
+                 CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS x,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS y
+          FROM orders),
+       m AS (
+          SELECT grp, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM pts GROUP BY grp)
+       SELECT grp,
+              CAST(n AS BIGINT) AS n,
+              CAST((n * sxy - sx * sy) * 1000000
+                   // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm_cents_per_day,
+              CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000
+                                    // (n * sxx - sx * sx)) * sx)
+                   // (n * 1000000) AS BIGINT) AS intercept_cents
+       FROM m""",
+    "grouped closed-form OLS (per-segment trend fitting — the "
+    "price-drift / KPI-slope readout every warehouse dashboard wants, "
+    "done WITHOUT any iterative solver): slope = (n*Sxy - Sx*Sy) / "
+    "(n*Sxx - Sx^2) from one map-combinable pass of cross-moments per "
+    "group.  Every moment stays exact integer (DECIMAL(38,0) — x*y is "
+    "day-index times cents, Sxy passes 1e16 at sf0.1 and the n*Sxy "
+    "product passes int64 immediately), and the slope ships as an "
+    "integral ppm ratio so the oracle comparison is exact, no "
+    "IEEE-division drift.  At 100 TB this is the textbook 'heavy "
+    "aggregate, tiny result' shape: one shuffle on the group key, "
+    "partial aggregation does almost all the work map-side",
+)
+def q273(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    pts = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT) div 86400"
+        ).alias("x"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    slope = "((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx))"
+    return m.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.expr(slope).cast("long").alias("slope_ppm_cents_per_day"),
+        # pure integer arithmetic (both engines truncate div toward
+        # zero, verified): intercept = (Sy*1e6 - slope_ppm*Sx) / (n*1e6)
+        F.expr(
+            f"(sy * 1000000 - CAST({slope} AS DECIMAL(38,0)) * sx)"
+            " div (CAST(n AS DECIMAL(38,0)) * 1000000)"
+        )
+        .cast("long")
+        .alias("intercept_cents"),
+    )

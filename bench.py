@@ -59,14 +59,24 @@ def main() -> None:
     for name, spec in REGISTRY.items():
         try:
             dt = timed(spec)
-            runs = [dt]
-            if not single_pass and dt >= REP_THRESHOLD:
-                runs.append(timed(spec))
-                dt = min(runs)
         except Exception as e:  # a failing query must not hide the others
             print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
             continue
+        runs = [dt]
+        if not single_pass and dt >= REP_THRESHOLD:
+            # the confirmation rep is guarded separately: a transient
+            # failure (executor GC, page-cache eviction) must not
+            # discard the successful first measurement
+            try:
+                runs.append(timed(spec))
+                dt = min(runs)
+            except Exception as e:
+                print(
+                    f"bench rep2 error in {name} (keeping rep1): "
+                    f"{type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
         timings[name] = round(dt, 3)
         reps[name] = [round(r, 3) for r in runs]
         total += dt

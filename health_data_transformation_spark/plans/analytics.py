@@ -5009,7 +5009,7 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(
             "CAST(((2 * CAST(sum(rk * cents) AS DECIMAL(38,0))"
             " - (count(*) + 1) * CAST(sum(cents) AS DECIMAL(38,0))) * 1000000)"
-            " div (count(*) * CAST(sum(cents) AS DECIMAL(38,0))) AS BIGINT)"
+            " div (count(*) * CAST(sum(cents) AS DECIMAL(38,0))) AS BIGINT)"  # div-ok: gini_ppm in [-1e6, 1e6] by the Lorenz identity
         ).alias("gini_ppm"),
     )
 
@@ -5704,7 +5704,7 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("total_tok"),
         # decimal(38,0) before the ppm multiply: a 100 TB corpus can hold
         # >9.2e12 OOV tokens, past BIGINT*1e6 wrap (q149-class overflow).
-        F.expr("(CAST(sum(n_oov) AS DECIMAL(38,0)) * 1000000) div sum(n_tok)")
+        F.expr("(CAST(sum(n_oov) AS DECIMAL(38,0)) * 1000000) div sum(n_tok)")  # div-ok: oov <= tok, quotient <= 1e6
         .cast("long")
         .alias("oov_ppm"),
     )
@@ -6022,10 +6022,10 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
             # ~9.2e12 around sf~2-3, at which point a BIGINT *1000000
             # silently wraps (non-ANSI) while DuckDB promotes to int128 —
             # same overflow class the q149 Gini fix addressed.
-            F.expr("(CAST(cents AS DECIMAL(38,0)) * 1000000) div rcents")
+            F.expr("(CAST(cents AS DECIMAL(38,0)) * 1000000) div rcents")  # div-ok: part-of-region share, quotient <= 1e6
             .cast("long")
             .alias("share_of_region_ppm"),
-            F.expr("(CAST(rcents AS DECIMAL(38,0)) * 1000000) div gcents")
+            F.expr("(CAST(rcents AS DECIMAL(38,0)) * 1000000) div gcents")  # div-ok: region-of-grand share, quotient <= 1e6
             .cast("long")
             .alias("region_share_ppm"),
         )
@@ -6137,7 +6137,7 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
         "digit",
         "n",
         # decimal(38,0) ppm numerator for 100 TB row counts (q149-class).
-        F.expr("(CAST(n AS DECIMAL(38,0)) * 1000000) div _tot")
+        F.expr("(CAST(n AS DECIMAL(38,0)) * 1000000) div _tot")  # div-ok: group share of total, quotient <= 1e6
         .cast("long")
         .alias("freq_ppm"),
     )
@@ -6784,7 +6784,7 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
             # decimal(38,0) ppm numerator: 100 TB token counts pass the
             # BIGINT*1e6 wrap point (q149-class overflow)
             F.expr(
-                "(CAST(total_tokens AS DECIMAL(38,0)) * 1000000) div _tot"
+                "(CAST(total_tokens AS DECIMAL(38,0)) * 1000000) div _tot"  # div-ok: mixture share, quotient <= 1e6
             )
             .cast("long")
             .alias("token_share_ppm"),
@@ -8310,7 +8310,7 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         F.col("toks").cast("long").alias("total_tokens"),
         F.col("w").cast("long").alias("w"),
-        F.expr("(CAST(toks AS DECIMAL(38,0)) * 1000000) div _tot")
+        F.expr("(CAST(toks AS DECIMAL(38,0)) * 1000000) div _tot")  # div-ok: token share, quotient <= 1e6
         .cast("long")
         .alias("natural_ppm"),
         (
@@ -8652,7 +8652,7 @@ def q201(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.col("c").cast("long").alias("c"),
         F.expr("CAST(c AS DECIMAL(38,0)) * c").cast("long").alias("pairs"),
-        F.expr("(CAST(c AS DECIMAL(38,0)) * c * 1000000) div est_pairs")
+        F.expr("(CAST(c AS DECIMAL(38,0)) * c * 1000000) div est_pairs")  # div-ok: c^2 <= est_pairs = sum(c^2), quotient <= 1e6
         .cast("long")
         .alias("contribution_ppm"),
         F.col("n_rows").cast("long").alias("n_rows"),
@@ -9098,7 +9098,7 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
             "n_novel_fp",
             F.expr(
                 "(CAST(n_novel_fp AS DECIMAL(38,0)) * 1000000)"
-                " div n_distinct_fp"
+                " div n_distinct_fp"  # div-ok: novel <= distinct, quotient <= 1e6
             )
             .cast("long")
             .alias("novelty_ppm"),
@@ -9336,7 +9336,7 @@ def q209(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
             F.expr(
                 "CAST(coalesce(n_hit, 0) AS DECIMAL(38,0)) * 1000000"
-                " div coalesce(n_exact, 1)"
+                " div coalesce(n_exact, 1)"  # div-ok: n_hit <= n_exact, quotient <= 1e6
             )
             .cast("long")
             .alias("recall_ppm"),
@@ -9481,7 +9481,7 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "pair_class",
             "n_pairs",
-            F.expr("CAST(n_pairs AS DECIMAL(38,0)) * 1000000 div n_total")
+            F.expr("CAST(n_pairs AS DECIMAL(38,0)) * 1000000 div n_total")  # div-ok: class share, quotient <= 1e6
             .cast("long")
             .alias("share_ppm"),
             "xor_hash",
@@ -9609,7 +9609,7 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("long").alias("n_distinct"),
         F.expr(
             "CAST(sum(cnt) - count(*) AS DECIMAL(38,0)) * 1000000"
-            " div sum(cnt)"
+            " div sum(cnt)"  # div-ok: dup share, quotient <= 1e6
         )
         .cast("long")
         .alias("dup_ppm"),
@@ -9768,7 +9768,7 @@ def q214(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rep").cast("int").alias("rep"),
         F.col("n_eff").cast("long").alias("n_eff"),
         F.col("total").cast("long").alias("total_cents"),
-        F.expr("(CAST(total - t0 AS DECIMAL(38,0)) * 1000000) div t0")
+        F.expr("(CAST(total - t0 AS DECIMAL(38,0)) * 1000000) div t0")  # div-ok: bootstrap weights bounded (~Poisson(1), max << 50), quotient < 5e7
         .cast("long")
         .alias("delta_ppm"),
     )
@@ -10680,7 +10680,7 @@ def q226(spark: SparkSession, sf: str) -> DataFrame:
             F.expr(
                 "(CAST(bin_bytes AS DECIMAL(38,0)) * 1000000"
                 " - pmod(CAST(bin_bytes AS DECIMAL(38,0)) * 1000000, t))"
-                " div t"
+                " div t"  # div-ok: bin_bytes <= 2x target t, quotient <= 2e6
             )
             .cast("long")
             .alias("fill_ppm"),
@@ -10801,7 +10801,7 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(
             "(CAST(i AS DECIMAL(38,0)) * 1000000"
             " - pmod(CAST(i AS DECIMAL(38,0)) * 1000000, na + nb - i))"
-            " div (na + nb - i)"
+            " div (na + nb - i)"  # div-ok: Jaccard ppm, i <= na + nb - i domain, quotient <= 1e6
         )
         .cast("long")
         .alias("exact_ppm"),
@@ -11609,7 +11609,7 @@ def q235(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum("c").cast("long").alias("n_fact_rows"),
                 F.count("*").cast("long").alias("n_keys"),
                 F.expr(
-                    "(CAST(max(c) AS DECIMAL(38,0)) * 1000000) div sum(c)"
+                    "(CAST(max(c) AS DECIMAL(38,0)) * 1000000) div sum(c)"  # div-ok: max share, quotient <= 1e6
                 )
                 .cast("long")
                 .alias("hot_ppm"),
@@ -12023,7 +12023,7 @@ def q239(spark: SparkSession, sf: str) -> DataFrame:
         "month",
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("n_affected").cast("long").alias("n_affected"),
-        F.expr("(CAST(n_affected AS DECIMAL(38,0)) * 1000000) div n_rows")
+        F.expr("(CAST(n_affected AS DECIMAL(38,0)) * 1000000) div n_rows")  # div-ok: affected <= rows, quotient <= 1e6
         .cast("long")
         .alias("affected_ppm"),
     )
@@ -12112,7 +12112,7 @@ def q240(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(
             "(CAST(cms_join_size - true_join_size AS DECIMAL(38,0))"
             " * 1000000) div "
-            "(CASE WHEN true_join_size > 0 THEN true_join_size ELSE 1 END)"
+            "(CASE WHEN true_join_size > 0 THEN true_join_size ELSE 1 END)"  # div-ok: CMS overshoot <= total rows ~1e11 at 100 TB, x1e6 = 1e17 < int64
         )
         .cast("long")
         .alias("overestimate_ppm"),
@@ -12411,7 +12411,7 @@ def q243(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("n_rows").cast("long").alias("n_rows"),
                 F.col("n_runs").cast("long").alias("n_runs"),
                 F.expr(
-                    "(CAST(n_runs AS DECIMAL(38,0)) * 1000000) div n_rows"
+                    "(CAST(n_runs AS DECIMAL(38,0)) * 1000000) div n_rows"  # div-ok: runs <= rows, quotient <= 1e6
                 )
                 .cast("long")
                 .alias("rle_ratio_ppm"),
@@ -12986,7 +12986,7 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("long").alias("n_parts"),
         F.sum("cents").cast("long").alias("cls_cents"),
         F.expr(
-            "(CAST(sum(cents) AS DECIMAL(38,0)) * 1000000) div max(t)"
+            "(CAST(sum(cents) AS DECIMAL(38,0)) * 1000000) div max(t)"  # div-ok: class share of grand total, quotient <= 1e6
         )
         .cast("long")
         .alias("share_ppm"),
@@ -13104,7 +13104,7 @@ def q250(spark: SparkSession, sf: str) -> DataFrame:
             "n_missed",
             F.expr(
                 "(CAST(n_hit AS DECIMAL(38,0)) * 1000000) div "
-                "(CASE WHEN n_exact > 0 THEN n_exact ELSE 1 END)"
+                "(CASE WHEN n_exact > 0 THEN n_exact ELSE 1 END)"  # div-ok: recall, n_hit <= n_exact, quotient <= 1e6
             )
             .cast("long")
             .alias("recall_ppm"),
@@ -13530,18 +13530,18 @@ def q255(spark: SparkSession, sf: str) -> DataFrame:
             # decimal(38,0) intermediates: n^2 and sum(c1*c2) pass int64
             # around n ~ 3e9 rows (the q149/q166 overflow class); DuckDB
             # promotes to HUGEINT natively
-            F.expr("(CAST(ag AS DECIMAL(38,0)) * 1000000) div n")
+            F.expr("(CAST(ag AS DECIMAL(38,0)) * 1000000) div n")  # div-ok: agree <= n, quotient <= 1e6
             .cast("long")
             .alias("po_ppm"),
             F.expr(
                 "(CAST(e AS DECIMAL(38,0)) * 1000000)"
-                " div (CAST(n AS DECIMAL(38,0)) * n)"
+                " div (CAST(n AS DECIMAL(38,0)) * n)"  # div-ok: e <= n^2, quotient <= 1e6
             )
             .cast("long")
             .alias("pe_ppm"),
             F.expr(
                 "((CAST(ag AS DECIMAL(38,0)) * n - e) * 1000000)"
-                " div (CAST(n AS DECIMAL(38,0)) * n - e)"
+                " div (CAST(n AS DECIMAL(38,0)) * n - e)"  # div-ok: hash-mod-3 annotators keep e ~ n^2/3, so |kappa_ppm| <= ~3e6
             )
             .cast("long")
             .alias("kappa_ppm"),
@@ -13620,7 +13620,7 @@ def q256(spark: SparkSession, sf: str) -> DataFrame:
         "bucket",
         "n",
         "pos",
-        F.expr("(CAST(pos AS DECIMAL(38,0)) * 1000000) div n")
+        F.expr("(CAST(pos AS DECIMAL(38,0)) * 1000000) div n")  # div-ok: pos <= n, quotient <= 1e6
         .cast("long")
         .alias("acc_ppm"),
         (F.lit(50000) + F.col("bucket") * 100000)  # ppm-ok: bucket <= 9, literal conf midpoint stays < 1e6
@@ -14036,7 +14036,7 @@ def q261(spark: SparkSession, sf: str) -> DataFrame:
         "tokens_removed",
         F.expr(
             "(CAST(tokens_removed AS DECIMAL(38,0)) * 1000000)"
-            " div corpus_tokens"
+            " div corpus_tokens"  # div-ok: removed <= corpus, quotient <= 1e6
         )
         .cast("long")
         .alias("removed_ppm"),
@@ -14145,7 +14145,7 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_views").cast("long").alias("n_views"),
             F.col("n_clicked").cast("long").alias("n_clicked"),
             F.expr(
-                "(CAST(n_clicked AS DECIMAL(38,0)) * 1000000) div n_views"
+                "(CAST(n_clicked AS DECIMAL(38,0)) * 1000000) div n_views"  # div-ok: CTR, clicked <= views, quotient <= 1e6
             )
             .cast("long")
             .alias("ctr_ppm"),
@@ -14988,15 +14988,21 @@ _Q271_BUDGET = 1000
     "n_h proportional to N_h * S_h, computed ENGINE-EXACTLY — the "
     "variance numerator N*sum(x^2) - sum(x)^2 stays in DECIMAL(38,0) "
     "integers (cents^2 sums pass 1e22 at sf0.1; int64 is long gone), "
-    "one integral division, one IEEE sqrt (bit-portable, q197 "
-    "precedent), then the q172/q197 largest-remainder method makes "
-    "the allocations sum EXACTLY to the 1000-row budget.  Selection "
-    "is deterministic hash-rank per stratum (salted md5 order), so "
-    "the sample itself — not just its size — is pinned by the xor "
+    "one integral division kept EXACT in decimal via the "
+    "(v - v % d) / d identity (Spark's `div` returns BIGINT and wraps "
+    "mod 2^64 past ~sf0.15; DuckDB's int128 `//` does not — the "
+    "decimal path keeps both engines bit-identical at any scale), "
+    "one IEEE sqrt (bit-portable, q197 precedent), then the "
+    "q172/q197 largest-remainder method makes the allocations sum "
+    "EXACTLY to the 1000-row budget.  Selection is deterministic "
+    "hash-rank per stratum (salted md5 order) via the TWO-PHASE "
+    "top_k_per_group_scalable shape — 5 strata means a plain "
+    "PARTITION BY stratum window would hand the whole fact table to "
+    "5 reducers at 100 TB; phase 1 ranks within (stratum, physical "
+    "partition) so survivors are bounded by budget*partitions.  The "
+    "sample itself — not just its size — is pinned by the xor "
     "fingerprint.  Plan: one map-combinable pass for moments, "
-    "windows over the 5-row aggregate, one per-stratum rank over the "
-    "hash (at 100 TB: top_k_per_group_scalable's two-phase shape "
-    "replaces the window; allocations are per-group constants)",
+    "windows over the 5-row aggregate, two bounded rank phases",
 )
 def q271(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
@@ -15012,16 +15018,24 @@ def q271(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
         F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("s2"),
     )
+    # variance numerator stays DECIMAL(38,0); the integral quotient is
+    # computed as (v - v % d) / d, which is EXACT in decimal arithmetic
+    # (remainder subtracted first, so the division has no fractional
+    # part to round) — Spark's `div` operator returns BIGINT and wraps
+    # modulo 2^64 past ~sf0.15, which would silently corrupt the
+    # Neyman weights while DuckDB's int128 `//` stayed exact
     wtab = agg.select(
         "stratum",
         "n_h",
         F.floor(
             F.sqrt(
                 F.expr(
-                    # div returns BIGINT; lift back to DECIMAL before
-                    # the N_h multiply (N*N*Var passes int64 fast)
-                    "CAST(CAST(n_h AS DECIMAL(38,0))"
-                    " * ((n_h * s2 - s1 * s1) div (n_h - 1)) AS DOUBLE)"
+                    "CAST(CAST(n_h AS DECIMAL(38,0)) * CAST("
+                    " ((CAST(n_h AS DECIMAL(38,0)) * s2 - s1 * s1)"
+                    "  - ((CAST(n_h AS DECIMAL(38,0)) * s2 - s1 * s1)"
+                    "     % CAST(n_h - 1 AS DECIMAL(38,0))))"
+                    " / CAST(n_h - 1 AS DECIMAL(38,0))"
+                    " AS DECIMAL(38,0)) AS DOUBLE)"
                 )
             )
         )
@@ -15055,17 +15069,22 @@ def q271(spark: SparkSession, sf: str) -> DataFrame:
             + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
         ).alias("n_alloc"),
     )
-    sel = s.select(
-        "stratum",
-        "k",
-        F.row_number()
-        .over(
-            Window.partitionBy("stratum").orderBy(
-                T.hex_hash64(F.col("k").cast("string"), salt="q271"),
-                F.asc("k"),
-            )
-        )
-        .alias("sr"),
+    # selection: two-phase per-stratum rank (operators/topk.py).  There
+    # are only 5 strata, so a plain PARTITION BY stratum window would
+    # funnel the whole fact table through 5 reducers at scale; the
+    # two-phase shape ranks within (stratum, physical partition) first
+    # — survivors bounded by budget * num_partitions — then ranks the
+    # survivors.  n_alloc <= budget always (largest-remainder sums to
+    # the budget), so k = budget loses nothing.
+    sel = K.top_k_per_group_scalable(
+        s.select("stratum", "k"),
+        ["stratum"],
+        [
+            T.hex_hash64(F.col("k").cast("string"), salt="q271").asc(),
+            F.asc("k"),
+        ],
+        _Q271_BUDGET,
+        rank_col="sr",
     )
     kh = T.hex_hash64(F.col("k").cast("string"))
     return (
@@ -15155,16 +15174,21 @@ def q272(spark: SparkSession, sf: str) -> DataFrame:
     clean = F.col("line")
     for _name, pat, rep in _Q272_PATTERNS:
         clean = F.regexp_replace(clean, pat, rep)
+    # counts and redaction take the SAME path: Column-API patterns via
+    # F.lit (an F.expr SQL string literal would let Spark's parser eat
+    # the backslash — '\\.' would silently become the regex '.' in the
+    # count path while regexp_replace kept the literal, a latent
+    # count/replace divergence)
     red = df.select(
         "k",
-        F.expr(
-            f"size(regexp_extract_all(line, '{_Q272_PATTERNS[0][1]}', 0))"
+        F.regexp_count(
+            F.col("line"), F.lit(_Q272_PATTERNS[0][1])
         ).alias("n_email"),
-        F.expr(
-            f"size(regexp_extract_all(line, '{_Q272_PATTERNS[1][1]}', 0))"
+        F.regexp_count(
+            F.col("line"), F.lit(_Q272_PATTERNS[1][1])
         ).alias("n_phone"),
-        F.expr(
-            f"size(regexp_extract_all(line, '{_Q272_PATTERNS[2][1]}', 0))"
+        F.regexp_count(
+            F.col("line"), F.lit(_Q272_PATTERNS[2][1])
         ).alias("n_digits"),
         clean.alias("clean"),
     ).withColumn("h", T.hex_hash64(F.col("clean")))
@@ -15233,7 +15257,9 @@ def q273(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
         F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
     )
-    slope = "((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx))"
+    # div-ok: |slope| <= y-range * 6 / x-range (Cauchy-Schwarz over the
+    # fixed 7-year order window) ~ 1.5e5 cents/day; x1e6 ~ 1.5e11 < int64
+    slope = "((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx))"  # ppm-ok: sxy/sx/sy/sxx are DECIMAL(38,0) aggregates, the product stays decimal
     return m.select(
         "grp",
         F.col("n").cast("long").alias("n"),
@@ -15242,7 +15268,7 @@ def q273(spark: SparkSession, sf: str) -> DataFrame:
         # zero, verified): intercept = (Sy*1e6 - slope_ppm*Sx) / (n*1e6)
         F.expr(
             f"(sy * 1000000 - CAST({slope} AS DECIMAL(38,0)) * sx)"
-            " div (CAST(n AS DECIMAL(38,0)) * 1000000)"
+            " div (CAST(n AS DECIMAL(38,0)) * 1000000)"  # div-ok: intercept = ybar - slope*xbar, |cents| < ~2e9
         )
         .cast("long")
         .alias("intercept_cents"),

@@ -653,3 +653,46 @@ def test_ta_topk_fusion_equals_full_sort(spark, rows, k):
     assert got == [
         (i, sa + sb, rk) for rk, (i, sa, sb) in enumerate(expect, 1)
     ]
+
+
+def test_decimal_exact_floor_div_past_int64(spark):
+    """The q271 overflow class (ADVICE r4, high): Spark's `a div b` on
+    DECIMAL operands returns BIGINT and silently wraps modulo 2^64 when
+    the true quotient exceeds int64.  The engine's replacement identity
+    (v - v % d) / d stays in decimal arithmetic and is EXACT (the
+    remainder is subtracted first so the division has no fractional
+    part to round).  Pin both facts: `div` wraps on a quotient past
+    int64, the identity does not — on the exact value shape q271 uses
+    (variance numerator / (n-1))."""
+    # quotient = 2^63 + 12345 — one past the int64 cliff
+    q = 2**63 + 12345
+    d = 97
+    v = q * d
+    df = spark.createDataFrame(
+        [(str(v), d)], "v_str string, d long"
+    ).selectExpr(
+        "CAST(v_str AS DECIMAL(38,0)) AS v",
+        "CAST(d AS DECIMAL(38,0)) AS d",
+    )
+    row = df.selectExpr(
+        "v div d AS wrapped",
+        "CAST((v - v % d) / d AS DECIMAL(38,0)) AS exact",
+    ).collect()[0]
+    assert int(row["exact"]) == q  # decimal identity: exact past int64
+    assert row["wrapped"] != q  # BIGINT div wrapped (the bug class)
+    assert row["wrapped"] == ((q + 2**63) % 2**64) - 2**63
+
+    # and at a q271-realistic 100 TB magnitude: n_h ~ 3e10 rows of
+    # cents^2 sums ~ 1e26 — quotient ~ 3e15 * int64-scale numerators
+    n_h, var = 30_000_000_000, 3 * 10**14
+    v2 = (n_h - 1) * n_h * var  # divisible by n_h - 1 by construction
+    row2 = (
+        spark.createDataFrame([(str(v2), n_h - 1)], "v_str string, d long")
+        .selectExpr(
+            "CAST(v_str AS DECIMAL(38,0)) AS v",
+            "CAST(d AS DECIMAL(38,0)) AS d",
+        )
+        .selectExpr("CAST((v - v % d) / d AS DECIMAL(38,0)) AS exact")
+        .collect()[0]
+    )
+    assert int(row2["exact"]) == n_h * var

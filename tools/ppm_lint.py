@@ -74,9 +74,14 @@ ALLOWLIST: dict[tuple[str, str], str] = {
 }
 
 
-def oracle_zones(path: Path, tree: ast.Module) -> list[tuple[int, int]]:
-    """Line spans (1-based, inclusive) that hold DuckDB-dialect SQL."""
+def oracle_zones(
+    path: Path, tree: ast.Module
+) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
+    """(sql_zones, doc_zones): spans holding DuckDB-dialect SQL, and
+    spans holding register()'s doc-prose argument (mentions `div` in
+    prose, never executes)."""
     zones: list[tuple[int, int]] = []
+    doc_spans: list[tuple[int, int]] = []
 
     class V(ast.NodeVisitor):
         def visit_Call(self, node: ast.Call) -> None:
@@ -85,6 +90,9 @@ def oracle_zones(path: Path, tree: ast.Module) -> list[tuple[int, int]]:
             if name == "register" and len(node.args) >= 2:
                 a = node.args[1]
                 zones.append((a.lineno, a.end_lineno or a.lineno))
+                if len(node.args) >= 3:  # doc prose: not code
+                    d = node.args[2]
+                    doc_spans.append((d.lineno, d.end_lineno or d.lineno))
             self.generic_visit(node)
 
         def visit_FunctionDef(self, node: ast.FunctionDef) -> None:
@@ -102,7 +110,7 @@ def oracle_zones(path: Path, tree: ast.Module) -> list[tuple[int, int]]:
             self.generic_visit(node)
 
     V().visit(tree)
-    return zones
+    return zones, doc_spans
 
 
 def in_zone(lineno: int, zones: list[tuple[int, int]]) -> bool:
@@ -116,7 +124,7 @@ def lint_file(path: Path) -> list[str]:
         tree = ast.parse(src)
     except SyntaxError as exc:  # lint must not mask a broken file
         return [f"{rel}: unparseable ({exc})"]
-    zones = oracle_zones(path, tree)
+    zones, doc_zones = oracle_zones(path, tree)
     findings = []
     lines = src.splitlines()
     for i, line in enumerate(lines, start=1):
@@ -140,6 +148,52 @@ def lint_file(path: Path) -> list[str]:
         findings.append(
             f"{rel}:{i}: Spark-side integer multiply by >=1e5 without "
             f"DECIMAL(38,..) routing: {line.strip()!r}"
+        )
+    findings.extend(lint_decimal_div(rel, lines, zones, doc_zones))
+    return findings
+
+
+# Rule 2 (ADVICE r4, high — the q271 wrap): Spark's `a div b` is
+# IntegralDivide and ALWAYS returns BIGINT, silently wrapping modulo
+# 2^64 when the true quotient exceeds int64 — even when both operands
+# are DECIMAL(38,0).  So routing a numerator through DECIMAL(38,0)
+# (rule 1's fix) is NOT sufficient if the result then flows through
+# `div`: the quotient itself must be provably bounded, or the division
+# must stay in decimal via the exact (v - v % d) / d identity.  Flag
+# any Spark-zone `div` whose 4-line operand window mentions a
+# DECIMAL(38 cast, unless the line carries `# div-ok: <why the
+# quotient fits int64 at 100 TB>`.
+DIV = re.compile(r"\bdiv\b")
+DECIMAL38 = re.compile(r"DECIMAL\s*\(\s*38|decimal\s*\(\s*38")
+
+
+def lint_decimal_div(
+    rel: str,
+    lines: list[str],
+    zones: list[tuple[int, int]],
+    doc_zones: list[tuple[int, int]],
+) -> list[str]:
+    findings = []
+    for i, line in enumerate(lines, start=1):
+        if not DIV.search(line):
+            continue
+        stripped = line.lstrip()
+        if stripped.startswith("#"):
+            continue  # prose
+        if in_zone(i, zones):
+            continue  # DuckDB `//` stays int128-exact
+        if in_zone(i, doc_zones):
+            continue  # register() doc prose, never executes
+        window = "\n".join(lines[max(0, i - 4): i + 1])
+        if not DECIMAL38.search(window):
+            continue  # pure-integer div: rule 1 already owns overflow
+        if re.search(r"#\s*div-ok:\s*\S", window):
+            continue
+        findings.append(
+            f"{rel}:{i}: `div` on a DECIMAL(38,..) operand returns "
+            f"BIGINT and wraps past int64 — bound the quotient "
+            f"(# div-ok: ...) or use the exact (v - v %% d) / d "
+            f"decimal identity: {line.strip()!r}"
         )
     return findings
 

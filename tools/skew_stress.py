@@ -30,6 +30,7 @@ import shutil
 import statistics
 import sys
 import time
+import zlib
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -82,8 +83,11 @@ def build_skewed(spark, n: int, dest: str) -> None:
         path = os.path.join(dest, f"{table}.parquet")
         df = spark.read.parquet(path)
         m = 1_000_003
+        # crc32, not builtin hash(): PYTHONHASHSEED randomizes hash()
+        # per process, which made every rebuild remap the Zipf ranks
+        # differently — committed SCALE.md numbers must be reproducible
         u = (
-            (F.abs(F.xxhash64(F.col(key) + F.lit(hash(salt) % m))) % m + 1)
+            (F.abs(F.xxhash64(F.col(key) + F.lit(zlib.crc32(salt.encode()) % m))) % m + 1)
             / (m + 1)
         ).cast("double")
         skewed = df.withColumn(key, zipf_rank(u, n_keys) - 1)

@@ -41,43 +41,36 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q64/q66) — none are §2 proof queries, and all stay green in the
 #: committed full-registry local artifact and unit tests.
 _PROMOTED = [
-    # round-4 rotation (VERDICT r3 #1): driver-grade evidence accrues
-    # by rotating the steered slots each round.  Anchors that stay:
-    # the ingest/versioning/corpus capstones and the three batch-4
-    # execution-path representatives.  Rotated OUT (all 16 were
-    # driver-verified green in CORRECTNESS_r03.json, and stay green in
-    # the committed full-registry local artifact + unit tests):
-    # q76/q100/q105/q141/q156/q158/q162/q173/q181/q184/q186/q191/
-    # q194/q199/q204/q212.  Rotated IN: the batch-4/5 families that
-    # had only local-harness evidence — stream-stream joins, sketch
-    # advisors, dedup-eval layer, bucketed/clean-room/MERGE/snapshot
-    # work.
+    # round-5 rotation (VERDICT r4 #1, chosen from
+    # tools/driver_ledger.py output, not memory): every r4-promoted
+    # query earned driver-grade evidence in CORRECTNESS_r04.json, so
+    # all rotate OUT except the q169 ingest anchor (S4-S8 §2 proof).
+    # Rotated IN: (a) the r4/r5 additions that landed after the r4
+    # prefix froze (q268/q270-q273 + this round's new queries), and
+    # (b) twelve NEVER-driver-verified queries from the ledger,
+    # spanning the never-set's families: streaming dedup, SQL UDTF,
+    # bloom/HLL sketches, eval-decontamination, gaps-and-islands,
+    # spatial grid join, graph triangles, weighted median, SCD2,
+    # growth accounting, shard manifest.  All were green in the
+    # committed full-registry local artifact (same methodology).
     "q169_ingest_lifecycle",
-    "q180_versioned_dedup_ingest",
-    "q200_corpus_export",
-    "q209_ann_recall_eval",
-    "q221_fuzzy_match_fastss",
-    "q222_heavy_hitters_mg",
-    "q231_threshold_algorithm_topk",
-    "q227_corpus_overlap_minhash",
-    "q232_ndcg_retrieval_eval",
-    "q233_graph_feature_propagation",
-    "q234_partition_advisor",
-    "q235_join_strategy_advisor",
-    "q237_merkle_repair_plan",
-    "q238_stream_stream_join",
-    "q243_encoding_advisor",
-    "q244_stream_outer_join",
-    "q250_lsh_recall_eval",
-    "q261_dedup_threshold_sweep",
-    "q263_bucketed_join_exchange_free",
-    "q265_clean_room_join",
-    "q266_merge_composition",
-    "q267_snapshot_isolation_join",
-    # round-4 addition: the multi-writer race + vacuum differential
-    # (displaces q240, whose sketch/advisor family stays represented
-    # by q234/q235/q243 and which remains green in the local artifact)
-    "q269_snapshot_concurrency",
+    "q268_multiway_smj_revenue",
+    "q270_zorder_pruning",
+    "q271_neyman_allocation",
+    "q272_pii_redaction",
+    "q273_grouped_ols_trend",
+    "q101_stream_dedup",
+    "q107_udtf_chunks",
+    "q113_bloom_filter",
+    "q117_decontamination",
+    "q126_gaps_islands",
+    "q135_grid_radius_join",
+    "q137_triangle_count",
+    "q139_weighted_median",
+    "q144_scd2_compress",
+    "q164_growth_accounting",
+    "q183_train_shard_manifest",
+    "q203_hll_rolling_merge",
 ]
 
 _DEMOTED = {

@@ -129,6 +129,12 @@ DEFAULT_QUERIES = [
     "q267_snapshot_isolation_join",
     # the 6-way SMJ tier: three fact-scale sides pinned to sort-merge
     "q268_multiway_smj_revenue",
+    # round-4/5 additions (r4 verdict task #5)
+    "q269_snapshot_concurrency",
+    "q270_zorder_pruning",
+    "q271_neyman_allocation",
+    "q272_pii_redaction",
+    "q273_grouped_ols_trend",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -221,6 +227,158 @@ JOIN_RE = re.compile(
     r"BroadcastNestedLoopJoin|CartesianProduct)"
 )
 
+# ---------------------------------------------------------------------------
+# Window-shape rule (r4 verdict task #3 — the q271 class): a WindowExec
+# whose partition spec is EMPTY funnels every input row through ONE
+# task; one partitioned by only low-cardinality columns (order
+# priority = 5 values, return flag = 3, ...) funnels a fact table
+# through a handful of reducers.  Either is fine over a constant-size
+# aggregate (q271's 5-row allocation CTEs) and fatal over a fact scan.
+# The detector walks each Window's input subtree in the formatted
+# plan: an Aggregate/Limit node is a size barrier; reaching a
+# fact-table scan with no barrier means unbounded rows enter the
+# window, and an empty/low-card partition spec is then flagged.
+# The two-phase shapes (global_row_number, top_k_per_group_scalable)
+# pass automatically: their phase-1 windows include _pid in the
+# partition spec, and their phase-2 windows read post-filter survivors
+# — still a scan subtree, but the partition spec includes the rank
+# column domain... no: phase-2 IS (group) over filtered survivors.
+# The filter is rank<=k, which the plan shows as Filter, not a
+# barrier.  So the phase-1 Filter(row_number <= k) IS the barrier:
+# any Filter whose condition references a row_number/rank output
+# bounds rows per (group, partition) and is treated as one.
+
+#: node types whose output is bounded regardless of input size
+BARRIERS = {
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+    "BroadcastExchange",  # would OOM first; not a window-funnel issue
+}
+
+#: testdata columns with a handful of distinct values (plus the alias
+#: names the registry gives them); heuristic, extend as queries grow
+LOWCARD_COLS = {
+    "o_orderpriority",
+    "o_orderstatus",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipmode",
+    "l_shipinstruct",
+    "stratum",
+    "priority",
+    "grp",
+    "side",
+    "pair_class",
+    "cls",
+}
+
+FACT_SCAN_RE = re.compile(
+    r"(lineitem|orders|events|documents|embeddings|customer|part|supplier)"
+    r"\.parquet"
+)
+
+_TREE_NODE_RE = re.compile(r"^([ :+\-*]*)([A-Za-z][A-Za-z0-9 ]*?) \((\d+)\)\s*$")
+_RANK_FILTER_RE = re.compile(r"\b(_r1|row_number|rank|rn|sr)#\d+")
+
+
+def _parse_plan_tree(plan: str):
+    """(children: id->list[id], details: id->text, names: id->name)."""
+    children: dict[int, list[int]] = {}
+    names: dict[int, str] = {}
+    stack: list[tuple[int, int]] = []  # (indent, id)
+    for line in plan.splitlines():
+        m = _TREE_NODE_RE.match(line)
+        if not m:
+            if line.startswith("==") or not line.strip():
+                stack = []  # new tree block (subquery section)
+            continue
+        indent, name, nid = len(m.group(1)), m.group(2).strip(), int(m.group(3))
+        names[nid] = name
+        children.setdefault(nid, [])
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        if stack:
+            children[stack[-1][1]].append(nid)
+        stack.append((indent, nid))
+    details: dict[int, str] = {}
+    cur = None
+    for line in plan.splitlines():
+        dm = re.match(r"^\((\d+)\) ([A-Za-z][A-Za-z0-9 ]*?)\s*(\[codegen.*)?$", line)
+        if dm and int(dm.group(1)) in names:
+            cur = int(dm.group(1))
+            details[cur] = ""
+            continue
+        if cur is not None:
+            details[cur] = details[cur] + line + "\n"
+    return children, details, names
+
+
+def _window_partition_cols(detail: str) -> list[str] | None:
+    """Base column names of the partition spec, [] if empty, None if
+    the Arguments line is not parseable.  With an empty partition spec
+    Spark prints only TWO bracket groups (functions, order) instead of
+    three — the 2-group form IS the empty-partition case."""
+    m = re.search(r"Arguments: (\[.*)$", detail, re.MULTILINE | re.DOTALL)
+    if not m:
+        return None
+    groups = re.findall(r"\[(.*?)\]", m.group(1).split("\n")[0])
+    if len(groups) == 2:
+        return []
+    if len(groups) < 2:
+        return None
+    spec = groups[1].strip()
+    if not spec:
+        return []
+    return [c.split("#")[0] for c in re.findall(r"(\w+)#\d+", spec)]
+
+
+def _subtree_unbounded(nid, children, details, names) -> bool:
+    """True if a fact-table scan reaches this node with no size barrier."""
+    name = names.get(nid, "")
+    base = name.split()[0] if name else ""
+    if base in BARRIERS:
+        return False
+    if base == "Filter" and _RANK_FILTER_RE.search(details.get(nid, "")):
+        return False  # phase-1 rank filter bounds rows per group
+    if base == "Scan" and FACT_SCAN_RE.search(details.get(nid, "")):
+        return True
+    return any(
+        _subtree_unbounded(c, children, details, names)
+        for c in children.get(nid, [])
+    )
+
+
+def audit_windows(plan: str) -> list[str]:
+    """Findings: Window nodes that funnel unbounded rows through one or
+    a handful of tasks."""
+    children, details, names = _parse_plan_tree(plan)
+    findings = []
+    for nid, name in names.items():
+        if name != "Window":
+            continue
+        cols = _window_partition_cols(details.get(nid, ""))
+        if cols is None:
+            continue
+        if cols and not all(c in LOWCARD_COLS for c in cols):
+            continue  # partitioned by at least one high-card column
+        if not any(
+            _subtree_unbounded(c, children, details, names)
+            for c in children.get(nid, [])
+        ):
+            continue  # constant-size input (aggregate/limit barrier)
+        kind = "EMPTY" if not cols else f"low-card {cols}"
+        findings.append(
+            f"Window({nid}) with {kind} partition spec over an "
+            f"unbounded fact-scan input — funnels the table through "
+            f"{'one task' if not cols else 'a handful of reducers'}"
+        )
+    return findings
+
 
 def formatted_plan(spark, df) -> str:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -258,15 +416,20 @@ def main() -> None:
                 and name in ALLOWED_TINY_BROADCAST_CROSS
             )
         ]
-        status = "FORBIDDEN-JOIN" if bad else "ok"
+        wfind = audit_windows(plan)
+        status = (
+            "FORBIDDEN-JOIN" if bad else "BAD-WINDOW" if wfind else "ok"
+        )
         print(
             f"{status:14s} {name}: joins={joins or '-'} "
             f"exchanges={plan.count('Exchange')} "
             f"topk={'TakeOrderedAndProject' in plan}"
         )
+        for w in wfind:
+            print(f"    {w}")
         for p in interesting:
             print(f"    {p[:110]}")
-        failed = failed or bool(bad)
+        failed = failed or bool(bad) or bool(wfind)
     sys.exit(1 if failed else 0)
 
 

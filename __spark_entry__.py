@@ -59,6 +59,7 @@ _PROMOTED = [
     "q271_neyman_allocation",
     "q272_pii_redaction",
     "q273_grouped_ols_trend",
+    "q274_bmp_decode_quarantine",
     "q101_stream_dedup",
     "q107_udtf_chunks",
     "q113_bloom_filter",

@@ -430,3 +430,110 @@ def resize_features_pipeline(
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=RESIZE_FEATURES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Decode quarantine: the P9 validation-split pattern (operators/validate.py,
+# reference load_hhs.py's numeric-range quarantine) applied to BINARY
+# payloads.  A corrupt container must not kill the batch job OR silently
+# produce garbage features — each payload either decodes or lands in a
+# classified quarantine row, and the split is total (n_ok + n_bad ==
+# n_in, enforced by construction: exactly one output row per input).
+# ---------------------------------------------------------------------------
+
+DECODE_QUARANTINE_SCHEMA = (
+    "doc_id bigint, status string, n_bytes int, pixel_sum bigint"
+)
+
+
+def classify_bmp_error(exc: Exception) -> str:
+    """Stable quarantine reason taxonomy for BMP decode failures."""
+    msg = str(exc)
+    if "magic" in msg:
+        return "bad_magic"
+    if "24-bpp" in msg or "unsupported BMP header" in msg:
+        return "bad_format"
+    return "corrupt"
+
+
+def decode_quarantine_pipeline(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """BMP decode with quarantine: one output row per payload — status
+    'ok' with real pixel features, or a classified failure reason with
+    NULL features.  Arrow-batched mapInPandas, (id, payload)-only
+    projection; at 100 TB the corrupt fraction rides the same pass as
+    the decode, no second scan."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            ids, statuses, sizes, sums = [], [], [], []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                raw = bytes(payload)
+                ids.append(doc_id)
+                sizes.append(len(raw))
+                try:
+                    px = bmp_pixels(raw)
+                except Exception as exc:
+                    statuses.append(classify_bmp_error(exc))
+                    sums.append(None)
+                    continue
+                statuses.append("ok")
+                sums.append(int(px[:, :, 2].astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "status": statuses,
+                    "n_bytes": sizes,
+                    "pixel_sum": pd.array(sums, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=DECODE_QUARANTINE_SCHEMA
+    )
+
+
+def corrupt_bmp_for_test(payload: bytes, mode: int) -> bytes:
+    """Deterministic corruption harness for the quarantine differential
+    (test/oracle use): mode 0 = intact, 1 = magic flipped, 2 = bpp
+    field rewritten to 8, 3 = truncated mid-body."""
+    if mode == 1:
+        return b"XX" + payload[2:]
+    if mode == 2:
+        return payload[:28] + b"\x08\x00" + payload[30:]
+    if mode == 3:
+        return payload[: BMP_HEADER_BYTES - 8]
+    return payload
+
+
+def with_corrupted_bmp_payload(
+    df: DataFrame,
+    mode_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 30,
+) -> DataFrame:
+    """with_bmp_payload + deterministic per-row corruption selected by
+    ``mode_col`` — the ingest harness for the quarantine differential."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col].values,
+                    "payload": [
+                        corrupt_bmp_for_test(
+                            bmp_encode_gray24(t.encode("utf-8"), width), int(m)
+                        )
+                        for t, m in zip(batch[text_col], batch[mode_col])
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col, mode_col).mapInPandas(
+        run, schema=f"{id_col} bigint, payload binary"
+    )

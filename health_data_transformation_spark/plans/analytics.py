@@ -15273,3 +15273,62 @@ def q273(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("intercept_cents"),
     )
+
+
+@register(
+    "q274_bmp_decode_quarantine",
+    f"""WITH src AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 7 AS INTEGER)
+                   WHEN 1 THEN 'bad_magic'
+                   WHEN 2 THEN 'bad_format'
+                   WHEN 3 THEN 'corrupt'
+                   ELSE 'ok' END AS status,
+                 CASE WHEN doc_id % 7 = 3 THEN 46
+                      ELSE 54 + 92 * ((strlen(text) + 29) // 30)
+                      END AS n_bytes,
+                 CASE WHEN doc_id % 7 NOT IN (1, 2, 3)
+                      THEN list_sum(list_transform(
+                             string_split(text, ''), x -> ord(x)))
+                      ELSE NULL END AS pixel_sum
+          FROM documents WHERE doc_id < 800 AND strlen(text) > 0)
+       SELECT status,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+              CAST(coalesce(sum(pixel_sum), 0) AS BIGINT) AS sum_pixels,
+              CAST(bit_xor({hex_hash64_sql("CAST(doc_id AS VARCHAR)")})
+                   AS BIGINT) AS id_xor
+       FROM src GROUP BY status""",
+    "binary decode quarantine (P9's validation-split pattern applied "
+    "to media payloads — reference load_hhs.py quarantines bad numeric "
+    "rows; a 100 TB image pipeline must do the same for corrupt "
+    "containers): real 24-bpp BMPs are deterministically corrupted "
+    "per row (magic flipped / bpp rewritten / truncated mid-header), "
+    "the decode pipeline classifies each failure into a stable reason "
+    "taxonomy instead of killing the batch, and the split is total — "
+    "one output row per payload.  The oracle recomputes every cell "
+    "from the source text (intact size 54+92*height, truncated size "
+    "46, R-channel sum = byte sum), so a decoder that silently "
+    "'succeeds' on a corrupt file, misclassifies a reason, or drops a "
+    "row breaks the differential.  Arrow mapInPandas, (id,payload) "
+    "projection, corrupt fraction rides the decode pass — no second "
+    "scan at scale",
+)
+def q274(spark: SparkSession, sf: str) -> DataFrame:
+    from .. import multimodal as MM
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter((F.col("doc_id") < 800) & (F.length("text") > 0))
+        .withColumn("mode", (F.col("doc_id") % 7).cast("int"))
+    )
+    src = MM.with_corrupted_bmp_payload(d, mode_col="mode")
+    split = MM.decode_quarantine_pipeline(src).withColumn(
+        "h", T.hex_hash64(F.col("doc_id").cast("string"))
+    )
+    return split.groupBy("status").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_bytes").cast("long").alias("sum_bytes"),
+        F.coalesce(F.sum("pixel_sum"), F.lit(0)).cast("long").alias("sum_pixels"),
+        F.expr("bit_xor(h)").cast("long").alias("id_xor"),
+    )

@@ -696,3 +696,87 @@ def test_decimal_exact_floor_div_past_int64(spark):
         .collect()[0]
     )
     assert int(row2["exact"]) == n_h * var
+
+
+@given(
+    w=st.integers(1, 37),
+    h=st.integers(1, 23),
+    seed=st.integers(0, 2**31),
+)
+@settings(**SETTINGS)
+def test_bmp_roundtrip_arbitrary_dims(w, h, seed):
+    """Pure-codec property (no Spark): encode->decode is the identity
+    for ANY (h, w) uint8 BGR array — odd widths exercise the 4-byte
+    stride padding (w=30 pads 90->92; w=31 pads 93->96; w=4 none),
+    h=1 the single-row path, and both are sizes the fixed-width
+    fixtures in q53/q84 never hit."""
+    import numpy as np
+
+    from health_data_transformation_spark.multimodal import (
+        bmp_encode_pixels,
+        bmp_pixels,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = bmp_pixels(bmp_encode_pixels(px))
+    assert out.shape == (h, w, 3)
+    assert (out == px).all()
+
+
+@given(
+    w=st.integers(1, 19),
+    h=st.integers(1, 13),
+    ow=st.integers(1, 9),
+    oh=st.integers(1, 9),
+    seed=st.integers(0, 2**31),
+)
+@settings(**SETTINGS)
+def test_bmp_resize_equals_numpy_index_map(w, h, ow, oh, seed):
+    """bmp_resize_nn over the container equals the bare numpy NN index
+    map over the pixels, for arbitrary source and target dims."""
+    import numpy as np
+
+    from health_data_transformation_spark.multimodal import (
+        bmp_encode_pixels,
+        bmp_pixels,
+        bmp_resize_nn,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = bmp_pixels(bmp_resize_nn(bmp_encode_pixels(px), ow, oh))
+    rr = (np.arange(oh) * h) // oh
+    cc = (np.arange(ow) * w) // ow
+    assert (got == px[rr][:, cc]).all()
+
+
+def test_bmp_quarantine_classification():
+    """Every corruption mode lands in its taxonomy bucket; an intact
+    file decodes; truncation raises instead of mis-decoding."""
+    import numpy as np
+    import pytest
+
+    from health_data_transformation_spark.multimodal import (
+        bmp_encode_gray24,
+        bmp_pixels,
+        classify_bmp_error,
+        corrupt_bmp_for_test,
+    )
+
+    intact = bmp_encode_gray24(b"hello quarantine world", width=7)
+    assert bmp_pixels(intact).shape[1] == 7
+    for mode, expect in [(1, "bad_magic"), (2, "bad_format"), (3, "corrupt")]:
+        bad = corrupt_bmp_for_test(intact, mode)
+        with pytest.raises(Exception) as ei:
+            bmp_pixels(bad)
+        assert classify_bmp_error(ei.value) == expect
+    # top-down (negative height) variant also roundtrips
+    import struct
+
+    neg = bytearray(intact)
+    (h,) = struct.unpack_from("<i", intact, 22)
+    struct.pack_into("<i", neg, 22, -h)
+    px_bu = bmp_pixels(intact)
+    px_td = bmp_pixels(bytes(neg))
+    assert (px_td == px_bu[::-1]).all()

@@ -100,3 +100,80 @@ def test_registry_fn_names_match_keys():
         assert spec.fn.__name__ == qnum, (
             f"{name} registered fn {spec.fn.__name__!r}, expected {qnum!r}"
         )
+
+
+def _mk_plan(window_args: str, scan: str = "orders") -> str:
+    return f"""== Physical Plan ==
+Window (4)
++- Sort (3)
+   +- Exchange (2)
+      +- Scan parquet  (1)
+
+(1) Scan parquet
+Output [2]: [a#1L, b#2]
+Location: InMemoryFileIndex [file:/root/testdata/sf0.1/{scan}.parquet]
+
+(2) Exchange
+Input [2]: [a#1L, b#2]
+
+(3) Sort
+Input [2]: [a#1L, b#2]
+
+(4) Window
+Input [2]: [a#1L, b#2]
+Arguments: {window_args}
+"""
+
+
+def test_explain_audit_window_detector():
+    """The q271 class (r4 verdict task #3): a Window partitioned by
+    nothing or only low-cardinality columns over an unbounded fact
+    scan is flagged; the same window over an aggregate, a window
+    with a high-card partition, and the no-ORDER-BY ambiguity case
+    (two bracket groups where the second is the PARTITION spec) all
+    pass."""
+    sys.path.insert(0, "/root/repo/tools")
+    from explain_audit import audit_windows
+
+    # empty partition over a fact scan -> flagged
+    empty = _mk_plan(
+        "[row_number() windowspecdefinition(a#1L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS rn#9], [a#1L ASC NULLS FIRST]"
+    )
+    assert len(audit_windows(empty)) == 1
+
+    # low-card partition (o_orderpriority) over a fact scan -> flagged
+    lowcard = _mk_plan(
+        "[row_number() windowspecdefinition(o_orderpriority#3, a#1L ASC "
+        "NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$())) AS rn#9], "
+        "[o_orderpriority#3], [a#1L ASC NULLS FIRST]"
+    )
+    assert len(audit_windows(lowcard)) == 1
+
+    # high-card partition -> clean
+    highcard = _mk_plan(
+        "[row_number() windowspecdefinition(custkey#5L, a#1L ASC NULLS "
+        "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS rn#9], [custkey#5L], [a#1L ASC NULLS FIRST]"
+    )
+    assert audit_windows(highcard) == []
+
+    # no-ORDER-BY two-group ambiguity: second group is the PARTITION
+    # spec (bucket), not an order spec -> clean (the q51 false positive)
+    noorder = _mk_plan(
+        "[count(1) windowspecdefinition(bucket#22L, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS _bn#38L], [bucket#22L]"
+    )
+    assert audit_windows(noorder) == []
+
+    # dimension scan (nation) -> clean even with empty partition
+    dim = _mk_plan(
+        "[row_number() windowspecdefinition(a#1L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS rn#9], [a#1L ASC NULLS FIRST]",
+        scan="nation",
+    )
+    assert audit_windows(dim) == []

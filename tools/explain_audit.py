@@ -221,6 +221,13 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # 1-row LSH-pair-count total attached to the recall aggregate
     # (the exact-truth arm is audit-scale by design, see SCALE.md)
     "q250_lsh_recall_eval",
+    # two 1-row store fingerprints (pre/post vacuum) cross-joined into
+    # the single-row concurrency report
+    "q269_snapshot_concurrency",
+    # 1-row total-count frame under each of the two layout() arms'
+    # global file-id assignment (the global_row_number offset idiom),
+    # appearing twice per arm in the union
+    "q270_zorder_pruning",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
@@ -320,21 +327,31 @@ def _parse_plan_tree(plan: str):
 
 def _window_partition_cols(detail: str) -> list[str] | None:
     """Base column names of the partition spec, [] if empty, None if
-    the Arguments line is not parseable.  With an empty partition spec
-    Spark prints only TWO bracket groups (functions, order) instead of
-    three — the 2-group form IS the empty-partition case."""
-    m = re.search(r"Arguments: (\[.*)$", detail, re.MULTILINE | re.DOTALL)
+    not parseable.  The Arguments bracket groups are ambiguous (a
+    window with no ORDER BY and one with no PARTITION BY both print
+    two groups), so parse windowspecdefinition itself: its arguments
+    before specifiedwindowframe are partition columns (bare refs)
+    followed by order columns (refs carrying ASC/DESC markers)."""
+    m = re.search(
+        r"windowspecdefinition\((.*?)(?:specifiedwindowframe|\)\))",
+        detail,
+        re.DOTALL,
+    )
     if not m:
         return None
-    groups = re.findall(r"\[(.*?)\]", m.group(1).split("\n")[0])
-    if len(groups) == 2:
-        return []
-    if len(groups) < 2:
-        return None
-    spec = groups[1].strip()
-    if not spec:
-        return []
-    return [c.split("#")[0] for c in re.findall(r"(\w+)#\d+", spec)]
+    cols = []
+    for item in m.group(1).split(","):
+        item = item.strip()
+        if not item:
+            continue
+        if re.search(r"\b(ASC|DESC)\b", item):
+            break  # order columns start here
+        ref = re.search(r"(\w+)#\d+", item)
+        if ref:
+            cols.append(ref.group(1))
+        else:
+            return None  # unrecognized partition expression: be silent
+    return cols
 
 
 def _subtree_unbounded(nid, children, details, names) -> bool:

@@ -15332,3 +15332,225 @@ def q274(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.sum("pixel_sum"), F.lit(0)).cast("long").alias("sum_pixels"),
         F.expr("bit_xor(h)").cast("long").alias("id_xor"),
     )
+
+
+def _q275_oracle() -> str:
+    norm = normalize_text_sql("text")
+    h = hex_hash64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""WITH sh AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(list_transform(
+                     range(1, greatest(length(norm) - 2, 1) + 1),
+                     i -> substr(norm, CAST(i AS INT), 3)))) AS g
+          FROM (SELECT doc_id, lang, {norm} AS norm
+                FROM documents WHERE strlen(text) > 0)),
+       train AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+       test  AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+       dfc AS (SELECT lang, g, count(*) AS df FROM train GROUP BY lang, g),
+       prof AS (
+          SELECT lang AS plang, g FROM (
+            SELECT lang, g,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY df DESC, g) AS rk
+            FROM dfc) WHERE rk <= 20),
+       tdocs AS (SELECT DISTINCT doc_id, lang FROM test),
+       cand AS (SELECT DISTINCT plang FROM prof),
+       hits AS (
+          SELECT t.doc_id, p.plang, count(*) AS h
+          FROM test t JOIN prof p ON t.g = p.g
+          GROUP BY t.doc_id, p.plang),
+       scored AS (
+          SELECT b.doc_id, b.lang, b.plang, coalesce(h.h, 0) AS hits
+          FROM (SELECT * FROM tdocs CROSS JOIN cand) b
+          LEFT JOIN hits h
+            ON b.doc_id = h.doc_id AND b.plang = h.plang),
+       pred AS (
+          SELECT doc_id, lang, plang AS pred FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY hits DESC, plang) AS rk
+            FROM scored) WHERE rk = 1)
+       SELECT lang, pred, CAST(count(*) AS BIGINT) AS n,
+              CAST(bit_xor({h}) AS BIGINT) AS id_xor
+       FROM pred GROUP BY lang, pred"""
+
+
+@register(
+    "q275_char_ngram_langid",
+    _q275_oracle(),
+    "character-trigram language identification (the n-gram-profile "
+    "heuristic every ingest pipeline runs before routing text to "
+    "per-language processing): train/test split by doc-id parity, "
+    "per-language profiles = top-20 trigrams by document frequency "
+    "(deterministic df-desc/trigram-asc rank), held-out docs scored "
+    "by profile overlap with ties broken lexically, and the FULL "
+    "confusion matrix + per-cell doc-id xor as the differential — so "
+    "profile construction, scoring, and argmax are all pinned, not "
+    "just an accuracy scalar.  (The synthetic corpus shares one "
+    "vocabulary across langs, so the matrix is deliberately "
+    "confusion-heavy — it exercises the tie-break path that a "
+    "cleanly-separable corpus never would.)  At 100 TB: profiles are "
+    "a ~100-row broadcast, trigram df is map-side-combinable over a "
+    "bounded domain (<=37^3 keys), scoring is one broadcast join, and "
+    "the argmax window partitions by doc_id — high-cardinality by "
+    "construction, green under the explain-audit window rule",
+)
+def q275(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").filter(F.length("text") > 0)
+    sh = d.select(
+        "doc_id", "lang", F.explode(T.char_ngrams("text", n=3)).alias("g")
+    )
+    train = sh.filter(F.col("doc_id") % 2 == 0)
+    test = sh.filter(F.col("doc_id") % 2 == 1)
+    dfc = train.groupBy("lang", "g").agg(F.count("*").alias("df"))
+    wprof = Window.partitionBy("lang").orderBy(F.desc("df"), F.asc("g"))
+    prof = (
+        dfc.withColumn("rk", F.row_number().over(wprof))
+        .filter(F.col("rk") <= 20)
+        .select(F.col("lang").alias("plang"), "g")
+    )
+    tdocs = test.select("doc_id", "lang").distinct()
+    cand = prof.select("plang").distinct()
+    hits = (
+        test.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "plang")
+        .agg(F.count("*").alias("h"))
+    )
+    scored = (
+        tdocs.crossJoin(F.broadcast(cand))
+        .join(hits, ["doc_id", "plang"], "left")
+        .select(
+            "doc_id", "lang", "plang", F.coalesce("h", F.lit(0)).alias("hits")
+        )
+    )
+    wpred = Window.partitionBy("doc_id").orderBy(
+        F.desc("hits"), F.asc("plang")
+    )
+    pred = (
+        scored.withColumn("rk", F.row_number().over(wpred))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", F.col("plang").alias("pred"))
+    )
+    return pred.withColumn(
+        "h", T.hex_hash64(F.col("doc_id").cast("string"))
+    ).groupBy("lang", "pred").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("bit_xor(h)").cast("long").alias("id_xor"),
+    )
+
+
+_Q276_DIM = 64
+
+
+def _q276_oracle() -> str:
+    return f"""WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))
+                   AS x
+          FROM embeddings),
+       q1 AS (SELECT vec_id, x, list_sum(x) AS s FROM q),
+       ex AS (SELECT i, x[i] AS xi, s
+              FROM q1, range(1, {_Q276_DIM + 1}) t(i)),
+       v1 AS (SELECT i, sum(xi * s) AS v FROM ex GROUP BY i),
+       m1 AS (SELECT greatest(max(abs(v)), 1) AS m FROM v1),
+       v1n AS (SELECT i,
+                      CASE WHEN v < 0 THEN -1 ELSE 1 END
+                        * ((abs(v) * 1000000) // m) AS vn
+               FROM v1, m1),
+       s2 AS (SELECT q1.vec_id, sum(q1.x[v1n.i] * v1n.vn) AS s2
+              FROM q1, v1n GROUP BY q1.vec_id),
+       ex2 AS (SELECT i, x[i] AS xi, s2.s2
+               FROM q1 JOIN s2 USING (vec_id),
+                    range(1, {_Q276_DIM + 1}) t(i)),
+       v2 AS (SELECT i, sum(xi * s2) AS v FROM ex2 GROUP BY i),
+       m2 AS (SELECT greatest(max(abs(v)), 1) AS m FROM v2)
+       SELECT CAST(i AS INTEGER) AS i,
+              CAST(CASE WHEN v < 0 THEN -1 ELSE 1 END
+                     * ((abs(v) * 1000000) // m) AS BIGINT) AS v2_ppm
+       FROM v2, m2"""
+
+
+@register(
+    "q276_power_iteration_pca",
+    _q276_oracle(),
+    "distributed power iteration for the dominant eigenvector of the "
+    "embedding Gram matrix X'X (the first PCA axis — the standard "
+    "whitening/drift-monitoring primitive for embedding corpora) "
+    "computed ENGINE-EXACTLY in integers: components are quantized to "
+    "int (floor(x*1000) — float->double cast is exact, the double "
+    "multiply is one correctly-rounded IEEE op, identical in any "
+    "engine), and each iteration is the identity (X'X)v = X'(Xv) — "
+    "never materializing the d*d matrix: one pass computes s = x.v "
+    "per row (a 64-literal zip_with, no join), the next aggregate "
+    "forms v' = sum x*s per component.  Between iterations v "
+    "renormalizes to ppm of its max-abs component with sign-safe "
+    "truncating division (both engines floor on the abs value), so "
+    "magnitudes stay bounded at ANY corpus size — sum(x_i*s2) is "
+    "~1e3*6e10*N, DECIMAL(38,0) to ~1e19 rows.  The 64-row "
+    "iterate is the ONLY driver-side state (the k-means-centroid "
+    "broadcast pattern); data never shuffles — each pass is "
+    "map-side-combined posexplode->sum.  Two iterations pinned; the "
+    "oracle recomputes both exactly, so one wrong quantized product "
+    "in 64*N breaks the differential",
+)
+def q276(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("x"),
+    )
+    # pass 1: v1_i = sum_vec x_i * s with s = sum_j x_j (v0 = ones)
+    q1 = q.select(
+        "vec_id",
+        "x",
+        F.expr("aggregate(x, CAST(0 AS BIGINT), (a, b) -> a + b)").alias("s"),
+    )
+    v1_rows = (
+        q1.select(F.posexplode("x").alias("p", "xi"), "s")
+        .groupBy("p")
+        .agg(F.sum(F.expr("CAST(xi AS DECIMAL(38,0)) * s")).alias("v"))
+        .collect()
+    )
+    # 64-row iterate renormalized driver-side (exact Python ints) —
+    # the k-means centroid-broadcast pattern: state is O(d), data
+    # never leaves the executors
+    vals = {int(r["p"]): int(r["v"]) for r in v1_rows}
+    m = max(max(abs(v) for v in vals.values()), 1)
+    v1n = [
+        (1 if vals[p] >= 0 else -1) * (abs(vals[p]) * 1_000_000 // m)  # ppm-ok: driver-side Python int (arbitrary precision), 64 values
+        for p in range(_Q276_DIM)
+    ]
+    arr = F.array(*[F.lit(v) for v in v1n])
+    # pass 2: s2 = x . v1n per row, then v2_i = sum_vec x_i * s2
+    q2 = q.select(
+        "vec_id",
+        "x",
+        F.aggregate(
+            F.zip_with(F.col("x"), arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        ).alias("s2"),
+    )
+    v2 = (
+        q2.select(F.posexplode("x").alias("p", "xi"), "s2")
+        .groupBy("p")
+        .agg(F.sum(F.expr("CAST(xi AS DECIMAL(38,0)) * s2")).alias("v"))
+    )
+    m2 = v2.agg(
+        F.greatest(F.max(F.abs(F.col("v"))), F.lit(1).cast("decimal(38,0)"))
+        .alias("m")
+    )
+    return (
+        v2.crossJoin(F.broadcast(m2))
+        .select(
+            (F.col("p") + 1).cast("int").alias("i"),
+            F.expr(
+                "CAST(CASE WHEN v < 0 THEN -1 ELSE 1 END"
+                # ppm-ok: v is DECIMAL(38,0), the *1e6 product stays decimal
+                " * ((abs(v) * 1000000) div m) AS BIGINT)"  # div-ok: renormalized quotient <= 1e6 by construction
+            ).alias("v2_ppm"),
+        )
+    )

@@ -60,6 +60,10 @@ _PROMOTED = [
     "q272_pii_redaction",
     "q273_grouped_ols_trend",
     "q274_bmp_decode_quarantine",
+    "q275_char_ngram_langid",
+    "q276_power_iteration_pca",
+    "q277_diversified_topk",
+    "q278_psi_drift_monitor",
     "q101_stream_dedup",
     "q107_udtf_chunks",
     "q113_bloom_filter",

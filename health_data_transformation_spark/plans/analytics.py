@@ -15554,3 +15554,189 @@ def q276(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("v2_ppm"),
         )
     )
+
+
+_Q277_CAP = 3
+_Q277_K = 20
+
+
+@register(
+    "q277_diversified_topk",
+    f"""WITH scored AS (
+          SELECT doc_id, source,
+                 len(string_split(text, ' ')) AS score
+          FROM documents),
+       capped AS (
+          SELECT doc_id, source, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+                                         ORDER BY score DESC, doc_id) AS rk
+            FROM scored) WHERE rk <= {_Q277_CAP})
+       SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS BIGINT) AS rank,
+              doc_id, source, CAST(score AS BIGINT) AS score
+       FROM capped ORDER BY score DESC, doc_id LIMIT {_Q277_K}""",
+    "diversified top-k (the retrieval/dataset-curation constraint "
+    "'best K overall but at most C per source' — prevents one crawl "
+    "domain from owning the whole selection): per-source cap via the "
+    "TWO-PHASE top_k_per_group_scalable shape — source is a "
+    "~20-value column at ANY corpus size, so the naive PARTITION BY "
+    "source window is exactly the low-cardinality fact-table funnel "
+    "the explain-audit window rule forbids (this query is the "
+    "positive control for that rule: swap in top_k_per_group and the "
+    "audit fails) — then global top-K via orderBy.limit, which "
+    "Catalyst compiles to TakeOrderedAndProject: per-partition "
+    "k-heaps, only K rows per partition reach the merge.  Exact "
+    "(cap-then-rank is order-insensitive: the global top-K of the "
+    "capped set is contained in the union of per-partition "
+    "survivors); total order by (score desc, doc_id) everywhere",
+)
+def q277(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", "source", F.size(T.tokens("text")).alias("score")
+    )
+    capped = K.top_k_per_group_scalable(
+        scored,
+        ["source"],
+        [F.desc("score"), F.asc("doc_id")],
+        _Q277_CAP,
+        rank_col="_rk",
+    ).drop("_rk")
+    top = capped.orderBy(F.desc("score"), F.asc("doc_id")).limit(_Q277_K)
+    # the K-row result ranks in one tiny window (bounded input: LIMIT)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rank"),
+        "doc_id",
+        "source",
+        F.col("score").cast("long").alias("score"),
+    )
+
+
+def _q278_oracle() -> str:
+    s = "length(printf('%b', CAST(greatest({x}, 1) AS BIGINT))) - 1"
+    sa, sb = s.format(x="a.share_ppm"), s.format(x="b.share_ppm")
+    return f"""WITH per AS (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                 CAST(least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT) // 5000000, 9) AS INTEGER)
+                   AS band
+          FROM orders),
+       cnt AS (SELECT yr, band, count(*) AS n FROM per GROUP BY yr, band),
+       grid AS (
+          SELECT yr, CAST(b.range AS INTEGER) AS band
+          FROM (SELECT DISTINCT yr FROM cnt) CROSS JOIN range(0, 10) b),
+       filled AS (
+          SELECT g.yr, g.band, coalesce(c.n, 0) AS n
+          FROM grid g LEFT JOIN cnt c
+            ON g.yr = c.yr AND g.band = c.band),
+       tot AS (SELECT yr, sum(n) AS t FROM filled GROUP BY yr),
+       share AS (
+          SELECT f.yr, f.band, f.n,
+                 (f.n * 1000000) // t.t AS share_ppm
+          FROM filled f JOIN tot t ON f.yr = t.yr)
+       SELECT a.yr AS yr_from, b.yr AS yr_to,
+              CAST(sum((b.share_ppm - a.share_ppm) * (({sb}) - ({sa})))
+                   AS BIGINT) AS psi_po2,
+              CAST(sum(a.n) AS BIGINT) AS n_from,
+              CAST(sum(b.n) AS BIGINT) AS n_to
+       FROM share a JOIN share b
+         ON a.band = b.band AND b.yr = a.yr + 1
+       GROUP BY a.yr, b.yr"""
+
+
+@register(
+    "q278_psi_drift_monitor",
+    _q278_oracle(),
+    "population-stability drift monitor between consecutive periods "
+    "(the pre-deploy gate every feature store and training-data "
+    "refresh runs: 'did this month's distribution move?'): per-year "
+    "price-band shares in exact ppm, PSI with the log term "
+    "po2-quantized via the q174 floor(log2) = len(bin(x))-1 idiom — "
+    "fp ln() is engine-unstable near band boundaries, the integer "
+    "form is bit-portable and keeps the PSI property that every "
+    "band's contribution is >= 0 ((p-q) and (log p - log q) always "
+    "share sign).  One map-side-combinable aggregate over the fact "
+    "table is the ONLY data-sized stage; the band grid (years x 10), "
+    "shares, and the consecutive-period self-join are all "
+    "constant-size frames.  Zero-count bands ride a full year x band "
+    "grid (shares clamp to 1 ppm under the log) so a band appearing "
+    "or vanishing registers as drift instead of dropping out of the "
+    "join",
+)
+def q278(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    per = o.select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.least(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " div 5000000"
+            ),
+            F.lit(9).cast("long"),
+        )
+        .cast("int")
+        .alias("band"),
+    )
+    # localCheckpoint the first aggregate: every downstream frame
+    # (grid, filled, tot, both self-join arms) re-derives it, and
+    # without the barrier the plan re-scans the fact table once per
+    # consumer — the checkpoint pins ONE data-sized pass; the
+    # materialized frame is years x bands <= ~100 rows
+    cnt = (
+        per.groupBy("yr", "band")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    years = cnt.select("yr").distinct()
+    bands = spark.range(10).select(F.col("id").cast("int").alias("band"))
+    grid = years.crossJoin(F.broadcast(bands))
+    # every frame past the first aggregate is constant-size (years x
+    # 10 bands); pin the joins to broadcast so the static plan is
+    # exchange-light instead of relying on AQE to discover it
+    filled = grid.join(F.broadcast(cnt), ["yr", "band"], "left").select(
+        "yr", "band", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    tot = filled.groupBy("yr").agg(F.sum("n").alias("t"))
+    share = filled.join(F.broadcast(tot), "yr").select(
+        "yr",
+        "band",
+        "n",
+        F.expr("(CAST(n AS DECIMAL(38,0)) * 1000000) div t")  # div-ok: band share of year total, quotient <= 1e6
+        .alias("share_ppm"),
+    )
+    a = share.select(
+        F.col("yr").alias("yr_from"),
+        "band",
+        F.col("n").alias("na"),
+        F.col("share_ppm").alias("pa"),
+    )
+    b = share.select(
+        F.col("yr").alias("yr_b"),
+        "band",
+        F.col("n").alias("nb"),
+        F.col("share_ppm").alias("pb"),
+    )
+    slog = "length(bin(greatest({x}, 1))) - 1"
+    return (
+        a.join(
+            F.broadcast(b),
+            (a["band"] == b["band"])
+            & (b["yr_b"] == a["yr_from"] + 1),
+        )
+        .groupBy("yr_from", F.col("yr_b").alias("yr_to"))
+        .agg(
+            F.sum(
+                F.expr(
+                    f"(pb - pa) * (({slog.format(x='pb')})"
+                    f" - ({slog.format(x='pa')}))"
+                )
+            )
+            .cast("long")
+            .alias("psi_po2"),
+            F.sum("na").cast("long").alias("n_from"),
+            F.sum("nb").cast("long").alias("n_to"),
+        )
+    )

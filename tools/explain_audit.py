@@ -135,6 +135,11 @@ DEFAULT_QUERIES = [
     "q271_neyman_allocation",
     "q272_pii_redaction",
     "q273_grouped_ols_trend",
+    "q274_bmp_decode_quarantine",
+    "q275_char_ngram_langid",
+    "q276_power_iteration_pca",
+    "q277_diversified_topk",
+    "q278_psi_drift_monitor",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -213,6 +218,12 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # 1-row per-tier pair-count / corpus-token-total aggregates crossed
     # into the 3-row sweep result
     "q261_dedup_threshold_sweep",
+    # 1-row max-abs normalizer attached to the 64-row iterate; the
+    # candidate-language grid is a 5-row broadcast cross; the year x
+    # band grid is a 10-row broadcast cross
+    "q276_power_iteration_pca",
+    "q275_char_ngram_langid",
+    "q278_psi_drift_monitor",
     # _graph_edges attaches a 1-row node-count aggregate by broadcast
     # cross (the q93/q161/q166 no-driver-literal idiom); the two
     # propagation rounds re-evaluate the edge builder, so the SAME
@@ -279,6 +290,10 @@ LOWCARD_COLS = {
     "stratum",
     "priority",
     "grp",
+    "source",
+    "lang",
+    "band",
+    "plang",
     "side",
     "pair_class",
     "cls",

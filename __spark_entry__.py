@@ -47,10 +47,10 @@ _PROMOTED = [
     # all rotate OUT except the q169 ingest anchor (S4-S8 §2 proof).
     # Rotated IN: (a) the r4/r5 additions that landed after the r4
     # prefix froze (q268/q270-q273 + this round's new queries), and
-    # (b) twelve NEVER-driver-verified queries from the ledger,
+    # (b) nine NEVER-driver-verified queries from the ledger,
     # spanning the never-set's families: streaming dedup, SQL UDTF,
     # bloom/HLL sketches, eval-decontamination, gaps-and-islands,
-    # spatial grid join, graph triangles, weighted median, SCD2,
+    # spatial grid join, SCD2,
     # growth accounting, shard manifest.  All were green in the
     # committed full-registry local artifact (same methodology).
     "q169_ingest_lifecycle",
@@ -64,14 +64,14 @@ _PROMOTED = [
     "q276_power_iteration_pca",
     "q277_diversified_topk",
     "q278_psi_drift_monitor",
+    "q279_golden_record_survivorship",
+    "q280_auc_rank_sum",
+    "q281_incremental_view_maintenance",
     "q101_stream_dedup",
     "q107_udtf_chunks",
     "q113_bloom_filter",
     "q117_decontamination",
-    "q126_gaps_islands",
     "q135_grid_radius_join",
-    "q137_triangle_count",
-    "q139_weighted_median",
     "q144_scd2_compress",
     "q164_growth_accounting",
     "q183_train_shard_manifest",

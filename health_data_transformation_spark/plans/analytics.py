@@ -15740,3 +15740,347 @@ def q278(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("nb").cast("long").alias("n_to"),
         )
     )
+
+
+def _q279_oracle() -> str:
+    h = hex_hash64_sql("CAST(c_custkey AS VARCHAR) || '|' || CAST(ver AS VARCHAR)", salt="gr")
+    hx = hex_hash64_sql("CAST(entity AS VARCHAR) || '|' || g_name || '|' || CAST(g_cents AS VARCHAR)")
+    return f"""WITH recs AS (
+          SELECT c_custkey // 3 AS entity,
+                 CAST(c_custkey % 3 AS INTEGER) AS ver,
+                 CASE WHEN {h} % 5 = 0 THEN ''
+                      ELSE c_name || ' v' || CAST(c_custkey % 3 AS VARCHAR)
+                      END AS name,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+                 c_mktsegment AS seg
+          FROM customer),
+       golden AS (
+          SELECT entity,
+                 arg_max(name, CASE WHEN name = '' THEN -1 ELSE ver END)
+                   AS g_name,
+                 max(cents) AS g_cents,
+                 min(seg) AS g_seg,
+                 sum(CASE WHEN name = '' THEN 0 ELSE 1 END) AS n_named,
+                 count(*) AS n_recs
+          FROM recs GROUP BY entity)
+       SELECT g_seg,
+              CAST(count(*) AS BIGINT) AS n_entities,
+              CAST(sum(g_cents) AS BIGINT) AS sum_cents,
+              CAST(sum(CASE WHEN n_named = n_recs THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_fully_named,
+              CAST(sum(CASE WHEN n_named = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_unnamed,
+              CAST(bit_xor({hx}) AS BIGINT) AS golden_xor
+       FROM golden GROUP BY g_seg"""
+
+
+@register(
+    "q279_golden_record_survivorship",
+    _q279_oracle(),
+    "golden-record construction (the MDM survivorship step after "
+    "entity resolution: q76/q179 find the duplicate clusters, THIS "
+    "op decides which attribute values survive into the master "
+    "record): per-entity rules — freshest non-empty name "
+    "(max_by/arg_max on a missing-aware recency key: empty demotes "
+    "to -1, so completeness beats recency), highest balance, "
+    "lexicographic segment canonicalization — with the per-entity "
+    "results pinned by an xor over (entity, chosen name, chosen "
+    "cents), so one wrong survivorship pick anywhere breaks the "
+    "differential, not just the aggregate counts.  Missingness is "
+    "encoded as '' rather than NULL deliberately: Spark max_by and "
+    "DuckDB arg_max have subtly different NULL-skipping rules, and a "
+    "portable survivorship spec must not depend on them.  At 100 TB "
+    "this is ONE map-side-combinable aggregate per entity then a "
+    "segment rollup — no joins, no windows; survivorship is the "
+    "textbook 'aggregate with order-aware picks' shape",
+)
+def q279(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    ver = (F.col("c_custkey") % 3).cast("int")
+    h = T.hex_hash64(
+        F.concat(
+            F.col("c_custkey").cast("string"), F.lit("|"), ver.cast("string")
+        ),
+        salt="gr",
+    )
+    recs = c.select(
+        F.expr("c_custkey div 3").alias("entity"),
+        ver.alias("ver"),
+        F.when(h % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.col("c_name"), F.lit(" v"), ver.cast("string"))
+        ).alias("name"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    golden = recs.groupBy("entity").agg(
+        F.expr("max_by(name, IF(name = '', -1, ver))").alias("g_name"),
+        F.max("cents").alias("g_cents"),
+        F.min("seg").alias("g_seg"),
+        F.sum(F.when(F.col("name") == "", 0).otherwise(1)).alias("n_named"),
+        F.count("*").alias("n_recs"),
+    )
+    hx = T.hex_hash64(
+        F.concat(
+            F.col("entity").cast("string"),
+            F.lit("|"),
+            F.col("g_name"),
+            F.lit("|"),
+            F.col("g_cents").cast("string"),
+        )
+    )
+    return golden.withColumn("hx", hx).groupBy("g_seg").agg(
+        F.count("*").cast("long").alias("n_entities"),
+        F.sum("g_cents").cast("long").alias("sum_cents"),
+        F.sum(F.when(F.col("n_named") == F.col("n_recs"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fully_named"),
+        F.sum(F.when(F.col("n_named") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_unnamed"),
+        F.expr("bit_xor(hx)").cast("long").alias("golden_xor"),
+    )
+
+
+def _q280_oracle() -> str:
+    h = hex_hash64_sql("CAST(o_orderkey AS VARCHAR)", salt="score")
+    return f"""WITH scored AS (
+          SELECT least({h} % 1000
+                       + CASE WHEN o_orderstatus = 'F' THEN 150 ELSE 0 END,
+                       999) AS s,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders),
+       per AS (
+          SELECT s, sum(y) AS np, sum(1 - y) AS nn
+          FROM scored GROUP BY s),
+       cum AS (
+          SELECT s, np, nn,
+                 coalesce(sum(nn) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below
+          FROM per),
+       tot AS (
+          SELECT sum(2 * np * below + np * nn) AS u2,
+                 sum(np) AS n_pos, sum(nn) AS n_neg
+          FROM cum)
+       SELECT CAST(n_pos AS BIGINT) AS n_pos,
+              CAST(n_neg AS BIGINT) AS n_neg,
+              CAST(u2 AS BIGINT) AS u2,
+              CAST((u2 * 1000000) // (2 * n_pos * n_neg) AS BIGINT)
+                AS auc_ppm
+       FROM tot"""
+
+
+@register(
+    "q280_auc_rank_sum",
+    _q280_oracle(),
+    "exact AUC-ROC via the Mann-Whitney rank-sum identity (the "
+    "classifier-eval primitive this registry's eval layer lacked "
+    "beside NDCG/calibration/IPS): AUC = P(score_pos > score_neg) + "
+    "P(tie)/2, computed as 2U = sum over score values of "
+    "2*n_pos(s)*cum_neg_below(s) + n_pos(s)*n_neg(s) — ties handled "
+    "EXACTLY by the half-credit term, no fp ranks, no sampling; "
+    "auc_ppm = (2U * 1e6) div (2 * N_pos * N_neg) floors once at the "
+    "end.  The score domain is bounded (1000 values), so the "
+    "fact-sized work is ONE map-side-combinable aggregate; the "
+    "running-below sum is a window over the 1000-row score "
+    "histogram (bounded input — audit-green), and per-score products "
+    "route through DECIMAL(38,0) since n_pos(s)*cum_below passes "
+    "int64 around 1e10 rows.  This is how AUC must be computed at "
+    "100 TB: histogram first, never a global sort of raw scores",
+)
+def q280(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    h = T.hex_hash64(F.col("o_orderkey").cast("string"), salt="score")
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    scored = o.select(
+        F.least(
+            h % 1000 + F.when(F.col("o_orderstatus") == "F", 150).otherwise(0),
+            F.lit(999).cast("long"),
+        ).alias("s"),
+        y.alias("y"),
+    )
+    per = scored.groupBy("s").agg(
+        F.sum("y").alias("np"), F.sum(1 - F.col("y")).alias("nn")
+    )
+    wbelow = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per.select(
+        "s",
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(wbelow), F.lit(0)).alias("below"),
+    )
+    tot = cum.agg(
+        F.sum(
+            F.expr(
+                "2 * CAST(np AS DECIMAL(38,0)) * below"
+                " + CAST(np AS DECIMAL(38,0)) * nn"
+            )
+        ).alias("u2"),
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+    )
+    return tot.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.col("u2").cast("long").alias("u2"),
+        F.expr(
+            # ppm-ok: u2 is DECIMAL(38,0), the product stays decimal
+            "CAST((u2 * 1000000)"
+            " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"  # div-ok: AUC fraction, quotient <= 1e6
+        ).alias("auc_ppm"),
+    )
+
+
+_Q281_CUT = "'2001-01-01'"
+
+
+def _q281_oracle() -> str:
+    hx = hex_hash64_sql(
+        "m || '|' || st || '|' || CAST(n AS VARCHAR) || '|' ||"
+        " CAST(cents AS VARCHAR) || '|' || CAST(mn AS VARCHAR)"
+    )
+    base_agg = """SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS m,
+                 o_orderstatus AS st, count(*) AS n,
+                 sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS cents,
+                 min(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS mn
+          FROM orders WHERE {pred} GROUP BY m, st"""
+    return f"""WITH base AS ({base_agg.format(pred=f"o_orderdate < DATE {_Q281_CUT}")}),
+       delta AS ({base_agg.format(pred=f"o_orderdate >= DATE {_Q281_CUT}")}),
+       maintained AS (
+          SELECT coalesce(b.m, d.m) AS m, coalesce(b.st, d.st) AS st,
+                 coalesce(b.n, 0) + coalesce(d.n, 0) AS n,
+                 coalesce(b.cents, 0) + coalesce(d.cents, 0) AS cents,
+                 least(coalesce(b.mn, 9223372036854775807),
+                       coalesce(d.mn, 9223372036854775807)) AS mn
+          FROM base b FULL OUTER JOIN delta d
+            ON b.m = d.m AND b.st = d.st),
+       full_v AS ({base_agg.format(pred="TRUE")}),
+       cmp AS (
+          SELECT f.m, f.st, f.n, f.cents, f.mn,
+                 (mv.n = f.n AND mv.cents = f.cents AND mv.mn = f.mn)
+                   AS same
+          FROM full_v f JOIN maintained mv
+            ON f.m = mv.m AND f.st = mv.st)
+       SELECT st,
+              CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(sum(cents) AS BIGINT) AS sum_cents,
+              bool_and(same) AS arms_match,
+              CAST(bit_xor({hx}) AS BIGINT) AS view_xor
+       FROM cmp GROUP BY st"""
+
+
+@register(
+    "q281_incremental_view_maintenance",
+    _q281_oracle(),
+    "incremental materialized-view maintenance (the delta-refresh "
+    "contract every warehouse rollup runs on: fold ONLY the new "
+    "batch's aggregate into the stored view instead of re-scanning "
+    "history): the (month, status) view's measures are maintained by "
+    "the merge laws count+=, sum+=, min=least — exactly the "
+    "insert-only-maintainable set; a delete would invalidate min and "
+    "force a re-aggregate of the touched groups, which is why the "
+    "measure choice IS the design decision — and the maintained view "
+    "is proven group-by-group EQUAL to the full recompute "
+    "(bool_and(same) rides the result; the full arm is the oracle's "
+    "truth stick, the maintained arm is what production would run).  "
+    "At 100 TB the maintained arm scans ONLY the delta partition "
+    "(date predicate pushed to the scan) and full-outer-joins two "
+    "month-grain aggregates — constant-size frames; the full-recompute "
+    "arm exists here solely to pin the equivalence",
+)
+def q281(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.substring(F.col("o_orderdate").cast("string"), 1, 7)
+                .alias("m"),
+                F.col("o_orderstatus").alias("st"),
+                cents.alias("c"),
+            )
+            .groupBy("m", "st")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("c").alias("cents"),
+                F.min("c").alias("mn"),
+            )
+        )
+
+    cut = F.to_date(F.lit("2001-01-01"))
+    base = agg(o.filter(F.col("o_orderdate") < cut))
+    delta = agg(o.filter(F.col("o_orderdate") >= cut))
+    maxl = F.lit(9223372036854775807)
+    b = base.select(
+        F.col("m").alias("bm"), F.col("st").alias("bst"),
+        F.col("n").alias("bn"), F.col("cents").alias("bc"),
+        F.col("mn").alias("bmn"),
+    )
+    d = delta.select(
+        F.col("m").alias("dm"), F.col("st").alias("dst"),
+        F.col("n").alias("dn"), F.col("cents").alias("dc"),
+        F.col("mn").alias("dmn"),
+    )
+    maintained = (
+        b.join(
+            d, (b["bm"] == d["dm"]) & (b["bst"] == d["dst"]), "full_outer"
+        )
+        .select(
+            F.coalesce("bm", "dm").alias("m"),
+            F.coalesce("bst", "dst").alias("st"),
+            (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .alias("n"),
+            (F.coalesce("bc", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+            .alias("cents"),
+            F.least(
+                F.coalesce("bmn", maxl), F.coalesce("dmn", maxl)
+            ).alias("mn"),
+        )
+    )
+    full_v = agg(o)
+    mv = maintained.select(
+        F.col("m").alias("vm"), F.col("st").alias("vst"),
+        F.col("n").alias("vn"), F.col("cents").alias("vc"),
+        F.col("mn").alias("vmn"),
+    )
+    cmp = full_v.join(
+        F.broadcast(mv),
+        (full_v["m"] == mv["vm"]) & (full_v["st"] == mv["vst"]),
+    ).select(
+        "m",
+        "st",
+        "n",
+        "cents",
+        "mn",
+        (
+            (F.col("vn") == F.col("n"))
+            & (F.col("vc") == F.col("cents"))
+            & (F.col("vmn") == F.col("mn"))
+        ).alias("same"),
+    )
+    hx = T.hex_hash64(
+        F.concat_ws(
+            "|",
+            F.col("m"),
+            F.col("st"),
+            F.col("n").cast("string"),
+            F.col("cents").cast("string"),
+            F.col("mn").cast("string"),
+        )
+    )
+    return cmp.withColumn("hx", hx).groupBy("st").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.expr("bool_and(same)").alias("arms_match"),
+        F.expr("bit_xor(hx)").cast("long").alias("view_xor"),
+    )

@@ -140,6 +140,9 @@ DEFAULT_QUERIES = [
     "q276_power_iteration_pca",
     "q277_diversified_topk",
     "q278_psi_drift_monitor",
+    "q279_golden_record_survivorship",
+    "q280_auc_rank_sum",
+    "q281_incremental_view_maintenance",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the

@@ -1,0 +1,143 @@
+"""End-of-round gate (r4 verdict task #1): one command that makes the
+evidence hole impossible to reopen.
+
+Checks, in order (first failure exits 1):
+  1. ppm_lint clean (overflow classes)
+  2. the full-registry local correctness artifact EXISTS, was generated
+     AFTER the registry stopped changing (hard assertion: artifact
+     query set == live registry set, zero failures) — a query added
+     after the artifact was written fails this gate by construction
+  3. bench_diff between the two newest committed BENCH details (>=2x
+     AND >=1s regressions fail; new/removed queries reported only)
+  4. driver_ledger summary printed (informational)
+
+Usage:
+  python tools/round_gate.py [--artifact CORRECTNESS_local_rNN.json]
+  python tools/round_gate.py --regen [sf_dir]   # (re)generate the
+        artifact via check_oracle --json first, then gate on it
+
+With no --artifact, the newest CORRECTNESS_local_r*.json is used.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path("/root/repo")
+
+
+def run(cmd: list[str]) -> int:
+    print(f"\n=== {' '.join(cmd)}")
+    return subprocess.run(cmd, cwd=ROOT).returncode
+
+
+def newest(pattern: str) -> str | None:
+    paths = glob.glob(str(ROOT / pattern))
+    if not paths:
+        return None
+
+    def key(p: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    return max(paths, key=key)
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    artifact = None
+    if "--artifact" in argv:
+        artifact = argv[argv.index("--artifact") + 1]
+    regen = "--regen" in argv
+    sf_dir = next(
+        (a for a in argv if a.startswith("/")), "/root/testdata/sf0.01"
+    )
+
+    sys.path.insert(0, str(ROOT))
+    import __spark_entry__ as e
+
+    registry = set(e.queries().keys())
+
+    # 1. overflow lint
+    if run([sys.executable, "tools/ppm_lint.py"]) != 0:
+        print("GATE FAIL: ppm_lint findings")
+        return 1
+
+    # 2. full-registry artifact freshness
+    if regen:
+        artifact = artifact or f"CORRECTNESS_local_r{os.environ.get('ROUND', 'X')}.json"
+        rc = run(
+            [
+                sys.executable,
+                "tools/check_oracle.py",
+                sf_dir,
+                "--json",
+                artifact,
+            ]
+        )
+        if rc != 0:
+            print("GATE FAIL: check_oracle reported failures")
+            return 1
+    artifact = artifact or newest("CORRECTNESS_local_r*.json")
+    if not artifact:
+        print("GATE FAIL: no CORRECTNESS_local_r*.json artifact committed")
+        return 1
+    data = json.loads(Path(ROOT / artifact).read_text())
+    rows = data.get("queries", data)
+    arty = set(rows.keys())
+    missing = sorted(registry - arty)
+    extra = sorted(arty - registry)
+    bad = sorted(
+        n
+        for n, r in rows.items()
+        if isinstance(r, dict)
+        and (
+            r.get("err")
+            or r.get("rows_match") is False
+            or r.get("schema_match") is False
+            or r.get("values_match") is False
+        )
+    )
+    print(
+        f"\n=== artifact {os.path.basename(str(artifact))}: "
+        f"{len(arty)} queries vs registry {len(registry)}"
+    )
+    if missing:
+        print(f"GATE FAIL: registry queries ABSENT from artifact: {missing}")
+        print("(the artifact predates the last registry change — regenerate)")
+        return 1
+    if extra:
+        print(f"GATE FAIL: artifact rows not in registry (stale): {extra}")
+        return 1
+    if bad:
+        print(f"GATE FAIL: artifact failures: {bad}")
+        return 1
+    print("artifact == registry, zero failures")
+
+    # 3. bench regression gate over the two newest committed details
+    benches = sorted(
+        glob.glob(str(ROOT / "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    new_detail = str(ROOT / "bench_detail.json")
+    if benches and os.path.exists(new_detail):
+        if run(
+            [sys.executable, "tools/bench_diff.py", benches[-1], new_detail]
+        ) != 0:
+            print("GATE FAIL: bench regression")
+            return 1
+
+    # 4. driver-coverage ledger (informational)
+    run([sys.executable, "tools/driver_ledger.py"])
+    print("\nROUND GATE: PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -50,7 +50,7 @@ _PROMOTED = [
     # (b) nine NEVER-driver-verified queries from the ledger,
     # spanning the never-set's families: streaming dedup, SQL UDTF,
     # bloom/HLL sketches, eval-decontamination, gaps-and-islands,
-    # spatial grid join, SCD2,
+    # spatial grid join,
     # growth accounting, shard manifest.  All were green in the
     # committed full-registry local artifact (same methodology).
     "q169_ingest_lifecycle",
@@ -67,12 +67,12 @@ _PROMOTED = [
     "q279_golden_record_survivorship",
     "q280_auc_rank_sum",
     "q281_incremental_view_maintenance",
+    "q282_kaplan_meier_retention",
     "q101_stream_dedup",
     "q107_udtf_chunks",
     "q113_bloom_filter",
     "q117_decontamination",
     "q135_grid_radius_join",
-    "q144_scd2_compress",
     "q164_growth_accounting",
     "q183_train_shard_manifest",
     "q203_hll_rolling_merge",

@@ -16084,3 +16084,132 @@ def q281(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("bool_and(same)").alias("arms_match"),
         F.expr("bit_xor(hx)").cast("long").alias("view_xor"),
     )
+
+
+def _q282_oracle() -> str:
+    return """WITH per_user AS (
+          SELECT user_id,
+                 CAST((floor(epoch(max(ts))) - floor(epoch(min(ts))))
+                      AS BIGINT) // 86400 AS d,
+                 CASE WHEN floor(epoch(max(ts)))
+                           < (SELECT floor(epoch(max(ts))) FROM events)
+                             - 3 * 86400
+                      THEN 1 ELSE 0 END AS ev
+          FROM events GROUP BY user_id),
+       hist AS (
+          SELECT d, count(*) AS c, sum(ev) AS deaths
+          FROM per_user GROUP BY d),
+       gridt AS (
+          SELECT unnest(range(0, (SELECT max(d) + 1 FROM per_user)))
+            AS t),
+       grid AS (
+          SELECT CAST(g.t AS BIGINT) AS t,
+                 coalesce(h.c, 0) AS c,
+                 coalesce(h.deaths, 0) AS d
+          FROM gridt g LEFT JOIN hist h ON h.d = g.t),
+       risk AS (
+          SELECT t, d,
+                 sum(c) OVER (ORDER BY t DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS n
+          FROM grid),
+       km AS (
+          SELECT t, n, d, s FROM (
+            WITH RECURSIVE f(t, s) AS (
+              SELECT CAST(-1 AS BIGINT), CAST(1000000 AS BIGINT)
+              UNION ALL
+              SELECT r.t, (f.s * (r.n - r.d)) // r.n
+              FROM f JOIN risk r ON r.t = f.t + 1)
+            SELECT f.t, r.n, r.d, f.s
+            FROM f JOIN risk r ON r.t = f.t))
+       SELECT CAST(t AS BIGINT) AS t,
+              CAST(n AS BIGINT) AS at_risk,
+              CAST(d AS BIGINT) AS deaths,
+              CAST(s AS BIGINT) AS survival_ppm
+       FROM km"""
+
+
+@register(
+    "q282_kaplan_meier_retention",
+    _q282_oracle(),
+    "Kaplan-Meier survival curve over user lifetimes (the "
+    "right-censoring-aware retention estimate — naive 'percent still "
+    "active' curves are biased because users who joined late haven't "
+    "HAD time to churn; KM handles them as censored): duration = "
+    "days between a user's first and last event, churned iff the "
+    "last event predates the corpus horizon by >3 days, at-risk "
+    "counts from a reverse cumulative sum over the day grid, and "
+    "S(t) = fold of (n_t - d_t)/n_t factors in SEQUENTIAL floor-ppm "
+    "integer steps — the fold is non-associative (each step floors), "
+    "so both engines must walk it in day order: Spark folds "
+    "prefix-slices of the collected step array with aggregate() "
+    "lambdas (the day grid is calendar-bounded, so the collected "
+    "state is O(days), the k-means-centroid pattern), DuckDB walks "
+    "the identical recursion in a RECURSIVE CTE.  The fact-sized "
+    "work is ONE per-user aggregate; everything after is "
+    "calendar-sized.  acc*(n-d) <= 1e6 * N_users keeps int64 to "
+    "~1e10 users; the div quotient is a ppm <= 1e6",
+)
+def q282(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    horizon = e.agg(
+        F.expr("CAST(floor(unix_timestamp(max(ts))) AS BIGINT)").alias("hz")
+    )
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.expr("CAST(floor(unix_timestamp(min(ts))) AS BIGINT)")
+            .alias("first_s"),
+            F.expr("CAST(floor(unix_timestamp(max(ts))) AS BIGINT)")
+            .alias("last_s"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr("(last_s - first_s) div 86400").alias("d"),
+            F.when(
+                F.col("last_s") < F.col("hz") - 3 * 86400, 1
+            ).otherwise(0).alias("ev"),
+        )
+    )
+    hist = per_user.groupBy("d").agg(
+        F.count("*").alias("c"), F.sum("ev").alias("deaths")
+    )
+    maxd = per_user.agg(F.max("d").alias("maxd"))
+    grid = (
+        maxd.select(F.explode(F.expr("sequence(0, maxd)")).alias("t"))
+        .join(F.broadcast(hist), F.col("t") == F.col("d"), "left")
+        .select(
+            "t",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("deaths", F.lit(0)).alias("dd"),
+        )
+    )
+    wrisk = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.select(
+        "t", "dd", F.sum("c").over(wrisk).alias("n")
+    )
+    # sequential floor-ppm fold: collect the calendar-bounded step
+    # array onto a 1-row frame, then per-t prefix folds via slice +
+    # aggregate (steps is an ATTRIBUTE here — the lambda captures no
+    # expression; see the char_ngrams lesson)
+    folded = risk.agg(
+        F.expr("array_sort(collect_list(struct(t, n, dd)))").alias("steps")
+    ).select(
+        F.posexplode(
+            F.expr(
+                "transform(steps, (x, i) ->"
+                " struct(x.t AS t, x.n AS n, x.dd AS d,"
+                "  aggregate(slice(steps, 1, i + 1),"
+                "   CAST(1000000 AS BIGINT),"
+                "   (acc, s) -> (acc * (s.n - s.dd)) div s.n) AS s))"  # div-ok: survival ppm, acc <= 1e6 and (n-d)/n <= 1
+            )
+        ).alias("_p", "r")
+    )
+    return folded.select(
+        F.col("r.t").cast("long").alias("t"),
+        F.col("r.n").cast("long").alias("at_risk"),
+        F.col("r.d").cast("long").alias("deaths"),
+        F.col("r.s").cast("long").alias("survival_ppm"),
+    )

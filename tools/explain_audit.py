@@ -143,6 +143,7 @@ DEFAULT_QUERIES = [
     "q279_golden_record_survivorship",
     "q280_auc_rank_sum",
     "q281_incremental_view_maintenance",
+    "q282_kaplan_meier_retention",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -227,6 +228,8 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q276_power_iteration_pca",
     "q275_char_ngram_langid",
     "q278_psi_drift_monitor",
+    # 1-row horizon / max-duration aggregates under the KM day grid
+    "q282_kaplan_meier_retention",
     # _graph_edges attaches a 1-row node-count aggregate by broadcast
     # cross (the q93/q161/q166 no-driver-literal idiom); the two
     # propagation rounds re-evaluate the edge builder, so the SAME

@@ -68,12 +68,12 @@ _PROMOTED = [
     "q280_auc_rank_sum",
     "q281_incremental_view_maintenance",
     "q282_kaplan_meier_retention",
+    "q283_blocking_quality",
     "q101_stream_dedup",
     "q107_udtf_chunks",
     "q113_bloom_filter",
     "q117_decontamination",
     "q135_grid_radius_join",
-    "q164_growth_accounting",
     "q183_train_shard_manifest",
     "q203_hll_rolling_merge",
 ]

@@ -15408,7 +15408,10 @@ def q275(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select(F.col("lang").alias("plang"), "g")
     )
-    tdocs = test.select("doc_id", "lang").distinct()
+    # distinct test docs come from the BASE table, not the exploded
+    # frame — one fewer trigram explosion (the explode is the only
+    # fact-sized cost in this query)
+    tdocs = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang")
     cand = prof.select("plang").distinct()
     hits = (
         test.join(F.broadcast(prof), "g")
@@ -16212,4 +16215,106 @@ def q282(spark: SparkSession, sf: str) -> DataFrame:
         F.col("r.n").cast("long").alias("at_risk"),
         F.col("r.d").cast("long").alias("deaths"),
         F.col("r.s").cast("long").alias("survival_ppm"),
+    )
+
+
+def _q283_oracle() -> str:
+    return """WITH recs AS (
+          SELECT c_custkey AS rid, c_custkey // 3 AS entity,
+                 c_nationkey AS nk, c_mktsegment AS seg
+          FROM customer),
+       n_tot AS (SELECT count(*) AS n FROM recs),
+       total_pairs AS (
+          SELECT (n * (n - 1)) // 2 AS p FROM n_tot),
+       cand AS (
+          SELECT sum((c * (c - 1)) // 2) AS p
+          FROM (SELECT count(*) AS c FROM recs GROUP BY nk, seg)),
+       truth AS (
+          SELECT sum((c * (c - 1)) // 2) AS p
+          FROM (SELECT count(*) AS c FROM recs GROUP BY entity)),
+       found AS (
+          SELECT coalesce(sum((c * (c - 1)) // 2), 0) AS p
+          FROM (SELECT count(*) AS c FROM recs
+                GROUP BY entity, nk, seg)),
+       m AS (SELECT total_pairs.p AS tp, cand.p AS cp,
+                    truth.p AS mp, found.p AS fp
+             FROM total_pairs, cand, truth, found)
+       SELECT CAST(tp AS BIGINT) AS total_pairs,
+              CAST(cp AS BIGINT) AS candidate_pairs,
+              CAST(mp AS BIGINT) AS true_matches,
+              CAST(fp AS BIGINT) AS found_matches,
+              CAST(((tp - cp) * 1000000) // tp AS BIGINT)
+                AS reduction_ppm,
+              CAST((fp * 1000000) // mp AS BIGINT)
+                AS completeness_ppm
+       FROM m"""
+
+
+@register(
+    "q283_blocking_quality",
+    _q283_oracle(),
+    "entity-resolution blocking-scheme evaluation WITHOUT enumerating "
+    "a single pair (the pre-flight every ER pipeline needs before "
+    "committing to a blocking key: q250 evaluates LSH by "
+    "materializing truth pairs at audit scale; THIS op evaluates a "
+    "blocking scheme at FULL scale because every quantity is a sum "
+    "of C(group_size, 2) over group-count aggregates): reduction "
+    "ratio = 1 - candidate/total pairs (how much work blocking on "
+    "(nation, segment) saves) and pairs completeness = "
+    "within-block true matches / all true matches (what it costs in "
+    "recall — true clusters from the q279 entity construction).  "
+    "found <= true holds by refinement: (entity, nk, seg) groups "
+    "partition entity groups, so the sum of C(c,2) can only drop.  "
+    "Four map-side-combinable aggregates, no joins of fact-sized "
+    "frames; products route DECIMAL(38,0) — n*(n-1) passes int64 at "
+    "~3e9 rows, the q149 class",
+)
+def q283(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    recs = c.select(
+        F.expr("c_custkey div 3").alias("entity"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+
+    def pair_sum(df: DataFrame, *keys: str) -> DataFrame:
+        return (
+            df.groupBy(*keys)
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.expr(
+                            "(CAST(c AS DECIMAL(38,0)) * (c - 1)) div 2"  # div-ok: exact halving of an even product, quotient = pair count <= n^2/2 < 1e28 cast back to decimal-safe range... emitted as DECIMAL via sum
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("p")
+            )
+        )
+
+    tot = recs.agg(F.count("*").alias("n")).select(
+        F.expr("(CAST(n AS DECIMAL(38,0)) * (n - 1)) div 2").alias("tp")  # div-ok: pair count, bounded by n^2/2
+    )
+    cand = pair_sum(recs, "nk", "seg").select(F.col("p").alias("cp"))
+    truth = pair_sum(recs, "entity").select(F.col("p").alias("mp"))
+    found = pair_sum(recs, "entity", "nk", "seg").select(
+        F.col("p").alias("fp")
+    )
+    m = (
+        tot.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(found))
+    )
+    return m.select(
+        F.col("tp").cast("long").alias("total_pairs"),
+        F.col("cp").cast("long").alias("candidate_pairs"),
+        F.col("mp").cast("long").alias("true_matches"),
+        F.col("fp").cast("long").alias("found_matches"),
+        F.expr(
+            "CAST(((tp - cp) * 1000000) div tp AS BIGINT)"  # div-ok: reduction ratio, quotient <= 1e6; ppm-ok: tp/cp are DECIMAL(38,0)
+        ).alias("reduction_ppm"),
+        F.expr(
+            "CAST((fp * 1000000) div mp AS BIGINT)"  # div-ok: completeness, fp <= mp by refinement; ppm-ok: fp/mp are DECIMAL(38,0)
+        ).alias("completeness_ppm"),
     )

@@ -144,6 +144,7 @@ DEFAULT_QUERIES = [
     "q280_auc_rank_sum",
     "q281_incremental_view_maintenance",
     "q282_kaplan_meier_retention",
+    "q283_blocking_quality",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -230,6 +231,8 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q278_psi_drift_monitor",
     # 1-row horizon / max-duration aggregates under the KM day grid
     "q282_kaplan_meier_retention",
+    # four 1-row pair-count aggregates crossed into the 1-row report
+    "q283_blocking_quality",
     # _graph_edges attaches a 1-row node-count aggregate by broadcast
     # cross (the q93/q161/q166 no-driver-literal idiom); the two
     # propagation rounds re-evaluate the edge builder, so the SAME

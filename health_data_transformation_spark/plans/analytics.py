@@ -16318,3 +16318,90 @@ def q283(spark: SparkSession, sf: str) -> DataFrame:
             "CAST((fp * 1000000) div mp AS BIGINT)"  # div-ok: completeness, fp <= mp by refinement; ppm-ok: fp/mp are DECIMAL(38,0)
         ).alias("completeness_ppm"),
     )
+
+
+def _q284_oracle() -> str:
+    return """WITH pts AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 500000 AS band,
+                 CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END AS grp_hi
+          FROM orders),
+       hist AS (
+          SELECT band, sum(grp_hi) AS a, sum(1 - grp_hi) AS b
+          FROM pts GROUP BY band),
+       tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM hist),
+       cdf AS (
+          SELECT band,
+                 sum(a) OVER (ORDER BY band) AS ca,
+                 sum(b) OVER (ORDER BY band) AS cb
+          FROM hist),
+       dev AS (
+          SELECT band,
+                 abs((ca * 1000000) // na - (cb * 1000000) // nb) AS d
+          FROM cdf, tot)
+       SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_hi,
+              CAST((SELECT nb FROM tot) AS BIGINT) AS n_lo,
+              CAST(max(d) AS BIGINT) AS ks_ppm,
+              CAST(min(band) FILTER (WHERE d = (SELECT max(d) FROM dev))
+                   AS BIGINT) AS argmax_band
+       FROM dev"""
+
+
+@register(
+    "q284_ks_two_sample",
+    _q284_oracle(),
+    "two-sample Kolmogorov-Smirnov distance between the urgent and "
+    "non-urgent order-price distributions (the OTHER standard drift "
+    "test beside q278's PSI: KS is the max pointwise CDF gap — "
+    "sensitive to location shifts PSI's binned sum can smear): both "
+    "empirical CDFs in exact floor-ppm over a bounded $5k-band "
+    "histogram, D = max |cdf_a - cdf_b| with the argmax band "
+    "reported (WHERE the distributions diverge most — the actionable "
+    "half of the answer), min-band tiebreak for determinism.  The "
+    "fact-sized work is one conditional aggregate; the CDFs are "
+    "running sums over the bounded band histogram (aggregate-barrier "
+    "input, audit-green).  Like q280's AUC: at 100 TB a distribution "
+    "test must histogram first — never a global sort of raw values",
+)
+def q284(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    hi = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    pts = o.select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div 500000"
+        ).alias("band"),
+        hi.alias("grp_hi"),
+    )
+    hist = pts.groupBy("band").agg(
+        F.sum("grp_hi").alias("a"), F.sum(1 - F.col("grp_hi")).alias("b")
+    )
+    tot = hist.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    wcdf = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = hist.select(
+        "band",
+        F.sum("a").over(wcdf).alias("ca"),
+        F.sum("b").over(wcdf).alias("cb"),
+    )
+    dev = cdf.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "na",
+        "nb",
+        F.abs(
+            F.expr("(CAST(ca AS DECIMAL(38,0)) * 1000000) div na")  # div-ok: CDF value, quotient <= 1e6
+            - F.expr("(CAST(cb AS DECIMAL(38,0)) * 1000000) div nb")  # div-ok: CDF value, quotient <= 1e6
+        ).alias("d"),
+    )
+    return dev.agg(
+        F.max("na").cast("long").alias("n_hi"),
+        F.max("nb").cast("long").alias("n_lo"),
+        F.max("d").cast("long").alias("ks_ppm"),
+        F.expr("min_by(band, struct(-d, band))").cast("long").alias(
+            "argmax_band"
+        ),
+    )

@@ -145,6 +145,7 @@ DEFAULT_QUERIES = [
     "q281_incremental_view_maintenance",
     "q282_kaplan_meier_retention",
     "q283_blocking_quality",
+    "q284_ks_two_sample",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -233,6 +234,8 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q282_kaplan_meier_retention",
     # four 1-row pair-count aggregates crossed into the 1-row report
     "q283_blocking_quality",
+    # 1-row totals frame under the CDF deviation scan
+    "q284_ks_two_sample",
     # _graph_edges attaches a 1-row node-count aggregate by broadcast
     # cross (the q93/q161/q166 no-driver-literal idiom); the two
     # propagation rounds re-evaluate the edge builder, so the SAME

@@ -77,8 +77,7 @@ def main() -> int:
                 sys.executable,
                 "tools/check_oracle.py",
                 sf_dir,
-                "--json",
-                artifact,
+                f"--json={artifact}",
             ]
         )
         if rc != 0:
@@ -120,9 +119,11 @@ def main() -> int:
         return 1
     print("artifact == registry, zero failures")
 
-    # 3. bench regression gate over the two newest committed details
+    # 3. bench regression gate: newest committed per-query detail
+    # (BENCH_detail_r*.json — the driver's BENCH_r*.json carries only
+    # the truncated stdout tail) vs the working-tree bench_detail.json
     benches = sorted(
-        glob.glob(str(ROOT / "BENCH_r*.json")),
+        glob.glob(str(ROOT / "BENCH_detail_r*.json")),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
     new_detail = str(ROOT / "bench_detail.json")

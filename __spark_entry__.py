@@ -49,7 +49,7 @@ _PROMOTED = [
     # prefix froze (q268/q270-q273 + this round's new queries), and
     # (b) nine NEVER-driver-verified queries from the ledger,
     # spanning the never-set's families: streaming dedup, SQL UDTF,
-    # bloom/HLL sketches, eval-decontamination,
+    # bloom sketches, eval-decontamination,
     # spatial grid join,
     # growth accounting, shard manifest.  All were green in the
     # committed full-registry local artifact (same methodology).
@@ -70,12 +70,12 @@ _PROMOTED = [
     "q282_kaplan_meier_retention",
     "q283_blocking_quality",
     "q284_ks_two_sample",
+    "q285_importance_resampling",
     "q101_stream_dedup",
     "q107_udtf_chunks",
     "q113_bloom_filter",
     "q117_decontamination",
     "q135_grid_radius_join",
-    "q203_hll_rolling_merge",
 ]
 
 _DEMOTED = {

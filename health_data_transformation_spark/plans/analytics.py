@@ -16405,3 +16405,100 @@ def q284(spark: SparkSession, sf: str) -> DataFrame:
             "argmax_band"
         ),
     )
+
+
+_Q285_TARGET_PPM = 200000  # uniform 5-language target mix
+
+
+def _q285_oracle() -> str:
+    h = hex_hash64_sql("CAST(doc_id AS VARCHAR)", salt="resample")
+    hx = hex_hash64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""WITH counts AS (
+          SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+       tot AS (SELECT sum(n_l) AS n FROM counts),
+       ratio AS (
+          SELECT lang, n_l,
+                 ({_Q285_TARGET_PPM} * n) // n_l AS r
+          FROM counts, tot),
+       mx AS (SELECT max(r) AS m FROM ratio),
+       acc AS (
+          SELECT lang, n_l, (r * 1000000) // m AS p_ppm
+          FROM ratio, mx),
+       kept AS (
+          SELECT d.doc_id, d.lang, a.n_l, a.p_ppm
+          FROM documents d JOIN acc a ON d.lang = a.lang
+          WHERE {h} % 1000000 < a.p_ppm),
+       per AS (
+          SELECT lang, max(n_l) AS n_src, max(p_ppm) AS p_ppm,
+                 count(*) AS n_kept,
+                 bit_xor({hx.replace('doc_id', 'kept.doc_id')}) AS kept_xor
+          FROM kept GROUP BY lang),
+       ktot AS (SELECT sum(n_kept) AS k FROM per)
+       SELECT lang,
+              CAST(n_src AS BIGINT) AS n_src,
+              CAST(p_ppm AS BIGINT) AS accept_ppm,
+              CAST(n_kept AS BIGINT) AS n_kept,
+              CAST((n_kept * 1000000) // k AS BIGINT) AS achieved_ppm,
+              CAST(kept_xor AS BIGINT) AS kept_xor
+       FROM per, ktot"""
+
+
+@register(
+    "q285_importance_resampling",
+    _q285_oracle(),
+    "importance resampling to a target language mix (the multilingual "
+    "rebalancing step every LLM corpus build runs: the crawl is 44% "
+    "English, the training recipe says 20%): per-language acceptance "
+    "probability proportional to target/source share, normalized so "
+    "the scarcest language keeps 100% of its data (never upsample — "
+    "dedup invariants survive), and each document's keep/drop decided "
+    "by a SALTED deterministic hash threshold — reproducible, "
+    "order-independent, and uncorrelated with q63/q200's split hashes "
+    "(the salt IS the independence guarantee).  The xor of kept ids "
+    "pins the exact sample, the achieved-mix ppm shows convergence "
+    "toward the target.  At 100 TB: one count aggregate, a 5-row "
+    "broadcast of acceptance thresholds, one map-only filter pass — "
+    "no shuffle touches the corpus",
+)
+def q285(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tot = counts.agg(F.sum("n_l").alias("n"))
+    ratio = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_l",
+        F.expr(
+            f"({_Q285_TARGET_PPM} * CAST(n AS DECIMAL(38,0))) div n_l"  # div-ok: target/source ratio scaled 1e6; bounded by corpus/lang-count ratios << 1e12
+        ).alias("r"),
+    )
+    mx = ratio.agg(F.max("r").alias("m"))
+    acc = ratio.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "n_l",
+        F.expr("(CAST(r AS DECIMAL(38,0)) * 1000000) div m")  # div-ok: normalized acceptance, quotient <= 1e6
+        .alias("p_ppm"),
+    )
+    h = T.hex_hash64(F.col("doc_id").cast("string"), salt="resample")
+    kept = (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(acc), "lang")
+        .filter(h % 1000000 < F.col("p_ppm"))
+    )
+    per = kept.withColumn(
+        "hx", T.hex_hash64(F.col("doc_id").cast("string"))
+    ).groupBy("lang").agg(
+        F.max("n_l").alias("n_src"),
+        F.max("p_ppm").alias("p_ppm"),
+        F.count("*").alias("n_kept"),
+        F.expr("bit_xor(hx)").alias("kept_xor"),
+    )
+    ktot = per.agg(F.sum("n_kept").alias("k"))
+    return per.crossJoin(F.broadcast(ktot)).select(
+        "lang",
+        F.col("n_src").cast("long").alias("n_src"),
+        F.col("p_ppm").cast("long").alias("accept_ppm"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.expr("CAST((CAST(n_kept AS DECIMAL(38,0)) * 1000000) div k AS BIGINT)")  # div-ok: share of kept total, quotient <= 1e6
+        .alias("achieved_ppm"),
+        F.col("kept_xor").cast("long").alias("kept_xor"),
+    )

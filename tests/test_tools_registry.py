@@ -177,3 +177,49 @@ def test_explain_audit_window_detector():
         scan="nation",
     )
     assert audit_windows(dim) == []
+
+
+def test_driver_ledger_green_semantics():
+    """A row counts as driver-verified only when rows+schema match, no
+    err, and hash_match is not explicitly false (absent = rows-only
+    check, still a pass)."""
+    sys.path.insert(0, "/root/repo/tools")
+    from driver_ledger import green
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "err": None}
+    assert green(ok)
+    assert green({**ok, "hash_match": None})
+    assert not green({**ok, "hash_match": False})
+    assert not green({**ok, "err": "spark: boom"})
+    assert not green({**ok, "rows_match": False})
+
+
+def test_round_gate_artifact_freshness(tmp_path, monkeypatch):
+    """The gate's artifact check: a registry query missing from the
+    artifact, a stale artifact row, or a recorded failure each fail;
+    the exact-match zero-failure case passes."""
+    import json as _json
+
+    sys.path.insert(0, "/root/repo/tools")
+
+    def check(artifact_rows, registry):
+        arty = set(artifact_rows)
+        missing = sorted(set(registry) - arty)
+        extra = sorted(arty - set(registry))
+        bad = sorted(
+            n for n, r in artifact_rows.items()
+            if r.get("err") or r.get("rows_match") is False
+            or r.get("schema_match") is False
+            or r.get("values_match") is False
+        )
+        return not (missing or extra or bad)
+
+    good = {"q1": {"rows_match": True, "schema_match": True,
+                   "values_match": True, "err": None}}
+    assert check(good, ["q1"])
+    assert not check(good, ["q1", "q2"])          # registry grew
+    assert not check({**good, "qx": good["q1"]}, ["q1"])  # stale row
+    assert not check(
+        {"q1": {**good["q1"], "values_match": False}}, ["q1"]
+    )

@@ -146,6 +146,7 @@ DEFAULT_QUERIES = [
     "q282_kaplan_meier_retention",
     "q283_blocking_quality",
     "q284_ks_two_sample",
+    "q285_importance_resampling",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -236,6 +237,9 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q283_blocking_quality",
     # 1-row totals frame under the CDF deviation scan
     "q284_ks_two_sample",
+    # 1-row corpus-total / max-ratio / kept-total frames in the
+    # acceptance-threshold chain
+    "q285_importance_resampling",
     # _graph_edges attaches a 1-row node-count aggregate by broadcast
     # cross (the q93/q161/q166 no-driver-literal idiom); the two
     # propagation rounds re-evaluate the edge builder, so the SAME

@@ -16462,7 +16462,13 @@ def _q285_oracle() -> str:
 )
 def q285(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
-    counts = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    # localCheckpoint the 5-row language histogram: ratio/mx/acc/ktot
+    # all re-derive it, and without the barrier each consumer re-scans
+    # the corpus (q278 precedent) — with it the corpus is scanned
+    # exactly twice: once for counts, once for the filter pass
+    counts = (
+        d.groupBy("lang").agg(F.count("*").alias("n_l")).localCheckpoint()
+    )
     tot = counts.agg(F.sum("n_l").alias("n"))
     ratio = counts.crossJoin(F.broadcast(tot)).select(
         "lang",

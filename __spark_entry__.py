@@ -47,12 +47,11 @@ _PROMOTED = [
     # all rotate OUT except the q169 ingest anchor (S4-S8 §2 proof).
     # Rotated IN: (a) the r4/r5 additions that landed after the r4
     # prefix froze (q268/q270-q273 + this round's new queries), and
-    # (b) nine NEVER-driver-verified queries from the ledger,
-    # spanning the never-set's families: streaming dedup, SQL UDTF,
-    # bloom sketches, eval-decontamination,
-    # spatial grid join,
-    # growth accounting, shard manifest.  All were green in the
-    # committed full-registry local artifact (same methodology).
+    # (b) never-driver-verified picks from the ledger (streaming
+    # dedup, SQL UDTF, spatial grid join), with the rest of the
+    # never-set ceding slots to this round's 14 brand-new queries
+    # (newer code, zero prior evidence anywhere).  All displaced
+    # picks stay green in the committed full-registry artifact.
     "q169_ingest_lifecycle",
     "q268_multiway_smj_revenue",
     "q270_zorder_pruning",
@@ -71,10 +70,10 @@ _PROMOTED = [
     "q283_blocking_quality",
     "q284_ks_two_sample",
     "q285_importance_resampling",
+    "q286_group_kfold_assignment",
+    "q287_score_quantile_normalization",
     "q101_stream_dedup",
     "q107_udtf_chunks",
-    "q113_bloom_filter",
-    "q117_decontamination",
     "q135_grid_radius_join",
 ]
 

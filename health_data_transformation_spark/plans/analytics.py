@@ -16508,3 +16508,173 @@ def q285(spark: SparkSession, sf: str) -> DataFrame:
         .alias("achieved_ppm"),
         F.col("kept_xor").cast("long").alias("kept_xor"),
     )
+
+
+_Q286_FOLDS = 5
+
+
+def _q286_oracle() -> str:
+    h = hex_hash64_sql("CAST(o_custkey AS VARCHAR)", salt="fold")
+    hx = hex_hash64_sql("CAST(o_orderkey AS VARCHAR)")
+    return f"""WITH assigned AS (
+          SELECT o_orderkey, o_custkey,
+                 o_orderpriority AS stratum,
+                 {h} % {_Q286_FOLDS} AS fold
+          FROM orders),
+       leak AS (
+          SELECT count(*) AS n_leaky FROM (
+            SELECT o_custkey FROM assigned
+            GROUP BY o_custkey HAVING count(DISTINCT fold) > 1)),
+       per AS (
+          SELECT fold, stratum, count(*) AS n,
+                 count(DISTINCT o_custkey) AS n_groups,
+                 bit_xor({hx}) AS fold_xor
+          FROM assigned GROUP BY fold, stratum)
+       SELECT CAST(fold AS BIGINT) AS fold, stratum,
+              CAST(n AS BIGINT) AS n,
+              CAST(n_groups AS BIGINT) AS n_groups,
+              CAST((SELECT n_leaky FROM leak) AS BIGINT) AS n_leaky_groups,
+              CAST(fold_xor AS BIGINT) AS fold_xor
+       FROM per"""
+
+
+@register(
+    "q286_group_kfold_assignment",
+    _q286_oracle(),
+    "group-aware K-fold assignment with an in-result leakage proof "
+    "(the split every tabular-ML evaluation needs: rows of the same "
+    "CUSTOMER must land in one fold, or the eval leaks — random "
+    "row-level splits are the classic silent-optimism bug): fold = "
+    "salted hash of the GROUP key mod K, so assignment is "
+    "reproducible, order-independent, and disjoint from q63/q200/"
+    "q285's salts; the per-(fold, stratum) counts expose balance, "
+    "n_leaky_groups counts customers spanning >1 fold — ZERO by "
+    "construction, and the differential would catch any hash "
+    "drift that broke it.  One map-only assignment pass + one "
+    "aggregate; the leakage audit is a distinct-count per group "
+    "riding the same shuffle at 100 TB",
+)
+def q286(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    assigned = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderpriority").alias("stratum"),
+        (
+            T.hex_hash64(F.col("o_custkey").cast("string"), salt="fold")
+            % _Q286_FOLDS
+        ).alias("fold"),
+    )
+    leak = (
+        assigned.groupBy("o_custkey")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .agg(F.count("*").alias("n_leaky"))
+    )
+    per = assigned.withColumn(
+        "hx", T.hex_hash64(F.col("o_orderkey").cast("string"))
+    ).groupBy("fold", "stratum").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_custkey").alias("n_groups"),
+        F.expr("bit_xor(hx)").alias("fold_xor"),
+    )
+    return per.crossJoin(F.broadcast(leak)).select(
+        F.col("fold").cast("long").alias("fold"),
+        "stratum",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("n_leaky").cast("long").alias("n_leaky_groups"),
+        F.col("fold_xor").cast("long").alias("fold_xor"),
+    )
+
+
+def _q287_oracle() -> str:
+    h = hex_hash64_sql("CAST(doc_id AS VARCHAR)", salt="score")
+    hx = hex_hash64_sql(
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(pct_ppm AS VARCHAR)"
+    )
+    return f"""WITH scored AS (
+          SELECT doc_id, source,
+                 {h} % 1000 AS band
+          FROM documents),
+       hist AS (
+          SELECT source, band, count(*) AS c
+          FROM scored GROUP BY source, band),
+       cum AS (
+          SELECT source, band, c,
+                 sum(c) OVER (PARTITION BY source ORDER BY band) AS cle,
+                 sum(c) OVER (PARTITION BY source) AS n
+          FROM hist),
+       normd AS (
+          SELECT s.doc_id, s.source,
+                 ((cum.cle - ((cum.c + 1) // 2)) * 1000000) // cum.n
+                   AS pct_ppm
+          FROM scored s JOIN cum
+            ON s.source = cum.source AND s.band = cum.band)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(min(pct_ppm) AS BIGINT) AS min_ppm,
+              CAST(max(pct_ppm) AS BIGINT) AS max_ppm,
+              CAST(sum(pct_ppm) AS BIGINT) AS sum_ppm,
+              CAST(bit_xor({hx}) AS BIGINT) AS norm_xor
+       FROM normd GROUP BY source"""
+
+
+@register(
+    "q287_score_quantile_normalization",
+    _q287_oracle(),
+    "per-source score-to-percentile normalization (the calibration "
+    "step before fusing rankings across heterogeneous sources — "
+    "q171's RRF sidesteps scores entirely; THIS op makes raw scores "
+    "comparable by mapping each to its source-conditional mid-rank "
+    "percentile): percentile = (rank_below + half the tied mass) / n "
+    "in exact floor-ppm, computed from a per-source HISTOGRAM of the "
+    "bounded score domain — the doc-level pass then just joins its "
+    "(source, band) row, so no window ever touches the fact table "
+    "(the q280/q284 histogram-first discipline).  The per-source "
+    "xor folds every doc's (hash, percentile) pair, pinning the "
+    "full normalized assignment.  sum_ppm ~ n/2 * 1e6 exposes the "
+    "uniformity a correct mid-rank mapping must have",
+)
+def q287(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    h = T.hex_hash64(F.col("doc_id").cast("string"), salt="score")
+    scored = d.select("doc_id", "source", (h % 1000).alias("band"))
+    hist = scored.groupBy("source", "band").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "band",
+        "c",
+        F.sum("c").over(wcum).alias("cle"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    normd = scored.join(F.broadcast(cum), ["source", "band"]).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "((CAST(cle AS DECIMAL(38,0)) - ((c + 1) div 2)) * 1000000)"
+            " div n"  # div-ok: mid-rank percentile, cle <= n so quotient <= 1e6
+        ).alias("pct_ppm"),
+    )
+    return normd.withColumn(
+        "hx",
+        T.hex_hash64(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("|"),
+                F.col("pct_ppm").cast("string"),
+            )
+        ),
+    ).groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("pct_ppm").cast("long").alias("min_ppm"),
+        F.max("pct_ppm").cast("long").alias("max_ppm"),
+        F.sum("pct_ppm").cast("long").alias("sum_ppm"),
+        F.expr("bit_xor(hx)").cast("long").alias("norm_xor"),
+    )

@@ -147,6 +147,8 @@ DEFAULT_QUERIES = [
     "q283_blocking_quality",
     "q284_ks_two_sample",
     "q285_importance_resampling",
+    "q286_group_kfold_assignment",
+    "q287_score_quantile_normalization",
 ]
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
@@ -240,6 +242,8 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # 1-row corpus-total / max-ratio / kept-total frames in the
     # acceptance-threshold chain
     "q285_importance_resampling",
+    # 1-row leakage-count frame beside the fold report
+    "q286_group_kfold_assignment",
     # _graph_edges attaches a 1-row node-count aggregate by broadcast
     # cross (the q93/q161/q166 no-driver-literal idiom); the two
     # propagation rounds re-evaluate the edge builder, so the SAME

@@ -97,20 +97,23 @@ def grouped_hash_reservoir(
     exactly min(k, |group|) rows, unlike rate-based sampling which
     under/overshoots small strata).
 
-    One window (single shuffle on the group key) ranked by
-    (hash, id); at scale Spark runs the rank filter with a running
-    window — no group ever materializes whole.  Output keeps all input
-    columns plus ``rk`` (1..k within the group).
+    Two-phase rank (operators/topk.top_k_per_group_scalable): the
+    group column is typically LOW-cardinality (5 languages, 20
+    sources), so a plain ``PARTITION BY group`` window would hand the
+    whole table to a handful of reducers — the q271 window class the
+    explain-audit rule forbids (caught by the r5 registry-wide
+    sweep).  Phase 1 ranks within (group, physical partition), so
+    survivors are bounded by k * num_partitions per group; phase 2
+    ranks the survivors.  Exact for the (hash, id) total order.
+    Output keeps all input columns plus ``rk`` (1..k within the
+    group).
     """
-    from pyspark.sql import Window
+    from .topk import top_k_per_group_scalable
 
     h = hex_hash64(F.col(id_col).cast("string"), salt="res")
-    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
-    return (
-        df.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .withColumn("rk", F.col("rk").cast("int"))
-    )
+    return top_k_per_group_scalable(
+        df, [group_col], [h.asc(), F.col(id_col).asc()], k, rank_col="rk"
+    ).withColumn("rk", F.col("rk").cast("int"))
 
 
 def assign_split(

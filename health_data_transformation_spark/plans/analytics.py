@@ -1235,9 +1235,29 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q68(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    # ntile(10) OVER (ORDER BY ...) funnels the whole table through one
+    # task (the q271 window class, caught by the registry-wide audit
+    # sweep in r5).  Scalable twin: two-phase global rank
+    # (operators/topk.global_row_number — range partition + per-slice
+    # rank + tiny offset map), then ntile's EXACT assignment in closed
+    # form: the first (n % k) buckets hold ceil(n/k) rows, the rest
+    # floor(n/k) — bit-identical to the window function for every n.
+    ranked = K.global_row_number(
+        c.select("c_acctbal", "c_custkey"),
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+    )
+    tot = ranked.agg(F.count("*").alias("nn"))
+    k = 10
+    bucket = F.expr(
+        f"CASE WHEN rn <= (nn % {k}) * (nn div {k} + 1)"
+        f" THEN (rn - 1) div (nn div {k} + 1) + 1"
+        f" ELSE (nn % {k})"
+        f"  + (rn - (nn % {k}) * (nn div {k} + 1) - 1) div (nn div {k})"
+        f"  + 1 END"
+    )
     return (
-        c.select("c_acctbal", F.ntile(10).over(w).cast("long").alias("q"))
+        ranked.crossJoin(F.broadcast(tot))
+        .select("c_acctbal", bucket.cast("long").alias("q"))
         .groupBy("q")
         .agg(
             F.count("*").alias("n"),
@@ -3135,12 +3155,13 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 100)
     li = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part")
-    w = Window.orderBy("p_partkey")
-    items = part.select(
-        "p_partkey",
-        (F.row_number().over(w) - 1).alias("idx"),
-        F.count("*").over(Window.partitionBy()).alias("n_items"),
-    )
+    # dense class index WITHOUT a global window (the q271 class, found
+    # by the r5 registry-wide audit sweep): two-phase global rank over
+    # part + a 1-row count — at 100 TB part is fact-scale
+    items = K.global_row_number(
+        part.select("p_partkey"), [F.asc("p_partkey")]
+    ).select("p_partkey", (F.col("rn") - 1).alias("idx"))
+    n_items = part.agg(F.count("*").alias("n_items"))
     pos = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select("o_custkey", F.col("l_partkey").alias("p_partkey"))
@@ -3155,9 +3176,16 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
             "neg",
         ).alias("h"),
     )
-    picked = cand.join(
-        F.broadcast(items), F.pmod(cand.h, items.n_items) == items.idx
-    ).select("o_custkey", "slot", "p_partkey")
+    # attach the 1-row count to the probe side FIRST so the class
+    # lookup is a plain equi-join on idx (the old theta form
+    # pmod(h, items.n_items) == items.idx forced a nested-loop join
+    # against a fact-scale build side)
+    picked = (
+        cand.crossJoin(F.broadcast(n_items))
+        .withColumn("idx", F.pmod(F.col("h"), F.col("n_items")))
+        .join(items, "idx")
+        .select("o_custkey", "slot", "p_partkey")
+    )
     return picked.join(pos, ["o_custkey", "p_partkey"], "left_anti").select(
         F.col("o_custkey").alias("custkey"), "slot",
         F.col("p_partkey").alias("negative_partkey"),

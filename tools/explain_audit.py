@@ -252,6 +252,27 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # 1-row LSH-pair-count total attached to the recall aggregate
     # (the exact-truth arm is audit-scale by design, see SCALE.md)
     "q250_lsh_recall_eval",
+    # the 8-row salt-bucket frame replicated against the build side —
+    # the replication cross IS the salting algorithm (operators/skew)
+    "q49_salted_join",
+    # documented bounded 100-doc pair scan (the single deliberate
+    # all-pairs exception, doc_id < 100 at every scale)
+    "q52_simhash_near_pairs",
+    # 1-row corpus-doc-count total under the idf term
+    "q74_tfidf_top_terms",
+    # 1-row total-count frame under the closed-form ntile assignment
+    # (the two-phase global-rank rewrite of the q271 window class)
+    "q68_ntile_buckets",
+    # 1-row mean/std stats frame attached to the per-key counts
+    "q98_hot_key_detector",
+    # 1-row global-prior frame under the smoothed target encoding
+    "q109_target_encoding",
+    # 1-row positive-count frame sizing the negative pool
+    "q110_negative_sampling",
+    # 1-row token/bigram totals under the lift ratios
+    "q116_bigram_lift",
+    # three 1-row funnel-stage counts crossed into the 1-row result
+    "q127_funnel_steps",
     # two 1-row store fingerprints (pre/post vacuum) cross-joined into
     # the single-row concurrency report
     "q269_snapshot_concurrency",
@@ -317,6 +338,16 @@ LOWCARD_COLS = {
     "side",
     "pair_class",
     "cls",
+}
+
+#: queries whose flagged Window reads an input that IS bounded, but
+#: by something the static detector cannot see (a literal key-range
+#: filter that selects a fixed-size slice at every scale factor)
+ALLOWED_BOUNDED_WINDOW = {
+    # orders filtered to o_custkey < 100: a fixed 100-customer slice
+    # (~1k rows at ANY sf — TPC-H keeps orders/customer constant), so
+    # the low-card percent_rank partitions see bounded input
+    "q83_percent_rank",
 }
 
 FACT_SCAN_RE = re.compile(
@@ -468,7 +499,9 @@ def main() -> None:
                 and name in ALLOWED_TINY_BROADCAST_CROSS
             )
         ]
-        wfind = audit_windows(plan)
+        wfind = (
+            [] if name in ALLOWED_BOUNDED_WINDOW else audit_windows(plan)
+        )
         status = (
             "FORBIDDEN-JOIN" if bad else "BAD-WINDOW" if wfind else "ok"
         )

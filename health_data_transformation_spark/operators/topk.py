@@ -187,3 +187,75 @@ def global_running_sum(
     )
     local = F.coalesce(F.sum(val_col).over(w), F.lit(0))
     return part.withColumn(out_col, local + off_expr).drop("_pid")
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_by: str,
+    order_by: Sequence[Column],
+    val_col: str,
+    out_col: str = "cum_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive PER-GROUP prefix sum without funneling any group
+    through one task.
+
+    ``sum().over(Window.partitionBy(group))`` hands each group to a
+    single reducer — fatal when the group column is low-cardinality
+    (5 languages over a corpus; the q271 window class).  Same
+    two-phase shape as global_running_sum, with the group key leading
+    the range partitioning so slices never mix groups: range-partition
+    on (group, order), take per-(group, slice) sums, shift each slice
+    by the total of EARLIER slices of the same group.  The offset
+    table is one row per (group, slice) — collected, never the data.
+
+    Callers must make (group, order_by) a total order for
+    deterministic prefix sums.
+    """
+    gcol = F.col(group_by)
+    keys = [gcol.asc(), *order_by]
+    part = (
+        df.repartitionByRange(num_partitions, *keys)
+        if num_partitions
+        else df.repartitionByRange(*keys)
+    )
+    # localCheckpoint BEFORE reading spark_partition_id — see
+    # global_row_number: offsets must be measured on the same physical
+    # layout every consumer reads.
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    sums = part.groupBy(gcol.alias("_g"), F.col("_pid")).agg(
+        F.sum(val_col).alias("_s")
+    )
+    rows = sorted(
+        ((r["_g"], r["_pid"], r["_s"] or 0) for r in sums.collect()),
+        key=lambda t: (str(t[0]), t[1]),
+    )
+    offsets: dict[tuple, int] = {}
+    acc: dict = {}
+    for g, pid, s in rows:
+        offsets[(g, pid)] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + s
+    off_expr = (
+        F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for (g, pid), v in offsets.items()
+                    for x in (
+                        F.concat_ws("|", F.lit(str(g)), F.lit(str(pid))),
+                        F.lit(v),
+                    )
+                ]
+            ),
+            F.concat_ws("|", gcol.cast("string"), F.col("_pid").cast("string")),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy(group_by, "_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(val_col).over(w), F.lit(0))
+    return part.withColumn(out_col, local + off_expr).drop("_pid")

@@ -1176,12 +1176,15 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
     sized = d.select(
         "lang", "doc_id", F.size(T.tokens("text")).alias("n_tok")
     )
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    packed = sized.withColumn(
-        "bin_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048.0).cast("long"),
+    # per-language EXCLUSIVE prefix sum via the two-phase
+    # grouped_running_sum (operators/topk.py): lang has 5 values at
+    # any corpus size, so the plain PARTITION BY lang running window
+    # hands the whole corpus to 5 reducers — the q271 window class,
+    # found by the r5 registry-wide audit sweep
+    packed = K.grouped_running_sum(
+        sized, "lang", [F.asc("doc_id")], "n_tok", out_col="_cum"
+    ).withColumn(
+        "bin_id", F.floor(F.col("_cum") / 2048.0).cast("long")
     )
     return packed.groupBy("lang", "bin_id").agg(
         F.count("*").alias("n_docs"),

@@ -780,3 +780,38 @@ def test_bmp_quarantine_classification():
     px_bu = bmp_pixels(intact)
     px_td = bmp_pixels(bytes(neg))
     assert (px_td == px_bu[::-1]).all()
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t,
+    )
+)
+@settings(**SETTINGS)
+def test_grouped_running_sum_partition_invariant(spark, data):
+    """grouped_running_sum equals the naive per-group exclusive prefix
+    sum for arbitrary data AND arbitrary physical layout (the
+    repartition must not change any offset)."""
+    from health_data_transformation_spark.operators.topk import (
+        grouped_running_sum,
+    )
+
+    rows = [(g, i, (g * 7 + i) % 13) for g, i in data]
+    df = spark.createDataFrame(rows, "g int, i int, v int")
+    for layout in (df, df.repartition(7)):
+        got = {
+            (r["g"], r["i"]): r["cum_before"]
+            for r in grouped_running_sum(
+                layout, "g", [F.asc("i")], "v"
+            ).collect()
+        }
+        expect = {}
+        for g in {t[0] for t in rows}:
+            acc = 0
+            for gg, i, v in sorted(r for r in rows if r[0] == g):
+                expect[(g, i)] = acc
+                acc += v
+        assert got == expect

@@ -13,143 +13,12 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-DEFAULT_QUERIES = [
-    "q01_week_count",
-    "q03_pricing_summary",
-    "q05_priority_ratio",
-    "q07_top_nations",
-    "q16_topk_orders",
-    "q51_lsh_near_dup",
-    "q54_range_join",
-    "q45_asof_join",
-    "q72_top_customer_share",
-    "q73_ivf_built_search",
-    "q80_count_min_sketch",
-    "q82_int8_cosine_topk",
-    "q84_multimodal_resize",
-    "q113_bloom_filter",
-    "q114_dup_shingle_ratio",
-    "q117_decontamination",
-    "q120_interval_overlap",
-    "q121_rolling_distinct_users",
-    "q124_first_touch",
-    "q129_equidepth_hist",
-    "q130_ewma_po2",
-    "q131_mad_outliers",
-    "q134_markov_transitions",
-    "q135_grid_radius_join",
-    "q137_triangle_count",
-    "q139_weighted_median",
-    "q141_prefix_jaccard_pairs",
-    "q144_scd2_compress",
-    "q145_sorted_neighborhood",
-    "q147_latency_histogram",
-    "q148_decay_attribution",
-    "q156_bm25_topk",
-    "q157_basket_coitems",
-    "q158_integer_kmeans",
-    "q159_apply_changes",
-    "q162_simhash_banded",
-    "q164_growth_accounting",
-    "q166_share_of_parent",
-    "q167_calendar_join",
-    "q100_embedding_lsh_pairs",
-    "q105_lsh_topk_neighbors",
-    "q170_repetition_screen",
-    "q171_rrf_fusion",
-    "q172_mixture_allocation",
-    "q173_semantic_dedup",
-    "q174_unigram_surprisal",
-    "q175_dataset_card",
-    "q176_soft_dedup_weights",
-    "q178_incremental_dedup",
-    "q182_domain_stats",
-    "q183_train_shard_manifest",
-    "q184_perplexity_buckets",
-    "q185_bpe_pair_counts",
-    "q186_dup_span_table",
-    "q188_source_overlap",
-    "q190_hard_negatives",
-    "q191_theil_sen_trend",
-    "q194_containment_pairs",
-    "q200_corpus_export",
-    "q201_join_fanout_preflight",
-    "q202_dsar_export",
-    "q203_hll_rolling_merge",
-    "q205_pit_scd2_join",
-    "q209_ann_recall_eval",
-    "q219_keyset_pagination",
-    "q220_metric_parity_check",
-    "q221_fuzzy_match_fastss",
-    "q222_heavy_hitters_mg",
-    "q223_expectations_report",
-    "q224_inverted_index",
-    "q225_group_mean_impute",
-    "q226_compaction_planner",
-    "q227_corpus_overlap_minhash",
-    "q228_seasonal_anomaly_gate",
-    "q229_histogram_rolling_p99",
-    "q230_cuped_adjustment",
-    "q231_threshold_algorithm_topk",
-    "q232_ndcg_retrieval_eval",
-    "q233_graph_feature_propagation",
-    "q234_partition_advisor",
-    "q235_join_strategy_advisor",
-    "q236_sampled_pair_similarity",
-    "q237_merkle_repair_plan",
-    "q239_backfill_blast_radius",
-    "q240_cms_join_size_estimate",
-    "q241_k_anonymity_audit",
-    "q242_diff_in_diff",
-    "q243_encoding_advisor",
-    "q245_linear_interpolation",
-    "q246_bitmap_index",
-    "q247_cohort_ltv_curve",
-    "q248_ma_crossover_signals",
-    "q249_abc_classification",
-    "q250_lsh_recall_eval",
-    "q251_conversion_lag_quantiles",
-    "q252_bitmap_rolling_distinct",
-    "q253_retention_sweep_plan",
-    "q254_fd_discovery",
-    "q255_annotator_agreement",
-    "q256_score_calibration",
-    "q257_ledger_reconciliation",
-    "q258_burst_detection",
-    "q259_pandas_udf_parity",
-    "q260_hierarchy_rollup",
-    "q261_dedup_threshold_sweep",
-    "q262_position_bias_ips",
-    "q264_approx_percentile_gate",
-    # snapshot-store reads: scans must be manifest-planned (explicit
-    # file lists from the pinned version), never directory listings
-    "q177_time_travel",
-    "q189_schema_evolution",
-    "q196_change_data_feed",
-    "q267_snapshot_isolation_join",
-    # the 6-way SMJ tier: three fact-scale sides pinned to sort-merge
-    "q268_multiway_smj_revenue",
-    # round-4/5 additions (r4 verdict task #5)
-    "q269_snapshot_concurrency",
-    "q270_zorder_pruning",
-    "q271_neyman_allocation",
-    "q272_pii_redaction",
-    "q273_grouped_ols_trend",
-    "q274_bmp_decode_quarantine",
-    "q275_char_ngram_langid",
-    "q276_power_iteration_pca",
-    "q277_diversified_topk",
-    "q278_psi_drift_monitor",
-    "q279_golden_record_survivorship",
-    "q280_auc_rank_sum",
-    "q281_incremental_view_maintenance",
-    "q282_kaplan_meier_retention",
-    "q283_blocking_quality",
-    "q284_ks_two_sample",
-    "q285_importance_resampling",
-    "q286_group_kfold_assignment",
-    "q287_score_quantile_normalization",
-]
+#: The audit covers the ENTIRE registry by default (registry-wide
+#: sweep landed in r5: every query's physical plan is gated on the
+#: forbidden-join and window-shape rules; per-query exceptions live
+#: in the two allowlists below with their reasons).  Pass names to
+#: audit a subset.
+DEFAULT_QUERIES: list[str] = []  # empty => all registered queries
 
 #: joins that must never appear (q52's bounded 100-doc pair scan is the
 #: single deliberate exception and is not in the default audit set)
@@ -273,6 +142,17 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q116_bigram_lift",
     # three 1-row funnel-stage counts crossed into the 1-row result
     "q127_funnel_steps",
+    # 1-row arm-total aggregates crossed into the ablation manifest
+    "q208_ablation_manifest",
+    # 1-row corpus-total under the leakage-rate ppm
+    "q211_split_leakage_audit",
+    # constant ~30-row bootstrap-replicate frame (the x30 replication
+    # IS the bootstrap) + 1-row observed-total baseline
+    "q214_bootstrap_ci",
+    # 1-row vocab-size aggregate under the add-one smoothing
+    "q215_bigram_surprisal",
+    # 10-label centroid frames crossed pairwise (constant k x k)
+    "q216_label_centroid_matrix",
     # two 1-row store fingerprints (pre/post vacuum) cross-joined into
     # the single-row concurrency report
     "q269_snapshot_concurrency",
@@ -484,6 +364,8 @@ def main() -> None:
     import __spark_entry__ as m
 
     queries = m.queries()
+    if not names:
+        names = list(queries.keys())
     failed = False
     for name in names:
         plan = formatted_plan(spark, queries[name](spark, sf_dir))

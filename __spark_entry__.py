@@ -47,8 +47,8 @@ _PROMOTED = [
     # all rotate OUT except the q169 ingest anchor (S4-S8 §2 proof).
     # Rotated IN: (a) the r4/r5 additions that landed after the r4
     # prefix froze (q268/q270-q273 + this round's new queries), and
-    # (b) never-driver-verified picks from the ledger (streaming
-    # dedup, SQL UDTF, spatial grid join), with the rest of the
+    # (b) a never-driver-verified ledger pick (q101 streaming
+    # dedup), with the rest of the
     # never-set ceding slots to this round's 14 brand-new queries
     # (newer code, zero prior evidence anywhere).  All displaced
     # picks stay green in the committed full-registry artifact.
@@ -72,9 +72,9 @@ _PROMOTED = [
     "q285_importance_resampling",
     "q286_group_kfold_assignment",
     "q287_score_quantile_normalization",
+    "q288_greedy_source_coverage",
+    "q289_split_conformal",
     "q101_stream_dedup",
-    "q107_udtf_chunks",
-    "q135_grid_radius_join",
 ]
 
 _DEMOTED = {

@@ -16709,3 +16709,225 @@ def q287(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("pct_ppm").cast("long").alias("sum_ppm"),
         F.expr("bit_xor(hx)").cast("long").alias("norm_xor"),
     )
+
+
+def _q288_oracle() -> str:
+    norm = normalize_text_sql("text")
+    return f"""WITH st AS (
+          SELECT DISTINCT source, g FROM (
+            SELECT source,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(length(norm) - 2, 1) + 1),
+                       i -> substr(norm, CAST(i AS INT), 3)))) AS g
+            FROM (SELECT source, {norm} AS norm
+                  FROM documents WHERE strlen(text) > 0))),
+       srcs AS (SELECT DISTINCT source FROM st),
+       r1 AS (
+          SELECT source, count(*) AS gain FROM st GROUP BY source
+          ORDER BY gain DESC, source LIMIT 1),
+       c1 AS (SELECT g FROM st WHERE source = (SELECT source FROM r1)),
+       r2 AS (
+          SELECT s.source, coalesce(n.gain, 0) AS gain
+          FROM srcs s LEFT JOIN (
+            SELECT source, count(*) AS gain FROM st
+            WHERE g NOT IN (SELECT g FROM c1) GROUP BY source) n
+            ON s.source = n.source
+          WHERE s.source != (SELECT source FROM r1)
+          ORDER BY gain DESC, s.source LIMIT 1),
+       c2 AS (SELECT g FROM st
+              WHERE source IN ((SELECT source FROM r1),
+                               (SELECT source FROM r2))),
+       r3 AS (
+          SELECT s.source, coalesce(n.gain, 0) AS gain
+          FROM srcs s LEFT JOIN (
+            SELECT source, count(*) AS gain FROM st
+            WHERE g NOT IN (SELECT g FROM c2) GROUP BY source) n
+            ON s.source = n.source
+          WHERE s.source NOT IN ((SELECT source FROM r1),
+                                 (SELECT source FROM r2))
+          ORDER BY gain DESC, s.source LIMIT 1),
+       u AS (SELECT count(DISTINCT g) AS total FROM st),
+       c3 AS (SELECT count(DISTINCT g) AS covered FROM st
+              WHERE source IN ((SELECT source FROM r1),
+                               (SELECT source FROM r2),
+                               (SELECT source FROM r3)))
+       SELECT 1 AS pick, (SELECT source FROM r1) AS source,
+              CAST((SELECT gain FROM r1) AS BIGINT) AS marginal_gain,
+              CAST((SELECT covered FROM c3) AS BIGINT) AS covered_after_3,
+              CAST((SELECT total FROM u) AS BIGINT) AS universe
+       UNION ALL
+       SELECT 2, (SELECT source FROM r2),
+              CAST((SELECT gain FROM r2) AS BIGINT),
+              CAST((SELECT covered FROM c3) AS BIGINT),
+              CAST((SELECT total FROM u) AS BIGINT)
+       UNION ALL
+       SELECT 3, (SELECT source FROM r3),
+              CAST((SELECT gain FROM r3) AS BIGINT),
+              CAST((SELECT covered FROM c3) AS BIGINT),
+              CAST((SELECT total FROM u) AS BIGINT)"""
+
+
+@register(
+    "q288_greedy_source_coverage",
+    _q288_oracle(),
+    "greedy maximum-coverage source selection (the submodular "
+    "curation step behind 'which 3 crawl sources buy the most "
+    "vocabulary diversity per dollar': greedy is the classic "
+    "(1 - 1/e)-approximation and the marginal-gain sequence IS the "
+    "budget curve): universe = distinct char-trigrams, sets = "
+    "per-source trigram sets, three greedy rounds each picking the "
+    "source with the largest NOT-YET-COVERED count (source-asc "
+    "tiebreak), with each round's marginal gain and the final "
+    "coverage pinned against the oracle's identically-unrolled "
+    "greedy.  The fact-sized work is ONE distinct (source, trigram) "
+    "aggregate — bounded by |sources| x 37^3 — after which every "
+    "greedy round is an anti-join + count over that bounded frame "
+    "(checkpointed once); at 100 TB the corpus is scanned once, the "
+    "greedy never touches it again",
+)
+def q288(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").filter(F.length("text") > 0)
+    st = (
+        d.select("source", F.explode(T.char_ngrams("text", n=3)).alias("g"))
+        .distinct()
+        .localCheckpoint()  # bounded: |sources| x trigram domain
+    )
+    universe = st.select("g").distinct().count()
+    picks = []
+    chosen: list[str] = []
+    covered = st.sparkSession.createDataFrame([], "g string")
+    srcs = st.select("source").distinct()
+    for _round in range(3):
+        remaining = (
+            srcs.filter(~F.col("source").isin(chosen)) if chosen else srcs
+        )
+        cnt = (
+            (st.filter(~F.col("source").isin(chosen)) if chosen else st)
+            .join(covered, "g", "left_anti")
+            .groupBy("source")
+            .agg(F.count("*").alias("gain"))
+        )
+        # a fully-covered round still picks (gain 0, source asc) — the
+        # LEFT join keeps zero-gain sources in the race in BOTH engines
+        gains = (
+            remaining.join(cnt, "source", "left")
+            .select("source", F.coalesce("gain", F.lit(0)).alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("source"))
+            .limit(1)
+            .collect()
+        )
+        best = gains[0]
+        chosen.append(best["source"])
+        picks.append((len(chosen), best["source"], int(best["gain"])))
+        covered = st.filter(F.col("source").isin(chosen)).select("g").distinct()
+    covered_n = covered.count()
+    return spark.createDataFrame(
+        [
+            (p, s, g, covered_n, universe)
+            for p, s, g in picks
+        ],
+        "pick int, source string, marginal_gain bigint,"
+        " covered_after_3 bigint, universe bigint",
+    )
+
+
+_Q289_ALPHA_PPM = 100000  # target 90% coverage
+
+
+def _q289_oracle() -> str:
+    hs = hex_hash64_sql("CAST(o_orderkey AS VARCHAR)", salt="nonconf")
+    return f"""WITH scored AS (
+          SELECT o_orderkey, {hs} % 10000 AS nc,
+                 CAST(o_orderkey % 2 AS INTEGER) AS is_cal
+          FROM orders),
+       cal AS (SELECT nc FROM scored WHERE is_cal = 1),
+       n_cal AS (SELECT count(*) AS n FROM cal),
+       -- split conformal: q_idx = ceil((n+1) * (1 - alpha)), the
+       -- q_idx-th smallest calibration score is the threshold
+       idx AS (
+          SELECT CAST(
+            (((SELECT n FROM n_cal) + 1) * (1000000 - {_Q289_ALPHA_PPM})
+             + 999999) // 1000000 AS BIGINT) AS q_idx),
+       hist AS (
+          SELECT nc, count(*) AS c FROM cal GROUP BY nc),
+       thr AS (
+          SELECT min(nc) AS threshold FROM (
+            SELECT nc, sum(c) OVER (ORDER BY nc) AS cum FROM hist)
+          WHERE cum >= least((SELECT q_idx FROM idx),
+                             (SELECT n FROM n_cal))),
+       test AS (SELECT nc FROM scored WHERE is_cal = 0)
+       SELECT CAST((SELECT n FROM n_cal) AS BIGINT) AS n_cal,
+              CAST((SELECT q_idx FROM idx) AS BIGINT) AS q_idx,
+              CAST((SELECT threshold FROM thr) AS BIGINT) AS threshold,
+              CAST(count(*) AS BIGINT) AS n_test,
+              CAST(sum(CASE WHEN nc <= (SELECT threshold FROM thr)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+              CAST((sum(CASE WHEN nc <= (SELECT threshold FROM thr)
+                             THEN 1 ELSE 0 END) * 1000000)
+                   // count(*) AS BIGINT) AS coverage_ppm
+       FROM test"""
+
+
+@register(
+    "q289_split_conformal",
+    _q289_oracle(),
+    "split-conformal calibration (the distribution-free uncertainty "
+    "wrapper modern ML eval reaches for: pick the ceil((n+1)(1-a))-th "
+    "smallest calibration nonconformity score as the threshold and "
+    "the test-set coverage is GUARANTEED >= 1-a in expectation, no "
+    "model assumptions): calibration/test split by key parity, the "
+    "order statistic computed from a bounded 10k-value score "
+    "HISTOGRAM (running sum over the aggregate, never a sort of raw "
+    "scores — the q280/q284/q287 discipline), finite-sample index "
+    "arithmetic in exact integers (ceil via (x + 999999) div 1e6), "
+    "and the empirical test coverage in floor-ppm beside the target.  "
+    "At 100 TB: two conditional aggregates over one scan each; the "
+    "threshold is a 1-row broadcast into the coverage pass",
+)
+def q289(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    hs = T.hex_hash64(F.col("o_orderkey").cast("string"), salt="nonconf")
+    scored = o.select(
+        (hs % 10000).alias("nc"),
+        (F.col("o_orderkey") % 2 == 1).alias("is_cal"),
+    )
+    cal = scored.filter("is_cal")
+    n_cal = cal.agg(F.count("*").alias("n"))
+    idx = n_cal.select(
+        "n",
+        F.expr(
+            f"CAST(((n + 1) * (1000000 - {_Q289_ALPHA_PPM})"
+            " + 999999) div 1000000 AS BIGINT)"  # div-ok: ceil of (n+1)*0.9, quotient <= n+1; ppm-ok: (n+1)*9e5 passes int64 only past ~1e13 cal rows, routed decimal below at need — here n is a 1-row COUNT, bounded by corpus rows < 9e12 at the 100 TB design point
+        ).alias("q_idx"),
+    )
+    hist = cal.groupBy("nc").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("nc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("nc", F.sum("c").over(wcum).alias("cum"))
+    thr = (
+        cum.crossJoin(F.broadcast(idx))
+        .filter(F.col("cum") >= F.least(F.col("q_idx"), F.col("n")))
+        .agg(F.min("nc").alias("threshold"))
+    )
+    test = scored.filter(~F.col("is_cal"))
+    return (
+        test.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(idx))
+        .agg(
+            F.max("n").cast("long").alias("n_cal"),
+            F.max("q_idx").cast("long").alias("q_idx"),
+            F.max("threshold").cast("long").alias("threshold"),
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("nc") <= F.col("threshold"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+            F.expr(
+                "CAST((CAST(sum(CASE WHEN nc <= threshold THEN 1 ELSE 0"
+                " END) AS DECIMAL(38,0)) * 1000000) div count(*)"
+                " AS BIGINT)"  # div-ok: coverage fraction, quotient <= 1e6
+            ).alias("coverage_ppm"),
+        )
+    )

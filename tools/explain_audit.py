@@ -111,6 +111,8 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # 1-row corpus-total / max-ratio / kept-total frames in the
     # acceptance-threshold chain
     "q285_importance_resampling",
+    # 1-row q-index / threshold frames broadcast into the coverage pass
+    "q289_split_conformal",
     # 1-row leakage-count frame beside the fold report
     "q286_group_kfold_assignment",
     # _graph_edges attaches a 1-row node-count aggregate by broadcast

@@ -16931,3 +16931,252 @@ def q289(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+def _q290_oracle() -> str:
+    hx = hex_hash64_sql("CAST(node AS VARCHAR) || '|' || CAST(r2 AS VARCHAR)")
+    return f"""WITH {_graph_edges_sql()},
+       de AS (SELECT a AS u, b AS v FROM e
+              UNION ALL SELECT b AS u, a AS v FROM e),
+       deg AS (SELECT u, count(*) AS d FROM de GROUP BY u),
+       nodes AS (SELECT c_custkey AS node FROM customer),
+       inflow1 AS (
+          SELECT de.v AS node, sum(1000000 // deg.d) AS s
+          FROM de JOIN deg ON de.u = deg.u GROUP BY de.v),
+       r1t AS (
+          SELECT n.node,
+                 150000 + (850000 * coalesce(i.s, 0)) // 1000000 AS r1
+          FROM nodes n LEFT JOIN inflow1 i ON n.node = i.node),
+       inflow2 AS (
+          SELECT de.v AS node, sum(r1t.r1 // deg.d) AS s
+          FROM de JOIN deg ON de.u = deg.u
+                  JOIN r1t ON r1t.node = de.u
+          GROUP BY de.v),
+       r2t AS (
+          SELECT n.node, r1t.r1,
+                 150000 + (850000 * coalesce(i.s, 0)) // 1000000 AS r2
+          FROM nodes n JOIN r1t ON r1t.node = n.node
+          LEFT JOIN inflow2 i ON n.node = i.node),
+       tot AS (
+          SELECT count(*) AS n_nodes, sum(r2) AS sum_r2,
+                 bit_xor({hx}) AS rank_xor
+          FROM r2t),
+       top AS (
+          SELECT row_number() OVER (ORDER BY r2 DESC, node) AS rk,
+                 node, r1, r2
+          FROM r2t ORDER BY r2 DESC, node LIMIT 10)
+       SELECT CAST(rk AS BIGINT) AS rk, CAST(node AS BIGINT) AS node,
+              CAST(r1 AS BIGINT) AS r1_ppm, CAST(r2 AS BIGINT) AS r2_ppm,
+              CAST(tot.n_nodes AS BIGINT) AS n_nodes,
+              CAST(tot.sum_r2 AS BIGINT) AS sum_r2,
+              CAST(tot.rank_xor AS BIGINT) AS rank_xor
+       FROM top, tot"""
+
+
+@register(
+    "q290_pagerank_two_iter",
+    _q290_oracle(),
+    "integer-exact PageRank, two unrolled iterations over the shared "
+    "synthetic customer graph (q137/q138/q233's edge builder): "
+    "r'(v) = 0.15 + 0.85 * sum over in-neighbors of r(u)/deg(u), "
+    "every division a deterministic floor (contrib = r div deg, the "
+    "damped sum floors once more) so both engines walk bit-identical "
+    "ranks — fp PageRank diverges across engines in the 7th digit "
+    "and can even reorder the top-k.  Isolated nodes keep the 0.15 "
+    "base via LEFT joins (the classic lost-mass detail).  Result: "
+    "top-10 nodes by rank with the full-graph (n, sum, xor) "
+    "fingerprint attached — one wrong rank ANYWHERE breaks the xor, "
+    "not just the visible 10.  Per iteration at 100 TB: one "
+    "edge-degree join + one grouped sum, both shuffling on node keys "
+    "— the textbook Pregel-in-SQL shape; iterations compose by "
+    "joining the previous rank frame, state is O(nodes), never "
+    "collected",
+)
+def q290(spark: SparkSession, sf: str) -> DataFrame:
+    # materialize the directed edge list and degrees ONCE: every
+    # iteration joins both, and without the barrier each of the ~6
+    # consumers replays the whole edge-builder subtree (measured 172
+    # exchanges in the unbarriered plan).  Persisting the edge frame
+    # is the standard iterative-graph practice (Pregel/GraphX keep
+    # edges resident across supersteps); localCheckpoint is the
+    # local-mode equivalent.
+    e = _graph_edges(spark, sf)
+    de = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    deg = de.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint()
+    nodes = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    inflow1 = (
+        de.join(deg, "u")
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.sum(F.expr("1000000 div d")).alias("s"))
+    )
+    r1t = (
+        nodes.join(inflow1, "node", "left")
+        .select(
+            "node",
+            F.expr(
+                "150000 + (850000 * CAST(coalesce(s, 0) AS DECIMAL(38,0)))"
+                " div 1000000"  # div-ok: damped rank, quotient ~1e6 scale (sum of <=deg contribs)
+            ).alias("r1"),
+        )
+        .localCheckpoint()  # the iterate: read by inflow2 AND r2t
+    )
+    inflow2 = (
+        de.join(deg, "u")
+        .join(r1t.select(F.col("node").alias("u"), "r1"), "u")
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.sum(F.expr("r1 div d")).alias("s"))
+    )
+    r2t = nodes.join(r1t, "node").join(inflow2, "node", "left").select(
+        "node",
+        "r1",
+        F.expr(
+            "150000 + (850000 * CAST(coalesce(s, 0) AS DECIMAL(38,0)))"
+            " div 1000000"  # div-ok: damped rank, quotient ~1e6 scale
+        ).alias("r2"),
+    )
+    hx = T.hex_hash64(
+        F.concat(
+            F.col("node").cast("string"),
+            F.lit("|"),
+            F.col("r2").cast("string"),
+        )
+    )
+    tot = r2t.withColumn("hx", hx).agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("r2").alias("sum_r2"),
+        F.expr("bit_xor(hx)").alias("rank_xor"),
+    )
+    top = r2t.orderBy(F.desc("r2"), F.asc("node")).limit(10)
+    return (
+        top.select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("r2"), F.asc("node")))
+            .cast("long")
+            .alias("rk"),
+            F.col("node").cast("long").alias("node"),
+            F.col("r1").cast("long").alias("r1_ppm"),
+            F.col("r2").cast("long").alias("r2_ppm"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rk",
+            "node",
+            "r1_ppm",
+            "r2_ppm",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("sum_r2").cast("long").alias("sum_r2"),
+            F.col("rank_xor").cast("long").alias("rank_xor"),
+        )
+    )
+
+
+def _q291_oracle() -> str:
+    return """WITH firstp AS (
+          SELECT user_id, min(ts) AS pts FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+       path AS (
+          SELECT e.user_id, e.event_id, e.ts,
+                 row_number() OVER (PARTITION BY e.user_id
+                                    ORDER BY e.ts, e.event_id) AS rn,
+                 count(*) OVER (PARTITION BY e.user_id) AS n
+          FROM events e JOIN firstp f ON e.user_id = f.user_id
+          WHERE e.event_type = 'click' AND e.ts < f.pts),
+       credited AS (
+          SELECT user_id, event_id % 5 AS channel,
+                 CASE WHEN n = 1 THEN 1000000
+                      WHEN n = 2 THEN 500000
+                      WHEN rn = 1 OR rn = n THEN 400000
+                      ELSE 200000 // (n - 2)
+                           + CASE WHEN rn - 1 <= 200000 % (n - 2)
+                                  THEN 1 ELSE 0 END
+                      END AS credit
+          FROM path),
+       tot AS (
+          SELECT count(DISTINCT user_id) AS n_users,
+                 sum(credit) AS total_ppm
+          FROM credited)
+       SELECT CAST(channel AS BIGINT) AS channel,
+              CAST(count(*) AS BIGINT) AS n_touches,
+              CAST(sum(credit) AS BIGINT) AS credit_ppm,
+              CAST(tot.n_users AS BIGINT) AS n_users,
+              (tot.total_ppm = tot.n_users * 1000000) AS exact_split
+       FROM credited, tot GROUP BY channel, tot.n_users, tot.total_ppm"""
+
+
+@register(
+    "q291_position_attribution",
+    _q291_oracle(),
+    "U-shaped (position-based) multi-touch attribution — the 40/20/40 "
+    "credit model between q124's first-touch and q148's time-decay: "
+    "each converting user's pre-purchase click path gives 40% to the "
+    "first and last touches and splits the middle 20% by "
+    "largest-remainder in exact ppm (earliest middles absorb the "
+    "remainder — deterministic, and every user's credits sum to "
+    "EXACTLY 1e6, proven in-result by the exact_split flag riding "
+    "every row: total_ppm == n_users * 1e6 or the differential "
+    "breaks).  Per-user path windows partition on user_id — "
+    "high-cardinality by construction, audit-green; credit is a "
+    "row-local CASE; one channel aggregate ends it.  No fp anywhere: "
+    "fractional attribution models drift across engines exactly "
+    "where remainders land",
+)
+def q291(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    firstp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").join(
+        firstp, "user_id"
+    ).filter(F.col("ts") < F.col("pts"))
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    path = clicks.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wp).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, 1000000)
+        .when(F.col("n") == 2, 500000)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 400000)
+        .otherwise(
+            F.expr(
+                "200000 div (n - 2)"
+                " + IF(rn - 1 <= 200000 % (n - 2), 1, 0)"
+            )
+        )
+    )
+    credited = path.select(
+        "user_id", (F.col("event_id") % 5).alias("channel"), credit.alias("credit")
+    )
+    tot = credited.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("credit").alias("total_ppm"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum("credit").alias("credit_ppm"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("channel").cast("long").alias("channel"),
+            F.col("n_touches").cast("long").alias("n_touches"),
+            F.col("credit_ppm").cast("long").alias("credit_ppm"),
+            F.col("n_users").cast("long").alias("n_users"),
+            (
+                F.col("total_ppm")
+                == F.col("n_users") * F.lit(1000000).cast("long")  # ppm-ok: n_users bounded by corpus users; at 1e10 users the product is 1e16 < int64
+            ).alias("exact_split"),
+        )
+    )

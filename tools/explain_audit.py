@@ -113,6 +113,11 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q285_importance_resampling",
     # 1-row q-index / threshold frames broadcast into the coverage pass
     "q289_split_conformal",
+    # the shared graph builder's 1-row node-count cross (q137 idiom);
+    # 1-row full-graph fingerprint attached to the top-10
+    "q290_pagerank_two_iter",
+    # 1-row (n_users, total_ppm) exact-split proof attached per row
+    "q291_position_attribution",
     # 1-row leakage-count frame beside the fold report
     "q286_group_kfold_assignment",
     # _graph_edges attaches a 1-row node-count aggregate by broadcast

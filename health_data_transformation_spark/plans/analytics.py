@@ -17180,3 +17180,172 @@ def q291(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("exact_split"),
         )
     )
+
+
+def _q292_oracle() -> str:
+    return """WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt,
+                 CAST(user_id % 4 = 0 AS INTEGER) AS is_test
+          FROM events),
+       pairs AS (SELECT * FROM seq WHERE nxt IS NOT NULL),
+       model AS (
+          SELECT event_type, nxt AS pred FROM (
+            SELECT event_type, nxt, count(*) AS c,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY count(*) DESC, nxt) AS rk
+            FROM pairs WHERE is_test = 0 GROUP BY event_type, nxt)
+          WHERE rk = 1),
+       scored AS (
+          SELECT p.event_type, p.nxt, m.pred
+          FROM pairs p JOIN model m ON p.event_type = m.event_type
+          WHERE p.is_test = 1)
+       SELECT event_type, pred,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_correct,
+              CAST((sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END) * 1000000)
+                   // count(*) AS BIGINT) AS top1_acc_ppm
+       FROM scored GROUP BY event_type, pred"""
+
+
+@register(
+    "q292_markov_next_event_eval",
+    _q292_oracle(),
+    "next-event prediction baseline, trained and EVALUATED in one "
+    "differential (the sequence-model sanity floor every behavioral "
+    "model must beat: q134 built the transition matrix, THIS op "
+    "closes the loop with a train/test split and held-out top-1 "
+    "accuracy): transitions from per-user lead() windows "
+    "(high-cardinality user partitions — audit-green), the model is "
+    "the argmax next state per current state on TRAIN users "
+    "(count-desc/state-asc deterministic tiebreak — a 5x5 frame "
+    "broadcast), and held-out users score against it.  Per-state "
+    "accuracy beside the prediction exposes WHERE the baseline is "
+    "strong — class-imbalance-blind aggregate accuracy is the "
+    "classic eval mistake.  At 100 TB: one windowed pass for "
+    "transitions, one bounded aggregate for the model, one broadcast "
+    "join to score",
+)
+def q292(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(wseq).alias("nxt"),
+        (F.col("user_id") % 4 == 0).alias("is_test"),
+    ).filter(F.col("nxt").isNotNull())
+    train = seq.filter(~F.col("is_test"))
+    counts = train.groupBy("event_type", "nxt").agg(
+        F.count("*").alias("c")
+    )
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.desc("c"), F.asc("nxt")
+    )
+    model = (
+        counts.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("nxt").alias("pred"))
+    )
+    scored = seq.filter("is_test").join(F.broadcast(model), "event_type")
+    return scored.groupBy("event_type", "pred").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("nxt") == F.col("pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "CAST((CAST(sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000) div count(*) AS BIGINT)"  # div-ok: accuracy, quotient <= 1e6
+        ).alias("top1_acc_ppm"),
+    )
+
+
+def _q293_oracle() -> str:
+    return """WITH chars AS (
+          SELECT doc_id, lang, unnest(string_split(text, '')) AS ch
+          FROM documents WHERE strlen(text) > 0),
+       hist AS (
+          SELECT doc_id, lang, ch, count(*) AS c
+          FROM chars GROUP BY doc_id, lang, ch),
+       tot AS (SELECT doc_id, sum(c) AS n FROM hist GROUP BY doc_id),
+       rolled AS (
+          SELECT h.doc_id, h.lang, t.n,
+                 sum(h.c * (length(printf('%b',
+                       CAST(t.n // h.c AS BIGINT))) - 1)) AS est_bits
+          FROM hist h JOIN tot t USING (doc_id)
+          GROUP BY h.doc_id, h.lang, t.n),
+       scored AS (
+          SELECT doc_id, lang, n,
+                 (est_bits * 1000000) // (8 * n) AS ratio_ppm
+          FROM rolled)
+       SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN ratio_ppm < 350000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_flagged,
+              CAST(min(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+              CAST(max(ratio_ppm) AS BIGINT) AS max_ratio_ppm,
+              CAST(sum(ratio_ppm) AS BIGINT) AS sum_ratio_ppm
+       FROM scored GROUP BY lang"""
+
+
+@register(
+    "q293_entropy_compress_screen",
+    _q293_oracle(),
+    "order-0 entropy compressibility screen (the model-free cousin "
+    "of the compression-ratio quality filters production corpus "
+    "pipelines run — highly-compressible text is boilerplate, "
+    "keyboard mash, or template spam): per-document character "
+    "histogram, estimated bits = sum over chars of c * "
+    "floor(log2(n/c)) with the log po2-quantized via the q174 "
+    "bin-length idiom (fp log2 is engine-unstable at power "
+    "boundaries), ratio = est_bits / (8n) in floor-ppm against the "
+    "raw byte cost, flagging below 35% — repetitive docs score low "
+    "because their histogram concentrates.  The explode is the only "
+    "corpus-sized stage (linear in characters, map-side-combinable "
+    "histogram); everything after is per-doc arithmetic and one "
+    "language rollup",
+)
+def q293(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").filter(F.length("text") > 0)
+    chars = d.select(
+        "doc_id", "lang", F.explode(F.split("text", "")).alias("ch")
+    )
+    hist = chars.groupBy("doc_id", "lang", "ch").agg(
+        F.count("*").alias("c")
+    )
+    wdoc = Window.partitionBy("doc_id")
+    per = hist.select(
+        "doc_id",
+        "lang",
+        "c",
+        F.sum("c").over(wdoc).alias("n"),
+    ).select(
+        "doc_id",
+        "lang",
+        "c",
+        "n",
+        (
+            F.col("c")
+            * (F.length(F.bin(F.expr("n div c"))) - F.lit(1))
+        ).alias("bits"),
+    )
+    rolled = per.groupBy("doc_id", "lang").agg(
+        F.max("n").alias("n"), F.sum("bits").alias("est_bits")
+    )
+    scored = rolled.select(
+        "lang",
+        F.expr(
+            "(CAST(est_bits AS DECIMAL(38,0)) * 1000000) div (8 * n)"  # div-ok: entropy <= 8 bits/char so ratio <= 1e6
+        ).alias("ratio_ppm"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("ratio_ppm") < 350000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.min("ratio_ppm").cast("long").alias("min_ratio_ppm"),
+        F.max("ratio_ppm").cast("long").alias("max_ratio_ppm"),
+        F.sum("ratio_ppm").cast("long").alias("sum_ratio_ppm"),
+    )

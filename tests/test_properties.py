@@ -815,3 +815,40 @@ def test_grouped_running_sum_partition_invariant(spark, data):
                 expect[(g, i)] = acc
                 acc += v
         assert got == expect
+
+
+@given(n=st.integers(1, 97), k=st.integers(1, 12))
+@settings(**SETTINGS)
+def test_closed_form_ntile_equals_window_ntile(spark, n, k):
+    """The q68 rewrite's closed-form bucket assignment (first n%k
+    buckets hold ceil(n/k) rows) must be bit-identical to Spark's own
+    ntile(k) window for every (n, k) — including n < k, n % k == 0,
+    and k == 1."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(i,) for i in range(n)], "rn_raw long")
+    w = Window.orderBy("rn_raw")
+    expect = {
+        r["rn_raw"]: r["q"]
+        for r in df.select(
+            "rn_raw", F.ntile(k).over(w).alias("q")
+        ).collect()
+    }
+    got = {
+        r["rn_raw"]: r["q"]
+        for r in df.selectExpr(
+            "rn_raw",
+            f"rn_raw + 1 AS rn",
+            f"CAST({n} AS BIGINT) AS nn",
+        )
+        .selectExpr(
+            "rn_raw",
+            f"""CASE WHEN rn <= (nn % {k}) * (nn div {k} + 1)
+                 THEN (rn - 1) div (nn div {k} + 1) + 1
+                 ELSE (nn % {k})
+                  + (rn - (nn % {k}) * (nn div {k} + 1) - 1)
+                    div (nn div {k}) + 1 END AS q""",
+        )
+        .collect()
+    }
+    assert got == expect

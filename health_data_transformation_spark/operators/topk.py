@@ -259,3 +259,54 @@ def grouped_running_sum(
     )
     local = F.coalesce(F.sum(val_col).over(w), F.lit(0))
     return part.withColumn(out_col, local + off_expr).drop("_pid")
+
+
+def global_running_max(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    val_col: str,
+    out_col: str = "max_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive global prefix MAX without a single-partition window
+    (the running-max sibling of global_running_sum; the primitive
+    behind sort-based skyline/dominance scans).  ``out_col`` = max of
+    ``val_col`` over all rows strictly before this row in ``order_by``
+    order, NULL for the first row.  Same two-phase shape: range
+    partition, local exclusive running max, shift each slice by the
+    max of all earlier slices (one collected row per slice).
+
+    Callers must make ``order_by`` a total order for determinism.
+    """
+    part = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    # localCheckpoint BEFORE reading spark_partition_id — see
+    # global_row_number: offsets must be measured on the layout read.
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    sums = part.groupBy("_pid").agg(F.max(val_col).alias("_m"))
+    rows = sorted((r["_pid"], r["_m"]) for r in sums.collect())
+    offsets: dict[int, object] = {}
+    acc = None
+    for pid, m in rows:
+        offsets[pid] = acc
+        if m is not None and (acc is None or m > acc):
+            acc = m
+    # NULL-safe slice offset: map pid -> max of earlier slices
+    off_expr = F.lit(None)
+    for pid, v in offsets.items():
+        off_expr = F.when(
+            F.col("_pid") == pid,
+            F.lit(v) if v is not None else F.lit(None),
+        ).otherwise(off_expr)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.max(val_col).over(w)
+    return part.withColumn(
+        out_col, F.greatest(local, off_expr)
+    ).drop("_pid")

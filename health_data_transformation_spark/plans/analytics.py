@@ -17349,3 +17349,181 @@ def q293(spark: SparkSession, sf: str) -> DataFrame:
         F.max("ratio_ppm").cast("long").alias("max_ratio_ppm"),
         F.sum("ratio_ppm").cast("long").alias("sum_ratio_ppm"),
     )
+
+
+def _q294_oracle() -> str:
+    return """WITH pts AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price,
+                 CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+          FROM orders),
+       pairs AS (
+          SELECT price, day, count(*) AS n_dup
+          FROM pts GROUP BY price, day),
+       scanned AS (
+          SELECT price, day, n_dup,
+                 max(day) OVER (ORDER BY price ASC, day DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS max_before
+          FROM pairs),
+       sky AS (
+          SELECT price, day, n_dup FROM scanned
+          WHERE max_before IS NULL OR max_before < day)
+       SELECT CAST(row_number() OVER (ORDER BY price, day) AS BIGINT)
+                AS rk,
+              CAST(price AS BIGINT) AS price_cents,
+              CAST(day AS BIGINT) AS day,
+              CAST(n_dup AS BIGINT) AS n_dup
+       FROM sky"""
+
+
+@register(
+    "q294_pareto_skyline",
+    _q294_oracle(),
+    "Pareto skyline (the classic dominance operator this registry "
+    "lacked: 'orders no other order beats on BOTH cheapness and "
+    "recency' — the multi-criteria shortlist behind supplier "
+    "selection, instance picking, any price/quality tradeoff): "
+    "strict 2-D dominance computed by the SORT-BASED scan — distinct "
+    "(price, day) pairs in (price asc, day desc) order survive iff "
+    "the exclusive running max of day over all earlier pairs is "
+    "smaller (on DISTINCT pairs that single comparison is exactly "
+    "textbook strict dominance; exact duplicates never dominate each "
+    "other and ride along as a multiplicity count).  The running max "
+    "uses the NEW two-phase global_running_max (operators/topk.py — "
+    "the prefix-max sibling of global_running_sum), so no "
+    "single-partition window ever sees the pair set; the fact-sized "
+    "work is one distinct-pair aggregate.  Skyline of random-ish "
+    "2-D data is ~O(log n) rows — the result is tiny at any scale",
+)
+def q294(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    pts = o.select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("price"),
+        F.expr(
+            "CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT) div 86400"
+        ).alias("day"),
+    )
+    pairs = pts.groupBy("price", "day").agg(F.count("*").alias("n_dup"))
+    scanned = K.global_running_max(
+        pairs, [F.asc("price"), F.desc("day")], "day", out_col="max_before"
+    )
+    sky = scanned.filter(
+        F.col("max_before").isNull() | (F.col("max_before") < F.col("day"))
+    )
+    # the skyline is ~O(log n) rows: the final rank window is bounded
+    return sky.select(
+        F.row_number()
+        .over(Window.orderBy("price", "day"))
+        .cast("long")
+        .alias("rk"),
+        F.col("price").cast("long").alias("price_cents"),
+        F.col("day").cast("long").alias("day"),
+        F.col("n_dup").cast("long").alias("n_dup"),
+    )
+
+
+def _q295_oracle() -> str:
+    return """WITH c AS (SELECT c_custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING'),
+       o AS (SELECT o_orderkey, o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT'),
+       l AS (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45),
+       hc AS (SELECT c_custkey AS k, count(*) AS n FROM c GROUP BY k),
+       ho_c AS (SELECT o_custkey AS k, count(*) AS n FROM o GROUP BY k),
+       ho_o AS (SELECT o_orderkey AS k, count(*) AS n FROM o GROUP BY k),
+       hl AS (SELECT l_orderkey AS k, count(*) AS n FROM l GROUP BY k),
+       co AS (SELECT coalesce(sum(hc.n * ho_c.n), 0) AS rows_
+              FROM hc JOIN ho_c ON hc.k = ho_c.k),
+       ol AS (SELECT coalesce(sum(ho_o.n * hl.n), 0) AS rows_
+              FROM ho_o JOIN hl ON ho_o.k = hl.k),
+       fin AS (SELECT count(*) AS rows_
+               FROM c JOIN o ON o.o_custkey = c.c_custkey
+                      JOIN l ON l.l_orderkey = o.o_orderkey),
+       best AS (SELECT CASE WHEN (SELECT rows_ FROM co)
+                                 <= (SELECT rows_ FROM ol)
+                            THEN 'CO_then_L' ELSE 'OL_then_C' END AS w)
+       SELECT 'CO_then_L' AS join_order,
+              CAST((SELECT rows_ FROM co) AS BIGINT) AS intermediate_rows,
+              CAST((SELECT rows_ FROM fin) AS BIGINT) AS final_rows,
+              ((SELECT w FROM best) = 'CO_then_L') AS chosen
+       UNION ALL
+       SELECT 'OL_then_C',
+              CAST((SELECT rows_ FROM ol) AS BIGINT),
+              CAST((SELECT rows_ FROM fin) AS BIGINT),
+              ((SELECT w FROM best) = 'OL_then_C')"""
+
+
+@register(
+    "q295_join_order_advisor",
+    _q295_oracle(),
+    "cost-based join-ORDER advisor (q235 picks the join STRATEGY, "
+    "q240 estimates ONE join's size from sketches; this one ranks "
+    "the orders of a filtered 3-way join from EXACT per-key count "
+    "histograms — |A join B| = sum over keys of cA(k)*cB(k), the "
+    "identity every cost model approximates): both candidate "
+    "intermediates (customer-orders first vs orders-lineitem first) "
+    "computed exactly, the true final cardinality verified by an "
+    "actual count beside them, and the argmin order flagged — on "
+    "this data the filters make the two intermediates differ by "
+    "orders of magnitude, which is precisely the decision AQE "
+    "cannot see before runtime.  At 100 TB the histograms are "
+    "key-grained aggregates (this is what you compute when the "
+    "answer must be exact; q240's CMS is the sketch sibling when it "
+    "may be approximate); products route DECIMAL(38,0)",
+)
+def q295(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey")
+    )
+
+    def hist(df: DataFrame, key: str) -> DataFrame:
+        return df.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").alias("n")
+        )
+
+    def pair_rows(ha: DataFrame, hb: DataFrame, alias: str) -> DataFrame:
+        a = ha.select("k", F.col("n").alias("na"))
+        b = hb.select("k", F.col("n").alias("nb"))
+        return a.join(b, "k").agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(na AS DECIMAL(38,0)) * nb")), F.lit(0)
+            ).alias(alias)
+        )
+
+    co = pair_rows(hist(c, "c_custkey"), hist(o, "o_custkey"), "co_rows")
+    ol = pair_rows(hist(o, "o_orderkey"), hist(li, "l_orderkey"), "ol_rows")
+    fin = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count("*").alias("final_rows"))
+    )
+    m = co.crossJoin(F.broadcast(ol)).crossJoin(F.broadcast(fin))
+    return m.selectExpr(
+        "stack(2,"
+        " 'CO_then_L', CAST(co_rows AS BIGINT),"
+        " 'OL_then_C', CAST(ol_rows AS BIGINT)) AS (join_order,"
+        " intermediate_rows)",
+        "CAST(final_rows AS BIGINT) AS final_rows",
+        "CASE WHEN co_rows <= ol_rows THEN 'CO_then_L'"
+        " ELSE 'OL_then_C' END AS _w",
+    ).select(
+        "join_order",
+        "intermediate_rows",
+        "final_rows",
+        (F.col("join_order") == F.col("_w")).alias("chosen"),
+    )

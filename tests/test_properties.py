@@ -852,3 +852,38 @@ def test_closed_form_ntile_equals_window_ntile(spark, n, k):
         .collect()
     }
     assert got == expect
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_global_running_max_partition_invariant(spark, data):
+    """global_running_max equals the naive exclusive prefix max for
+    arbitrary data and arbitrary physical layout."""
+    from health_data_transformation_spark.operators.topk import (
+        global_running_max,
+    )
+
+    rows = sorted(set(data))
+    df = spark.createDataFrame(
+        [(a, b) for a, b in rows] or [(0, 0)], "a int, b int"
+    )
+    if not rows:
+        rows = [(0, 0)]
+    for layout in (df, df.repartition(5)):
+        got = {
+            (r["a"], r["b"]): r["max_before"]
+            for r in global_running_max(
+                layout, [F.asc("a"), F.asc("b")], "b"
+            ).collect()
+        }
+        acc, expect = None, {}
+        for a, b in rows:
+            expect[(a, b)] = acc
+            acc = b if acc is None or b > acc else acc
+        assert got == expect

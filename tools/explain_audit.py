@@ -118,6 +118,9 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q290_pagerank_two_iter",
     # 1-row (n_users, total_ppm) exact-split proof attached per row
     "q291_position_attribution",
+    # three 1-row cardinality frames (two candidate intermediates +
+    # the verification count) crossed into the 2-row advisory
+    "q295_join_order_advisor",
     # 1-row leakage-count frame beside the fold report
     "q286_group_kfold_assignment",
     # _graph_edges attaches a 1-row node-count aggregate by broadcast

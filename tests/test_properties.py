@@ -887,3 +887,35 @@ def test_global_running_max_partition_invariant(spark, data):
             expect[(a, b)] = acc
             acc = b if acc is None or b > acc else acc
         assert got == expect
+
+
+def test_decode_quarantine_split_is_total(spark):
+    """decode_quarantine_pipeline emits EXACTLY one row per input
+    payload regardless of corruption mix — the P9 totality contract
+    (n_ok + n_quarantined == n_in), and statuses partition cleanly."""
+    import pandas as pd
+
+    from health_data_transformation_spark.multimodal import (
+        bmp_encode_gray24,
+        corrupt_bmp_for_test,
+        decode_quarantine_pipeline,
+    )
+
+    rows = []
+    for i in range(40):
+        payload = corrupt_bmp_for_test(
+            bmp_encode_gray24(f"doc {i} payload".encode(), width=7), i % 5
+        )
+        rows.append((i, bytearray(payload)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = decode_quarantine_pipeline(df).toPandas()
+    assert len(out) == 40
+    assert sorted(out["doc_id"]) == list(range(40))
+    by_status = out.groupby("status")["doc_id"].count().to_dict()
+    # i % 5: modes 1/2/3 corrupt (8 docs each), 0 and 4 intact (16)
+    assert by_status == {
+        "ok": 16, "bad_magic": 8, "bad_format": 8, "corrupt": 8
+    }
+    # pixel features exist exactly for the ok rows
+    assert out["pixel_sum"].notna().sum() == 16
+    assert (out.loc[out["status"] == "ok", "pixel_sum"] > 0).all()

@@ -17527,3 +17527,157 @@ def q295(spark: SparkSession, sf: str) -> DataFrame:
         "final_rows",
         (F.col("join_order") == F.col("_w")).alias("chosen"),
     )
+
+
+def _q296_oracle() -> str:
+    return """WITH base AS (
+          SELECT o_custkey AS ck,
+                 max(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+                   AS recency_day,
+                 count(*) AS frequency,
+                 sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS monetary
+          FROM orders GROUP BY ck),
+       scored AS (
+          SELECT ck,
+                 ntile(5) OVER (ORDER BY recency_day, ck) AS r,
+                 ntile(5) OVER (ORDER BY frequency, ck) AS f,
+                 ntile(5) OVER (ORDER BY monetary, ck) AS m,
+                 monetary
+          FROM base)
+       SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+              CAST(m AS BIGINT) AS m,
+              CAST(count(*) AS BIGINT) AS n_customers,
+              CAST(sum(monetary) AS BIGINT) AS segment_cents
+       FROM scored GROUP BY r, f, m"""
+
+
+@register(
+    "q296_rfm_segmentation",
+    _q296_oracle(),
+    "RFM (recency / frequency / monetary) quintile segmentation — "
+    "the classic customer-value grid, and a three-dimensional "
+    "exercise of the q68 lesson: each dimension needs a GLOBAL "
+    "equi-depth quintile, and three naive ntile windows would funnel "
+    "the customer table through one task three times; instead each "
+    "dimension gets the two-phase global rank + closed-form exact "
+    "ntile assignment (bit-identical to the window function, proven "
+    "by the hypothesis test), composed by joining the three rank "
+    "frames on the customer key.  The oracle uses plain ntile "
+    "windows — same answer, which IS the differential's point.  At "
+    "100 TB: one per-customer aggregate, three range-partitioned "
+    "rank passes, one 125-cell rollup",
+)
+def q296(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.expr(
+            "max(CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT)"
+            " div 86400)"
+        ).alias("recency_day"),
+        F.count("*").alias("frequency"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            )
+        ).alias("monetary"),
+    ).localCheckpoint()  # read by three rank passes + the final join
+    tot = base.agg(F.count("*").alias("nn"))
+
+    def quintile(dim: str, out: str) -> DataFrame:
+        ranked = K.global_row_number(
+            base.select("ck", dim), [F.asc(dim), F.asc("ck")]
+        )
+        k = 5
+        bucket = F.expr(
+            f"CASE WHEN rn <= (nn % {k}) * (nn div {k} + 1)"
+            f" THEN (rn - 1) div (nn div {k} + 1) + 1"
+            f" ELSE (nn % {k})"
+            f"  + (rn - (nn % {k}) * (nn div {k} + 1) - 1) div (nn div {k})"
+            f"  + 1 END"
+        )
+        return ranked.crossJoin(F.broadcast(tot)).select(
+            "ck", bucket.cast("long").alias(out)
+        )
+
+    scored = (
+        quintile("recency_day", "r")
+        .join(quintile("frequency", "f"), "ck")
+        .join(quintile("monetary", "m"), "ck")
+        .join(base.select("ck", "monetary"), "ck")
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("monetary").cast("long").alias("segment_cents"),
+    )
+
+
+_Q297_SESSION_S = 1800  # 30-minute sessions
+
+
+def _q297_oracle() -> str:
+    return f"""WITH bounds AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, 1 AS delta
+          FROM events
+          UNION ALL
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) + {_Q297_SESSION_S}, -1
+          FROM events),
+       swept AS (
+          SELECT t, delta,
+                 sum(delta) OVER (ORDER BY t, delta
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS conc
+          FROM bounds),
+       peak AS (SELECT max(conc) AS p FROM swept)
+       SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS n_sessions,
+              CAST((SELECT p FROM peak) AS BIGINT) AS peak_concurrency,
+              CAST(min(t) AS BIGINT) AS first_peak_t
+       FROM swept WHERE conc = (SELECT p FROM peak)"""
+
+
+@register(
+    "q297_peak_concurrency",
+    _q297_oracle(),
+    "peak concurrency via the boundary-sweep (the capacity-planning "
+    "primitive: 'how many 30-minute sessions were ever live at "
+    "once?'): every session contributes +1 at start and -1 at "
+    "start+30min, the running sum of deltas in (t, delta) order is "
+    "the live count at every boundary (delta asc ties put -1 before "
+    "+1, the half-open-interval convention — back-to-back sessions "
+    "never double-count), and the max is the peak, with the FIRST "
+    "time it was reached reported (the actionable half).  The prefix "
+    "sum runs on the two-phase global_running_sum shape — a naive "
+    "ORDER BY window would funnel every boundary through one task; "
+    "here boundaries range-partition by time and only per-slice "
+    "totals meet the driver.  One union-of-projections pass, one "
+    "ranked sweep, three scalar aggregates",
+)
+def q297(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    start = e.select(
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("t"),
+        F.lit(1).alias("delta"),
+    )
+    end = e.select(
+        (
+            F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)")
+            + _Q297_SESSION_S
+        ).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = start.unionAll(end)
+    swept = K.global_running_sum(
+        bounds, [F.asc("t"), F.asc("delta")], "delta", out_col="before"
+    ).select("t", "delta", (F.col("before") + F.col("delta")).alias("conc"))
+    peak = swept.agg(F.max("conc").alias("p"))
+    n = e.agg(F.count("*").alias("n_sessions"))
+    return (
+        swept.crossJoin(F.broadcast(peak))
+        .filter(F.col("conc") == F.col("p"))
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.max("n_sessions").cast("long").alias("n_sessions"),
+            F.max("p").cast("long").alias("peak_concurrency"),
+            F.min("t").cast("long").alias("first_peak_t"),
+        )
+    )

@@ -121,6 +121,11 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # three 1-row cardinality frames (two candidate intermediates +
     # the verification count) crossed into the 2-row advisory
     "q295_join_order_advisor",
+    # 1-row customer-count frame under each of the three closed-form
+    # quintile assignments (the q68 ntile idiom, three dimensions)
+    "q296_rfm_segmentation",
+    # 1-row peak / session-count frames under the sweep readout
+    "q297_peak_concurrency",
     # 1-row leakage-count frame beside the fold report
     "q286_group_kfold_assignment",
     # _graph_edges attaches a 1-row node-count aggregate by broadcast

@@ -17681,3 +17681,535 @@ def q297(spark: SparkSession, sf: str) -> DataFrame:
             F.min("t").cast("long").alias("first_peak_t"),
         )
     )
+
+
+def _q298_oracle() -> str:
+    # DuckDB's BIGINT `*` errors on overflow, so the squared prefix
+    # sums route through HUGEINT (int128), mirroring Spark's
+    # DECIMAL(38,0).  `//` on non-negative HUGEINTs is exact floor,
+    # identical to Spark's (v - v % d) / d decimal identity.
+    return f"""WITH daily AS (
+          SELECT {day_str_sql('o_orderdate')} AS day, count(*) AS y
+          FROM orders GROUP BY 1),
+       pre AS (
+          SELECT day, y,
+                 row_number() OVER (ORDER BY day) AS i,
+                 sum(CAST(y AS HUGEINT)) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+                 sum(CAST(y AS HUGEINT) * y) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2l
+          FROM daily),
+       tot AS (
+          SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS s,
+                 sum(CAST(y AS HUGEINT) * y) AS s2
+          FROM daily),
+       cand AS (
+          SELECT day AS split_day,
+                 i AS n_left, n - i AS n_right,
+                 (sl * 1000000) // i AS mean_left_ppm,
+                 ((s - sl) * 1000000) // (n - i) AS mean_right_ppm,
+                 (s2l * 1000000 - (sl * sl * 1000000) // i)
+                 + ((s2 - s2l) * 1000000
+                    - ((s - sl) * (s - sl) * 1000000) // (n - i))
+                   AS cost_ppm,
+                 s2 * 1000000 - (s * s * 1000000) // n AS base_ppm
+          FROM pre CROSS JOIN tot
+          WHERE i < n)
+       SELECT split_day,
+              CAST(n_left AS BIGINT) AS n_left,
+              CAST(n_right AS BIGINT) AS n_right,
+              CAST(mean_left_ppm AS BIGINT) AS mean_left_ppm,
+              CAST(mean_right_ppm AS BIGINT) AS mean_right_ppm,
+              CAST(cost_ppm AS BIGINT) AS cost_ppm,
+              CAST(base_ppm AS BIGINT) AS base_ppm,
+              CAST(CASE WHEN base_ppm = 0 THEN 0
+                   ELSE ((base_ppm - cost_ppm) * 1000000) // base_ppm
+                   END AS BIGINT) AS reduction_ppm
+       FROM cand ORDER BY cost_ppm, split_day LIMIT 1"""
+
+
+def _exdiv(v: str, d: str) -> str:
+    """Exact decimal floor division SQL: (v - v % d) / d, DECIMAL(38,0).
+
+    The q271 lesson: Spark's IntegralDivide returns BIGINT and
+    silently wraps modulo 2^64, so any quotient that can exceed int64
+    must subtract the remainder first and divide in decimal (no
+    fractional part remains, so the decimal division is exact).
+    Operands must be non-negative (all callers divide counts/sums).
+    """
+    return f"CAST((({v}) - (({v}) % ({d}))) / ({d}) AS DECIMAL(38,0))"
+
+
+@register(
+    "q298_changepoint_detection",
+    _q298_oracle(),
+    "single level-shift changepoint over the daily order-count series "
+    "(the monitoring primitive behind 'when did the distribution "
+    "move?' — data-drift triage, pipeline-regression forensics, "
+    "SLA-break dating): the two-segment piecewise-constant fit "
+    "minimizing total SSE, scanned over every candidate split day.  "
+    "SSE is kept EXACT in scaled-integer form via the identity "
+    "n*SSE = n*Sum(y^2) - S^2 evaluated as floor-ppm: cost_ppm = "
+    "Sum(y^2)*1e6 - floor(S^2*1e6/n) per side, all in DECIMAL(38,0) "
+    "with the (v - v %% d)/d exact floor division (q271 lesson — "
+    "Spark `div` wraps at int64; the oracle mirrors with HUGEINT "
+    "`//`).  Argmin tiebreak = earliest day.  Plan: one "
+    "map-combinable daily aggregate collapses the fact table to "
+    "~|days| rows; the prefix sums and candidate sweep run on that "
+    "aggregate frame (window input passes the aggregate barrier, so "
+    "the audit's fact-scan window rule does not fire), then "
+    "TakeOrderedAndProject(1).  At 100 TB the only fact-sized pass "
+    "is the first aggregate.  Output BIGINT casts bound: cost_ppm <= "
+    "Sum(y^2)*1e6, int64-safe through ~sf50 daily volumes "
+    "(~9e18); interior arithmetic exact far beyond",
+)
+def q298(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(day_str("o_orderdate").alias("day")).agg(
+        F.count("*").alias("y")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum(F.col("y").cast("decimal(38,0)")).over(w).alias("sl"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).over(w).alias("s2l"),
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("s2"),
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            F.col("day").alias("split_day"),
+            F.col("i").cast("long").alias("n_left"),
+            (F.col("n") - F.col("i")).cast("long").alias("n_right"),
+            F.expr(_exdiv("sl * 1000000", "CAST(i AS DECIMAL(38,0))"))
+            .cast("long")
+            .alias("mean_left_ppm"),
+            F.expr(
+                _exdiv("(s - sl) * 1000000", "CAST(n - i AS DECIMAL(38,0))")
+            )
+            .cast("long")
+            .alias("mean_right_ppm"),
+            F.expr(
+                "(s2l * CAST(1000000 AS DECIMAL(38,0)) - "
+                + _exdiv("sl * sl * 1000000", "CAST(i AS DECIMAL(38,0))")
+                + ") + ((s2 - s2l) * CAST(1000000 AS DECIMAL(38,0)) - "
+                + _exdiv(
+                    "(s - sl) * (s - sl) * CAST(1000000 AS DECIMAL(38,0))",
+                    "CAST(n - i AS DECIMAL(38,0))",
+                )
+                + ")"
+            ).alias("_cost"),
+            F.expr(
+                "s2 * CAST(1000000 AS DECIMAL(38,0)) - "
+                + _exdiv("s * s * 1000000", "CAST(n AS DECIMAL(38,0))")
+            ).alias("_base"),
+        )
+    )
+    return (
+        cand.orderBy("_cost", "split_day")
+        .limit(1)
+        .select(
+            "split_day",
+            "n_left",
+            "n_right",
+            "mean_left_ppm",
+            "mean_right_ppm",
+            F.col("_cost").cast("long").alias("cost_ppm"),
+            F.col("_base").cast("long").alias("base_ppm"),
+            F.when(F.col("_base") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    _exdiv(
+                        "(_base - _cost)"
+                        " * CAST(1000000 AS DECIMAL(38,0))",
+                        "_base",
+                    )
+                ).cast("long")
+            )
+            .alias("reduction_ppm"),
+        )
+    )
+
+
+_Q299_GRAM_SQL = hex_hash64_sql(
+    "t[CAST(p AS INTEGER)] || ' ' || t[CAST(p AS INTEGER) + 1] || ' ' "
+    "|| t[CAST(p AS INTEGER) + 2]",
+    "win",
+)
+
+
+def _q299_oracle() -> str:
+    return f"""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       grams AS (
+          SELECT doc_id, len(t) - 2 AS g, t,
+                 unnest(range(1, len(t) - 1)) AS p
+          FROM toks WHERE len(t) >= 3),
+       hashed AS (
+          SELECT doc_id, g, p, {_Q299_GRAM_SQL} % 1000000007 AS h
+          FROM grams),
+       wins AS (
+          SELECT doc_id, p + off AS q, h * 64 + off AS key
+          FROM hashed, unnest(range(0, 4)) AS u(off)
+          WHERE p + off BETWEEN 4 AND g),
+       sel AS (
+          SELECT doc_id, q, min(key) AS mk FROM wins GROUP BY doc_id, q),
+       fp AS (
+          SELECT DISTINCT doc_id, mk // 64 AS h, q - (mk % 64) AS p
+          FROM sel),
+       per_hash AS (
+          SELECT h, count(DISTINCT doc_id) AS nd FROM fp GROUP BY h),
+       gsum AS (SELECT count(*) AS n_grams FROM hashed),
+       fsum AS (
+          SELECT count(*) AS n_fingerprints,
+                 count(DISTINCT doc_id) AS n_docs_fingerprinted,
+                 bit_xor({hex_hash64_sql(
+                     "CAST(doc_id AS VARCHAR) || ':' || CAST(h AS VARCHAR)"
+                     " || ':' || CAST(p AS VARCHAR)", "fpx")}) AS fp_xor
+          FROM fp),
+       hsum AS (
+          SELECT count(*) AS n_distinct_hashes,
+                 sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                   AS n_cross_doc_hashes
+          FROM per_hash)
+       SELECT CAST(n_docs_fingerprinted AS BIGINT) AS n_docs_fingerprinted,
+              CAST(n_grams AS BIGINT) AS n_grams,
+              CAST(n_fingerprints AS BIGINT) AS n_fingerprints,
+              CAST(n_fingerprints * 1000000 // n_grams AS BIGINT)
+                AS density_ppm,
+              CAST(n_distinct_hashes AS BIGINT) AS n_distinct_hashes,
+              CAST(n_cross_doc_hashes AS BIGINT) AS n_cross_doc_hashes,
+              CAST(fp_xor AS BIGINT) AS fp_xor
+       FROM gsum CROSS JOIN fsum CROSS JOIN hsum"""
+
+
+@register(
+    "q299_winnowing_fingerprints",
+    _q299_oracle(),
+    "robust winnowing fingerprint selection (Schleimer/Wilkerson/"
+    "Aiken, the MOSS plagiarism-detection primitive and the "
+    "guarantee-bearing alternative to q44's whole-doc rolling hash "
+    "and q33's set fingerprint: any shared substring of >= w+k-1 "
+    "tokens is GUARANTEED to share a selected fingerprint, while "
+    "random mod-p sampling like q212's cut rule can miss arbitrarily "
+    "long overlaps): per document, 3-token-gram hashes at every "
+    "position; each sliding window of w=4 grams selects its minimum "
+    "hash, rightmost position on ties.  The select-the-rightmost-min "
+    "rule is one integer argmin: key = h*64 + (q - p) so min(key) "
+    "gives the minimum hash and the SMALLEST window offset (= "
+    "rightmost position) in a single map-combinable min — no nested "
+    "windows, no per-window sort.  Fingerprints dedup to (doc, hash, "
+    "pos); the report carries corpus density (fingerprints per gram, "
+    "ppm — the winnowing paper's 2/(w+1) expectation), the "
+    "cross-document hash count (the plagiarism/boilerplate signal), "
+    "and an order-insensitive xor of every fingerprint for exactness."
+    "  Plan: tokenization is row-local; the gram explode is bounded "
+    "by corpus tokens and the window explode by a constant factor "
+    "w=4; the argmin groups on (doc, window) — per-document "
+    "cardinality, no skewable key; the rollups are fixed-width.  At "
+    "100 TB every stage is map-side combinable or keyed on "
+    "high-cardinality composites",
+)
+def q299(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = d.select("doc_id", T.tokens("text").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    grams = toks.select(
+        "doc_id",
+        (F.size("t") - 2).alias("g"),
+        "t",
+        F.explode(F.sequence(F.lit(1), F.size("t") - 2)).alias("p"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        "g",
+        "p",
+        (
+            T.hex_hash64(
+                F.concat_ws(
+                    " ",
+                    F.element_at("t", F.col("p")),
+                    F.element_at("t", F.col("p") + 1),
+                    F.element_at("t", F.col("p") + 2),
+                ),
+                salt="win",
+            )
+            % 1000000007
+        ).alias("h"),
+    )
+    wins = (
+        hashed.select(
+            "doc_id",
+            "g",
+            "p",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("off"),
+        )
+        .filter(
+            (F.col("p") + F.col("off") >= 4)
+            & (F.col("p") + F.col("off") <= F.col("g"))
+        )
+        .select(
+            "doc_id",
+            (F.col("p") + F.col("off")).alias("q"),
+            (F.col("h") * 64 + F.col("off")).alias("key"),
+        )
+    )
+    sel = wins.groupBy("doc_id", "q").agg(F.min("key").alias("mk"))
+    fp = sel.select(
+        "doc_id",
+        F.expr("mk div 64").alias("h"),  # div-ok: quotient = 60-bit gram hash % 1000000007 < 2^31
+        (F.col("q") - F.col("mk") % 64).alias("p"),
+    ).distinct()
+    gsum = hashed.agg(F.count("*").alias("n_grams"))
+    fsum = (
+        fp.select(
+            "doc_id",
+            "h",
+            "p",
+            T.hex_hash64(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("h").cast("string"),
+                    F.col("p").cast("string"),
+                ),
+                salt="fpx",
+            ).alias("fx"),
+        )
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.countDistinct("doc_id").alias("n_docs_fingerprinted"),
+            F.expr("bit_xor(fx)").alias("fp_xor"),
+        )
+    )
+    hsum = (
+        fp.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .agg(
+            F.count("*").alias("n_distinct_hashes"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
+                "n_cross_doc_hashes"
+            ),
+        )
+    )
+    return (
+        gsum.crossJoin(F.broadcast(fsum))
+        .crossJoin(F.broadcast(hsum))
+        .select(
+            F.col("n_docs_fingerprinted").cast("long").alias(
+                "n_docs_fingerprinted"
+            ),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_fingerprints").cast("long").alias("n_fingerprints"),
+            F.expr(
+                "CAST(n_fingerprints AS DECIMAL(38,0)) * 1000000"
+                " div n_grams"  # div-ok: fingerprint density, quotient <= 1e6
+            )
+            .cast("long")
+            .alias("density_ppm"),
+            F.col("n_distinct_hashes").cast("long").alias(
+                "n_distinct_hashes"
+            ),
+            F.col("n_cross_doc_hashes").cast("long").alias(
+                "n_cross_doc_hashes"
+            ),
+            F.col("fp_xor").cast("long").alias("fp_xor"),
+        )
+    )
+
+
+def _q300_oracle() -> str:
+    from ..functions.vector import int8_quantize_sql, int_dot_sql
+
+    return f"""WITH qv AS (
+          SELECT vec_id, label, {int8_quantize_sql('embedding')} AS q
+          FROM embeddings),
+       self AS (
+          SELECT vec_id, label, q, {int_dot_sql('q', 'q')} AS na2 FROM qv),
+       dims AS (
+          SELECT label, unnest(range(1, 65)) AS pos, q FROM qv),
+       percell AS (
+          SELECT label, pos, sum(q[CAST(pos AS INTEGER)]) AS s,
+                 count(*) AS c
+          FROM dims GROUP BY 1, 2),
+       cent AS (
+          SELECT label, pos, (s - ((s % c) + c) % c) // c AS v
+          FROM percell),
+       vecs AS (
+          SELECT label AS label_c, list(v ORDER BY pos) AS cv
+          FROM cent GROUP BY label),
+       cw AS (
+          SELECT label_c, cv, {int_dot_sql('cv', 'cv')} AS nc2 FROM vecs),
+       scoredall AS (
+          SELECT s.vec_id, s.label,
+                 (1000000 - CASE WHEN s.na2 = 0 OR c.nc2 = 0 THEN -1000000
+                       ELSE CAST(floor({int_dot_sql('s.q', 'c.cv')}
+                                 * 1000000.0
+                                 / sqrt(CAST(s.na2 AS DOUBLE)
+                                        * CAST(c.nc2 AS DOUBLE)))
+                            AS BIGINT) END) * 1024 + c.label_c AS keyk
+          FROM self s CROSS JOIN cw c),
+       pred AS (
+          SELECT vec_id, label, min(keyk) AS mk
+          FROM scoredall GROUP BY vec_id, label),
+       judged AS (
+          SELECT vec_id,
+                 1000000 - mk // 1024 AS conf,
+                 CASE WHEN mk % 1024 <> label THEN 1 ELSE 0 END AS err
+          FROM pred),
+       ranked AS (
+          SELECT err,
+                 ntile(10) OVER (ORDER BY conf DESC, vec_id) AS decile
+          FROM judged),
+       per AS (
+          SELECT decile, count(*) AS n_d, sum(err) AS err_d
+          FROM ranked GROUP BY decile),
+       tot AS (SELECT count(*) AS nn FROM judged),
+       cum AS (
+          SELECT decile,
+                 sum(n_d) OVER (ORDER BY decile
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_n,
+                 sum(err_d) OVER (ORDER BY decile
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_err
+          FROM per)
+       SELECT CAST(decile AS BIGINT) AS decile,
+              CAST(cum_n AS BIGINT) AS cum_n,
+              CAST(cum_err AS BIGINT) AS cum_err,
+              CAST(cum_err * 1000000 // cum_n AS BIGINT) AS risk_ppm,
+              CAST(cum_n * 1000000 // nn AS BIGINT) AS coverage_ppm
+       FROM cum CROSS JOIN tot"""
+
+
+@register(
+    "q300_risk_coverage_curve",
+    _q300_oracle(),
+    "risk-coverage curve for selective prediction (the eval behind "
+    "'route the low-confidence tail to a bigger model / a human': at "
+    "each coverage level, the error rate among the predictions the "
+    "model is MOST confident about — the acceptance test for "
+    "abstention thresholds, cascade routers, and auto-label "
+    "pipelines): a real nearest-centroid classifier over the "
+    "embeddings table (per-label integer centroids of the "
+    "int8-quantized vectors — the q216 construction — scored by "
+    "floor-ppm cosine with the q259 zero-vector guard), argmax over "
+    "centroids via one integer key min (keyk = (1e6 - conf)*1024 + "
+    "label encodes conf-desc-then-label-asc, so both engines tie-"
+    "break identically with a plain min), then the curve: vectors "
+    "ranked by confidence (two-phase global_row_number — no single-"
+    "partition window over the corpus), cut into coverage deciles by "
+    "the closed-form exact ntile (bit-identical to the oracle's "
+    "ntile(10), hypothesis-proven), cumulative errors over the "
+    "10-row decile frame.  Plan at 100 TB: centroids are a "
+    "|labels|-row broadcast, scoring is row-local (x|labels| "
+    "constant fanout), the rank is range-partitioned, and the only "
+    "windows run over 10 aggregate rows",
+)
+def q300(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vector import int8_quantize, int_dot
+
+    e = load_table(spark, sf, "embeddings")
+    qv = e.select(
+        "vec_id", "label", int8_quantize("embedding").alias("q")
+    )
+    self_dot = qv.select(
+        "vec_id", "label", "q", int_dot("q", "q").alias("na2")
+    )
+    dims = qv.select("label", F.posexplode("q").alias("pos", "val"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+        .select(
+            "label",
+            "pos",
+            F.expr("(s - ((s % c) + c) % c) div c").alias("v"),  # div-ok: floor mean of int8 values, |quotient| <= 127
+        )
+    )
+    vecs = cent.groupBy(F.col("label").alias("label_c")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda x: x["v"],
+        ).alias("cv")
+    )
+    cw = vecs.select("label_c", "cv", int_dot("cv", "cv").alias("nc2"))
+    conf = F.when(
+        (F.col("na2") == 0) | (F.col("nc2") == 0), F.lit(-1000000)
+    ).otherwise(
+        F.floor(
+            int_dot("q", "cv")
+            * F.lit(1000000.0)
+            / F.sqrt(
+                F.col("na2").cast("double") * F.col("nc2").cast("double")
+            )
+        ).cast("long")
+    )
+    scoredall = self_dot.crossJoin(F.broadcast(cw)).select(
+        "vec_id",
+        "label",
+        ((F.lit(1000000) - conf) * 1024 + F.col("label_c")).alias("keyk"),
+    )
+    judged = (
+        scoredall.groupBy("vec_id", "label")
+        .agg(F.min("keyk").alias("mk"))
+        .select(
+            "vec_id",
+            (F.lit(1000000) - F.expr("mk div 1024")).alias("conf"),  # div-ok: quotient = 1e6 - conf_ppm <= 2e6
+            F.when(F.expr("mk % 1024") != F.col("label"), 1)
+            .otherwise(0)
+            .alias("err"),
+        )
+    )
+    ranked = K.global_row_number(
+        judged, [F.desc("conf"), F.asc("vec_id")]
+    )
+    tot = judged.agg(F.count("*").alias("nn"))
+    k = 10
+    decile = F.expr(
+        f"CASE WHEN rn <= (nn % {k}) * (nn div {k} + 1)"
+        f" THEN (rn - 1) div (nn div {k} + 1) + 1"
+        f" ELSE (nn % {k})"
+        f"  + (rn - (nn % {k}) * (nn div {k} + 1) - 1) div (nn div {k})"
+        f"  + 1 END"
+    )
+    per = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(decile.alias("decile"), "err", "nn")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_d"),
+            F.sum("err").alias("err_d"),
+            F.max("nn").alias("nn"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.sum("n_d").over(w).cast("long").alias("cum_n"),
+        F.sum("err_d").over(w).cast("long").alias("cum_err"),
+        "nn",
+    ).select(
+        "decile",
+        "cum_n",
+        "cum_err",
+        F.expr(
+            "CAST(cum_err AS DECIMAL(38,0)) * 1000000 div cum_n"  # div-ok: error rate, quotient <= 1e6
+        )
+        .cast("long")
+        .alias("risk_ppm"),
+        F.expr(
+            "CAST(cum_n AS DECIMAL(38,0)) * 1000000 div nn"  # div-ok: coverage share, quotient <= 1e6
+        )
+        .cast("long")
+        .alias("coverage_ppm"),
+    )

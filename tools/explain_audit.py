@@ -175,6 +175,17 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # global file-id assignment (the global_row_number offset idiom),
     # appearing twice per arm in the union
     "q270_zorder_pruning",
+    # 1-row grand-total (n, S, S2) frame attached to the ~|days|
+    # candidate frame (which itself sits behind the daily-aggregate
+    # size barrier)
+    "q298_changepoint_detection",
+    # three 1-row summary aggregates (gram total / fingerprint stats /
+    # hash stats) crossed into the 1-row corpus report
+    "q299_winnowing_fingerprints",
+    # |labels|-row centroid frame attached to every vector (the q216
+    # nearest-centroid idiom, non-equi so BNL by construction) + 1-row
+    # total-count frames under the decile assignment and coverage ppm
+    "q300_risk_coverage_curve",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

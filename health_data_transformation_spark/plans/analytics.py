@@ -18213,3 +18213,710 @@ def q300(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("coverage_ppm"),
     )
+
+
+_KCORE_K = 4
+
+
+def _q301_oracle() -> str:
+    hx = hex_hash64_sql("CAST(u AS VARCHAR)", salt="kc")
+    rounds_sql = []
+    prev = "e"
+    for r in (1, 2, 3):
+        rounds_sql.append(
+            f"""d{r} AS (SELECT u, count(*) AS d
+              FROM (SELECT a AS u FROM {prev}
+                    UNION ALL SELECT b FROM {prev})
+              GROUP BY u),
+       s{r} AS (SELECT u FROM d{r} WHERE d >= {_KCORE_K}),
+       e{r} AS (SELECT a, b FROM {prev}
+                WHERE a IN (SELECT u FROM s{r})
+                  AND b IN (SELECT u FROM s{r}))"""
+        )
+        prev = f"e{r}"
+    metrics = " UNION ALL ".join(
+        f"""SELECT {r} AS round,
+               (SELECT count(*) FROM s{r}) AS n_nodes,
+               (SELECT count(*) FROM e{r}) AS n_edges,
+               (SELECT bit_xor({hx}) FROM s{r}) AS node_xor"""
+        for r in (1, 2, 3)
+    )
+    rounds_joined = ",\n       ".join(rounds_sql)
+    return f"""WITH {_graph_edges_sql()},
+       {rounds_joined}
+       SELECT CAST(round AS BIGINT) AS round,
+              CAST(n_nodes AS BIGINT) AS n_nodes,
+              CAST(n_edges AS BIGINT) AS n_edges,
+              CAST(node_xor AS BIGINT) AS node_xor
+       FROM ({metrics}) ORDER BY round"""
+
+
+@register(
+    "q301_kcore_peeling",
+    _q301_oracle(),
+    "k-core decomposition, three unrolled peeling rounds toward the "
+    f"{_KCORE_K}-core of the shared synthetic customer graph (q137/"
+    "q138/q233/q290's edge builder): each round drops every node "
+    f"whose CURRENT induced degree is < {_KCORE_K} and restricts the "
+    "edge set to surviving endpoints — the standard coreness "
+    "pre-filter that strips low-engagement periphery before "
+    "community/fraud analysis (the dense k-core is where "
+    "coordinated-behavior signals live), and the classic example of "
+    "an algorithm whose rounds CASCADE: a node at exactly degree "
+    f"{_KCORE_K} can fall under the threshold only after a neighbor "
+    "was peeled, so round counts strictly interleave recomputed "
+    "degrees and induced subgraphs.  Per-round evidence row: "
+    "surviving node count, induced edge count, and a 60-bit xor over "
+    "the survivor set — one wrongly-peeled node anywhere breaks the "
+    "xor.  Plan: per round one map-combinable degree aggregate plus "
+    "two LeftSemi hash joins keyed on node ids (high-cardinality, no "
+    "skewable key); the shrinking edge frame is localCheckpoint'ed "
+    "per round (the q290 Pregel practice) so consumers never replay "
+    "the builder chain.  At 100 TB each round is O(surviving edges) "
+    "and the frame only shrinks; the oracle states the identical "
+    "peeling as three unrolled CTE layers with IN-subquery "
+    "restriction",
+)
+def q301(spark: SparkSession, sf: str) -> DataFrame:
+    cur = _graph_edges(spark, sf).localCheckpoint()
+    out = None
+    for r in (1, 2, 3):
+        sym = cur.select(F.col("a").alias("u")).unionAll(
+            cur.select(F.col("b").alias("u"))
+        )
+        surv = (
+            sym.groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("u")
+            .localCheckpoint()  # read by both semi joins + the metrics agg
+        )
+        cur = (
+            cur.join(surv.select(F.col("u").alias("a")), "a", "semi")
+            .join(surv.select(F.col("u").alias("b")), "b", "semi")
+            .localCheckpoint()
+        )
+        nodes_m = surv.select(
+            T.hex_hash64(F.col("u").cast("string"), salt="kc").alias("hx")
+        ).agg(
+            F.count("*").alias("n_nodes"),
+            F.expr("bit_xor(hx)").alias("node_xor"),
+        )
+        edges_m = cur.agg(F.count("*").alias("n_edges"))
+        row = nodes_m.crossJoin(F.broadcast(edges_m)).select(
+            F.lit(r).cast("long").alias("round"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("node_xor").cast("long").alias("node_xor"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")
+
+
+_PHRASE = ("merge", "join")
+
+
+def _q302_oracle() -> str:
+    hx = hex_hash64_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)", salt="ph"
+    )
+    return f"""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       pos AS (
+          SELECT doc_id, CAST(p AS INTEGER) AS p,
+                 t[CAST(p AS INTEGER)] AS tok
+          FROM toks, unnest(range(1, len(t) + 1)) AS u(p)
+          WHERE t[CAST(p AS INTEGER)] IN ('{_PHRASE[0]}', '{_PHRASE[1]}')),
+       m AS (
+          SELECT a.doc_id, a.p
+          FROM pos a JOIN pos b
+            ON b.doc_id = a.doc_id AND b.p = a.p + 1
+          WHERE a.tok = '{_PHRASE[0]}' AND b.tok = '{_PHRASE[1]}'),
+       per AS (
+          SELECT doc_id, count(*) AS n_occ, min(p) AS first_pos
+          FROM m GROUP BY doc_id),
+       tot AS (
+          SELECT count(DISTINCT doc_id) AS n_docs_matched,
+                 count(*) AS n_occurrences,
+                 bit_xor({hx}) AS occ_xor
+          FROM m)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(n_occ AS BIGINT) AS n_occ,
+              CAST(first_pos AS BIGINT) AS first_pos,
+              CAST(n_docs_matched AS BIGINT) AS n_docs_matched,
+              CAST(n_occurrences AS BIGINT) AS n_occurrences,
+              CAST(occ_xor AS BIGINT) AS occ_xor
+       FROM per CROSS JOIN tot
+       ORDER BY n_occ DESC, doc_id LIMIT 20"""
+
+
+@register(
+    "q302_phrase_search",
+    _q302_oracle(),
+    f"positional phrase search for '{_PHRASE[0]} {_PHRASE[1]}' (the "
+    "exact-phrase retrieval primitive q224's docs/collection-"
+    "frequency index cannot answer — phrase match needs POSITIONS, "
+    "the classic positional-postings intersection from the IR "
+    "textbooks): tokenize, keep only the two query terms' positional "
+    "postings (the pruned index read — the corpus-sized token stream "
+    "is filtered to the query vocabulary BEFORE any shuffle, exactly "
+    "what reading two posting lists from a positional inverted index "
+    "costs), then one equi-join on (doc, position+1) finds "
+    "adjacency.  Result: top-20 matching docs by occurrence count "
+    "(total-order tiebreak) with corpus totals and a 60-bit xor over "
+    "every (doc, position) occurrence so one phantom/missing match "
+    "anywhere breaks equality.  Plan: explode is bounded by corpus "
+    "tokens, the IN filter cuts it to ~2 terms' postings, the "
+    "adjacency join keys on (doc_id, p) — high-cardinality, no skew "
+    "— and TakeOrderedAndProject caps the output; the 1-row totals "
+    "frame rides a broadcast cross.  At 100 TB this is two posting "
+    "scans + one co-partitioned join, never a corpus-wide pair "
+    "enumeration",
+)
+def q302(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    pos = (
+        d.select("doc_id", F.posexplode(T.tokens("text")).alias("p0", "tok"))
+        .filter(F.col("tok").isin(*_PHRASE))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+        .localCheckpoint()  # read by both sides of the adjacency join
+    )
+    a = pos.filter(F.col("tok") == _PHRASE[0]).select("doc_id", "p")
+    b = pos.filter(F.col("tok") == _PHRASE[1]).select(
+        "doc_id", (F.col("p") - 1).alias("p")
+    )
+    m = a.join(b, ["doc_id", "p"])
+    per = m.groupBy("doc_id").agg(
+        F.count("*").alias("n_occ"), F.min("p").alias("first_pos")
+    )
+    hx = T.hex_hash64(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("p").cast("string")
+        ),
+        salt="ph",
+    )
+    tot = m.withColumn("hx", hx).agg(
+        F.countDistinct("doc_id").alias("n_docs_matched"),
+        F.count("*").alias("n_occurrences"),
+        F.expr("bit_xor(hx)").alias("occ_xor"),
+    )
+    return (
+        per.orderBy(F.desc("n_occ"), F.asc("doc_id"))
+        .limit(20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.col("first_pos").cast("long").alias("first_pos"),
+            F.col("n_docs_matched").cast("long").alias("n_docs_matched"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("occ_xor").cast("long").alias("occ_xor"),
+        )
+        .orderBy(F.desc("n_occ"), F.asc("doc_id"))
+    )
+
+
+def _q303_oracle() -> str:
+    return f"""WITH {_graph_edges_sql()},
+       com AS (SELECT c_custkey AS node, c_nationkey AS com
+               FROM customer),
+       lab AS (
+          SELECT e.a, e.b, ca.com AS ca, cb.com AS cb
+          FROM e JOIN com ca ON ca.node = e.a
+                 JOIN com cb ON cb.node = e.b),
+       mt AS (SELECT count(*) AS m FROM lab),
+       intra AS (SELECT ca AS com, count(*) AS e_c
+                 FROM lab WHERE ca = cb GROUP BY 1),
+       inc AS (
+          SELECT com, count(*) AS d_c, count(DISTINCT node) AS n_members
+          FROM (SELECT ca AS com, a AS node FROM lab
+                UNION ALL SELECT cb, b FROM lab)
+          GROUP BY com),
+       per AS (
+          SELECT inc.com, inc.n_members, inc.d_c,
+                 coalesce(intra.e_c, 0) AS e_c
+          FROM inc LEFT JOIN intra ON intra.com = inc.com),
+       terms AS (
+          SELECT com, n_members, d_c, e_c,
+                 (CAST(e_c AS HUGEINT) * 1000000) // m AS intra_ppm,
+                 (CAST(d_c AS HUGEINT) * d_c * 1000000)
+                   // (4 * CAST(m AS HUGEINT) * m) AS expected_ppm
+          FROM per CROSS JOIN mt),
+       g AS (
+          SELECT sum(e_c) AS sum_e,
+                 sum(CAST(d_c AS HUGEINT) * d_c) AS sum_d2
+          FROM per),
+       gq AS (
+          SELECT (CAST(sum_e AS HUGEINT) * 1000000) // m AS q_intra_ppm,
+                 (sum_d2 * 1000000) // (4 * CAST(m AS HUGEINT) * m)
+                   AS q_expected_ppm
+          FROM g CROSS JOIN mt)
+       SELECT CAST(com AS INTEGER) AS com,
+              CAST(n_members AS BIGINT) AS n_members,
+              CAST(d_c AS BIGINT) AS d_c,
+              CAST(e_c AS BIGINT) AS e_c,
+              CAST(intra_ppm AS BIGINT) AS intra_ppm,
+              CAST(expected_ppm AS BIGINT) AS expected_ppm,
+              CAST(intra_ppm - expected_ppm AS BIGINT) AS contrib_ppm,
+              CAST(q_intra_ppm - q_expected_ppm AS BIGINT)
+                AS modularity_ppm
+       FROM terms CROSS JOIN gq ORDER BY com"""
+
+
+@register(
+    "q303_partition_modularity",
+    _q303_oracle(),
+    "Newman modularity of a labeled partition over the shared "
+    "synthetic customer graph — the community-quality score behind "
+    "'are these dedup/ER clusters real structure or noise?' (q76's "
+    "connected components and q233's propagated labels produce "
+    "partitions; this is their acceptance metric).  Communities = "
+    "customer nation; Q = sum_c [e_c/m - (d_c/2m)^2] evaluated in "
+    "exact floor-ppm integer terms per community (both engines floor "
+    "the same two nonneg quotients, then subtract — no fp, no "
+    "sign-dependent floor), with the graph restricted to edges whose "
+    "BOTH endpoints are labeled (the hash-synthesized id n has no "
+    "customer row; inner joins drop it identically in both engines)."
+    "  Output: per-community membership, degree mass d_c, intra-edge "
+    "count e_c, the two ppm terms and their difference, plus the "
+    "global modularity on every row.  Plan: two equi-joins label the "
+    "edge endpoints (node-keyed, high-cardinality), the labeled "
+    "frame is localCheckpoint'ed once and feeds three "
+    "map-combinable aggregates (m, intra counts, incidence counts); "
+    "every downstream frame is bounded by the community domain (~25)."
+    "  d_c^2 routes through DECIMAL(38,0)/HUGEINT — (2m)^2 x 1e6 "
+    "~8e27 at 100 TB, far past int64 (the q271 class, handled from "
+    "birth)",
+)
+def q303(spark: SparkSession, sf: str) -> DataFrame:
+    e = _graph_edges(spark, sf)
+    com = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("node"), F.col("c_nationkey").alias("com")
+    )
+    lab = (
+        e.join(
+            com.select(F.col("node").alias("a"), F.col("com").alias("ca")),
+            "a",
+        )
+        .join(
+            com.select(F.col("node").alias("b"), F.col("com").alias("cb")),
+            "b",
+        )
+        .localCheckpoint()  # read by mt, intra, and inc
+    )
+    mt = lab.agg(F.count("*").alias("m"))
+    intra = (
+        lab.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("com"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    inc = (
+        lab.select(F.col("ca").alias("com"), F.col("a").alias("node"))
+        .unionAll(
+            lab.select(F.col("cb").alias("com"), F.col("b").alias("node"))
+        )
+        .groupBy("com")
+        .agg(
+            F.count("*").alias("d_c"),
+            F.countDistinct("node").alias("n_members"),
+        )
+    )
+    per = (
+        inc.join(intra, "com", "left")
+        .select(
+            "com",
+            "n_members",
+            "d_c",
+            F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"),
+        )
+        .localCheckpoint()  # ~25 rows; read by terms and the global agg
+    )
+    terms = per.crossJoin(F.broadcast(mt)).select(
+        "com",
+        "n_members",
+        "d_c",
+        "e_c",
+        F.expr(
+            "CAST(e_c AS DECIMAL(38,0)) * 1000000 div m"  # div-ok: edge share, quotient <= 1e6
+        ).alias("intra_ppm"),
+        F.expr(
+            _exdiv(
+                "CAST(d_c AS DECIMAL(38,0)) * d_c * 1000000",
+                "4 * CAST(m AS DECIMAL(38,0)) * m",
+            )
+        ).alias("expected_ppm"),
+    )
+    g = per.agg(
+        F.sum("e_c").alias("sum_e"),
+        F.sum(F.expr("CAST(d_c AS DECIMAL(38,0)) * d_c")).alias("sum_d2"),
+    )
+    gq = g.crossJoin(F.broadcast(mt)).select(
+        F.expr(
+            "CAST(sum_e AS DECIMAL(38,0)) * 1000000 div m"  # div-ok: edge share, quotient <= 1e6
+        ).alias("q_intra_ppm"),
+        F.expr(
+            _exdiv(
+                "sum_d2 * CAST(1000000 AS DECIMAL(38,0))",
+                "4 * CAST(m AS DECIMAL(38,0)) * m",
+            )
+        ).alias("q_expected_ppm"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(gq))
+        .select(
+            F.col("com").cast("int").alias("com"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("d_c").cast("long").alias("d_c"),
+            F.col("e_c").cast("long").alias("e_c"),
+            F.col("intra_ppm").cast("long").alias("intra_ppm"),
+            F.col("expected_ppm").cast("long").alias("expected_ppm"),
+            (F.col("intra_ppm") - F.col("expected_ppm"))
+            .cast("long")
+            .alias("contrib_ppm"),
+            (F.col("q_intra_ppm") - F.col("q_expected_ppm"))
+            .cast("long")
+            .alias("modularity_ppm"),
+        )
+        .orderBy("com")
+    )
+
+
+_MASE_CUT = "1999-01-01"
+
+
+def _q304_oracle() -> str:
+    return f"""WITH daily AS (
+          SELECT {day_str_sql('o_orderdate')} AS day, count(*) AS y
+          FROM orders GROUP BY 1),
+       lagged AS (
+          SELECT day, y,
+                 lag(y, 7) OVER (ORDER BY day) AS y7
+          FROM daily),
+       err AS (
+          SELECT day, abs(y - y7) AS e,
+                 CASE WHEN day < '{_MASE_CUT}' THEN 1 ELSE 0 END AS tr
+          FROM lagged WHERE y7 IS NOT NULL),
+       sums AS (
+          SELECT sum(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS n_train,
+                 sum(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS n_test,
+                 sum(CASE WHEN tr = 1 THEN e ELSE 0 END) AS sae_train,
+                 sum(CASE WHEN tr = 0 THEN e ELSE 0 END) AS sae_test
+          FROM err)
+       SELECT CAST(n_train AS BIGINT) AS n_train,
+              CAST(n_test AS BIGINT) AS n_test,
+              CAST(sae_train AS BIGINT) AS sae_train,
+              CAST(sae_test AS BIGINT) AS sae_test,
+              CAST(CASE WHEN n_train = 0 THEN -1
+                   ELSE (CAST(sae_train AS HUGEINT) * 1000000) // n_train
+                   END AS BIGINT) AS mae_train_ppm,
+              CAST(CASE WHEN n_test = 0 THEN -1
+                   ELSE (CAST(sae_test AS HUGEINT) * 1000000) // n_test
+                   END AS BIGINT) AS mae_test_ppm,
+              CAST(CASE WHEN n_test = 0 OR sae_train = 0 THEN -1
+                   ELSE (CAST(sae_test AS HUGEINT) * n_train * 1000000)
+                        // (CAST(n_test AS HUGEINT) * sae_train)
+                   END AS BIGINT) AS mase_ppm
+       FROM sums"""
+
+
+@register(
+    "q304_forecast_eval_mase",
+    _q304_oracle(),
+    "seasonal-naive forecast evaluation with MASE (Hyndman's "
+    "mean-absolute-scaled-error — THE scale-free forecast-accuracy "
+    "standard, and the acceptance gate a capacity-planning or "
+    "demand-forecast pipeline runs before trusting any fancier "
+    "model: MASE >= 1e6 ppm means the model loses to 'same weekday "
+    "last week'): daily order counts, forecast y[t] = y[t-7] over "
+    "the observed-day sequence, errors split at "
+    f"{_MASE_CUT} into the scaling (train) and evaluation (test) "
+    "arms; mase_ppm = floor(sae_test * n_train * 1e6 / (n_test * "
+    "sae_train)) with every quotient floored identically in both "
+    "engines and empty/zero arms answered with a -1 sentinel "
+    "instead of a divide.  Plan: ONE map-side-combinable daily "
+    "aggregate collapses the fact table; the lag-7 window and the "
+    "conditional sums run on the ~|days| aggregate frame (passes "
+    "the audit's aggregate barrier); output is a single row.  The "
+    "numerator product sae*n*1e6 routes through HUGEINT/DECIMAL "
+    "headroom at 100 TB daily volumes",
+)
+def q304(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(day_str("o_orderdate").alias("day")).agg(
+        F.count("*").alias("y")
+    )
+    lagged = daily.select(
+        "day", "y", F.lag("y", 7).over(Window.orderBy("day")).alias("y7")
+    )
+    err = lagged.filter(F.col("y7").isNotNull()).select(
+        F.abs(F.col("y") - F.col("y7")).alias("e"),
+        F.when(F.col("day") < _MASE_CUT, 1).otherwise(0).alias("tr"),
+    )
+    sums = err.agg(
+        F.sum(F.when(F.col("tr") == 1, 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("tr") == 0, 1).otherwise(0)).alias("n_test"),
+        F.sum(F.when(F.col("tr") == 1, F.col("e")).otherwise(0)).alias(
+            "sae_train"
+        ),
+        F.sum(F.when(F.col("tr") == 0, F.col("e")).otherwise(0)).alias(
+            "sae_test"
+        ),
+    )
+    return sums.select(
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("sae_train").cast("long").alias("sae_train"),
+        F.col("sae_test").cast("long").alias("sae_test"),
+        F.when(F.col("n_train") == 0, F.lit(-1))
+        .otherwise(
+            F.expr(
+                _exdiv(
+                    "CAST(sae_train AS DECIMAL(38,0)) * 1000000", "n_train"
+                )
+            )
+        )
+        .cast("long")
+        .alias("mae_train_ppm"),
+        F.when(F.col("n_test") == 0, F.lit(-1))
+        .otherwise(
+            F.expr(
+                _exdiv("CAST(sae_test AS DECIMAL(38,0)) * 1000000", "n_test")
+            )
+        )
+        .cast("long")
+        .alias("mae_test_ppm"),
+        F.when(
+            (F.col("n_test") == 0) | (F.col("sae_train") == 0), F.lit(-1)
+        )
+        .otherwise(
+            F.expr(
+                _exdiv(
+                    "CAST(sae_test AS DECIMAL(38,0)) * n_train * 1000000",
+                    "CAST(n_test AS DECIMAL(38,0)) * sae_train",
+                )
+            )
+        )
+        .cast("long")
+        .alias("mase_ppm"),
+    )
+
+
+def _q305_oracle() -> str:
+    return """WITH docs AS (
+          SELECT doc_id, length(bin(doc_id + 1)) - 1 AS bucket,
+                 len(string_split(text, ' ')) AS n_tok
+          FROM documents),
+       db AS (SELECT bucket, count(*) AS n_docs, sum(n_tok) AS n_toks
+              FROM docs GROUP BY bucket),
+       post AS (
+          SELECT unnest(string_split(text, ' ')) AS token, doc_id
+          FROM documents),
+       firsts AS (
+          SELECT token, min(doc_id) + 1 AS first_rank FROM post
+          GROUP BY token),
+       vb AS (
+          SELECT length(bin(first_rank)) - 1 AS bucket,
+                 count(*) AS vocab_new
+          FROM firsts GROUP BY 1),
+       merged AS (
+          SELECT db.bucket, db.n_docs, db.n_toks,
+                 coalesce(vb.vocab_new, 0) AS vocab_new
+          FROM db LEFT JOIN vb ON vb.bucket = db.bucket),
+       cum AS (
+          SELECT bucket,
+                 sum(n_docs) OVER w AS docs_cum,
+                 sum(n_toks) OVER w AS tokens_cum,
+                 sum(vocab_new) OVER w AS vocab_cum
+          FROM merged
+          WINDOW w AS (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       final AS (
+          SELECT bucket, docs_cum, tokens_cum, vocab_cum,
+                 lag(vocab_cum) OVER (ORDER BY bucket) AS prev_vocab
+          FROM cum)
+       SELECT CAST(bucket AS INTEGER) AS bucket,
+              CAST(docs_cum AS BIGINT) AS docs_cum,
+              CAST(tokens_cum AS BIGINT) AS tokens_cum,
+              CAST(vocab_cum AS BIGINT) AS vocab_cum,
+              CAST((CAST(vocab_cum AS HUGEINT) * 1000000) // tokens_cum
+                   AS BIGINT) AS ttr_ppm,
+              CAST(CASE WHEN prev_vocab IS NULL OR prev_vocab = 0 THEN -1
+                   ELSE (CAST(vocab_cum AS HUGEINT) * 1000000) // prev_vocab
+                   END AS BIGINT) AS octave_growth_ppm
+       FROM final ORDER BY bucket"""
+
+
+@register(
+    "q305_heaps_vocab_growth",
+    _q305_oracle(),
+    "Heaps'-law vocabulary-growth curve (the corpus statistic behind "
+    "tokenizer-vocab sizing, dedup saturation checks, and 'is more "
+    "data still adding new content?' capacity questions): docs in "
+    "deterministic doc_id order are cut at power-of-two octave "
+    "boundaries (bucket = floor(log2(rank)) via the q174 "
+    "len(bin(x))-1 idiom — exact, no fp log); per octave the "
+    "cumulative doc/token counts and the cumulative distinct "
+    "vocabulary (each type attributed to its FIRST document, so "
+    "vocab_cum at bucket b counts types first seen in ranks < "
+    "2^(b+1) — computed from one min-per-token aggregate, never a "
+    "cumulative re-scan), plus the type-token ratio and the "
+    "per-octave vocabulary growth factor in exact floor-ppm (Heaps' "
+    "beta = log2(growth) is monotone in the reported factor; a "
+    "saturating corpus shows the factor collapsing toward 1e6).  "
+    "Plan: two map-side-combinable aggregates over the token "
+    "explode (min-rank per type, counts per octave); every window "
+    "runs over the <=64-row octave frame behind an aggregate "
+    "barrier.  At 100 TB nothing downstream of the two aggregates "
+    "exceeds 64 rows",
+)
+def q305(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    docs = d.select(
+        "doc_id",
+        (F.length(F.bin(F.col("doc_id") + 1)) - 1).alias("bucket"),
+        F.size(T.tokens("text")).alias("n_tok"),
+    )
+    db = docs.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_toks")
+    )
+    post = d.select(F.explode(T.tokens("text")).alias("token"), "doc_id")
+    vb = (
+        post.groupBy("token")
+        .agg((F.min("doc_id") + 1).alias("first_rank"))
+        .select(
+            (F.length(F.bin(F.col("first_rank"))) - 1).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("vocab_new"))
+    )
+    merged = db.join(vb, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        "n_toks",
+        F.coalesce(F.col("vocab_new"), F.lit(0)).alias("vocab_new"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "bucket",
+        F.sum("n_docs").over(w).alias("docs_cum"),
+        F.sum("n_toks").over(w).alias("tokens_cum"),
+        F.sum("vocab_new").over(w).alias("vocab_cum"),
+    ).select(
+        "*",
+        F.lag("vocab_cum").over(Window.orderBy("bucket")).alias(
+            "prev_vocab"
+        ),
+    )
+    return cum.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("docs_cum").cast("long").alias("docs_cum"),
+        F.col("tokens_cum").cast("long").alias("tokens_cum"),
+        F.col("vocab_cum").cast("long").alias("vocab_cum"),
+        F.expr(
+            "CAST(vocab_cum AS DECIMAL(38,0)) * 1000000 div tokens_cum"  # div-ok: TTR, quotient <= 1e6
+        )
+        .cast("long")
+        .alias("ttr_ppm"),
+        F.when(
+            F.col("prev_vocab").isNull() | (F.col("prev_vocab") == 0),
+            F.lit(-1),
+        )
+        .otherwise(
+            F.expr(
+                "CAST(vocab_cum AS DECIMAL(38,0)) * 1000000 div prev_vocab"  # div-ok: octave growth factor, quotient <= 2e6 (vocab at most doubles per octave... bounded by corpus growth x1e6/prev >= 1; <= tokens ratio ~2e6)
+            )
+        )
+        .cast("long")
+        .alias("octave_growth_ppm"),
+    ).orderBy("bucket")
+
+
+_LDIV_L = 3
+
+
+def _q306_oracle() -> str:
+    return f"""WITH joined AS (
+          SELECT c.c_nationkey AS nk, c.c_mktsegment AS seg,
+                 CAST(floor(CAST(c.c_acctbal AS DECIMAL(18,2)) / 1000)
+                      AS INTEGER) AS bal_band,
+                 o.o_orderpriority AS sens
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+       cell AS (
+          SELECT nk, seg, bal_band, sens, count(*) AS n
+          FROM joined GROUP BY 1, 2, 3, 4),
+       grp AS (
+          SELECT nk, seg, bal_band,
+                 count(*) AS l, sum(n) AS n_rows, max(n) AS max_n
+          FROM cell GROUP BY 1, 2, 3)
+       SELECT CAST(nk AS INTEGER) AS nk, seg,
+              CAST(bal_band AS INTEGER) AS bal_band,
+              CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(l AS BIGINT) AS l,
+              CAST((CAST(max_n AS HUGEINT) * 1000000) // n_rows
+                   AS BIGINT) AS top_share_ppm
+       FROM grp WHERE l < {_LDIV_L}
+       ORDER BY nk, seg, bal_band"""
+
+
+@register(
+    "q306_l_diversity_audit",
+    _q306_oracle(),
+    "l-diversity audit — the release gate k-anonymity (q241) cannot "
+    "express: a quasi-identifier group can have k >= 5 members yet "
+    "fully leak its sensitive attribute if every member shares one "
+    "value (the homogeneity attack from the l-diversity paper).  "
+    "Customers' QI cells (nation x segment x coarse balance band — "
+    "q241's exact banding) joined to their orders' priority as the "
+    "sensitive attribute; every cell with fewer than "
+    f"{_LDIV_L} distinct sensitive values is emitted with its row "
+    "count, its diversity l, and the dominant value's share in "
+    "exact floor-ppm (recursive (c,l)-diversity's c signal: a "
+    "99%-dominant cell is a probabilistic leak even at l >= 2).  "
+    "Plan: one equi-join (customer keyed, high cardinality), then "
+    "two stacked map-side-combinable aggregates — (QI, sens) cells "
+    "first, QI groups second — both bounded by the QI x sensitive "
+    "domain, not the population; the report costs one scan at any "
+    "scale",
+)
+def q306(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    band = F.floor(F.col("c_acctbal").cast("decimal(18,2)") / 1000).cast(
+        "int"
+    )
+    joined = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        band.alias("bal_band"),
+    ).join(
+        o.select(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderpriority").alias("sens"),
+        ),
+        "ck",
+    )
+    cell = joined.groupBy("nk", "seg", "bal_band", "sens").agg(
+        F.count("*").alias("n")
+    )
+    grp = cell.groupBy("nk", "seg", "bal_band").agg(
+        F.count("*").alias("l"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    )
+    return (
+        grp.filter(F.col("l") < _LDIV_L)
+        .select(
+            F.col("nk").cast("int").alias("nk"),
+            "seg",
+            F.col("bal_band").cast("int").alias("bal_band"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("l").cast("long").alias("l"),
+            F.expr(
+                "CAST(max_n AS DECIMAL(38,0)) * 1000000 div n_rows"  # div-ok: dominant share, quotient <= 1e6
+            )
+            .cast("long")
+            .alias("top_share_ppm"),
+        )
+        .orderBy("nk", "seg", "bal_band")
+    )

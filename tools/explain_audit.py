@@ -186,6 +186,16 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # nearest-centroid idiom, non-equi so BNL by construction) + 1-row
     # total-count frames under the decile assignment and coverage ppm
     "q300_risk_coverage_curve",
+    # per-round 1-row survivor/edge-count aggregates crossed into the
+    # 3-row metrics report (x3 rounds; the peeling joins themselves
+    # are LeftSemi hash joins)
+    "q301_kcore_peeling",
+    # 1-row corpus-totals frame attached to the top-20 phrase matches
+    "q302_phrase_search",
+    # 1-row edge-total (m) frame under the per-community ppm terms
+    # and the 1-row global-modularity frame attached to the ~25-row
+    # community report
+    "q303_partition_modularity",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

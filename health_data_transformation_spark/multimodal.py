@@ -537,3 +537,68 @@ def with_corrupted_bmp_payload(
     return df.select(id_col, text_col, mode_col).mapInPandas(
         run, schema=f"{id_col} bigint, payload binary"
     )
+
+
+PATCH_GRID_SCHEMA = (
+    "doc_id bigint, patch_row int, patch_col int, n_px int, r_sum bigint"
+)
+
+
+def patch_grid_pipeline(
+    df: DataFrame,
+    patch_h: int,
+    patch_w: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """ViT-style patchification over a REAL image column: decode the
+    BMP, cut the pixel grid into a (patch_h x patch_w) patch lattice
+    (edge patches keep their true partial extent — the resolution-
+    agnostic variant), and emit per-patch pixel count + R-channel sum.
+    This is the vision-transformer / CLIP preprocessing primitive
+    ("image -> N patch tokens") expressed with the engine's multimodal
+    boundary discipline: Arrow-batched mapInPandas, (id, payload)-only
+    projection before Python, fixed narrow output schema, one output
+    row per patch.  The per-patch sums use ``np.add.reduceat`` on the
+    row/col boundary indices — O(pixels) per image, no Python loop
+    over patches.  At 100 TB the patch fanout is a constant factor of
+    the pixel payload already being read; nothing shuffles until the
+    (bounded) patch rows leave the decode pass."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            ids, prs, pcs, npx, rsum = [], [], [], [], []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                px = bmp_pixels(bytes(payload))
+                height, width, _ = px.shape
+                r = px[:, :, 2].astype(np.int64)
+                row_cuts = np.arange(0, height, patch_h)
+                col_cuts = np.arange(0, width, patch_w)
+                sums = np.add.reduceat(
+                    np.add.reduceat(r, row_cuts, axis=0), col_cuts, axis=1
+                )
+                row_ext = np.diff(np.append(row_cuts, height))
+                col_ext = np.diff(np.append(col_cuts, width))
+                counts = np.outer(row_ext, col_ext)
+                for pr in range(len(row_cuts)):
+                    for pc in range(len(col_cuts)):
+                        ids.append(doc_id)
+                        prs.append(pr)
+                        pcs.append(pc)
+                        npx.append(int(counts[pr, pc]))
+                        rsum.append(int(sums[pr, pc]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "patch_row": prs,
+                    "patch_col": pcs,
+                    "n_px": npx,
+                    "r_sum": rsum,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=PATCH_GRID_SCHEMA
+    )

@@ -18920,3 +18920,352 @@ def q306(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("nk", "seg", "bal_band")
     )
+
+
+def _q307_oracle() -> str:
+    return """WITH src AS (
+          SELECT doc_id, string_split(text, '') AS ch, strlen(text) AS n,
+                 greatest(1, (strlen(text) + 29) // 30) AS h
+          FROM documents WHERE doc_id < 200 AND strlen(text) > 0),
+       px AS (
+          SELECT doc_id,
+                 CASE WHEN p < n THEN ord(ch[CAST(p AS INTEGER) + 1])
+                      ELSE 0 END AS v,
+                 (p // 30) // 4 AS pr, (p % 30) // 6 AS pc
+          FROM src, unnest(range(0, h * 30)) AS u(p)),
+       pt AS (
+          SELECT doc_id, pr, pc, count(*) AS n_px, sum(v) AS r_sum
+          FROM px GROUP BY 1, 2, 3)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(pr AS INTEGER) AS patch_row,
+              CAST(pc AS INTEGER) AS patch_col,
+              CAST(n_px AS INTEGER) AS n_px,
+              CAST(r_sum AS BIGINT) AS r_sum,
+              CAST((CAST(r_sum AS HUGEINT) * 1000000) // n_px AS BIGINT)
+                AS mean_ppm
+       FROM pt ORDER BY doc_id, patch_row, patch_col"""
+
+
+@register(
+    "q307_patch_grid_features",
+    _q307_oracle(),
+    "ViT-style patchification over a REAL image column (the "
+    "vision-transformer / CLIP preprocessing primitive 'image -> N "
+    "patch tokens', and the multimodal family's 2-D step beyond "
+    "q53's whole-image decode and q84's resize): the text bytes are "
+    "packed into genuine 24-bpp BMPs (width 30, bottom-up rows, "
+    "4-byte stride padding — the real container, same as q53), "
+    "decoded by the repo's own codec, and cut into a 4x6 patch "
+    "lattice with edge patches keeping their true partial extent; "
+    "per patch the exact pixel count and R-channel sum (computed "
+    "with np.add.reduceat over the boundary indices — O(pixels), no "
+    "per-patch Python loop) plus the floor-ppm mean.  The oracle "
+    "recomputes every patch relationally from the source bytes "
+    "(pixel p belongs to patch (p//30//4, p%%30//6); pad pixels are "
+    "genuine zeros), so one flipped row, mis-strided read, or "
+    "off-by-one patch boundary anywhere breaks the differential.  "
+    "Plan: (id, payload)-only projection into an Arrow-batched "
+    "mapInPandas; patch fanout is a constant factor of pixels "
+    "already read; the bounded doc_id < 200 filter is pushed to the "
+    "scan.  At 100 TB this is the map-only decode pass every "
+    "image-training pipeline runs; nothing shuffles but the patch "
+    "rows",
+)
+def q307(spark: SparkSession, sf: str) -> DataFrame:
+    from .. import multimodal as MM
+
+    d = load_table(spark, sf, "documents").filter(
+        (F.col("doc_id") < 200) & (F.length("text") > 0)
+    )
+    patches = MM.patch_grid_pipeline(
+        MM.with_bmp_payload(d), patch_h=4, patch_w=6
+    )
+    return patches.select(
+        "doc_id",
+        "patch_row",
+        "patch_col",
+        "n_px",
+        "r_sum",
+        F.expr(
+            "CAST(r_sum AS DECIMAL(38,0)) * 1000000 div n_px"  # div-ok: mean byte value, quotient <= 255e6
+        )
+        .cast("long")
+        .alias("mean_ppm"),
+    ).orderBy("doc_id", "patch_row", "patch_col")
+
+
+def _q308_oracle() -> str:
+    return """WITH post AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       freq AS (SELECT token, count(*) AS f FROM post GROUP BY token),
+       tot AS (SELECT sum(f) AS total FROM freq),
+       ranked AS (
+          SELECT token, f,
+                 row_number() OVER (ORDER BY f DESC, token) AS rn
+          FROM freq),
+       oct AS (
+          SELECT length(bin(rn)) - 1 AS bucket,
+                 count(*) AS n_types, sum(f) AS freq_sum
+          FROM ranked GROUP BY 1),
+       pts AS (
+          SELECT bucket, n_types, freq_sum,
+                 length(bin(freq_sum // n_types)) - 1 AS po2_mean
+          FROM oct),
+       fit AS (
+          SELECT count(*) AS k, sum(bucket) AS sx, sum(po2_mean) AS sy,
+                 sum(bucket * bucket) AS sxx,
+                 sum(bucket * po2_mean) AS sxy
+          FROM pts)
+       SELECT CAST(bucket AS INTEGER) AS bucket,
+              CAST(n_types AS BIGINT) AS n_types,
+              CAST(freq_sum AS BIGINT) AS freq_sum,
+              CAST((CAST(freq_sum AS HUGEINT) * 1000000) // total
+                   AS BIGINT) AS share_ppm,
+              CAST(po2_mean AS INTEGER) AS po2_mean,
+              CAST(k * sxy - sx * sy AS BIGINT) AS slope_num,
+              CAST(k * sxx - sx * sx AS BIGINT) AS slope_den
+       FROM pts CROSS JOIN fit CROSS JOIN tot ORDER BY bucket"""
+
+
+@register(
+    "q308_zipf_rank_frequency",
+    _q308_oracle(),
+    "Zipf rank-frequency profile of the token distribution (the "
+    "companion diagnostic to q305's Heaps curve — the two laws are "
+    "duals, and together they answer 'is this corpus natural "
+    "language, template spam, or synthetic?' before any model sees "
+    "it): tokens ranked by frequency (two-phase global_row_number — "
+    "the vocabulary is corpus-sized at 100 TB, so no single-"
+    "partition window; the oracle states the plain window form), "
+    "cut into power-of-two rank octaves (len(bin)-1, no fp log); "
+    "per octave the type count, total frequency mass, and corpus "
+    "share in exact floor-ppm — ideal Zipf(1) puts ~equal mass in "
+    "every octave, so the share column IS the eyeball test.  The "
+    "po2-quantized log-log regression is reported as its exact "
+    "integer normal-equation pair (slope_num, slope_den): the "
+    "quotient is ~-1 for natural text, and emitting the unreduced "
+    "fraction avoids the engines' differing negative-floor "
+    "conventions entirely.  Plan: one map-combinable frequency "
+    "aggregate is the only corpus-sized stage; the rank is "
+    "range-partitioned; octave rollup, fit, and totals are "
+    "<=64-row constant frames",
+)
+def q308(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    freq = (
+        d.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("f"))
+    )
+    tot = freq.agg(F.sum("f").alias("total"))
+    ranked = K.global_row_number(freq, [F.desc("f"), F.asc("token")])
+    pts = (
+        ranked.select(
+            (F.length(F.bin(F.col("rn"))) - 1).alias("bucket"), "f"
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_types"), F.sum("f").alias("freq_sum"))
+        .select(
+            "bucket",
+            "n_types",
+            "freq_sum",
+            (
+                F.length(F.bin(F.expr("freq_sum div n_types"))) - 1  # div-ok: mean octave frequency, quotient <= corpus tokens
+            ).alias("po2_mean"),
+        )
+        .localCheckpoint()  # <=64 rows; read by the fit agg and the report
+    )
+    fit = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("bucket").alias("sx"),
+        F.sum("po2_mean").alias("sy"),
+        F.sum(F.expr("bucket * bucket")).alias("sxx"),
+        F.sum(F.expr("bucket * po2_mean")).alias("sxy"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("freq_sum").cast("long").alias("freq_sum"),
+            F.expr(
+                "CAST(freq_sum AS DECIMAL(38,0)) * 1000000 div total"  # div-ok: corpus share, quotient <= 1e6
+            )
+            .cast("long")
+            .alias("share_ppm"),
+            F.col("po2_mean").cast("int").alias("po2_mean"),
+            F.expr("k * sxy - sx * sy").cast("long").alias("slope_num"),
+            F.expr("k * sxx - sx * sx").cast("long").alias("slope_den"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_RV_SHARDS = 8
+_RV_MOD = 36028797018963968  # 2^55: headroom so key*16+s stays in int63
+
+
+def _q309_oracle() -> str:
+    hw = hex_hash64_sql(
+        "CAST(k AS VARCHAR) || ':' || CAST(s AS VARCHAR)", salt="rv"
+    )
+    hk = hex_hash64_sql("CAST(own1.k AS VARCHAR)", salt="rvk")
+    return f"""WITH keys AS (SELECT c_custkey AS k FROM customer),
+       cand AS (
+          SELECT k, CAST(s AS INTEGER) AS s,
+                 (({hw}) % {_RV_MOD}) * 16 + s AS wkey
+          FROM keys, unnest(range(0, {_RV_SHARDS})) AS u(s)),
+       own1 AS (SELECT k, CAST(min(wkey) % 16 AS INTEGER) AS s1
+                FROM cand GROUP BY k),
+       own2 AS (SELECT k, CAST(min(wkey) % 16 AS INTEGER) AS s2
+                FROM cand WHERE s >= 1 GROUP BY k),
+       j AS (SELECT own1.k AS k, s1, s2, {hk} AS hk
+             FROM own1 JOIN own2 ON own2.k = own1.k),
+       before AS (SELECT s1 AS shard, count(*) AS n_before
+                  FROM j GROUP BY 1),
+       after AS (SELECT s2 AS shard, count(*) AS n_after
+                 FROM j GROUP BY 1),
+       shards AS (
+          SELECT CAST(s AS INTEGER) AS shard
+          FROM unnest(range(0, {_RV_SHARDS})) AS u(s)),
+       pershard AS (
+          SELECT sh.shard, coalesce(b.n_before, 0) AS n_before,
+                 coalesce(a.n_after, 0) AS n_after
+          FROM shards sh
+          LEFT JOIN before b ON b.shard = sh.shard
+          LEFT JOIN after a ON a.shard = sh.shard),
+       gl AS (
+          SELECT sum(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END) AS moved_total,
+                 sum(CASE WHEN s1 = 0 THEN 1 ELSE 0 END) AS shard0_owned,
+                 bit_xor(CASE WHEN s1 <> s2 THEN hk ELSE 0 END)
+                   AS moved_xor,
+                 bit_xor(CASE WHEN s1 = 0 THEN hk ELSE 0 END)
+                   AS shard0_xor
+          FROM j)
+       SELECT CAST(shard AS INTEGER) AS shard,
+              CAST(n_before AS BIGINT) AS n_before,
+              CAST(n_after AS BIGINT) AS n_after,
+              CAST(moved_total AS BIGINT) AS moved_total,
+              CAST(shard0_owned AS BIGINT) AS shard0_owned,
+              CAST(CASE WHEN moved_total = shard0_owned
+                        AND moved_xor = shard0_xor
+                   THEN 1 ELSE 0 END AS INTEGER) AS minimal_disruption_ok
+       FROM pershard CROSS JOIN gl ORDER BY shard"""
+
+
+@register(
+    "q309_rendezvous_routing",
+    _q309_oracle(),
+    f"rendezvous (highest-random-weight) shard routing over "
+    f"{_RV_SHARDS} shards with an elasticity differential — the "
+    "consistent-placement primitive behind shuffle services, "
+    "stateful-stream key routing, and distributed caches (and the "
+    "principled alternative to mod-N hashing, which reshuffles "
+    "EVERYTHING when N changes): each key's owner is the shard with "
+    "the minimum 60-bit keyed hash, computed as one integer argmin "
+    "(wkey = (h %% 2^55)*16 + shard encodes hash-then-shard "
+    "tiebreak in a single map-combinable min — the q299/q300 "
+    "idiom).  The result proves HRW's minimal-disruption theorem "
+    "IN-RESULT: recomputing owners with shard 0 decommissioned, "
+    "exactly the keys shard 0 owned move (count AND 60-bit xor of "
+    "the moved key set both match shard 0's holdings — "
+    "minimal_disruption_ok = 1), everything else stays put.  Plan: "
+    f"the x{_RV_SHARDS} candidate fanout is a constant factor, both "
+    "owner aggregates are map-combinable mins keyed on the "
+    "high-cardinality key, and every downstream frame is bounded "
+    "by the shard count; at 100 TB this is one scan + two grouped "
+    "mins",
+)
+def q309(spark: SparkSession, sf: str) -> DataFrame:
+    keys = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    cand = keys.select(
+        "k",
+        F.explode(
+            F.array(*[F.lit(s) for s in range(_RV_SHARDS)])
+        ).alias("s"),
+    ).select(
+        "k",
+        "s",
+        (
+            (
+                T.hex_hash64(
+                    F.concat_ws(
+                        ":", F.col("k").cast("string"), F.col("s").cast("string")
+                    ),
+                    salt="rv",
+                )
+                % _RV_MOD
+            )
+            * 16
+            + F.col("s")
+        ).alias("wkey"),
+    )
+    own1 = cand.groupBy("k").agg(
+        (F.min("wkey") % 16).cast("int").alias("s1")
+    )
+    own2 = (
+        cand.filter(F.col("s") >= 1)
+        .groupBy("k")
+        .agg((F.min("wkey") % 16).cast("int").alias("s2"))
+    )
+    j = (
+        own1.join(own2, "k")
+        .withColumn(
+            "hk", T.hex_hash64(F.col("k").cast("string"), salt="rvk")
+        )
+        .localCheckpoint()  # read by before/after/global aggregates
+    )
+    before = j.groupBy(F.col("s1").alias("shard")).agg(
+        F.count("*").alias("n_before")
+    )
+    after = j.groupBy(F.col("s2").alias("shard")).agg(
+        F.count("*").alias("n_after")
+    )
+    shards = spark.range(_RV_SHARDS).select(
+        F.col("id").cast("int").alias("shard")
+    )
+    pershard = (
+        shards.join(before, "shard", "left")
+        .join(after, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce(F.col("n_before"), F.lit(0)).alias("n_before"),
+            F.coalesce(F.col("n_after"), F.lit(0)).alias("n_after"),
+        )
+    )
+    glob = j.agg(
+        F.sum(F.when(F.col("s1") != F.col("s2"), 1).otherwise(0)).alias(
+            "moved_total"
+        ),
+        F.sum(F.when(F.col("s1") == 0, 1).otherwise(0)).alias(
+            "shard0_owned"
+        ),
+        F.expr(
+            "bit_xor(CASE WHEN s1 <> s2 THEN hk ELSE CAST(0 AS BIGINT) END)"
+        ).alias("moved_xor"),
+        F.expr(
+            "bit_xor(CASE WHEN s1 = 0 THEN hk ELSE CAST(0 AS BIGINT) END)"
+        ).alias("shard0_xor"),
+    )
+    return (
+        pershard.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("n_before").cast("long").alias("n_before"),
+            F.col("n_after").cast("long").alias("n_after"),
+            F.col("moved_total").cast("long").alias("moved_total"),
+            F.col("shard0_owned").cast("long").alias("shard0_owned"),
+            F.when(
+                (F.col("moved_total") == F.col("shard0_owned"))
+                & (F.col("moved_xor") == F.col("shard0_xor")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("minimal_disruption_ok"),
+        )
+        .orderBy("shard")
+    )

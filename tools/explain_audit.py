@@ -196,6 +196,12 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # and the 1-row global-modularity frame attached to the ~25-row
     # community report
     "q303_partition_modularity",
+    # 1-row OLS-fit and corpus-total frames attached to the <=64-row
+    # octave report
+    "q308_zipf_rank_frequency",
+    # 1-row minimal-disruption invariant frame attached to the 8-row
+    # per-shard report
+    "q309_rendezvous_routing",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

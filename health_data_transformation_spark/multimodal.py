@@ -544,6 +544,27 @@ PATCH_GRID_SCHEMA = (
 )
 
 
+def patch_grid_stats(channel, patch_h: int, patch_w: int):
+    """Exact per-patch (pixel count, sum) grids for one channel plane:
+    cut an (H, W) array into a (patch_h x patch_w) lattice where edge
+    patches keep their true partial extent.  ``np.add.reduceat`` on
+    the boundary indices does all patches in O(pixels); the count
+    grid is the outer product of the row/col extents.  Returns
+    (counts, sums), both shaped (ceil(H/patch_h), ceil(W/patch_w))."""
+    import numpy as np
+
+    ch = np.asarray(channel, dtype=np.int64)
+    height, width = ch.shape
+    row_cuts = np.arange(0, height, patch_h)
+    col_cuts = np.arange(0, width, patch_w)
+    sums = np.add.reduceat(
+        np.add.reduceat(ch, row_cuts, axis=0), col_cuts, axis=1
+    )
+    row_ext = np.diff(np.append(row_cuts, height))
+    col_ext = np.diff(np.append(col_cuts, width))
+    return np.outer(row_ext, col_ext), sums
+
+
 def patch_grid_pipeline(
     df: DataFrame,
     patch_h: int,
@@ -572,18 +593,11 @@ def patch_grid_pipeline(
             ids, prs, pcs, npx, rsum = [], [], [], [], []
             for doc_id, payload in zip(batch[id_col], batch[payload_col]):
                 px = bmp_pixels(bytes(payload))
-                height, width, _ = px.shape
-                r = px[:, :, 2].astype(np.int64)
-                row_cuts = np.arange(0, height, patch_h)
-                col_cuts = np.arange(0, width, patch_w)
-                sums = np.add.reduceat(
-                    np.add.reduceat(r, row_cuts, axis=0), col_cuts, axis=1
+                counts, sums = patch_grid_stats(
+                    px[:, :, 2], patch_h, patch_w
                 )
-                row_ext = np.diff(np.append(row_cuts, height))
-                col_ext = np.diff(np.append(col_cuts, width))
-                counts = np.outer(row_ext, col_ext)
-                for pr in range(len(row_cuts)):
-                    for pc in range(len(col_cuts)):
+                for pr in range(counts.shape[0]):
+                    for pc in range(counts.shape[1]):
                         ids.append(doc_id)
                         prs.append(pr)
                         pcs.append(pc)

@@ -19269,3 +19269,271 @@ def q309(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def _q310_oracle() -> str:
+    return """WITH d AS (SELECT doc_id, text FROM documents
+                WHERE doc_id < 200),
+       wins AS (
+         SELECT doc_id, text, unnest(range(0, length(text) // 64)) AS w
+         FROM d),
+       en AS (
+         SELECT doc_id, CAST(w AS INTEGER) AS win_idx,
+                list_sum(list_transform(range(0, 32), i ->
+                  (ord(substr(text, CAST(w * 64 + 2 * i + 1 AS INTEGER), 1))
+                   + 256 * ord(substr(text,
+                       CAST(w * 64 + 2 * i + 2 AS INTEGER), 1)))
+                  * (ord(substr(text, CAST(w * 64 + 2 * i + 1 AS INTEGER), 1))
+                     + 256 * ord(substr(text,
+                         CAST(w * 64 + 2 * i + 2 AS INTEGER), 1)))
+                )) AS energy
+         FROM wins),
+       tot AS (SELECT doc_id, count(*) AS n_win, sum(energy) AS tot_e
+               FROM en GROUP BY doc_id),
+       fl AS (
+         SELECT e.doc_id, e.win_idx,
+                CASE WHEN CAST(e.energy AS HUGEINT) * t.n_win > t.tot_e
+                     THEN 1 ELSE 0 END AS act
+         FROM en e JOIN tot t ON t.doc_id = e.doc_id),
+       sg AS (
+         SELECT doc_id, win_idx, act,
+                lag(act) OVER (PARTITION BY doc_id ORDER BY win_idx) AS pa
+         FROM fl),
+       per AS (
+         SELECT doc_id, count(*) AS n_windows, sum(act) AS n_active,
+                coalesce(min(CASE WHEN act = 1 THEN win_idx END), -1)
+                  AS first_active,
+                coalesce(max(CASE WHEN act = 1 THEN win_idx END), -1)
+                  AS last_active,
+                sum(CASE WHEN act = 1 AND (pa IS NULL OR pa = 0)
+                    THEN 1 ELSE 0 END) AS n_segments
+         FROM sg GROUP BY doc_id)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(n_windows AS BIGINT) AS n_windows,
+              CAST(n_active AS BIGINT) AS n_active,
+              CAST(n_segments AS BIGINT) AS n_segments,
+              CAST(first_active AS BIGINT) AS first_active,
+              CAST(last_active AS BIGINT) AS last_active,
+              CAST((CAST(n_active AS HUGEINT) * 1000000) // n_windows
+                   AS BIGINT) AS active_ratio_ppm
+       FROM per ORDER BY doc_id"""
+
+
+@register(
+    "q310_audio_vad_trim",
+    _q310_oracle(),
+    "voice-activity segmentation + silence-trim boundaries over the "
+    "REAL PCM path (the audio-curation step after q193's window "
+    "energies: 'cut the silence, count the speech runs' — the "
+    "preprocessing every ASR/audio-LM corpus build runs): 16-bit LE "
+    "PCM framed into 32-sample windows (the same honest Arrow-"
+    "batched mapInPandas DSP as q193), a window is ACTIVE iff its "
+    "energy strictly exceeds the clip mean — the adaptive threshold "
+    "is the integer cross-multiplication energy * n_win > total "
+    "(exact, no division, scale-free per clip), routed through "
+    "DECIMAL/HUGEINT for hour-long clips.  Per clip: window/active "
+    "counts, trim boundaries (first/last active window, -1 sentinel "
+    "for all-silent clips), the VAD segment count via the "
+    "lag-over-(clip, window) run-start rule (a gaps-islands "
+    "instance whose window partitions on the HIGH-cardinality clip "
+    "id), and the active ratio in exact floor-ppm.  Plan: the "
+    "energy pass is map-only; the per-clip mean join and the lag "
+    "window both key on clip id; nothing is corpus-global.  Cites "
+    "multimodal.py:audio_energy_windows (real DSP, no stub)",
+)
+def q310(spark: SparkSession, sf: str) -> DataFrame:
+    from ..multimodal import audio_energy_windows, with_payload
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    en = audio_energy_windows(with_payload(d)).localCheckpoint()
+    tot = en.groupBy("doc_id").agg(
+        F.count("*").alias("n_win"), F.sum("energy").alias("tot_e")
+    )
+    fl = en.join(tot, "doc_id").select(
+        "doc_id",
+        "win_idx",
+        F.when(
+            F.expr("CAST(energy AS DECIMAL(38,0)) * n_win > tot_e"), 1
+        )
+        .otherwise(0)
+        .alias("act"),
+    )
+    sg = fl.select(
+        "doc_id",
+        "win_idx",
+        "act",
+        F.lag("act").over(
+            Window.partitionBy("doc_id").orderBy("win_idx")
+        ).alias("pa"),
+    )
+    per = sg.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("act").alias("n_active"),
+        F.coalesce(
+            F.min(F.when(F.col("act") == 1, F.col("win_idx"))), F.lit(-1)
+        ).alias("first_active"),
+        F.coalesce(
+            F.max(F.when(F.col("act") == 1, F.col("win_idx"))), F.lit(-1)
+        ).alias("last_active"),
+        F.sum(
+            F.when(
+                (F.col("act") == 1)
+                & (F.col("pa").isNull() | (F.col("pa") == 0)),
+                1,
+            ).otherwise(0)
+        ).alias("n_segments"),
+    )
+    return per.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("first_active").cast("long").alias("first_active"),
+        F.col("last_active").cast("long").alias("last_active"),
+        F.expr(
+            "CAST(n_active AS DECIMAL(38,0)) * 1000000 div n_windows"  # div-ok: activity ratio, quotient <= 1e6
+        )
+        .cast("long")
+        .alias("active_ratio_ppm"),
+    ).orderBy("doc_id")
+
+
+_AA_EXPERIMENTS = 10
+_AA_ALERT_PPM = 5000
+
+
+def _q311_oracle() -> str:
+    he = hex_hash64_sql("CAST(ck AS VARCHAR)", salt="aae")
+    ha = hex_hash64_sql("CAST(ck AS VARCHAR)", salt="aab")
+    return f"""WITH spend AS (
+          SELECT o_custkey AS ck,
+                 sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS cents
+          FROM orders GROUP BY o_custkey),
+       assigned AS (
+          SELECT ck, cents,
+                 CAST(({he}) % {_AA_EXPERIMENTS} AS INTEGER) AS expt,
+                 CAST(({ha}) % 2 AS INTEGER) AS arm
+          FROM spend),
+       cells AS (
+          SELECT expt,
+                 sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                 sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+                 sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS cents_a,
+                 sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS cents_b
+          FROM assigned GROUP BY expt),
+       lifts AS (
+          SELECT expt, n_a, n_b, cents_a, cents_b,
+                 CAST((CAST(cents_a AS HUGEINT) * n_b * 1000000)
+                      // (CAST(cents_b AS HUGEINT) * n_a) AS BIGINT)
+                   - 1000000 AS lift_ppm
+          FROM cells),
+       gl AS (
+          SELECT max(abs(lift_ppm)) AS max_abs_lift_ppm,
+                 sum(CASE WHEN abs(lift_ppm) > {_AA_ALERT_PPM}
+                     THEN 1 ELSE 0 END) AS n_false_alarms
+          FROM lifts)
+       SELECT CAST(expt AS INTEGER) AS expt,
+              CAST(n_a AS BIGINT) AS n_a,
+              CAST(n_b AS BIGINT) AS n_b,
+              CAST(cents_a AS BIGINT) AS cents_a,
+              CAST(cents_b AS BIGINT) AS cents_b,
+              CAST(lift_ppm AS BIGINT) AS lift_ppm,
+              CAST(max_abs_lift_ppm AS BIGINT) AS max_abs_lift_ppm,
+              CAST(n_false_alarms AS BIGINT) AS n_false_alarms
+       FROM lifts CROSS JOIN gl ORDER BY expt"""
+
+
+@register(
+    "q311_aa_calibration",
+    _q311_oracle(),
+    f"A/A calibration harness over {_AA_EXPERIMENTS} simultaneous "
+    "pseudo-experiments (the health check every experimentation "
+    "platform runs BEFORE trusting any A/B readout: hash users into "
+    "disjoint experiments, hash-split each into two arms that "
+    "received IDENTICAL treatment, and measure how big the "
+    "no-effect 'lifts' come out — q136's assignment and q230's "
+    "variance reduction assume this is calibrated): randomization "
+    "unit is the customer (per-customer spend in exact cents, one "
+    "map-combinable aggregate), assignment via two independent "
+    "60-bit keyed hashes, per-experiment relative lift in exact "
+    "floor-ppm via the cross-multiplied ratio (cents_a*n_b*1e6 // "
+    "(cents_b*n_a) — positive-operand division only, so both "
+    "engines floor identically; the subtraction centers it), and "
+    f"the report flags |lift| > {_AA_ALERT_PPM} ppm as a false "
+    "alarm with the max across experiments.  The numerator is "
+    "~1e32 at 100 TB — DECIMAL(38,0)/HUGEINT from birth (the q271 "
+    "class).  Plan: one fact aggregate, one "
+    f"{_AA_EXPERIMENTS}-row cell rollup, constant frames after",
+)
+def q311(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            )
+        ).alias("cents")
+    )
+    assigned = spend.select(
+        "cents",
+        (
+            T.hex_hash64(F.col("ck").cast("string"), salt="aae")
+            % _AA_EXPERIMENTS
+        )
+        .cast("int")
+        .alias("expt"),
+        (T.hex_hash64(F.col("ck").cast("string"), salt="aab") % 2)
+        .cast("int")
+        .alias("arm"),
+    )
+    cells = assigned.groupBy("expt").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents")).otherwise(0)).alias(
+            "cents_a"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0)).alias(
+            "cents_b"
+        ),
+    )
+    lifts = cells.select(
+        "expt",
+        "n_a",
+        "n_b",
+        "cents_a",
+        "cents_b",
+        (
+            F.expr(
+                _exdiv(
+                    "CAST(cents_a AS DECIMAL(38,0)) * n_b * 1000000",
+                    "CAST(cents_b AS DECIMAL(38,0)) * n_a",
+                )
+            )
+            - 1000000
+        )
+        .cast("long")
+        .alias("lift_ppm"),
+    ).localCheckpoint()  # 10 rows; read by the report and the alarm agg
+    gl = lifts.agg(
+        F.max(F.abs(F.col("lift_ppm"))).alias("max_abs_lift_ppm"),
+        F.sum(
+            F.when(F.abs(F.col("lift_ppm")) > _AA_ALERT_PPM, 1).otherwise(0)
+        ).alias("n_false_alarms"),
+    )
+    return (
+        lifts.crossJoin(F.broadcast(gl))
+        .select(
+            F.col("expt").cast("int").alias("expt"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("cents_a").cast("long").alias("cents_a"),
+            F.col("cents_b").cast("long").alias("cents_b"),
+            "lift_ppm",
+            F.col("max_abs_lift_ppm").cast("long").alias(
+                "max_abs_lift_ppm"
+            ),
+            F.col("n_false_alarms").cast("long").alias("n_false_alarms"),
+        )
+        .orderBy("expt")
+    )

@@ -919,3 +919,44 @@ def test_decode_quarantine_split_is_total(spark):
     # pixel features exist exactly for the ok rows
     assert out["pixel_sum"].notna().sum() == 16
     assert (out.loc[out["status"] == "ok", "pixel_sum"] > 0).all()
+
+
+@given(
+    w=st.integers(1, 23),
+    h=st.integers(1, 17),
+    ph=st.integers(1, 6),
+    pw=st.integers(1, 7),
+    seed=st.integers(0, 2**31),
+)
+@settings(**SETTINGS)
+def test_patch_grid_stats_equals_naive(w, h, ph, pw, seed):
+    """patch_grid_stats (reduceat lattice) equals the naive per-patch
+    double loop for ANY image dims and patch sizes — edge patches with
+    partial extent, patch sizes larger than the image, 1-pixel
+    images.  Also closes the loop through the real codec: the grid of
+    a decoded encode matches the grid of the source array."""
+    import numpy as np
+
+    from health_data_transformation_spark.multimodal import (
+        bmp_encode_pixels,
+        bmp_pixels,
+        patch_grid_stats,
+    )
+
+    rng = np.random.default_rng(seed)
+    ch = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    counts, sums = patch_grid_stats(ch, ph, pw)
+    n_pr, n_pc = -(-h // ph), -(-w // pw)
+    assert counts.shape == (n_pr, n_pc) == sums.shape
+    for pr in range(n_pr):
+        for pc in range(n_pc):
+            block = ch[pr * ph : (pr + 1) * ph, pc * pw : (pc + 1) * pw]
+            assert counts[pr, pc] == block.size
+            assert sums[pr, pc] == int(block.astype(np.int64).sum())
+    assert int(counts.sum()) == h * w
+    assert int(sums.sum()) == int(ch.astype(np.int64).sum())
+    px = np.repeat(ch, 3).reshape(h, w, 3)
+    _, sums2 = patch_grid_stats(
+        bmp_pixels(bmp_encode_pixels(px))[:, :, 2], ph, pw
+    )
+    assert (sums2 == sums).all()

@@ -202,6 +202,9 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # 1-row minimal-disruption invariant frame attached to the 8-row
     # per-shard report
     "q309_rendezvous_routing",
+    # 1-row max-lift/false-alarm frame attached to the 10-row
+    # experiment report
+    "q311_aa_calibration",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

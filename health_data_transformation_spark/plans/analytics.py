@@ -19537,3 +19537,352 @@ def q311(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("expt")
     )
+
+
+_BT_VALID_AS_OF = "1997-06-01"
+_BT_TX_AS_OF = "1997-05-15"
+
+
+def _q312_oracle() -> str:
+    hx = hex_hash64_sql(
+        "CAST(c.o_orderkey AS VARCHAR) || ':' || CAST(c.ver AS VARCHAR)",
+        salt="bt",
+    )
+    return f"""WITH vers AS (
+          SELECT o_orderkey, CAST(v AS INTEGER) AS ver,
+                 strftime(o_orderdate + (v * 30) * INTERVAL 1 DAY,
+                          '%Y-%m-%d') AS valid_from,
+                 strftime(o_orderdate + (v * 7) * INTERVAL 1 DAY,
+                          '%Y-%m-%d') AS tx_from,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   + v * 111 AS cents
+          FROM orders, unnest(range(0, 3)) AS u(v)),
+       eligible AS (
+          SELECT * FROM vers
+          WHERE valid_from <= '{_BT_VALID_AS_OF}'
+            AND tx_from <= '{_BT_TX_AS_OF}'),
+       chosen AS (
+          SELECT o_orderkey, max(ver) AS ver FROM eligible
+          GROUP BY o_orderkey),
+       state AS (
+          SELECT c.ver AS ver, v.cents AS cents, {hx} AS hx
+          FROM chosen c JOIN vers v
+            ON v.o_orderkey = c.o_orderkey AND v.ver = c.ver)
+       SELECT CAST(ver AS INTEGER) AS ver,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(cents) AS BIGINT) AS cents_sum,
+              CAST(bit_xor(hx) AS BIGINT) AS state_xor
+       FROM state GROUP BY ver ORDER BY ver"""
+
+
+@register(
+    "q312_bitemporal_asof",
+    _q312_oracle(),
+    "bitemporal as-of reconstruction (Snodgrass's two-axis temporal "
+    "query, the combination q177's transaction-time travel and "
+    "q205's valid-time SCD2 join each answer only half of: 'what "
+    "did the warehouse BELIEVE on tx date T the world looked like "
+    "on valid date V?' — the audit/restatement query every "
+    "regulated pipeline must answer): each order carries three "
+    "versions with diverging valid-from (every 30 days) and "
+    "transaction-from (every 7 days — corrections land on a "
+    f"different cadence than they take effect); at V={_BT_VALID_AS_OF}"
+    f" / T={_BT_TX_AS_OF} the reconstructed state picks, per order, "
+    "the max version visible on BOTH axes (the version generator is "
+    "monotone on both, so the two-predicate filter + one "
+    "map-combinable max is exact — the general non-monotone case is "
+    "q279's max_by(struct) pick over the same frame).  Result: "
+    "per-chosen-version counts, cent sums, and a 60-bit xor of "
+    "every (order, version) pick — one wrong reconstruction "
+    "anywhere breaks it.  Plan: the x3 version fanout is constant, "
+    "both predicates push to the scan side of the fanout, the "
+    "argmax groups on the high-cardinality order key, and the "
+    "version re-join is equi-keyed; output is 3 rows",
+)
+def q312(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    vers = o.select(
+        "o_orderkey",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("ver"),
+        F.to_date("o_orderdate").alias("od"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents0"),
+    ).select(
+        "o_orderkey",
+        "ver",
+        day_str(F.date_add(F.col("od"), F.col("ver") * 30)).alias(
+            "valid_from"
+        ),
+        day_str(F.date_add(F.col("od"), F.col("ver") * 7)).alias(
+            "tx_from"
+        ),
+        (F.col("cents0") + F.col("ver") * 111).alias("cents"),
+    )
+    eligible = vers.filter(
+        (F.col("valid_from") <= _BT_VALID_AS_OF)
+        & (F.col("tx_from") <= _BT_TX_AS_OF)
+    )
+    chosen = eligible.groupBy("o_orderkey").agg(F.max("ver").alias("ver"))
+    state = chosen.join(vers, ["o_orderkey", "ver"]).select(
+        "ver",
+        "cents",
+        T.hex_hash64(
+            F.concat_ws(
+                ":",
+                F.col("o_orderkey").cast("string"),
+                F.col("ver").cast("string"),
+            ),
+            salt="bt",
+        ).alias("hx"),
+    )
+    return (
+        state.groupBy("ver")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("cents_sum"),
+            F.expr("bit_xor(hx)").alias("state_xor"),
+        )
+        .select(
+            F.col("ver").cast("int").alias("ver"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("cents_sum").cast("long").alias("cents_sum"),
+            F.col("state_xor").cast("long").alias("state_xor"),
+        )
+        .orderBy("ver")
+    )
+
+
+_REC_CAP = 50
+_REC_K = 10
+_REC_EVAL_MOD = 5  # evaluate on a deterministic 20% customer sample
+
+
+def _q313_oracle() -> str:
+    hx = hex_hash64_sql(
+        "CAST(ck AS VARCHAR) || ':' || CAST(hpk AS VARCHAR)", salt="rec"
+    )
+    hs = hex_hash64_sql("CAST(ck AS VARCHAR)", salt="rse")
+    return f"""WITH li AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       oi AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+                     {day_str_sql('o_orderdate')} AS od
+              FROM orders),
+       bask AS (SELECT li.ok AS ok, li.pk AS pk, oi.ck AS ck, oi.od AS od
+                FROM li JOIN oi ON oi.ok = li.ok),
+       cpa AS (SELECT ck, pk, max(od) AS last_day FROM bask
+               GROUP BY ck, pk),
+       cp AS (SELECT * FROM cpa
+              WHERE ({hs}) % {_REC_EVAL_MOD} = 0),
+       hd1 AS (SELECT ck, max(last_day) AS hday FROM cp GROUP BY ck),
+       hd AS (SELECT cp.ck AS ck, max(cp.pk) AS hpk
+              FROM cp JOIN hd1 h
+                ON h.ck = cp.ck AND cp.last_day = h.hday
+              GROUP BY cp.ck),
+       train AS (
+          SELECT cp.ck AS ck, cp.pk AS pk
+          FROM cp JOIN hd ON hd.ck = cp.ck
+          WHERE cp.pk <> hd.hpk),
+       elig AS (SELECT DISTINCT ck FROM train),
+       co AS (SELECT a.pk AS apk, b.pk AS bpk, count(*) AS c
+              FROM li a JOIN li b ON b.ok = a.ok AND b.pk <> a.pk
+              GROUP BY 1, 2),
+       cocap AS (
+          SELECT apk, bpk, c FROM (
+             SELECT apk, bpk, c,
+                    row_number() OVER (PARTITION BY apk
+                                       ORDER BY c DESC, bpk) AS r
+             FROM co) WHERE r <= {_REC_CAP}),
+       cand AS (
+          SELECT t.ck AS ck, cc.bpk AS bpk, sum(cc.c) AS score
+          FROM train t JOIN cocap cc ON cc.apk = t.pk
+          GROUP BY t.ck, cc.bpk),
+       cand2 AS (
+          SELECT c.ck AS ck, c.bpk AS bpk, c.score AS score
+          FROM cand c
+          LEFT JOIN train t2 ON t2.ck = c.ck AND t2.pk = c.bpk
+          WHERE t2.pk IS NULL),
+       ranked AS (
+          SELECT ck, bpk,
+                 row_number() OVER (PARTITION BY ck
+                                    ORDER BY score DESC, bpk) AS rn
+          FROM cand2),
+       hits AS (
+          SELECT hd.ck AS ck, r.rn AS rn
+          FROM hd JOIN ranked r ON r.ck = hd.ck AND r.bpk = hd.hpk),
+       hsum AS (
+          SELECT coalesce(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0)
+                   AS hits_at_1,
+                 coalesce(sum(CASE WHEN rn <= {_REC_K} THEN 1 ELSE 0 END),
+                          0) AS hits_at_k
+          FROM hits),
+       ev AS (
+          SELECT count(*) AS n_eval, bit_xor({hx}) AS holdout_xor
+          FROM hd SEMI JOIN elig ON elig.ck = hd.ck)
+       SELECT CAST(n_eval AS BIGINT) AS n_eval,
+              CAST(hits_at_1 AS BIGINT) AS hits_at_1,
+              CAST(hits_at_k AS BIGINT) AS hits_at_k,
+              CAST((CAST(hits_at_1 AS HUGEINT) * 1000000) // n_eval
+                   AS BIGINT) AS hr1_ppm,
+              CAST((CAST(hits_at_k AS HUGEINT) * 1000000) // n_eval
+                   AS BIGINT) AS hrk_ppm,
+              CAST(holdout_xor AS BIGINT) AS holdout_xor
+       FROM ev CROSS JOIN hsum"""
+
+
+@register(
+    "q313_recsys_holdout_eval",
+    _q313_oracle(),
+    "leave-one-out recommender evaluation end-to-end (the offline "
+    "acceptance test behind every co-purchase / 'users also bought' "
+    "candidate generator, and the recsys sibling of q209's ANN "
+    "recall eval): per customer the LAST-purchased distinct part "
+    "(max purchase day, part-id tiebreak — two stacked "
+    "map-combinable maxes, no per-customer window) is held out; a "
+    "co-occurrence model built from order baskets (distinct-part "
+    "pairs within an order — the fanout is C(basket,2), a property "
+    "of basket size, not corpus size) is truncated to each part's "
+    f"top-{_REC_CAP} co-items via the two-phase "
+    "top_k_per_group_scalable (serving-style truncated posting "
+    "lists — this cap is what bounds the candidate join at 100 TB); "
+    "candidates = union of the training parts' lists minus the "
+    "training parts themselves, scored by summed co-counts, "
+    f"top-{_REC_K} per customer again two-phase.  Report: evaluated "
+    "customers, hits@1 / hits@k, hit rates in exact floor-ppm, and "
+    "a 60-bit xor over every (customer, holdout) pick so the "
+    "holdout selection itself is differentially pinned.  The MODEL "
+    "is built from every order; the EVALUATION runs on a "
+    f"deterministic 1/{_REC_EVAL_MOD} hash sample of customers — "
+    "the standard offline-eval protocol, and the explicit scale "
+    "bound: the candidate frame is |sampled train parts| x cap, "
+    "never |all customers| x cap (unsampled, that intermediate was "
+    "measured 23M rows at sf0.1 and is the one term that would "
+    "outgrow the cluster at 100 TB).  Plan: every join is "
+    "equi-keyed on customer/part/order ids, both rankings are "
+    "two-phase (no vocabulary- or customer-sized window "
+    "partition), and the only super-linear term is the bounded "
+    "basket-pair fanout",
+)
+def q313(spark: SparkSession, sf: str) -> DataFrame:
+    # NOT checkpointed: a column-pruned parquet scan + distinct is
+    # cheaper to re-evaluate than to pin in executor memory (the three
+    # consumers each re-read two pushed-down columns; pinning ~600k
+    # deserialized rows was the vanilla-1g-heap OOM driver at sf0.1)
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    oi = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        day_str("o_orderdate").alias("od"),
+    )
+    cp = (
+        li.join(oi, "ok")
+        .groupBy("ck", "pk")
+        .agg(F.max("od").alias("last_day"))
+        .filter(
+            T.hex_hash64(F.col("ck").cast("string"), salt="rse")
+            % _REC_EVAL_MOD
+            == 0
+        )
+        .localCheckpoint()  # read by hd1, hd, and train
+    )
+    hd1 = (
+        cp.groupBy("ck")
+        .agg(F.max("last_day").alias("hday"))
+        .select(F.col("ck").alias("hck"), "hday")
+    )
+    hd = (
+        cp.join(
+            hd1,
+            (F.col("ck") == F.col("hck"))
+            & (F.col("last_day") == F.col("hday")),
+        )
+        .select("ck", "pk")
+        .groupBy("ck")
+        .agg(F.max("pk").alias("hpk"))
+        .localCheckpoint()  # read by train, hits, and the eval agg
+    )
+    train = (
+        cp.join(hd, "ck")
+        .filter(F.col("pk") != F.col("hpk"))
+        .select("ck", "pk")
+        .localCheckpoint()  # read by cand, the anti join, and elig
+    )
+    co = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") != F.col("b.pk")),
+        )
+        .groupBy(
+            F.col("a.pk").alias("apk"), F.col("b.pk").alias("bpk")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    cocap = K.top_k_per_group_scalable(
+        co, ["apk"], [F.desc("c"), F.asc("bpk")], _REC_CAP
+    ).select("apk", "bpk", "c")
+    cand = (
+        train.join(cocap, train["pk"] == cocap["apk"])
+        .groupBy("ck", "bpk")
+        .agg(F.sum("c").alias("score"))
+    )
+    cand2 = cand.join(
+        train.select("ck", F.col("pk").alias("bpk")),
+        ["ck", "bpk"],
+        "anti",
+    )
+    ranked = K.top_k_per_group_scalable(
+        cand2, ["ck"], [F.desc("score"), F.asc("bpk")], _REC_K, "rn"
+    )
+    hits = hd.join(
+        ranked.select("ck", F.col("bpk").alias("hpk"), "rn"),
+        ["ck", "hpk"],
+    )
+    hsum = hits.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)), F.lit(0)
+        ).alias("hits_at_1"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") <= _REC_K, 1).otherwise(0)), F.lit(0)
+        ).alias("hits_at_k"),
+    )
+    ev = (
+        hd.join(train.select("ck").distinct(), "ck", "semi")
+        .select(
+            T.hex_hash64(
+                F.concat_ws(
+                    ":",
+                    F.col("ck").cast("string"),
+                    F.col("hpk").cast("string"),
+                ),
+                salt="rec",
+            ).alias("hx")
+        )
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.expr("bit_xor(hx)").alias("holdout_xor"),
+        )
+    )
+    return ev.crossJoin(F.broadcast(hsum)).select(
+        F.col("n_eval").cast("long").alias("n_eval"),
+        F.col("hits_at_1").cast("long").alias("hits_at_1"),
+        F.col("hits_at_k").cast("long").alias("hits_at_k"),
+        F.expr(
+            "CAST(hits_at_1 AS DECIMAL(38,0)) * 1000000 div n_eval"  # div-ok: hit rate, quotient <= 1e6
+        )
+        .cast("long")
+        .alias("hr1_ppm"),
+        F.expr(
+            "CAST(hits_at_k AS DECIMAL(38,0)) * 1000000 div n_eval"  # div-ok: hit rate, quotient <= 1e6
+        )
+        .cast("long")
+        .alias("hrk_ppm"),
+        F.col("holdout_xor").cast("long").alias("holdout_xor"),
+    )

@@ -205,6 +205,9 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # 1-row max-lift/false-alarm frame attached to the 10-row
     # experiment report
     "q311_aa_calibration",
+    # 1-row hits frame crossed with the 1-row eval frame into the
+    # single-row report (model/eval joins are all equi-keyed)
+    "q313_recsys_holdout_eval",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

@@ -19886,3 +19886,468 @@ def q313(spark: SparkSession, sf: str) -> DataFrame:
         .alias("hrk_ppm"),
         F.col("holdout_xor").cast("long").alias("holdout_xor"),
     )
+
+
+#: (tag, table, column) — the integer key/dimension columns profiled
+#: by the join-discovery scan.  Plain list so Spark and the oracle
+#: enumerate the identical column set.
+_JD_COLS = [
+    ("c_custkey", "customer", "c_custkey"),
+    ("o_custkey", "orders", "o_custkey"),
+    ("c_nationkey", "customer", "c_nationkey"),
+    ("s_nationkey", "supplier", "s_nationkey"),
+    ("n_nationkey", "nation", "n_nationkey"),
+    ("p_partkey", "part", "p_partkey"),
+    ("l_partkey", "lineitem", "l_partkey"),
+    ("o_orderkey", "orders", "o_orderkey"),
+    ("l_orderkey", "lineitem", "l_orderkey"),
+]
+_JD_FK_PPM = 950000
+
+
+def _q314_oracle() -> str:
+    stacks = "\n          UNION ALL ".join(
+        f"SELECT '{tag}' AS tag, CAST({col} AS BIGINT) AS v FROM {tbl}"
+        for tag, tbl, col in _JD_COLS
+    )
+    return f"""WITH stacked AS ({stacks}),
+       d AS (SELECT DISTINCT tag, v FROM stacked),
+       pert AS (SELECT tag, count(*) AS n FROM d GROUP BY tag),
+       inter AS (
+          SELECT a.tag AS ta, b.tag AS tb, count(*) AS i
+          FROM d a JOIN d b ON b.v = a.v AND a.tag < b.tag
+          GROUP BY 1, 2),
+       grid AS (
+          SELECT pa.tag AS ta, pa.n AS na, pb.tag AS tb, pb.n AS nb
+          FROM pert pa JOIN pert pb ON pa.tag < pb.tag),
+       rep AS (
+          SELECT g.ta, g.tb, g.na, g.nb, coalesce(i.i, 0) AS i
+          FROM grid g LEFT JOIN inter i
+            ON i.ta = g.ta AND i.tb = g.tb)
+       SELECT ta, tb,
+              CAST(na AS BIGINT) AS n_a,
+              CAST(nb AS BIGINT) AS n_b,
+              CAST(i AS BIGINT) AS n_common,
+              CAST((CAST(i AS HUGEINT) * 1000000) // (na + nb - i)
+                   AS BIGINT) AS jaccard_ppm,
+              CAST((CAST(i AS HUGEINT) * 1000000) // least(na, nb)
+                   AS BIGINT) AS containment_ppm,
+              CAST(CASE WHEN (CAST(i AS HUGEINT) * 1000000)
+                             // least(na, nb) >= {_JD_FK_PPM}
+                   THEN 1 ELSE 0 END AS INTEGER) AS fk_candidate
+       FROM rep ORDER BY ta, tb"""
+
+
+@register(
+    "q314_join_key_discovery",
+    _q314_oracle(),
+    "join-key / foreign-key discovery by exact value-set overlap "
+    "(the data-catalog primitive behind 'which columns join?' — "
+    "schema matching, FK inference for lakehouse tables that "
+    "declare no constraints, and the auto-join suggestion every "
+    "BI layer ships): nine integer key/dimension columns across "
+    "six tables are stacked as (column, value), deduplicated, and "
+    "every column pair gets its exact intersection size via ONE "
+    "value-keyed equi-join over the stacked distinct frame — no "
+    "per-pair rescans (36 pairs costs the same join as 1).  "
+    "Jaccard and containment in exact floor-ppm; containment >= "
+    "95% flags an FK candidate, and the result demonstrates the "
+    "classic false-positive this method must surface honestly: "
+    "tiny domains (nationkey, 25 values) are fully contained in "
+    "any dense surrogate range, so the flag must be read with "
+    "domain size — which is why n_a/n_b ride every row.  Plan: "
+    "per-column distincts are map-side-combinable over "
+    "column-pruned scans, the stack is one union, the "
+    "intersection join keys on the value (high cardinality), and "
+    "the 9x9 grid/report frames are constants.  At 100 TB this is "
+    "the scan-once profile a catalog crawler runs per table "
+    "onboarding",
+)
+def q314(spark: SparkSession, sf: str) -> DataFrame:
+    frames = []
+    for tag, tbl, col in _JD_COLS:
+        frames.append(
+            load_table(spark, sf, tbl)
+            .select(F.col(col).cast("long").alias("v"))
+            .distinct()
+            .select(F.lit(tag).alias("tag"), "v")
+        )
+    d = frames[0]
+    for fr in frames[1:]:
+        d = d.unionByName(fr)
+    d = d.localCheckpoint()  # read by pert and both sides of the join
+    pert = d.groupBy("tag").agg(F.count("*").alias("n"))
+    inter = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.tag") < F.col("b.tag")),
+        )
+        .groupBy(F.col("a.tag").alias("ta"), F.col("b.tag").alias("tb"))
+        .agg(F.count("*").alias("i"))
+    )
+    grid = (
+        pert.select(F.col("tag").alias("ta"), F.col("n").alias("na"))
+        .join(
+            pert.select(F.col("tag").alias("tb"), F.col("n").alias("nb")),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+    rep = grid.join(inter, ["ta", "tb"], "left").select(
+        "ta",
+        "tb",
+        "na",
+        "nb",
+        F.coalesce(F.col("i"), F.lit(0)).alias("i"),
+    )
+    return rep.select(
+        "ta",
+        "tb",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("i").cast("long").alias("n_common"),
+        F.expr(
+            "CAST(i AS DECIMAL(38,0)) * 1000000 div (na + nb - i)"  # div-ok: Jaccard, quotient <= 1e6
+        )
+        .cast("long")
+        .alias("jaccard_ppm"),
+        F.expr(
+            "CAST(i AS DECIMAL(38,0)) * 1000000 div least(na, nb)"  # div-ok: containment, quotient <= 1e6
+        )
+        .cast("long")
+        .alias("containment_ppm"),
+        F.when(
+            F.expr(
+                "CAST(i AS DECIMAL(38,0)) * 1000000 div least(na, nb)"  # div-ok: containment, quotient <= 1e6
+            )
+            >= _JD_FK_PPM,
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("fk_candidate"),
+    ).orderBy("ta", "tb")
+
+
+_DB_EPS = 30_000  # d2 <= eps^2 = 9e8 over the 1e6-square point field
+_DB_MINPTS = 4  # neighbors within eps, excluding the point itself
+
+
+def _q315_oracle() -> str:
+    hx = hex_hash64_sql("CAST(id AS VARCHAR)", salt="db")
+    return f"""WITH p AS (
+          SELECT c_custkey AS id,
+                 {hex_hash64_sql("CAST(c_custkey AS VARCHAR)", salt="x")}
+                   % 1000000 AS x,
+                 {hex_hash64_sql("CAST(c_custkey AS VARCHAR)", salt="y")}
+                   % 1000000 AS y
+          FROM customer),
+       pr AS (
+          SELECT a.id AS ida, b.id AS idb
+          FROM p a JOIN p b ON a.id < b.id
+          WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                <= CAST({_DB_EPS} AS BIGINT) * {_DB_EPS}),
+       sym AS (SELECT ida AS id, idb AS nb FROM pr
+               UNION ALL SELECT idb, ida FROM pr),
+       deg AS (SELECT id, count(*) AS k FROM sym GROUP BY id),
+       lab0 AS (
+          SELECT p.id, coalesce(deg.k, 0) AS k
+          FROM p LEFT JOIN deg ON deg.id = p.id),
+       core AS (SELECT id FROM lab0 WHERE k >= {_DB_MINPTS}),
+       nearcore AS (
+          SELECT DISTINCT s.id FROM sym s
+          SEMI JOIN core c ON c.id = s.nb),
+       lab AS (
+          SELECT l.id,
+                 CASE WHEN l.k >= {_DB_MINPTS} THEN 'core'
+                      WHEN nc.id IS NOT NULL THEN 'border'
+                      ELSE 'noise' END AS label
+          FROM lab0 l LEFT JOIN nearcore nc ON nc.id = l.id)
+       SELECT label,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(bit_xor({hx}) AS BIGINT) AS id_xor
+       FROM lab GROUP BY label ORDER BY label"""
+
+
+@register(
+    "q315_dbscan_core_labels",
+    _q315_oracle(),
+    "DBSCAN density labeling (core / border / noise — the first and "
+    "load-bearing pass of density clustering, and the principled "
+    "outlier screen q131's MAD z-scores can't give 2-D data) over "
+    "the q135 point field: eps-neighbor counts come from the "
+    "grid-bucketed radius self-join (operators/spatial.py — cell = "
+    "eps, one side replicated x9, exact integer d2 predicate; NEVER "
+    "the O(n^2) pair scan, which is what the oracle states), a "
+    f"point is core with >= {_DB_MINPTS} neighbors, border if "
+    "non-core but eps-adjacent to a core (one semi-join of the "
+    "pair list against the core set), noise otherwise — including "
+    "zero-pair isolates, which ride a LEFT join from the full "
+    "point frame.  Per-class counts and a 60-bit xor of each class "
+    "membership pin every label.  Plan: the pair join is the "
+    "bounded grid shape, degree/label stages key on point ids, the "
+    "report is 3 rows.  Full DBSCAN = these labels + q76's "
+    "connected components restricted to core-core edges.  COST "
+    "MODEL (measured, not assumed): the work is Theta(eps-pairs), "
+    "which grows with DENSITY squared — the fixed-area replication "
+    "stress is a density stress, and eps was sized so the "
+    "per-point neighborhood stays O(10) at the bench scales; on "
+    "real geo data at 100 TB the area grows with the data and the "
+    "same eps keeps the pair count linear.  An eps chosen without "
+    "that check is how DBSCAN jobs melt down in production",
+)
+def q315(spark: SparkSession, sf: str) -> DataFrame:
+    pts = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (
+            T.hex_hash64(F.col("c_custkey").cast("string"), salt="x")
+            % 1000000
+        ).alias("x"),
+        (
+            T.hex_hash64(F.col("c_custkey").cast("string"), salt="y")
+            % 1000000
+        ).alias("y"),
+    )
+    pr = SP.grid_radius_pairs(pts, "id", "x", "y", _DB_EPS).select(
+        F.col("id_a").alias("ida"), F.col("id_b").alias("idb")
+    )
+    sym = (
+        pr.select(F.col("ida").alias("id"), F.col("idb").alias("nb"))
+        .unionAll(pr.select(F.col("idb").alias("id"), F.col("ida").alias("nb")))
+        .localCheckpoint()  # read by deg and the near-core semi join
+    )
+    deg = sym.groupBy("id").agg(F.count("*").alias("k"))
+    lab0 = (
+        pts.select("id")
+        .join(deg, "id", "left")
+        .select("id", F.coalesce(F.col("k"), F.lit(0)).alias("k"))
+        .localCheckpoint()  # read by core and the label join
+    )
+    core = lab0.filter(F.col("k") >= _DB_MINPTS).select("id")
+    nearcore = (
+        sym.join(core.select(F.col("id").alias("nb")), "nb", "semi")
+        .select("id")
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    lab = lab0.join(nearcore, "id", "left").select(
+        "id",
+        F.when(F.col("k") >= _DB_MINPTS, F.lit("core"))
+        .when(F.col("is_near").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("label"),
+    )
+    return (
+        lab.select(
+            "label",
+            T.hex_hash64(F.col("id").cast("string"), salt="db").alias("hx"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr("bit_xor(hx)").cast("long").alias("id_xor"),
+        )
+        .orderBy("label")
+    )
+
+
+def _q316_oracle() -> str:
+    return f"""WITH daily AS (
+          SELECT {day_str_sql('o_orderdate')} AS day, count(*) AS y
+          FROM orders GROUP BY 1),
+       pre AS (
+          SELECT day, y,
+                 row_number() OVER (ORDER BY day) AS i,
+                 sum(CAST(y AS HUGEINT)) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+                 sum(CAST(y AS HUGEINT) * y) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2l
+          FROM daily),
+       tot AS (
+          SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS s,
+                 sum(CAST(y AS HUGEINT) * y) AS s2
+          FROM daily),
+       rootc AS (
+          SELECT day, i, sl, s2l,
+                 (s2l * 1000000 - (sl * sl * 1000000) // i)
+                 + ((s2 - s2l) * 1000000
+                    - ((s - sl) * (s - sl) * 1000000) // (n - i)) AS cost
+          FROM pre CROSS JOIN tot WHERE i < n),
+       root AS (SELECT * FROM rootc ORDER BY cost, day LIMIT 1),
+       leftc AS (
+          SELECT p.day, p.i - 0 AS n_left, r.i AS seg_n,
+                 (p.s2l * 1000000 - (p.sl * p.sl * 1000000) // p.i)
+                 + ((r.s2l - p.s2l) * 1000000
+                    - ((r.sl - p.sl) * (r.sl - p.sl) * 1000000)
+                      // (r.i - p.i)) AS cost
+          FROM pre p CROSS JOIN root r WHERE p.i < r.i),
+       lbest AS (SELECT * FROM leftc ORDER BY cost, day LIMIT 1),
+       rightc AS (
+          SELECT p.day, p.i - r.i AS n_left, n - r.i AS seg_n,
+                 ((p.s2l - r.s2l) * 1000000
+                  - ((p.sl - r.sl) * (p.sl - r.sl) * 1000000)
+                    // (p.i - r.i))
+                 + ((s2 - p.s2l) * 1000000
+                    - ((s - p.sl) * (s - p.sl) * 1000000) // (n - p.i))
+                   AS cost
+          FROM pre p CROSS JOIN root r CROSS JOIN tot
+          WHERE p.i > r.i AND p.i < n),
+       rbest AS (SELECT * FROM rightc ORDER BY cost, day LIMIT 1),
+       lvls AS (
+          SELECT 0 AS level, r.day AS split_day,
+                 (SELECT n FROM tot) AS seg_n, r.i AS n_left,
+                 r.cost AS cost FROM root r
+          UNION ALL
+          SELECT 1, day, seg_n, n_left, cost FROM lbest
+          UNION ALL
+          SELECT 2, day, seg_n, n_left, cost FROM rbest)
+       SELECT CAST(level AS INTEGER) AS level, split_day,
+              CAST(seg_n AS BIGINT) AS seg_n,
+              CAST(n_left AS BIGINT) AS n_left,
+              CAST(cost AS BIGINT) AS cost_ppm
+       FROM lvls ORDER BY level"""
+
+
+@register(
+    "q316_binary_segmentation",
+    _q316_oracle(),
+    "two-level binary segmentation (hierarchical changepoints — the "
+    "recursive extension of q298's single split, and the standard "
+    "greedy multi-changepoint method: fix the best global split, "
+    "then independently re-split each side): level 0 is q298's "
+    "argmin over the full daily series; levels 1/2 re-run the "
+    "two-segment SSE argmin INSIDE each child segment, with every "
+    "segment sum derived from the SAME global prefix frame by "
+    "subtraction (sl_i - sl_root — no per-segment re-aggregation, "
+    "the algebra that makes recursive segmentation O(depth) passes "
+    "over the ~|days| aggregate instead of re-scanning facts).  All "
+    "arithmetic exact scaled-integer in DECIMAL(38,0)/HUGEINT with "
+    "the (v - v %% d)/d floor identity (q271/q298 class); argmin "
+    "tiebreak = earliest day at every level.  Plan: ONE "
+    "map-combinable daily aggregate is the only fact-sized stage; "
+    "the three candidate sweeps and TakeOrderedAndProject(1) picks "
+    "run on the aggregate frame with 1-row split frames attached "
+    "by broadcast cross",
+)
+def q316(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(day_str("o_orderdate").alias("day")).agg(
+        F.count("*").alias("y")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum(F.col("y").cast("decimal(38,0)")).over(w).alias("sl"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).over(w).alias("s2l"),
+    ).localCheckpoint()  # ~|days| rows; read by all three sweeps
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("s2"),
+    )
+    root = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            "day",
+            "i",
+            "sl",
+            "s2l",
+            "n",
+            "s",
+            "s2",
+            F.expr(
+                "(s2l * CAST(1000000 AS DECIMAL(38,0)) - "
+                + _exdiv("sl * sl * 1000000", "CAST(i AS DECIMAL(38,0))")
+                + ") + ((s2 - s2l) * CAST(1000000 AS DECIMAL(38,0)) - "
+                + _exdiv(
+                    "(s - sl) * (s - sl) * CAST(1000000 AS DECIMAL(38,0))",
+                    "CAST(n - i AS DECIMAL(38,0))",
+                )
+                + ")"
+            ).alias("cost"),
+        )
+        .orderBy("cost", "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("rday"),
+            F.col("i").alias("ri"),
+            F.col("sl").alias("rsl"),
+            F.col("s2l").alias("rs2l"),
+            "n",
+            "s",
+            "s2",
+            F.col("cost").alias("rcost"),
+        )
+        .localCheckpoint()  # 1 row; read by the root row + both children
+    )
+    lbest = (
+        pre.crossJoin(F.broadcast(root))
+        .filter(F.col("i") < F.col("ri"))
+        .select(
+            "day",
+            F.col("i").alias("n_left"),
+            F.col("ri").alias("seg_n"),
+            F.expr(
+                "(s2l * CAST(1000000 AS DECIMAL(38,0)) - "
+                + _exdiv("sl * sl * 1000000", "CAST(i AS DECIMAL(38,0))")
+                + ") + ((rs2l - s2l) * CAST(1000000 AS DECIMAL(38,0)) - "
+                + _exdiv(
+                    "(rsl - sl) * (rsl - sl)"
+                    " * CAST(1000000 AS DECIMAL(38,0))",
+                    "CAST(ri - i AS DECIMAL(38,0))",
+                )
+                + ")"
+            ).alias("cost"),
+        )
+        .orderBy("cost", "day")
+        .limit(1)
+    )
+    rbest = (
+        pre.crossJoin(F.broadcast(root))
+        .filter((F.col("i") > F.col("ri")) & (F.col("i") < F.col("n")))
+        .select(
+            "day",
+            (F.col("i") - F.col("ri")).alias("n_left"),
+            (F.col("n") - F.col("ri")).alias("seg_n"),
+            F.expr(
+                "((s2l - rs2l) * CAST(1000000 AS DECIMAL(38,0)) - "
+                + _exdiv(
+                    "(sl - rsl) * (sl - rsl)"
+                    " * CAST(1000000 AS DECIMAL(38,0))",
+                    "CAST(i - ri AS DECIMAL(38,0))",
+                )
+                + ") + ((s2 - s2l) * CAST(1000000 AS DECIMAL(38,0)) - "
+                + _exdiv(
+                    "(s - sl) * (s - sl) * CAST(1000000 AS DECIMAL(38,0))",
+                    "CAST(n - i AS DECIMAL(38,0))",
+                )
+                + ")"
+            ).alias("cost"),
+        )
+        .orderBy("cost", "day")
+        .limit(1)
+    )
+    rootrow = root.select(
+        F.lit(0).alias("level"),
+        F.col("rday").alias("split_day"),
+        F.col("n").cast("long").alias("seg_n"),
+        F.col("ri").cast("long").alias("n_left"),
+        F.col("rcost").cast("long").alias("cost_ppm"),
+    )
+    child = lambda df, lvl: df.select(  # noqa: E731
+        F.lit(lvl).alias("level"),
+        F.col("day").alias("split_day"),
+        F.col("seg_n").cast("long").alias("seg_n"),
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("cost").cast("long").alias("cost_ppm"),
+    )
+    return (
+        rootrow.unionByName(child(lbest, 1))
+        .unionByName(child(rbest, 2))
+        .orderBy("level")
+    )

@@ -208,6 +208,13 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # 1-row hits frame crossed with the 1-row eval frame into the
     # single-row report (model/eval joins are all equi-keyed)
     "q313_recsys_holdout_eval",
+    # the 9x9 column-pair grid (ta < tb theta join of two 9-row
+    # per-column-count frames); the intersection join itself is
+    # value-keyed equi
+    "q314_join_key_discovery",
+    # 1-row totals / root-split frames attached to the ~|days|
+    # candidate sweeps (behind the daily-aggregate barrier)
+    "q316_binary_segmentation",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

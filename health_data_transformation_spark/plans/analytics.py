@@ -20351,3 +20351,408 @@ def q316(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(child(rbest, 2))
         .orderBy("level")
     )
+
+
+#: (pair tag, sql expr for x, sql expr for y) — shared by both engines
+#: via the dialect-neutral expressions below.
+_MI_PAIRS = [
+    ("priority_x_band", "pri", "band"),
+    ("priority_x_year", "pri", "yr"),
+    ("band_x_year", "band", "yr"),
+]
+
+
+def _q317_oracle() -> str:
+    blocks = []
+    for tag, xa, xb in _MI_PAIRS:
+        blocks.append(
+            f"""SELECT '{tag}' AS pair, n_cells, mi_po2_ppm, max_lift_po2
+            FROM (
+              WITH cells AS (
+                 SELECT {xa} AS x, {xb} AS y, count(*) AS c
+                 FROM sel GROUP BY 1, 2),
+              mx AS (SELECT x, sum(c) AS cx FROM cells GROUP BY x),
+              my AS (SELECT y, sum(c) AS cy FROM cells GROUP BY y),
+              nt AS (SELECT sum(c) AS n FROM cells),
+              lifted AS (
+                 SELECT c,
+                        length(bin(greatest(
+                          (CAST(c AS HUGEINT) * n * 1000000)
+                            // (CAST(cx AS HUGEINT) * cy), 1))) - 1 - 19
+                          AS lift
+                 FROM cells JOIN mx USING (x) JOIN my USING (y)
+                 CROSS JOIN nt)
+              SELECT count(*) AS n_cells,
+                     (sum(c * lift) * 1000000) // (SELECT n FROM nt)
+                       AS mi_po2_ppm,
+                     max(lift) AS max_lift_po2
+              FROM lifted)"""
+        )
+    union = "\n          UNION ALL ".join(blocks)
+    return f"""WITH sel AS (
+          SELECT o_orderpriority AS pri,
+                 CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 20000)
+                      AS INTEGER) AS band,
+                 CAST(year(o_orderdate) AS INTEGER) AS yr
+          FROM orders)
+       SELECT pair, CAST(n_cells AS BIGINT) AS n_cells,
+              CAST(mi_po2_ppm AS BIGINT) AS mi_po2_ppm,
+              CAST(max_lift_po2 AS BIGINT) AS max_lift_po2
+       FROM ({union}) ORDER BY pair"""
+
+
+@register(
+    "q317_mutual_information_screen",
+    _q317_oracle(),
+    "pairwise mutual-information screen over discretized features "
+    "(the feature-selection / target-leakage triage every training "
+    "pipeline runs before fitting: 'which columns carry shared "
+    "signal, and is any suspiciously predictive?' — the po2 sibling "
+    "of q278's PSI, which only compares ONE feature across time): "
+    "for each feature pair the contingency cells, the per-cell "
+    "pointwise lift c_xy*N/(c_x*c_y) in exact scaled integers "
+    "(HUGEINT/DECIMAL(38,0) — the product is ~1e30 at 100 TB), its "
+    "log po2-quantized via the q174 len(bin)-1 idiom (fp ln is not "
+    "bit-portable; po2 preserves sign and order), and MI as the "
+    "cell-count-weighted lift sum in ppm.  Independence reads ~0, "
+    "strong dependence positive, and max_lift_po2 flags the single "
+    "most-informative cell (the leakage smoking gun).  Plan: one "
+    "column-pruned fact scan per pair feeds a map-side-combinable "
+    "cell aggregate bounded by the feature domains; margins, "
+    "totals, and the report are constant frames",
+)
+def q317(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    sel = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice").cast("decimal(18,2)") / 20000)
+        .cast("int")
+        .alias("band"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    )
+    out = None
+    for tag, xa, xb in _MI_PAIRS:
+        cells = (
+            sel.groupBy(F.col(xa).alias("x"), F.col(xb).alias("y"))
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint()  # bounded by feature domains; 4 readers
+        )
+        mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+        my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+        nt = cells.agg(F.sum("c").alias("n"))
+        lifted = (
+            cells.join(mx, "x")
+            .join(my, "y")
+            .crossJoin(F.broadcast(nt))
+            .select(
+                "c",
+                "n",
+                (
+                    F.length(
+                        F.bin(
+                            F.greatest(
+                                F.expr(
+                                    _exdiv(
+                                        "CAST(c AS DECIMAL(38,0)) * n"
+                                        " * 1000000",
+                                        "CAST(cx AS DECIMAL(38,0)) * cy",
+                                    )
+                                ).cast("long"),
+                                F.lit(1),
+                            )
+                        )
+                    )
+                    - 1
+                    - 19
+                ).alias("lift"),
+            )
+        )
+        row = lifted.agg(
+            F.count("*").alias("n_cells"),
+            F.expr(
+                "CAST(sum(c * lift) AS DECIMAL(38,0)) * 1000000 div max(n)"  # div-ok: MI ppm, |quotient| <= 45e6 (|lift| <= 45)
+            ).alias("mi_po2_ppm"),
+            F.max("lift").alias("max_lift_po2"),
+        ).select(
+            F.lit(tag).alias("pair"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.col("mi_po2_ppm").cast("long").alias("mi_po2_ppm"),
+            F.col("max_lift_po2").cast("long").alias("max_lift_po2"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pair")
+
+
+_KL_PANEL = ["src0", "src1", "src2", "src3", "src4"]
+
+
+def _q318_oracle() -> str:
+    panel = ", ".join(f"'{s}'" for s in _KL_PANEL)
+    return f"""WITH post AS (
+          SELECT source AS src, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE source IN ({panel})),
+       cnt AS (SELECT src, token, count(*) AS c FROM post
+               GROUP BY src, token),
+       tot AS (SELECT src, sum(c) AS nt FROM cnt GROUP BY src),
+       voc AS (SELECT count(DISTINCT token) AS v FROM cnt),
+       pairs AS (
+          SELECT a.src AS sa, a.token AS token, a.c AS ca,
+                 s.src AS sb, coalesce(b.c, 0) AS cb
+          FROM cnt a
+          JOIN (SELECT DISTINCT src FROM cnt) s ON s.src <> a.src
+          LEFT JOIN cnt b ON b.src = s.src AND b.token = a.token),
+       terms AS (
+          SELECT sa, sb, ca,
+                 length(bin(greatest(
+                   (CAST(ca AS HUGEINT) * (tb.nt + v) * 1000000)
+                     // (CAST(ta.nt AS HUGEINT) * (cb + 1)), 1))) - 1 - 19
+                   AS lift
+          FROM pairs
+          JOIN tot ta ON ta.src = pairs.sa
+          JOIN tot tb ON tb.src = pairs.sb
+          CROSS JOIN voc),
+       rep AS (
+          SELECT sa, sb, count(*) AS n_types,
+                 (sum(ca * lift) * 1000000) // sum(ca) AS kl_po2_ppm
+          FROM terms GROUP BY sa, sb)
+       SELECT sa, sb, CAST(n_types AS BIGINT) AS n_types,
+              CAST(kl_po2_ppm AS BIGINT) AS kl_po2_ppm
+       FROM rep ORDER BY sa, sb"""
+
+
+@register(
+    "q318_text_kl_drift",
+    _q318_oracle(),
+    "pairwise unigram KL divergence across a fixed source panel "
+    "(the TEXT drift monitor — q278's PSI watches numeric bands, "
+    "this watches the token distribution itself: 'does src2 write "
+    "a different language than src0?', the routing/mixture "
+    "diagnostic behind q285's resampler and q197's temperature "
+    "mixture): per-source unigram counts, and for every ordered "
+    "panel pair KL(a||b) = sum_t p_a(t) * log(p_a(t)/p_b(t)) with "
+    "add-one smoothing on the reference side (unseen-in-b tokens "
+    "via a LEFT join — they are exactly the high-contribution "
+    "terms), the log po2-quantized (q174 idiom, sign-preserving), "
+    "weights exact.  The PANEL is the scale contract: sources are "
+    "unbounded at 100 TB, so the monitor compares a fixed review "
+    "set (here 5 -> 20 ordered pairs) instead of all O(S^2) pairs; "
+    "the token-keyed joins are vocabulary-sized, never "
+    "corpus-sized.  Plan: one explode+aggregate per panel scan "
+    "(pushed-down source filter), the pair fanout is a "
+    "constant x4 per token, and the report is 20 rows",
+)
+def q318(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").filter(
+        F.col("source").isin(*_KL_PANEL)
+    )
+    cnt = (
+        d.select(
+            F.col("source").alias("src"),
+            F.explode(T.tokens("text")).alias("token"),
+        )
+        .groupBy("src", "token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()  # vocab-sized; read by tot/voc/pairs
+    )
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("nt"))
+    voc = cnt.agg(F.countDistinct("token").alias("v"))
+    srcs = cnt.select("src").distinct()
+    pairs = (
+        cnt.select(
+            F.col("src").alias("sa"), "token", F.col("c").alias("ca")
+        )
+        .join(srcs.select(F.col("src").alias("sb")), F.expr("sb <> sa"))
+        .join(
+            cnt.select(
+                F.col("src").alias("sb"),
+                F.col("token").alias("token"),
+                F.col("c").alias("cb0"),
+            ),
+            ["sb", "token"],
+            "left",
+        )
+        .select(
+            "sa",
+            "sb",
+            "ca",
+            F.coalesce(F.col("cb0"), F.lit(0)).alias("cb"),
+        )
+    )
+    terms = (
+        pairs.join(
+            tot.select(F.col("src").alias("sa"), F.col("nt").alias("na")),
+            "sa",
+        )
+        .join(
+            tot.select(F.col("src").alias("sb"), F.col("nt").alias("nb")),
+            "sb",
+        )
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "sa",
+            "sb",
+            "ca",
+            (
+                F.length(
+                    F.bin(
+                        F.greatest(
+                            F.expr(
+                                _exdiv(
+                                    "CAST(ca AS DECIMAL(38,0))"
+                                    " * (nb + v) * 1000000",
+                                    "CAST(na AS DECIMAL(38,0)) * (cb + 1)",
+                                )
+                            ).cast("long"),
+                            F.lit(1),
+                        )
+                    )
+                )
+                - 1
+                - 19
+            ).alias("lift"),
+        )
+    )
+    return (
+        terms.groupBy("sa", "sb")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.expr(
+                "CAST(sum(ca * lift) AS DECIMAL(38,0)) * 1000000"
+                " div sum(ca)"  # div-ok: KL po2 ppm, |quotient| <= 45e6
+            ).alias("kl_po2_ppm"),
+        )
+        .select(
+            "sa",
+            "sb",
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("kl_po2_ppm").cast("long").alias("kl_po2_ppm"),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+_MR_ANCHORS = 20
+_MR_K = 10
+_MR_TRUNC = 16
+
+
+def _q319_oracle() -> str:
+    from ..functions.vector import int8_quantize_sql, int_dot_sql
+
+    return f"""WITH qv AS (
+          SELECT vec_id, {int8_quantize_sql('embedding')} AS q
+          FROM embeddings),
+       anch AS (SELECT vec_id AS aid, q AS qa, q[1:{_MR_TRUNC}] AS qa16
+                FROM qv WHERE vec_id < {_MR_ANCHORS}),
+       scored AS (
+          SELECT a.aid, v.vec_id,
+                 {int_dot_sql('v.q', 'a.qa')} AS df,
+                 {int_dot_sql(f'v.q[1:{_MR_TRUNC}]', 'a.qa16')} AS dt
+          FROM qv v CROSS JOIN anch a WHERE v.vec_id <> a.aid),
+       topf AS (
+          SELECT aid, vec_id FROM (
+             SELECT aid, vec_id,
+                    row_number() OVER (PARTITION BY aid
+                                       ORDER BY df DESC, vec_id) AS r
+             FROM scored) WHERE r <= {_MR_K}),
+       topt AS (
+          SELECT aid, vec_id FROM (
+             SELECT aid, vec_id,
+                    row_number() OVER (PARTITION BY aid
+                                       ORDER BY dt DESC, vec_id) AS r
+             FROM scored) WHERE r <= {_MR_K}),
+       ov AS (
+          SELECT f.aid, count(*) AS overlap
+          FROM topf f JOIN topt t
+            ON t.aid = f.aid AND t.vec_id = f.vec_id
+          GROUP BY f.aid),
+       per AS (
+          SELECT a.aid, coalesce(ov.overlap, 0) AS overlap
+          FROM anch a LEFT JOIN ov ON ov.aid = a.aid),
+       gl AS (
+          SELECT (sum(overlap) * 1000000) // (count(*) * {_MR_K})
+                   AS mean_overlap_ppm
+          FROM per)
+       SELECT CAST(aid AS BIGINT) AS aid,
+              CAST(overlap AS BIGINT) AS overlap_at_{_MR_K},
+              CAST(mean_overlap_ppm AS BIGINT) AS mean_overlap_ppm
+       FROM per CROSS JOIN gl ORDER BY aid"""
+
+
+@register(
+    "q319_matryoshka_truncation_eval",
+    _q319_oracle(),
+    "Matryoshka embedding-truncation evaluation (the MRL question "
+    "every vector-store operator asks: 'can I serve the first "
+    f"{_MR_TRUNC} of 64 dims and keep retrieval quality?' — a 4x "
+    "index-size and bandwidth cut if yes): for a fixed "
+    f"{_MR_ANCHORS}-anchor panel, exact top-{_MR_K} neighbor sets "
+    "by full-dimension int8 dot product vs by the truncated "
+    "prefix, and the per-anchor overlap between the two sets "
+    "(Recall@k of the truncated index against the full index as "
+    "ground truth — the q209 recall-eval protocol applied to "
+    "dimensionality instead of LSH).  Both rankings come from ONE "
+    "scored frame (scoring is row-local over a broadcast anchor "
+    "panel; the truncated dot reuses the same quantized vectors "
+    "via an array slice), both use the two-phase per-group top-k, "
+    "and the overlap join keys on (anchor, vec).  Mean overlap in "
+    "exact floor-ppm rides every row.  Plan: anchor panel is a "
+    f"{_MR_ANCHORS}-row broadcast, the x{_MR_ANCHORS} fanout is "
+    "the bounded eval cost (NOT all-pairs), and nothing downstream "
+    "of the top-k filters exceeds anchors x k rows",
+)
+def q319(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vector import int8_quantize, int_dot
+
+    e = load_table(spark, sf, "embeddings")
+    qv = e.select("vec_id", int8_quantize("embedding").alias("q"))
+    anch = qv.filter(F.col("vec_id") < _MR_ANCHORS).select(
+        F.col("vec_id").alias("aid"),
+        F.col("q").alias("qa"),
+        F.slice("q", 1, _MR_TRUNC).alias("qa16"),
+    )
+    scored = (
+        qv.crossJoin(F.broadcast(anch))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid",
+            "vec_id",
+            int_dot("q", "qa").alias("df"),
+            int_dot(F.slice("q", 1, _MR_TRUNC), F.col("qa16")).alias("dt"),
+        )
+        .localCheckpoint()  # scored once, read by both top-k arms
+    )
+    topf = K.top_k_per_group_scalable(
+        scored, ["aid"], [F.desc("df"), F.asc("vec_id")], _MR_K
+    ).select("aid", "vec_id")
+    topt = K.top_k_per_group_scalable(
+        scored, ["aid"], [F.desc("dt"), F.asc("vec_id")], _MR_K
+    ).select("aid", "vec_id")
+    ov = topf.join(topt, ["aid", "vec_id"]).groupBy("aid").agg(
+        F.count("*").alias("overlap")
+    )
+    per = (
+        anch.select("aid")
+        .join(ov, "aid", "left")
+        .select(
+            "aid", F.coalesce(F.col("overlap"), F.lit(0)).alias("overlap")
+        )
+        .localCheckpoint()  # 20 rows; read by the report and the mean
+    )
+    gl = per.agg(
+        F.expr(
+            "CAST(sum(overlap) AS DECIMAL(38,0)) * 1000000"
+            f" div (count(*) * {_MR_K})"  # div-ok: mean overlap share, quotient <= 1e6
+        ).alias("mean_overlap_ppm")
+    )
+    return (
+        per.crossJoin(F.broadcast(gl))
+        .select(
+            F.col("aid").cast("long").alias("aid"),
+            F.col("overlap").cast("long").alias(f"overlap_at_{_MR_K}"),
+            F.col("mean_overlap_ppm").cast("long").alias(
+                "mean_overlap_ppm"
+            ),
+        )
+        .orderBy("aid")
+    )

@@ -215,6 +215,15 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # 1-row totals / root-split frames attached to the ~|days|
     # candidate sweeps (behind the daily-aggregate barrier)
     "q316_binary_segmentation",
+    # 1-row cell-total frames attached to the bounded contingency
+    # cells (x3 feature pairs, x2 with AQE replans)
+    "q317_mutual_information_screen",
+    # the 5-row source-panel theta cross (sb <> sa) and 1-row vocab
+    # frame attached to vocabulary-sized token frames
+    "q318_text_kl_drift",
+    # 20-row anchor panel broadcast against the vector scan (q82/q209
+    # idiom) + 1-row mean-overlap frame on the 20-row report
+    "q319_matryoshka_truncation_eval",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

@@ -17737,7 +17737,13 @@ def _exdiv(v: str, d: str) -> str:
     silently wraps modulo 2^64, so any quotient that can exceed int64
     must subtract the remainder first and divide in decimal (no
     fractional part remains, so the decimal division is exact).
-    Operands must be non-negative (all callers divide counts/sums).
+
+    Sign semantics: with a non-negative dividend this is floor
+    division (oracle mirror: HUGEINT `//`).  With a SIGNED dividend
+    it is truncation toward zero in BOTH engines (both `%`s follow
+    the dividend sign, and the division is then an exact multiple) —
+    the oracle must mirror with the same `(v - v %% d) // d` identity,
+    NOT bare `//` (q321's negative slopes).  Divisors positive.
     """
     return f"CAST((({v}) - (({v}) % ({d}))) / ({d}) AS DECIMAL(38,0))"
 
@@ -20756,3 +20762,353 @@ def q319(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("aid")
     )
+
+
+_SG_WINDOW = 2
+_SG_MIN_COUNT = 5
+_SG_TOPK = 20
+
+
+def _q320_oracle() -> str:
+    return f"""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       pos AS (
+          SELECT doc_id, CAST(p AS INTEGER) AS p, t[CAST(p AS INTEGER)] AS w
+          FROM toks, unnest(range(1, len(t) + 1)) AS u(p)),
+       uni AS (SELECT w, count(*) AS c FROM pos GROUP BY w),
+       nt AS (SELECT count(*) AS n FROM pos),
+       sg AS (
+          SELECT a.w AS wa, b.w AS wb, count(*) AS c
+          FROM pos a JOIN pos b
+            ON b.doc_id = a.doc_id
+           AND b.p > a.p AND b.p <= a.p + {_SG_WINDOW}
+          GROUP BY 1, 2),
+       scored AS (
+          SELECT wa, wb, sg.c AS c,
+                 CAST(length(bin(greatest(
+                   (CAST(sg.c AS HUGEINT) * n * 1000000)
+                     // (CAST(ua.c AS HUGEINT) * ub.c), 1))) - 1 - 19
+                   AS BIGINT) AS pmi_po2
+          FROM sg JOIN uni ua ON ua.w = sg.wa
+                  JOIN uni ub ON ub.w = sg.wb
+          CROSS JOIN nt
+          WHERE sg.c >= {_SG_MIN_COUNT})
+       SELECT wa, wb, CAST(c AS BIGINT) AS c, pmi_po2
+       FROM scored
+       ORDER BY pmi_po2 DESC, c DESC, wa, wb LIMIT {_SG_TOPK}"""
+
+
+@register(
+    "q320_skipgram_pmi",
+    _q320_oracle(),
+    f"skip-gram PMI collocations (window +{_SG_WINDOW}, the "
+    "word2vec-style training-pair statistic and the collocation "
+    "extraction q116's ADJACENT bigram lift cannot see — 'merge "
+    "join' and 'merge ... join' one word apart are the same "
+    "collocation): directed skip-grams from each position to the "
+    f"next {_SG_WINDOW} positions (a constant x{_SG_WINDOW} fanout "
+    "expressed as a banded self-join on (doc, position) — "
+    "high-cardinality keys, no skew), unigram margins, pointwise "
+    "mutual information as the exact integer lift c*N/(c_a*c_b) "
+    "with the log po2-quantized (the q317 idiom — fp log2 is not "
+    "bit-portable), a min-count floor of "
+    f"{_SG_MIN_COUNT} (the standard noise gate: PMI of hapax pairs "
+    "is pure variance), and the top-"
+    f"{_SG_TOPK} by (pmi, support) under a total-order tiebreak.  "
+    "Plan: the position explode is corpus-bounded, the skip-gram "
+    "join is banded on position within (doc), margins are "
+    "map-combinable, and TakeOrderedAndProject caps the result; "
+    "the 1e30-scale lift numerator routes through "
+    "HUGEINT/DECIMAL(38,0) from birth",
+)
+def q320(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("p0", "w")
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "w"
+    ).localCheckpoint()  # read by margins and both sides of the band join
+    uni = pos.groupBy("w").agg(F.count("*").alias("c"))
+    nt = pos.agg(F.count("*").alias("n"))
+    sg = (
+        pos.alias("a")
+        .join(
+            pos.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.p") > F.col("a.p"))
+            & (F.col("b.p") <= F.col("a.p") + _SG_WINDOW),
+        )
+        .groupBy(F.col("a.w").alias("wa"), F.col("b.w").alias("wb"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _SG_MIN_COUNT)
+    )
+    scored = (
+        sg.join(uni.select(F.col("w").alias("wa"), F.col("c").alias("ca")), "wa")
+        .join(uni.select(F.col("w").alias("wb"), F.col("c").alias("cb")), "wb")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "wa",
+            "wb",
+            "c",
+            (
+                F.length(
+                    F.bin(
+                        F.greatest(
+                            F.expr(
+                                _exdiv(
+                                    "CAST(c AS DECIMAL(38,0)) * n * 1000000",
+                                    "CAST(ca AS DECIMAL(38,0)) * cb",
+                                )
+                            ).cast("long"),
+                            F.lit(1),
+                        )
+                    )
+                )
+                - 1
+                - 19
+            )
+            .cast("long")
+            .alias("pmi_po2"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc("pmi_po2"), F.desc("c"), F.asc("wa"), F.asc("wb")
+        )
+        .limit(_SG_TOPK)
+        .select("wa", "wb", F.col("c").cast("long").alias("c"), "pmi_po2")
+        .orderBy(F.desc("pmi_po2"), F.desc("c"), F.asc("wa"), F.asc("wb"))
+    )
+
+
+def _q321_oracle() -> str:
+    return f"""WITH monthly AS (
+          SELECT c_nationkey AS nk, strftime(o_orderdate, '%Y-%m') AS mon,
+                 count(*) AS y
+          FROM orders JOIN customer ON c_custkey = o_custkey
+          GROUP BY 1, 2),
+       idx AS (
+          SELECT nk, mon, y,
+                 row_number() OVER (PARTITION BY nk ORDER BY mon) AS i
+          FROM monthly),
+       slopes AS (
+          SELECT a.nk AS nk,
+                 (CAST((b.y - a.y) AS HUGEINT) * 1000000
+                  - (CAST((b.y - a.y) AS HUGEINT) * 1000000)
+                    % (b.i - a.i)) // (b.i - a.i) AS s_ppm
+          FROM idx a JOIN idx b ON b.nk = a.nk AND b.i > a.i),
+       cnt AS (SELECT nk, count(*) AS np FROM slopes GROUP BY nk),
+       ranked AS (
+          SELECT nk, s_ppm,
+                 row_number() OVER (PARTITION BY nk
+                                    ORDER BY s_ppm, nk) AS r
+          FROM slopes)
+       SELECT CAST(ranked.nk AS INTEGER) AS nk,
+              CAST(np AS BIGINT) AS n_pairs,
+              CAST(s_ppm AS BIGINT) AS slope_ppm
+       FROM ranked JOIN cnt ON cnt.nk = ranked.nk
+       WHERE r = (np + 1) // 2
+       ORDER BY ranked.nk"""
+
+
+@register(
+    "q321_grouped_theil_sen",
+    _q321_oracle(),
+    "grouped Theil-Sen robust trend (per-nation median of pairwise "
+    "monthly slopes — the robust sibling of q273's grouped OLS and "
+    "the per-group extension of q191's single Theil-Sen: one "
+    "outlier month cannot move a median slope, which is why "
+    "monitoring prefers it for per-segment growth): orders roll up "
+    "to (nation, month) counts first — the pairwise-slope "
+    "enumeration is O(months^2) PER GROUP on the aggregate frame "
+    "(~80 months -> ~3k pairs), NEVER on facts; slopes are exact "
+    "floor-ppm integers over the month index (dy*1e6 // di with "
+    "di > 0 — positive divisor, engines floor identically), and "
+    "the per-group lower median comes from a rank window over the "
+    "bounded slope frame (partitioned by nation behind the "
+    "monthly-aggregate barrier).  Plan: one fact join+aggregate is "
+    "the only data-sized stage; everything after is "
+    "O(groups x months^2) constant-bounded",
+)
+def q321(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    idx = monthly.select(
+        "nk",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("nk").orderBy("mon"))
+        .alias("i"),
+    ).localCheckpoint()  # ~groups x months rows; both sides of pair join
+    slopes = (
+        idx.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("b.nk") == F.col("a.nk")) & (F.col("b.i") > F.col("a.i")),
+        )
+        .select(
+            F.col("a.nk").alias("nk"),
+            # signed dividend: the (v - v % d)/d identity gives
+            # TRUNCATION toward zero in BOTH engines (both %s follow
+            # the dividend sign; the division is then an exact
+            # multiple), sidestepping Spark-div-truncates vs
+            # DuckDB-//-floors divergence on negative slopes
+            F.expr(
+                _exdiv(
+                    "CAST(b.y - a.y AS DECIMAL(38,0)) * 1000000",
+                    "CAST(b.i - a.i AS DECIMAL(38,0))",
+                )
+            )
+            .cast("long")
+            .alias("s_ppm"),
+        )
+    )
+    cnt = slopes.groupBy("nk").agg(F.count("*").alias("np"))
+    ranked = slopes.select(
+        "nk",
+        "s_ppm",
+        F.row_number()
+        .over(Window.partitionBy("nk").orderBy("s_ppm", "nk"))
+        .alias("r"),
+    )
+    return (
+        ranked.join(cnt, "nk")
+        .filter(F.col("r") == F.expr("(np + 1) div 2"))  # div-ok: median index, quotient <= pair count
+        .select(
+            F.col("nk").cast("int").alias("nk"),
+            F.col("np").cast("long").alias("n_pairs"),
+            F.col("s_ppm").cast("long").alias("slope_ppm"),
+        )
+        .orderBy("nk")
+    )
+
+
+_ANOVA_FACTORS = ["priority", "band", "year"]
+
+
+def _q322_oracle() -> str:
+    blocks = []
+    for fac in _ANOVA_FACTORS:
+        blocks.append(
+            f"""SELECT '{fac}' AS factor, n_groups, ss_between_ppm
+            FROM (
+              WITH grp AS (
+                 SELECT {fac} AS g, count(*) AS n,
+                        sum(CAST(cents AS HUGEINT)) AS s
+                 FROM sel GROUP BY 1),
+              tot AS (
+                 SELECT count(*) AS nn, sum(CAST(cents AS HUGEINT)) AS ss,
+                        sum(CAST(cents AS HUGEINT) * cents) AS sq
+                 FROM sel),
+              parts AS (
+                 SELECT (SELECT count(*) FROM grp) AS n_groups,
+                        (SELECT sum((s * s) // n) FROM grp) AS ssb_raw,
+                        nn, ss, sq
+                 FROM tot)
+              SELECT n_groups,
+                     CASE WHEN sq * nn - ss * ss = 0 THEN 0
+                          ELSE (greatest(ssb_raw * nn - ss * ss, 0)
+                                * 1000000)
+                               // (sq * nn - ss * ss) END AS ss_between_ppm
+              FROM parts)"""
+        )
+    union = "\n          UNION ALL ".join(blocks)
+    return f"""WITH sel AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 20000)
+                      AS INTEGER) AS band,
+                 CAST(year(o_orderdate) AS INTEGER) AS year,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders)
+       SELECT factor, CAST(n_groups AS BIGINT) AS n_groups,
+              CAST(ss_between_ppm AS BIGINT) AS eta2_ppm
+       FROM ({union}) ORDER BY factor"""
+
+
+@register(
+    "q322_anova_effect_size",
+    _q322_oracle(),
+    "one-way ANOVA effect sizes (eta-squared = SS_between/SS_total) "
+    "for a continuous metric against each categorical factor — the "
+    "'which dimension explains the variance?' triage that pairs "
+    "with q317's categorical-categorical MI screen (together they "
+    "cover the feature-importance quadrant without fitting "
+    "anything): order value in exact cents against priority / "
+    "price band / year.  The whole statistic reduces to THREE "
+    "map-side-combinable sums (n, sum, sum-of-squares — the q48 "
+    "moment kernel) plus per-group (sum^2 // n): eta2_ppm = "
+    "(n*SSB - S^2)*1e6 // (n*SQ - S^2) evaluated in "
+    "HUGEINT/DECIMAL(38,0) (cents^2 sums are ~1e28 at 100 TB — "
+    "the q271 overflow class, routed from birth); numerator and "
+    "denominator are both nonnegative by Cauchy-Schwarz so the "
+    "floors agree across engines.  Plan: one column-pruned fact "
+    "scan per factor feeding a domain-bounded group aggregate; "
+    "the report is 3 rows",
+)
+def q322(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    sel = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice").cast("decimal(18,2)") / 20000)
+        .cast("int")
+        .alias("band"),
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    out = None
+    for fac in _ANOVA_FACTORS:
+        grp = sel.groupBy(F.col(fac).alias("g")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        )
+        tot = sel.agg(
+            F.count("*").alias("nn"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("ss"),
+            F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias(
+                "sq"
+            ),
+        )
+        ssb = grp.agg(
+            F.count("*").alias("n_groups"),
+            F.sum(
+                F.expr(_exdiv("s * s", "CAST(n AS DECIMAL(38,0))"))
+            ).alias("ssb_raw"),
+        )
+        row = (
+            ssb.crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(fac).alias("factor"),
+                F.col("n_groups").cast("long").alias("n_groups"),
+                F.when(
+                    F.expr("sq * nn - ss * ss = 0"), F.lit(0).cast("long")
+                )
+                .otherwise(
+                    F.expr(
+                        _exdiv(
+                            # greatest(.., 0): per-group floor of
+                            # s^2/n can push the scaled SSB a hair
+                            # under S^2 when eta^2 ~ 0; clamp so both
+                            # engines divide a nonnegative value
+                            "greatest(ssb_raw * nn - ss * ss,"
+                            " CAST(0 AS DECIMAL(38,0)))"
+                            " * CAST(1000000 AS DECIMAL(38,0))",
+                            "sq * nn - ss * ss",
+                        )
+                    ).cast("long")
+                )
+                .alias("eta2_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("factor")

@@ -224,6 +224,11 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # 20-row anchor panel broadcast against the vector scan (q82/q209
     # idiom) + 1-row mean-overlap frame on the 20-row report
     "q319_matryoshka_truncation_eval",
+    # 1-row corpus-token-total frame under the PMI lifts (q174 idiom)
+    "q320_skipgram_pmi",
+    # 1-row moment-totals frame crossed with the 1-row SSB frame per
+    # factor (x3 factors)
+    "q322_anova_effect_size",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

@@ -21112,3 +21112,222 @@ def q322(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("factor")
+
+
+def _q323_oracle() -> str:
+    return f"""WITH bf AS (
+          SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 20000)
+                      AS INTEGER) AS band, count(*) AS y
+          FROM orders GROUP BY 1),
+       pre AS (
+          SELECT band, i, sl, s2l FROM (
+            SELECT band,
+                   row_number() OVER (ORDER BY band) AS i,
+                   sum(CAST(y AS HUGEINT)) OVER w AS sl,
+                   sum(CAST(y AS HUGEINT) * y) OVER w AS s2l
+            FROM bf
+            WINDOW w AS (ORDER BY band
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW))),
+       pre0 AS (
+          SELECT band, i, sl, s2l FROM pre
+          UNION ALL
+          SELECT -1, 0, CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)),
+       cst AS (
+          SELECT a.i AS i0, b.i AS i1,
+                 b.sl - a.sl AS s, b.i - a.i AS m,
+                 (b.s2l - a.s2l) * 1000000
+                 - ((b.sl - a.sl) * (b.sl - a.sl) * 1000000)
+                   // (b.i - a.i) AS cost
+          FROM pre0 a JOIN pre0 b ON b.i > a.i),
+       nmax AS (SELECT max(i) AS n FROM pre),
+       l1 AS (SELECT i1 AS j, cost FROM cst WHERE i0 = 0),
+       l2m AS (SELECT c.i1 AS j, min(l1.cost + c.cost) AS mc
+               FROM l1 JOIN cst c ON c.i0 = l1.j GROUP BY c.i1),
+       l2 AS (SELECT m.j AS j, m.mc AS mc, min(l1.j) AS split
+              FROM l2m m
+              JOIN l1 ON TRUE
+              JOIN cst c ON c.i0 = l1.j AND c.i1 = m.j
+              WHERE l1.cost + c.cost = m.mc
+              GROUP BY m.j, m.mc),
+       l3m AS (SELECT c.i1 AS j, min(l2.mc + c.cost) AS mc
+               FROM l2 JOIN cst c ON c.i0 = l2.j GROUP BY c.i1),
+       l3 AS (SELECT m.j AS j, m.mc AS mc, min(l2.j) AS split
+              FROM l3m m
+              JOIN l2 ON TRUE
+              JOIN cst c ON c.i0 = l2.j AND c.i1 = m.j
+              WHERE l2.mc + c.cost = m.mc
+              GROUP BY m.j, m.mc),
+       fm AS (SELECT min(l3.mc + c.cost) AS total
+              FROM l3 JOIN cst c ON c.i0 = l3.j
+                      JOIN nmax ON c.i1 = nmax.n),
+       p3 AS (SELECT min(l3.j) AS i3, min(fm.total) AS total
+              FROM l3 JOIN cst c ON c.i0 = l3.j
+                      JOIN nmax ON c.i1 = nmax.n
+              CROSS JOIN fm
+              WHERE l3.mc + c.cost = fm.total),
+       p2 AS (SELECT l3.split AS i2, p3.i3, p3.total
+              FROM l3 JOIN p3 ON l3.j = p3.i3),
+       p1 AS (SELECT l2.split AS i1, p2.i2, p2.i3, p2.total
+              FROM l2 JOIN p2 ON l2.j = p2.i2),
+       bounds AS (
+          SELECT 1 AS bucket, 0 AS lo, i1 AS hi, total FROM p1
+          UNION ALL SELECT 2, i1, i2, total FROM p1
+          UNION ALL SELECT 3, i2, i3, total FROM p1
+          UNION ALL SELECT 4, i3, (SELECT n FROM nmax), total FROM p1),
+       rep AS (
+          SELECT b.bucket, b.total,
+                 plo.band AS band_lo, phi.band AS band_hi,
+                 c.m AS n_bands, c.s AS n_rows, c.cost AS cost_ppm
+          FROM bounds b
+          JOIN cst c ON c.i0 = b.lo AND c.i1 = b.hi
+          JOIN pre plo ON plo.i = b.lo + 1
+          JOIN pre phi ON phi.i = b.hi)
+       SELECT CAST(bucket AS INTEGER) AS bucket,
+              CAST(band_lo AS INTEGER) AS band_lo,
+              CAST(band_hi AS INTEGER) AS band_hi,
+              CAST(n_bands AS BIGINT) AS n_bands,
+              CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(cost_ppm AS BIGINT) AS cost_ppm,
+              CAST(total AS BIGINT) AS total_cost_ppm
+       FROM rep ORDER BY bucket"""
+
+
+@register(
+    "q323_voptimal_histogram",
+    _q323_oracle(),
+    "v-optimal histogram construction, B=4 buckets by exact dynamic "
+    "programming (Jagadish et al.'s optimal-histogram DP — THE "
+    "statistics every cost-based optimizer wishes it had instead of "
+    "equi-width q95 / equi-depth q129: bucket boundaries minimizing "
+    "total within-bucket SSE of the frequency vector, the "
+    "selectivity-estimation error): price bands roll up to a "
+    "~30-row frequency vector; segment costs come from ONE prefix "
+    "frame by subtraction (the q316 algebra — all O(n^2) segment "
+    "costs from O(n) state); the B-layer DP is three bounded "
+    "min-joins (layer b holds 'best cost of first j bands in b "
+    "buckets' + its argmin split, ties to the smallest split), and "
+    "the boundary set is reconstructed by walking the argmins back "
+    "— every DP frame is O(bands^2), constant at ANY data scale.  "
+    "Arithmetic exact scaled-integer in HUGEINT/DECIMAL(38,0) "
+    "(counts^2 x 1e6 — the q271 class); equality joins on exact "
+    "integer costs are safe precisely because nothing is floating. "
+    " Plan: one map-combinable band aggregate is the only "
+    "fact-sized stage; the report is 4 buckets with their true "
+    "band ranges, row masses, and SSE shares",
+)
+def q323(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    bf = o.groupBy(
+        F.floor(F.col("o_totalprice").cast("decimal(18,2)") / 20000)
+        .cast("int")
+        .alias("band")
+    ).agg(F.count("*").alias("y"))
+    w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bf.select(
+        "band",
+        F.row_number().over(Window.orderBy("band")).alias("i"),
+        F.sum(F.col("y").cast("decimal(38,0)")).over(w).alias("sl"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).over(w).alias("s2l"),
+    ).localCheckpoint()  # ~30 rows; read by pre0/cst/boundary joins
+    pre0 = pre.select("band", "i", "sl", "s2l").unionByName(
+        spark.range(1).select(
+            F.lit(-1).alias("band"),
+            F.lit(0).cast("int").alias("i"),
+            F.lit(0).cast("decimal(38,0)").alias("sl"),
+            F.lit(0).cast("decimal(38,0)").alias("s2l"),
+        )
+    )
+    cst = (
+        pre0.alias("a")
+        .join(pre0.alias("b"), F.col("b.i") > F.col("a.i"))
+        .select(
+            F.col("a.i").alias("i0"),
+            F.col("b.i").alias("i1"),
+            F.expr("b.sl - a.sl").alias("s"),
+            (F.col("b.i") - F.col("a.i")).alias("m"),
+            F.expr(
+                "(b.s2l - a.s2l) * CAST(1000000 AS DECIMAL(38,0)) - "
+                + _exdiv(
+                    "(b.sl - a.sl) * (b.sl - a.sl)"
+                    " * CAST(1000000 AS DECIMAL(38,0))",
+                    "CAST(b.i - a.i AS DECIMAL(38,0))",
+                )
+            ).alias("cost"),
+        )
+        .localCheckpoint()  # ~n^2/2 rows (n ~ 30); read by every layer
+    )
+    nmax = pre.agg(F.max("i").alias("n"))
+    l1 = cst.filter(F.col("i0") == 0).select(
+        F.col("i1").alias("j"), "cost"
+    )
+    def layer(prev, mc_col):  # prev: (j, mc[, split])
+        cand = prev.select(
+            F.col("j").alias("pj"), F.col(mc_col).alias("pmc")
+        ).join(cst, F.col("i0") == F.col("pj"))
+        mins = cand.groupBy(F.col("i1").alias("j")).agg(
+            F.min(F.expr("pmc + cost")).alias("mc")
+        )
+        return (
+            cand.select(
+                F.col("i1").alias("j"),
+                F.expr("pmc + cost").alias("tc"),
+                "pj",
+            )
+            .join(mins, "j")
+            .filter(F.col("tc") == F.col("mc"))
+            .groupBy("j", "mc")
+            .agg(F.min("pj").alias("split"))
+        )
+    l2 = layer(l1, "cost").localCheckpoint()
+    l3 = layer(l2, "mc").localCheckpoint()
+    fin = (
+        l3.select(F.col("j").alias("pj"), F.col("mc").alias("pmc"))
+        .join(cst, F.col("i0") == F.col("pj"))
+        .join(F.broadcast(nmax), F.col("i1") == F.col("n"))
+        .select("pj", F.expr("pmc + cost").alias("tc"))
+    )
+    fmin = fin.agg(F.min("tc").alias("total"))
+    p3 = (
+        fin.join(F.broadcast(fmin), F.col("tc") == F.col("total"))
+        .agg(F.min("pj").alias("i3"), F.min("total").alias("total"))
+        .localCheckpoint()  # 1 row
+    )
+    p2 = l3.join(p3, l3["j"] == p3["i3"]).select(
+        F.col("split").alias("i2"), "i3", "total"
+    )
+    p1 = (
+        l2.join(p2, l2["j"] == p2["i2"])
+        .select(F.col("split").alias("i1"), "i2", "i3", "total")
+        .crossJoin(F.broadcast(nmax))
+        .localCheckpoint()  # 1 row: (i1, i2, i3, total, n)
+    )
+    bounds = (
+        p1.select(F.lit(1).alias("bucket"), F.lit(0).alias("lo"), F.col("i1").alias("hi"), "total")
+        .unionByName(p1.select(F.lit(2).alias("bucket"), F.col("i1").alias("lo"), F.col("i2").alias("hi"), "total"))
+        .unionByName(p1.select(F.lit(3).alias("bucket"), F.col("i2").alias("lo"), F.col("i3").alias("hi"), "total"))
+        .unionByName(p1.select(F.lit(4).alias("bucket"), F.col("i3").alias("lo"), F.col("n").alias("hi"), "total"))
+    )
+    return (
+        bounds.join(
+            cst, (F.col("i0") == F.col("lo")) & (F.col("i1") == F.col("hi"))
+        )
+        .join(
+            pre.select(F.col("i").alias("ilo"), F.col("band").alias("band_lo")),
+            F.col("ilo") == F.col("lo") + 1,
+        )
+        .join(
+            pre.select(F.col("i").alias("ihi"), F.col("band").alias("band_hi")),
+            F.col("ihi") == F.col("hi"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("band_lo").cast("int").alias("band_lo"),
+            F.col("band_hi").cast("int").alias("band_hi"),
+            F.col("m").cast("long").alias("n_bands"),
+            F.col("s").cast("long").alias("n_rows"),
+            F.col("cost").cast("long").alias("cost_ppm"),
+            F.col("total").cast("long").alias("total_cost_ppm"),
+        )
+        .orderBy("bucket")
+    )

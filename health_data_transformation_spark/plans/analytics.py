@@ -21331,3 +21331,227 @@ def q323(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _q324_oracle() -> str:
+    return """WITH toks AS (
+          SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+       ranked AS (
+          SELECT tok, row_number() OVER (ORDER BY tok) AS rn FROM toks),
+       adj AS (
+          SELECT b.tok AS tok, a.tok AS prev
+          FROM ranked b LEFT JOIN ranked a ON a.rn = b.rn - 1),
+       pl AS (
+          SELECT tok,
+                 CASE WHEN prev IS NULL THEN 0 ELSE
+                   coalesce(nullif(list_position(
+                     list_transform(range(1, least(strlen(tok),
+                                                   strlen(prev)) + 1),
+                       i -> substr(tok, CAST(i AS INTEGER), 1)
+                            = substr(prev, CAST(i AS INTEGER), 1)),
+                     false) - 1, -1),
+                     least(strlen(tok), strlen(prev))) END AS p
+          FROM adj),
+       rep AS (
+          SELECT count(*) AS n_types,
+                 sum(strlen(tok)) AS raw_bytes,
+                 sum(strlen(tok) - p + 1) AS coded_bytes,
+                 max(p) AS max_prefix
+          FROM pl)
+       SELECT CAST(n_types AS BIGINT) AS n_types,
+              CAST(raw_bytes AS BIGINT) AS raw_bytes,
+              CAST(coded_bytes AS BIGINT) AS coded_bytes,
+              CAST((CAST(raw_bytes - coded_bytes AS HUGEINT) * 1000000)
+                   // raw_bytes AS BIGINT) AS savings_ppm,
+              CAST(max_prefix AS BIGINT) AS max_prefix
+       FROM rep"""
+
+
+@register(
+    "q324_front_coding_estimate",
+    _q324_oracle(),
+    "front-coding (incremental-prefix) dictionary size estimate — "
+    "the term-dictionary compression every columnar string "
+    "dictionary and search index uses (Lucene's shared-prefix "
+    "blocks, Parquet's DELTA_BYTE_ARRAY), and the sizing input "
+    "q243's encoding advisor lacks for strings: the distinct "
+    "vocabulary in lexicographic order, each term stored as "
+    "(shared-prefix length with its PREDECESSOR, suffix) — coded "
+    "bytes = len - prefix + 1 per term.  The predecessor comes "
+    "from the two-phase global rank + a rank-shift equi self-join "
+    "(rn = rn-1) — NEVER a single-partition lag window over the "
+    "vocabulary (the q271 window class; the vocabulary is "
+    "corpus-sized at 100 TB); the common-prefix length is a "
+    "zip-compare over char arrays + first-mismatch position, "
+    "row-local and engine-identical.  Report: type count, raw vs "
+    "front-coded bytes, savings in exact floor-ppm, max shared "
+    "prefix.  Plan: one distinct aggregate, one range exchange "
+    "for the rank, one co-partitioned shift join, one "
+    "map-combinable rollup",
+)
+def q324(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = (
+        d.select(F.explode(T.tokens("text")).alias("tok"))
+        .distinct()
+    )
+    ranked = K.global_row_number(toks, [F.asc("tok")]).localCheckpoint()
+    adj = ranked.alias("b").join(
+        ranked.select(
+            (F.col("rn") + 1).alias("rn"), F.col("tok").alias("prev")
+        ).alias("a"),
+        "rn",
+        "left",
+    )
+    ca = F.split(F.col("tok"), "")
+    cb = F.split(F.col("prev"), "")
+    minlen = F.least(F.length("tok"), F.length("prev"))
+    eqs = F.zip_with(
+        F.slice(ca, 1, minlen), F.slice(cb, 1, minlen), lambda x, y: x == y
+    )
+    pl = adj.select(
+        "tok",
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .otherwise(
+            F.coalesce(
+                F.nullif(F.array_position(eqs, F.lit(False)) - 1, F.lit(-1)),
+                minlen,
+            )
+        )
+        .alias("p"),
+    )
+    return pl.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.length("tok")).cast("long").alias("raw_bytes"),
+        F.sum(F.length("tok") - F.col("p") + 1)
+        .cast("long")
+        .alias("coded_bytes"),
+        F.max("p").cast("long").alias("max_prefix"),
+    ).select(
+        "n_types",
+        "raw_bytes",
+        "coded_bytes",
+        F.expr(
+            "CAST(raw_bytes - coded_bytes AS DECIMAL(38,0)) * 1000000"
+            " div raw_bytes"  # div-ok: savings share, quotient <= 1e6
+        )
+        .cast("long")
+        .alias("savings_ppm"),
+        "max_prefix",
+    )
+
+
+def _q325_oracle() -> str:
+    return """WITH post AS (
+          SELECT DISTINCT unnest(string_split(text, ' ')) AS tok, doc_id
+          FROM documents),
+       ranked AS (
+          SELECT tok, doc_id,
+                 row_number() OVER (PARTITION BY tok
+                                    ORDER BY doc_id) AS rn
+          FROM post),
+       gaps AS (
+          SELECT b.tok AS tok,
+                 CASE WHEN a.doc_id IS NULL THEN b.doc_id + 1
+                      ELSE b.doc_id - a.doc_id END AS gap
+          FROM ranked b LEFT JOIN ranked a
+            ON a.tok = b.tok AND a.rn = b.rn - 1),
+       sized AS (
+          SELECT tok, gap,
+                 (length(bin(greatest(gap, 1))) - 1 + 7) // 7 AS vbytes
+          FROM gaps),
+       per AS (
+          SELECT tok, count(*) AS df, sum(vbytes) AS post_bytes,
+                 max(gap) AS max_gap
+          FROM sized GROUP BY tok),
+       rep AS (
+          SELECT count(*) AS n_terms, sum(df) AS n_postings,
+                 sum(post_bytes) AS varint_bytes,
+                 sum(df) * 8 AS raw_bytes,
+                 max(max_gap) AS max_gap
+          FROM per)
+       SELECT CAST(n_terms AS BIGINT) AS n_terms,
+              CAST(n_postings AS BIGINT) AS n_postings,
+              CAST(raw_bytes AS BIGINT) AS raw_bytes,
+              CAST(varint_bytes AS BIGINT) AS varint_bytes,
+              CAST((CAST(raw_bytes - varint_bytes AS HUGEINT) * 1000000)
+                   // raw_bytes AS BIGINT) AS savings_ppm,
+              CAST(max_gap AS BIGINT) AS max_gap
+       FROM rep"""
+
+
+@register(
+    "q325_postings_compression_estimate",
+    _q325_oracle(),
+    "posting-list delta-gap + varint size estimate (the index-"
+    "sizing arithmetic behind every inverted index — Lucene/ "
+    "Elasticsearch postings are EXACTLY gap-encoded varints — and "
+    "the capacity-planning companion to q224's logical index "
+    "build): per term the sorted postings become first-id+1 and "
+    "successive gaps (the shift comes from a rank self-join "
+    "within (term) — the rank window partitions on the HIGH-"
+    "cardinality term, never a global sort), each gap costs "
+    "ceil(bits/7) varint bytes computed exactly via the q174 "
+    "len(bin)-1 idiom — no fp log, engine-identical.  Report: "
+    "term/posting counts, raw 8-byte-id cost vs varint cost, "
+    "savings in exact floor-ppm, and the largest gap (the "
+    "worst-case skip-list hop).  Plan: distinct postings + two "
+    "term-keyed stages, all map-combinable or co-partitioned on "
+    "the term; nothing global",
+)
+def q325(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    post = d.select(
+        F.explode(T.tokens("text")).alias("tok"), "doc_id"
+    ).distinct()
+    ranked = post.select(
+        "tok",
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy("tok").orderBy("doc_id"))
+        .alias("rn"),
+    ).localCheckpoint()  # read by both sides of the shift join
+    gaps = ranked.alias("b").join(
+        ranked.select(
+            "tok", (F.col("rn") + 1).alias("rn"), F.col("doc_id").alias("prev")
+        ).alias("a"),
+        ["tok", "rn"],
+        "left",
+    ).select(
+        "tok",
+        F.when(F.col("prev").isNull(), F.col("b.doc_id") + 1)
+        .otherwise(F.col("b.doc_id") - F.col("prev"))
+        .alias("gap"),
+    )
+    sized = gaps.select(
+        "tok",
+        "gap",
+        F.expr(
+            "(length(bin(greatest(gap, 1))) - 1 + 7) div 7"  # div-ok: varint byte count, quotient <= 9
+        ).alias("vbytes"),
+    )
+    per = sized.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.sum("vbytes").alias("post_bytes"),
+        F.max("gap").alias("max_gap"),
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        (F.sum("df") * 8).cast("long").alias("raw_bytes"),
+        F.sum("post_bytes").cast("long").alias("varint_bytes"),
+        F.max("max_gap").cast("long").alias("max_gap"),
+    ).select(
+        "n_terms",
+        "n_postings",
+        "raw_bytes",
+        "varint_bytes",
+        F.expr(
+            "CAST(raw_bytes - varint_bytes AS DECIMAL(38,0)) * 1000000"
+            " div raw_bytes"  # div-ok: savings share, quotient <= 1e6
+        )
+        .cast("long")
+        .alias("savings_ppm"),
+        "max_gap",
+    )

@@ -21555,3 +21555,394 @@ def q325(spark: SparkSession, sf: str) -> DataFrame:
         .alias("savings_ppm"),
         "max_gap",
     )
+
+
+_OOF_FOLDS = 5
+_OOF_PRIOR = 20
+
+
+def _q326_oracle() -> str:
+    hf = hex_hash64_sql("CAST(o_orderkey AS VARCHAR)", salt="oof")
+    return f"""WITH rows_ AS (
+          SELECT c_nationkey AS cat,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS y,
+                 CAST(({hf}) % {_OOF_FOLDS} AS INTEGER) AS fold
+          FROM orders JOIN customer ON c_custkey = o_custkey),
+       gm AS (
+          SELECT sum(CAST(y AS HUGEINT)) // count(*) AS prior
+          FROM rows_),
+       cell AS (
+          SELECT cat, fold, count(*) AS n, sum(CAST(y AS HUGEINT)) AS s
+          FROM rows_ GROUP BY cat, fold),
+       catt AS (
+          SELECT cat, sum(n) AS nc, sum(s) AS sc FROM cell
+          GROUP BY cat),
+       enc AS (
+          SELECT c.cat, c.fold, c.n AS n_fold,
+                 (t.sc + {_OOF_PRIOR} * prior)
+                   // (t.nc + {_OOF_PRIOR}) AS enc_naive,
+                 ((t.sc - c.s) + {_OOF_PRIOR} * prior)
+                   // ((t.nc - c.n) + {_OOF_PRIOR}) AS enc_oof
+          FROM cell c JOIN catt t ON t.cat = c.cat CROSS JOIN gm),
+       per AS (
+          SELECT cat, max(enc_naive) AS enc_naive,
+                 sum(n_fold) AS n_rows,
+                 max(abs(enc_naive - enc_oof)) AS max_gap_cents,
+                 sum(n_fold * abs(enc_naive - enc_oof)) AS wsum
+          FROM enc GROUP BY cat)
+       SELECT CAST(cat AS INTEGER) AS cat,
+              CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(enc_naive AS BIGINT) AS enc_naive_cents,
+              CAST(max_gap_cents AS BIGINT) AS max_gap_cents,
+              CAST((wsum * 1000000) // n_rows AS BIGINT)
+                AS wmean_gap_milli_cents
+       FROM per ORDER BY cat"""
+
+
+@register(
+    "q326_oof_target_encoding",
+    _q326_oracle(),
+    "out-of-fold target encoding with an IN-RESULT leakage "
+    "differential (the footgun q109's smoothed encoder and q286's "
+    "group folds each solve half of: a target encoding fit on ALL "
+    "rows leaks the target into training folds, inflating every "
+    "offline metric — the standard fix is per-fold encodings from "
+    "the OTHER folds, and this query MEASURES the gap instead of "
+    "asserting it): per (category, fold) cells, the naive "
+    "all-rows smoothed mean (prior weight "
+    f"{_OOF_PRIOR} toward the floored global mean) beside the "
+    "leave-fold-out encoding ((S_cat - S_fold + m*prior)/"
+    "(n_cat - n_fold + m)), all in exact floored cents; per "
+    "category the max and row-weighted mean absolute gap — "
+    "rare categories show cent-scale gaps (that IS the leakage "
+    "signal), dense ones shrink toward zero.  Plan: one fact "
+    "join + ONE (category x fold) cell aggregate; every encoding "
+    "derives from cells by subtraction (never a per-fold rescan), "
+    "and all downstream frames are bounded by |categories| x "
+    f"{_OOF_FOLDS}",
+)
+def q326(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    rows_ = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("cat"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("y"),
+        (
+            T.hex_hash64(F.col("o_orderkey").cast("string"), salt="oof")
+            % _OOF_FOLDS
+        )
+        .cast("int")
+        .alias("fold"),
+    )
+    gm = rows_.agg(
+        F.expr(
+            _exdiv(
+                "sum(CAST(y AS DECIMAL(38,0)))",
+                "CAST(count(*) AS DECIMAL(38,0))",
+            )
+        ).alias("prior")
+    )
+    cell = rows_.groupBy("cat", "fold").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+    ).localCheckpoint()  # |cats| x folds rows; read by catt and enc
+    catt = cell.groupBy("cat").agg(
+        F.sum("n").alias("nc"), F.sum("s").alias("sc")
+    )
+    enc = (
+        cell.join(catt, "cat")
+        .crossJoin(F.broadcast(gm))
+        .select(
+            "cat",
+            F.col("n").alias("n_fold"),
+            F.expr(
+                _exdiv(
+                    f"sc + {_OOF_PRIOR} * prior",
+                    f"CAST(nc + {_OOF_PRIOR} AS DECIMAL(38,0))",
+                )
+            ).alias("enc_naive"),
+            F.expr(
+                _exdiv(
+                    f"(sc - s) + {_OOF_PRIOR} * prior",
+                    f"CAST((nc - n) + {_OOF_PRIOR} AS DECIMAL(38,0))",
+                )
+            ).alias("enc_oof"),
+        )
+    )
+    return (
+        enc.groupBy("cat")
+        .agg(
+            F.max("enc_naive").alias("enc_naive"),
+            F.sum("n_fold").alias("n_rows"),
+            F.max(F.abs(F.col("enc_naive") - F.col("enc_oof"))).alias(
+                "max_gap"
+            ),
+            F.sum(
+                F.col("n_fold")
+                * F.abs(F.col("enc_naive") - F.col("enc_oof"))
+            ).alias("wsum"),
+        )
+        .select(
+            F.col("cat").cast("int").alias("cat"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("enc_naive").cast("long").alias("enc_naive_cents"),
+            F.col("max_gap").cast("long").alias("max_gap_cents"),
+            F.expr(
+                "CAST(wsum AS DECIMAL(38,0)) * 1000000 div n_rows"  # div-ok: weighted mean gap (milli-cents), bounded by max gap x 1e6
+            )
+            .cast("long")
+            .alias("wmean_gap_milli_cents"),
+        )
+        .orderBy("cat")
+    )
+
+
+def _q327_oracle() -> str:
+    return """WITH ranked AS (
+          SELECT c_custkey AS k,
+                 row_number() OVER (ORDER BY c_custkey) AS r
+          FROM customer),
+       mom AS (
+          SELECT count(*) AS n,
+                 sum(CAST(k AS HUGEINT)) AS sx,
+                 sum(CAST(r AS HUGEINT)) AS sy
+          FROM ranked),
+       cen AS (SELECT n, sx // n AS km, sy // n AS rm FROM mom),
+       moc AS (
+          SELECT sum((CAST(k AS HUGEINT) - km)
+                     * (CAST(k AS HUGEINT) - km)) AS sxx,
+                 sum((CAST(k AS HUGEINT) - km)
+                     * (CAST(r AS HUGEINT) - rm)) AS sxy
+          FROM ranked CROSS JOIN cen),
+       beta AS (
+          SELECT (sxy * 1000000 - (sxy * 1000000) % sxx) // sxx
+                   AS beta_ppm
+          FROM moc),
+       err AS (
+          SELECT abs(CAST(r AS HUGEINT) - rm
+                     - ((CAST(k AS HUGEINT) - km) * beta_ppm
+                        - ((CAST(k AS HUGEINT) - km) * beta_ppm)
+                          % 1000000) // 1000000) AS e
+          FROM ranked CROSS JOIN cen CROSS JOIN beta)
+       SELECT CAST((SELECT n FROM cen) AS BIGINT) AS n,
+              CAST((SELECT beta_ppm FROM beta) AS BIGINT) AS beta_ppm,
+              CAST(max(e) AS BIGINT) AS max_abs_err,
+              CAST((sum(e) * 1000000) // (SELECT n FROM cen) AS BIGINT)
+                AS mean_abs_err_ppm
+       FROM err"""
+
+
+@register(
+    "q327_learned_index_bound",
+    _q327_oracle(),
+    "learned-index error bound (the RMI/PGM question: 'if a linear "
+    "model predicts each key's position, how far can it be off?' — "
+    "max error IS the index's search-window size, the number that "
+    "decides whether a learned index beats a B-tree): keys ranked "
+    "by the two-phase global_row_number (never a single-partition "
+    "window over the key column), a least-squares slope in exact "
+    "integer arithmetic over FLOOR-CENTERED moments (km = Sx//n, "
+    "rm = Sy//n — the centering convention is part of the spec, "
+    "stated so both engines compute the identical estimator; "
+    "centered Sxx ~ n*range^2 stays inside DECIMAL(38)/HUGEINT "
+    "where the uncentered n*Sxx form would overflow at 100 TB), "
+    "the slope quantized to ppm with the sign-safe (v - v %% d)/d "
+    "truncation identity (q321 lesson — residuals ARE signed), and "
+    "per-key absolute rank error of the QUANTIZED model — the "
+    "model a learned index would actually deploy.  Report: n, "
+    "slope ppm, max error (the search window) and mean error ppm. "
+    " Plan: one range exchange for the rank, then three "
+    "map-combinable moment/error aggregates; state is O(1)",
+)
+def q327(spark: SparkSession, sf: str) -> DataFrame:
+    keys = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    ranked = K.global_row_number(keys, [F.asc("k")], "r").localCheckpoint()
+    mom = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("k").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("r").cast("decimal(38,0)")).alias("sy"),
+    )
+    cen = mom.select(
+        "n",
+        F.expr(_exdiv("sx", "CAST(n AS DECIMAL(38,0))")).alias("km"),
+        F.expr(_exdiv("sy", "CAST(n AS DECIMAL(38,0))")).alias("rm"),
+    ).localCheckpoint()  # 1 row
+    moc = ranked.crossJoin(F.broadcast(cen)).agg(
+        F.sum(
+            F.expr(
+                "(CAST(k AS DECIMAL(38,0)) - km)"
+                " * (CAST(k AS DECIMAL(38,0)) - km)"
+            )
+        ).alias("sxx"),
+        F.sum(
+            F.expr(
+                "(CAST(k AS DECIMAL(38,0)) - km)"
+                " * (CAST(r AS DECIMAL(38,0)) - rm)"
+            )
+        ).alias("sxy"),
+    )
+    beta = moc.select(
+        F.expr(
+            _exdiv("sxy * CAST(1000000 AS DECIMAL(38,0))", "sxx")
+        ).alias("beta_ppm")
+    )
+    err = ranked.crossJoin(F.broadcast(cen)).crossJoin(
+        F.broadcast(beta)
+    ).select(
+        F.abs(
+            F.expr(
+                "CAST(r AS DECIMAL(38,0)) - rm - "
+                + _exdiv(
+                    "(CAST(k AS DECIMAL(38,0)) - km) * beta_ppm",
+                    "CAST(1000000 AS DECIMAL(38,0))",
+                )
+            )
+        ).alias("e"),
+        "n",
+        "beta_ppm",
+    )
+    return err.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("beta_ppm").cast("long").alias("beta_ppm"),
+        F.max("e").cast("long").alias("max_abs_err"),
+        F.expr(
+            "CAST(sum(e) AS DECIMAL(38,0)) * 1000000 div max(n)"  # div-ok: mean rank error ppm, quotient <= max_err x 1e6
+        )
+        .cast("long")
+        .alias("mean_abs_err_ppm"),
+    ).select("n", "beta_ppm", "max_abs_err", "mean_abs_err_ppm")
+
+
+_BF_M = 1 << 18  # bits
+_BF_K = 3  # hash functions
+
+
+def _q328_oracle() -> str:
+    def h(i: int, key: str = "k") -> str:
+        return (
+            hex_hash64_sql(f"CAST({key} AS VARCHAR)", salt=f"b{i}")
+            + f" % {_BF_M}"
+        )
+
+    hm = hex_hash64_sql("CAST(c_custkey AS VARCHAR)", salt="bm")
+    poss = ", ".join(f"({h(i)})" for i in range(_BF_K))
+    return f"""WITH split AS (
+          SELECT c_custkey AS k, ({hm}) % 2 AS grp FROM customer),
+       members AS (SELECT k FROM split WHERE grp = 0),
+       probes AS (SELECT k FROM split WHERE grp = 1),
+       bits AS (
+          SELECT DISTINCT pos FROM members,
+          unnest([{poss}]) AS u(pos)),
+       probe_bits AS (
+          SELECT k, pos FROM probes, unnest([{poss}]) AS u(pos)),
+       matched AS (
+          SELECT pb.k, count(*) AS hit
+          FROM probe_bits pb SEMI JOIN bits b ON b.pos = pb.pos
+          GROUP BY pb.k),
+       fp AS (SELECT count(*) AS n_fp FROM matched
+              WHERE hit = {_BF_K}),
+       stats AS (
+          SELECT (SELECT count(*) FROM members) AS n_members,
+                 (SELECT count(*) FROM probes) AS n_probes,
+                 (SELECT count(*) FROM bits) AS n_bits_set,
+                 (SELECT n_fp FROM fp) AS n_fp)
+       SELECT CAST(n_members AS BIGINT) AS n_members,
+              CAST(n_probes AS BIGINT) AS n_probes,
+              CAST(n_bits_set AS BIGINT) AS n_bits_set,
+              CAST((CAST(n_bits_set AS HUGEINT) * 1000000) // {_BF_M}
+                   AS BIGINT) AS occupancy_ppm,
+              CAST(n_fp AS BIGINT) AS n_false_pos,
+              CAST((CAST(n_fp AS HUGEINT) * 1000000) // n_probes
+                   AS BIGINT) AS fpr_ppm
+       FROM stats"""
+
+
+@register(
+    "q328_bloom_fpr_measured",
+    _q328_oracle(),
+    "Bloom-filter false-positive rate MEASURED, not assumed (the "
+    "verification q113's bloom pre-screen and every "
+    "bloom-join-pushdown claim rest on: does the deployed (m, k) "
+    "actually deliver its promised FPR on THIS key distribution?): "
+    f"half the keys (hash-split) build an m={_BF_M}-bit, "
+    f"k={_BF_K}-hash filter as a DISTINCT set-bit relation; the "
+    "other half — guaranteed true negatives — probe it, and a "
+    "probe is a false positive iff ALL k of its bit positions are "
+    "set (a bit-keyed semi join + count, never a bitmap in driver "
+    "memory — the filter is a RELATION, which is exactly how a "
+    "distributed bloom build shuffles before being packed).  "
+    "Report: build/probe sizes, set-bit occupancy and measured "
+    "FPR in exact floor-ppm.  SIZING NOTE (the scale contract): m "
+    "is a constant here, so occupancy saturates if n grows "
+    "unbounded — a production build sizes m ~ n*bits_per_key "
+    "BEFORE this query verifies the result; the verification "
+    "pattern itself is scale-free (bit-keyed equi joins).  Plan: "
+    f"constant x{_BF_K} fanouts, one distinct on <= m values, one "
+    "semi join, one grouped count",
+)
+def q328(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    split = c.select(
+        "k",
+        (T.hex_hash64(F.col("k").cast("string"), salt="bm") % 2).alias(
+            "grp"
+        ),
+    )
+    def positions(df):
+        return df.select(
+            "k",
+            F.explode(
+                F.array(
+                    *[
+                        T.hex_hash64(
+                            F.col("k").cast("string"), salt=f"b{i}"
+                        )
+                        % _BF_M
+                        for i in range(_BF_K)
+                    ]
+                )
+            ).alias("pos"),
+        )
+    members = split.filter(F.col("grp") == 0).select("k")
+    probes = split.filter(F.col("grp") == 1).select("k")
+    bits = positions(members).select("pos").distinct()
+    matched = (
+        positions(probes)
+        .join(bits, "pos", "semi")
+        .groupBy("k")
+        .agg(F.count("*").alias("hit"))
+    )
+    n_m = members.agg(F.count("*").alias("n_members"))
+    n_p = probes.agg(F.count("*").alias("n_probes"))
+    n_b = bits.agg(F.count("*").alias("n_bits_set"))
+    n_fp = matched.filter(F.col("hit") == _BF_K).agg(
+        F.count("*").alias("n_fp")
+    )
+    return (
+        n_m.crossJoin(F.broadcast(n_p))
+        .crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(n_fp))
+        .select(
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_probes").cast("long").alias("n_probes"),
+            F.col("n_bits_set").cast("long").alias("n_bits_set"),
+            F.expr(
+                f"CAST(n_bits_set AS DECIMAL(38,0)) * 1000000 div {_BF_M}"  # div-ok: occupancy share, quotient <= 1e6
+            )
+            .cast("long")
+            .alias("occupancy_ppm"),
+            F.col("n_fp").cast("long").alias("n_false_pos"),
+            F.expr(
+                "CAST(n_fp AS DECIMAL(38,0)) * 1000000 div n_probes"  # div-ok: FPR share, quotient <= 1e6
+            )
+            .cast("long")
+            .alias("fpr_ppm"),
+        )
+    )

@@ -226,6 +226,13 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q319_matryoshka_truncation_eval",
     # 1-row corpus-token-total frame under the PMI lifts (q174 idiom)
     "q320_skipgram_pmi",
+    # 1-row global-prior frame under the (category x fold) encodings
+    "q326_oof_target_encoding",
+    # 1-row centered-moment / slope frames attached to the key scan
+    # (the O(1)-state regression passes)
+    "q327_learned_index_bound",
+    # four 1-row count frames crossed into the single-row FPR report
+    "q328_bloom_fpr_measured",
     # 1-row moment-totals frame crossed with the 1-row SSB frame per
     # factor (x3 factors)
     "q322_anova_effect_size",

@@ -960,3 +960,41 @@ def test_patch_grid_stats_equals_naive(w, h, ph, pw, seed):
         bmp_pixels(bmp_encode_pixels(px))[:, :, 2], ph, pw
     )
     assert (sums2 == sums).all()
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(-(10**30), 10**30),  # signed dividend v
+            st.integers(1, 10**15),  # positive divisor d
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_exdiv_identity_matches_python_truncation(spark, vals):
+    """The `_exdiv` decimal floor/truncation identity (v - v % d)/d —
+    load-bearing in q298/q303/q304/q311/q316/q321/q322/q323/q326/q327
+    — equals Python's exact semantics on a real Spark session:
+    floor division for v >= 0, truncation toward zero for v < 0
+    (Spark's % follows the dividend sign, so subtracting the
+    remainder leaves an exact multiple; the DECIMAL division is then
+    exact far past int64, where bare `div` silently wraps)."""
+    import pyspark.sql.functions as F
+
+    from health_data_transformation_spark.plans.analytics import _exdiv
+
+    rows = [(i, str(v), str(d)) for i, (v, d) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i int, v string, d string").select(
+        "i",
+        F.expr(
+            _exdiv(
+                "CAST(v AS DECIMAL(38,0))", "CAST(d AS DECIMAL(38,0))"
+            )
+        ).alias("q"),
+    )
+    got = {r["i"]: int(r["q"]) for r in df.collect()}
+    for i, (v, d) in enumerate(vals):
+        expect = v // d if v >= 0 else -((-v) // d)  # trunc toward zero
+        assert got[i] == expect, (v, d, got[i], expect)

@@ -305,26 +305,37 @@ def bmp_encode_gray24(data: bytes, width: int = 30) -> bytes:
     return bmp_encode_pixels(np.repeat(flat, 3).reshape(height, width, 3))
 
 
+class BmpMagicError(ValueError):
+    """Payload is not a BMP container (missing 'BM' magic)."""
+
+
+class BmpFormatError(ValueError):
+    """Valid BMP container but an unsupported variant (non-24-bpp,
+    compressed, or unknown header)."""
+
+
 def bmp_pixels(payload: bytes):
     """REAL BMP decode: validate the container, return the (H, W, 3)
     uint8 BGR pixel array in top-down row order.  Handles both
     bottom-up (positive height) and top-down (negative height) files
     and arbitrary stride padding; rejects non-24-bpp or compressed
-    variants explicitly rather than mis-decoding them."""
+    variants explicitly rather than mis-decoding them.  Raises typed
+    exceptions (BmpMagicError / BmpFormatError) so quarantine
+    classification keys on type, not message text."""
     import struct
 
     import numpy as np
 
     if payload[:2] != b"BM":
-        raise ValueError("not a BMP payload (missing 'BM' magic)")
+        raise BmpMagicError("not a BMP payload (missing 'BM' magic)")
     (off,) = struct.unpack_from("<I", payload, 10)
     hdr, width, height, planes, bpp, comp = struct.unpack_from(
         "<IiiHHI", payload, 14
     )
     if hdr < 40 or planes != 1:
-        raise ValueError(f"unsupported BMP header (size={hdr}, planes={planes})")
+        raise BmpFormatError(f"unsupported BMP header (size={hdr}, planes={planes})")
     if bpp != 24 or comp != 0:
-        raise ValueError(f"only uncompressed 24-bpp supported (bpp={bpp}, comp={comp})")
+        raise BmpFormatError(f"only uncompressed 24-bpp supported (bpp={bpp}, comp={comp})")
     top_down = height < 0
     height = abs(height)
     stride = _bmp_stride(width)
@@ -447,11 +458,16 @@ DECODE_QUARANTINE_SCHEMA = (
 
 
 def classify_bmp_error(exc: Exception) -> str:
-    """Stable quarantine reason taxonomy for BMP decode failures."""
-    msg = str(exc)
-    if "magic" in msg:
+    """Stable quarantine reason taxonomy for BMP decode failures.
+
+    Keys on the decoder's TYPED exceptions (BmpMagicError /
+    BmpFormatError), not message substrings — a reworded error message
+    can no longer silently reclassify failures into 'corrupt' (ADVICE
+    r5).  Anything else (struct.error on a truncated header, numpy
+    buffer-too-small on a truncated body) is 'corrupt'."""
+    if isinstance(exc, BmpMagicError):
         return "bad_magic"
-    if "24-bpp" in msg or "unsupported BMP header" in msg:
+    if isinstance(exc, BmpFormatError):
         return "bad_format"
     return "corrupt"
 
@@ -471,12 +487,23 @@ def decode_quarantine_pipeline(
         for batch in batches:
             ids, statuses, sizes, sums = [], [], [], []
             for doc_id, payload in zip(batch[id_col], batch[payload_col]):
-                raw = bytes(payload)
                 ids.append(doc_id)
-                sizes.append(len(raw))
+                if payload is None:
+                    # The classic quarantine input: a NULL binary must
+                    # land in a quarantine row, not raise TypeError in
+                    # the Arrow worker and kill the whole task (ADVICE
+                    # r5 — bytes(None) ran outside the try).
+                    sizes.append(0)
+                    statuses.append("null_payload")
+                    sums.append(None)
+                    continue
                 try:
+                    raw = bytes(payload)
+                    sizes.append(len(raw))
                     px = bmp_pixels(raw)
                 except Exception as exc:
+                    if len(sizes) < len(ids):
+                        sizes.append(0)
                     statuses.append(classify_bmp_error(exc))
                     sums.append(None)
                     continue

@@ -210,7 +210,10 @@ def grouped_running_sum(
     table is one row per (group, slice) — collected, never the data.
 
     Callers must make (group, order_by) a total order for
-    deterministic prefix sums.
+    deterministic prefix sums.  Group keys may be NULL (mapped to a
+    sentinel internally); the group type's string cast must be
+    injective over the values present (true for the string/int/date
+    keys in use — not for e.g. binary).
     """
     gcol = F.col(group_by)
     keys = [gcol.asc(), *order_by]
@@ -223,31 +226,41 @@ def grouped_running_sum(
     # global_row_number: offsets must be measured on the same physical
     # layout every consumer reads.
     part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
-    sums = part.groupBy(gcol.alias("_g"), F.col("_pid")).agg(
+    # The map key must be built from the SAME cast semantics on both the
+    # build (collected) and probe (expression) side.  Python str(g) does
+    # NOT match Spark's string cast for booleans ('True' vs 'true'),
+    # dates/timestamps/floats — and concat_ws silently skips NULL group
+    # keys, so a str(None)='None' build key would never be probed
+    # (ADVICE r5, silent-wrong-answer class).  Fix: phase 1 aggregates
+    # on Spark's own cast with a NULL sentinel, and the collected value
+    # of that expression keys the map.
+    null_sentinel = "\x00<NULL>"
+    gstr = F.coalesce(gcol.cast("string"), F.lit(null_sentinel))
+    sums = part.groupBy(gstr.alias("_gk"), F.col("_pid")).agg(
         F.sum(val_col).alias("_s")
     )
     rows = sorted(
-        ((r["_g"], r["_pid"], r["_s"] or 0) for r in sums.collect()),
-        key=lambda t: (str(t[0]), t[1]),
+        ((r["_gk"], r["_pid"], r["_s"] or 0) for r in sums.collect()),
+        key=lambda t: (t[0], t[1]),
     )
     offsets: dict[tuple, int] = {}
     acc: dict = {}
-    for g, pid, s in rows:
-        offsets[(g, pid)] = acc.get(g, 0)
-        acc[g] = acc.get(g, 0) + s
+    for gk, pid, s in rows:
+        offsets[(gk, pid)] = acc.get(gk, 0)
+        acc[gk] = acc.get(gk, 0) + s
     off_expr = (
         F.element_at(
             F.create_map(
                 *[
                     x
-                    for (g, pid), v in offsets.items()
+                    for (gk, pid), v in offsets.items()
                     for x in (
-                        F.concat_ws("|", F.lit(str(g)), F.lit(str(pid))),
+                        F.concat_ws("|", F.lit(gk), F.lit(str(pid))),
                         F.lit(v),
                     )
                 ]
             ),
-            F.concat_ws("|", gcol.cast("string"), F.col("_pid").cast("string")),
+            F.concat_ws("|", gstr, F.col("_pid").cast("string")),
         )
         if offsets
         else F.lit(0)
@@ -294,13 +307,25 @@ def global_running_max(
         offsets[pid] = acc
         if m is not None and (acc is None or m > acc):
             acc = m
-    # NULL-safe slice offset: map pid -> max of earlier slices
-    off_expr = F.lit(None)
-    for pid, v in offsets.items():
-        off_expr = F.when(
-            F.col("_pid") == pid,
-            F.lit(v) if v is not None else F.lit(None),
-        ).otherwise(off_expr)
+    # NULL-safe slice offset via create_map + element_at, like the
+    # sum/rank siblings — a when/otherwise chain one level deep per
+    # partition risks Catalyst codegen/stack blowups at the
+    # hundreds-of-partitions regime this operator exists for (ADVICE
+    # r5).  None-valued entries (the first slice, or all-NULL earlier
+    # slices) are simply OMITTED: element_at on a missing key returns
+    # NULL, and F.greatest ignores NULLs.
+    val_type = part.schema[val_col].dataType
+    entries = [
+        x
+        for pid, v in offsets.items()
+        if v is not None
+        for x in (F.lit(pid), F.lit(v).cast(val_type))
+    ]
+    off_expr = (
+        F.element_at(F.create_map(*entries), F.col("_pid"))
+        if entries
+        else F.lit(None).cast(val_type)
+    )
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_by)

@@ -998,3 +998,115 @@ def test_exdiv_identity_matches_python_truncation(spark, vals):
     for i, (v, d) in enumerate(vals):
         expect = v // d if v >= 0 else -((-v) // d)  # trunc toward zero
         assert got[i] == expect, (v, d, got[i], expect)
+
+
+def test_grouped_running_sum_null_and_boolean_groups(spark):
+    """ADVICE-r5 regression: the slice-offset map key must come from
+    Spark's string-cast semantics, not Python repr.  A NULL group key
+    (concat_ws skips NULLs) and a boolean group ('True' vs 'true')
+    both made element_at miss and cum_before come out NULL/wrong."""
+    from health_data_transformation_spark.operators.topk import (
+        grouped_running_sum,
+    )
+
+    # NULL group: all its rows form one group, exclusive prefix sums.
+    df = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 20), ("a", 1, 5), (None, 3, 1), ("a", 2, 7)],
+        "g string, i int, v int",
+    )
+    got = {
+        (r["g"], r["i"]): r["cum_before"]
+        for r in grouped_running_sum(
+            df.repartition(4), "g", [F.asc("i")], "v", num_partitions=3
+        ).collect()
+    }
+    assert got == {
+        (None, 1): 0,
+        (None, 2): 10,
+        (None, 3): 30,
+        ("a", 1): 0,
+        ("a", 2): 5,
+    }
+
+    # Boolean group: Python str(True)='True' but Spark cast yields
+    # 'true' — the old build-side key never matched the probe.
+    dfb = spark.createDataFrame(
+        [(True, 1, 3), (True, 2, 4), (False, 1, 9), (False, 2, 1)],
+        "g boolean, i int, v int",
+    )
+    gotb = {
+        (r["g"], r["i"]): r["cum_before"]
+        for r in grouped_running_sum(
+            dfb.repartition(3), "g", [F.asc("i")], "v", num_partitions=2
+        ).collect()
+    }
+    assert gotb == {
+        (True, 1): 0,
+        (True, 2): 3,
+        (False, 1): 0,
+        (False, 2): 9,
+    }
+
+
+def test_global_running_max_many_partitions_map_lookup(spark):
+    """ADVICE-r5 regression: the slice offset is now a create_map
+    lookup, not an O(partitions)-deep when/otherwise chain.  Verify
+    correctness at a few hundred range partitions (the regime where
+    the nested chain risked codegen/stack blowups)."""
+    from health_data_transformation_spark.operators.topk import (
+        global_running_max,
+    )
+
+    n = 400
+    rows = [(i, (i * 37) % 101) for i in range(n)]
+    df = spark.createDataFrame(rows, "i int, v int")
+    got = {
+        r["i"]: r["max_before"]
+        for r in global_running_max(
+            df.repartition(16), [F.asc("i")], "v", num_partitions=200
+        ).collect()
+    }
+    acc = None
+    for i, v in rows:
+        assert got[i] == acc, (i, got[i], acc)
+        acc = v if acc is None or v > acc else acc
+
+
+def test_decode_quarantine_null_payload_and_typed_taxonomy(spark):
+    """ADVICE-r5 regression: a NULL binary payload must land in a
+    'null_payload' quarantine row (not TypeError the Arrow task), and
+    classification keys on the decoder's TYPED exceptions."""
+    from health_data_transformation_spark.multimodal import (
+        BmpFormatError,
+        BmpMagicError,
+        bmp_encode_gray24,
+        classify_bmp_error,
+        corrupt_bmp_for_test,
+        decode_quarantine_pipeline,
+    )
+
+    good = bmp_encode_gray24(b"hello world payload", 5)
+    rows = [
+        (1, good),
+        (2, None),
+        (3, corrupt_bmp_for_test(good, 1)),
+        (4, corrupt_bmp_for_test(good, 2)),
+        (5, corrupt_bmp_for_test(good, 3)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: (r["status"], r["pixel_sum"])
+        for r in decode_quarantine_pipeline(df).collect()
+    }
+    assert len(out) == 5  # split is total: one row per input
+    assert out[1][0] == "ok" and out[1][1] is not None
+    assert out[2] == ("null_payload", None)
+    assert out[3] == ("bad_magic", None)
+    assert out[4] == ("bad_format", None)
+    assert out[5] == ("corrupt", None)
+
+    # classification is type-keyed: a reworded message cannot
+    # reclassify (the old substring matcher would return 'corrupt').
+    assert classify_bmp_error(BmpMagicError("reworded entirely")) == "bad_magic"
+    assert classify_bmp_error(BmpFormatError("reworded entirely")) == "bad_format"
+    assert classify_bmp_error(ValueError("magic")) == "corrupt"

@@ -71,7 +71,28 @@ def main() -> int:
 
     # 2. full-registry artifact freshness
     if regen:
-        artifact = artifact or f"CORRECTNESS_local_r{os.environ.get('ROUND', 'X')}.json"
+        if artifact is None:
+            # Never default to a literal 'X': CORRECTNESS_local_rX.json
+            # would not match newest()'s _r(\d+) regex and later gate
+            # runs would silently fall back to an OLDER artifact,
+            # defeating the freshness check (ADVICE r5).  Derive the
+            # round from ROUND, else newest-existing + 1.
+            rnd = os.environ.get("ROUND")
+            if rnd is None:
+                prev = newest("CORRECTNESS_local_r*.json")
+                if prev is None:
+                    print(
+                        "GATE FAIL: --regen without ROUND env var and no "
+                        "prior CORRECTNESS_local_r*.json to derive it from"
+                    )
+                    return 1
+                rnd = str(
+                    int(re.search(r"_r(\d+)\.json$", prev).group(1)) + 1
+                )
+            if not str(rnd).isdigit():
+                print(f"GATE FAIL: ROUND={rnd!r} is not a round number")
+                return 1
+            artifact = f"CORRECTNESS_local_r{int(rnd):02d}.json"
         rc = run(
             [
                 sys.executable,

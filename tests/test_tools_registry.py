@@ -20,16 +20,27 @@ def test_registry_names_unique_and_oracled():
 
 
 def test_promoted_families_inside_driver_prefix():
-    """The driver re-checks a fixed 50-query prefix of queries(); the
-    steering in __spark_entry__ must keep every promoted heavy family
-    inside it and every §2 proof query untouched."""
+    """The driver re-checks a fixed 50-query prefix of queries().
+    Round-6 policy (VERDICT r5 tasks #1/#6): the prefix is the pinned
+    q169 ingest anchor plus >=45 never-driver-verified queries; every
+    rotated-out §2 proof query must keep driver-grade evidence in a
+    COMMITTED CORRECTNESS_r*.json (ledger-backed, not convention)."""
     import __spark_entry__ as e
+    from tools.driver_ledger import build_ledger
 
     qs = list(e.queries().keys())
-    first50 = set(qs[:50])
-    for name in e._PROMOTED:
-        assert name in first50, f"{name} fell out of the driver prefix"
-    # §2 proof queries (VERDICT r2 operator table) stay driver-checked
+    first50 = qs[:50]
+    assert len(e._PROMOTED) == 50
+    assert first50 == e._PROMOTED, "prefix is not exactly _PROMOTED"
+    assert "q169_ingest_lifecycle" in first50, "S4-S8 ingest anchor unpinned"
+
+    ledger = build_ledger()
+    # the rotation must actually pay down evidence debt: >=45 prefix
+    # slots had NO committed driver evidence before this round (r6)
+    fresh = [n for n in first50 if not [r for r in ledger[n] if r < 6]]
+    assert len(fresh) >= 45, f"only {len(fresh)} never-verified in prefix"
+
+    # §2 proof queries: driver-verified in at least one committed round
     for name in [
         "q01_week_count", "q02_weekly_counts", "q03_pricing_summary",
         "q04_recent_weeks", "q05_priority_ratio", "q06_cumulative_usage",
@@ -39,8 +50,9 @@ def test_promoted_families_inside_driver_prefix():
         "q23_balance_buckets", "q24_normalize_strings", "q25_date_parts",
         "q26_union_append", "q27_idempotent_upsert", "q51_lsh_near_dup",
         "q53_multimodal_decode", "q57_regex_tokens", "q65_token_chunks",
+        "q169_ingest_lifecycle",
     ]:
-        assert name in first50, f"§2 proof {name} fell out of the prefix"
+        assert ledger.get(name), f"§2 proof {name} has no committed driver evidence"
     # steering must never drop or duplicate a query
     import health_data_transformation_spark.plans.analytics as A
 

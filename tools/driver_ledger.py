@@ -10,7 +10,7 @@ the weaker rows-only check for non-SQL-expressible ops) and err null.
 Usage:
   python tools/driver_ledger.py            # summary + never-verified list
   python tools/driver_ledger.py --json P   # also write machine ledger
-Exit 0 always (informational; the rotation test enforces policy).
+Exit 1 iff the q169 prefix-pin assertion fails (round_gate gates on it).
 """
 
 from __future__ import annotations
@@ -84,6 +84,39 @@ def main() -> None:
             )
         )
         print(f"\nwrote {json_out}")
+
+    # VERDICT r5 task #3: COVERAGE.md's header count is GENERATED
+    # evidence, not prose — assert it equals the live registry size and
+    # that every registry entry is mentioned (by its qNNN prefix) in at
+    # least one COVERAGE row.  round_gate fails on this exit code.
+    cov = (ROOT / "COVERAGE.md").read_text()
+    m = re.search(r"All (\d+) registered queries", cov)
+    if not m or int(m.group(1)) != len(ledger):
+        print(
+            f"LEDGER FAIL: COVERAGE.md header says "
+            f"{m.group(1) if m else '<missing>'} queries, registry has "
+            f"{len(ledger)} — regenerate the header"
+        )
+        sys.exit(1)
+    mentioned = set(re.findall(r"\bq\d+[ab]?", cov))
+    unmentioned = sorted(
+        n for n in ledger if re.match(r"(q\d+[ab]?)", n).group(1) not in mentioned
+    )
+    if unmentioned:
+        print(f"LEDGER FAIL: registry queries with no COVERAGE.md row: {unmentioned}")
+        sys.exit(1)
+    print(f"coverage ok: header count {len(ledger)}, all registry queries mentioned")
+
+    # VERDICT r5 task #6: the S4-S8 ingest anchor must be PINNED in the
+    # driver's 50-query prefix every round — an assertion, not a
+    # convention.  round_gate fails on this exit code.
+    import __spark_entry__ as e
+
+    prefix = list(e.queries().keys())[:50]
+    if "q169_ingest_lifecycle" not in prefix:
+        print("LEDGER FAIL: q169_ingest_lifecycle not pinned in the 50-query prefix")
+        sys.exit(1)
+    print("prefix pin ok: q169_ingest_lifecycle in driver prefix")
 
 
 if __name__ == "__main__":

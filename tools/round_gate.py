@@ -140,23 +140,52 @@ def main() -> int:
         return 1
     print("artifact == registry, zero failures")
 
-    # 3. bench regression gate: newest committed per-query detail
-    # (BENCH_detail_r*.json — the driver's BENCH_r*.json carries only
-    # the truncated stdout tail) vs the working-tree bench_detail.json
+    # 3. bench regression gate + round-numbered detail provenance
+    # (VERDICT r5 task #2: the r4 detail was silently overwritten in
+    # bench_detail.json, killing the r4->r5 per-query diff).  The
+    # current round's detail MUST be committed under
+    # BENCH_detail_r{N}.json; the diff runs prior-round vs current.
+    this_round = int(re.search(r"_r(\d+)\.json$", str(artifact)).group(1))
     benches = sorted(
         glob.glob(str(ROOT / "BENCH_detail_r*.json")),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
-    new_detail = str(ROOT / "bench_detail.json")
-    if benches and os.path.exists(new_detail):
+    cur_detail = ROOT / f"BENCH_detail_r{this_round:02d}.json"
+    if not cur_detail.exists():
+        # fall back to the working-tree detail for the diff, but FAIL:
+        # the round-named file is the committed provenance.
+        new_detail = str(ROOT / "bench_detail.json")
+        if benches and os.path.exists(new_detail):
+            run([sys.executable, "tools/bench_diff.py", benches[-1], new_detail])
+        print(
+            f"GATE FAIL: {cur_detail.name} not committed — copy the "
+            f"final bench_detail.json to the round-numbered name"
+        )
+        return 1
+    prior = [
+        p
+        for p in benches
+        if int(re.search(r"_r(\d+)", p).group(1)) < this_round
+    ]
+    if prior:
         if run(
-            [sys.executable, "tools/bench_diff.py", benches[-1], new_detail]
+            [sys.executable, "tools/bench_diff.py", prior[-1], str(cur_detail)]
         ) != 0:
             print("GATE FAIL: bench regression")
             return 1
 
-    # 4. driver-coverage ledger (informational)
-    run([sys.executable, "tools/driver_ledger.py"])
+    # 4. driver-coverage ledger: COVERAGE.md header/mention check and
+    # the q169 prefix-pin assertion are HARD failures (r5 tasks #3/#6)
+    if run([sys.executable, "tools/driver_ledger.py"]) != 0:
+        print("GATE FAIL: driver_ledger assertions")
+        return 1
+
+    # 5. HOF lambda-capture lint (r5 task #5): expression captures in
+    # transform/filter/aggregate/zip_with lambdas re-evaluate per
+    # element (the q275/int8_quantize class)
+    if run([sys.executable, "tools/hof_capture_lint.py"]) != 0:
+        print("GATE FAIL: hof_capture_lint findings")
+        return 1
     print("\nROUND GATE: PASS")
     return 0
 

@@ -89,24 +89,38 @@ def main() -> None:
 
     # Full-name timings for humans/judge; kept OFF stdout so the one
     # machine-readable line below stays within the driver's tail buffer.
+    # Written to bench_detail.json AND the round-numbered
+    # BENCH_detail_r{N}.json (VERDICT r5 task #2: the r4 detail was
+    # overwritten in place, killing the r4->r5 per-query diff; the
+    # round-named copy makes the provenance self-maintaining).  Round =
+    # $ROUND if set, else newest committed driver BENCH_r*.json + 1.
     try:
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-        )
-        with open(detail_path, "w") as fh:
-            json.dump(
-                {
-                    "sf": sf_val,
-                    "total_sec": round(total, 3),
-                    "queries": timings,
-                    "reps": reps,
-                },
-                fh,
-                indent=1,
-                sort_keys=True,
-            )
+        import glob as _glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rnd = os.environ.get("ROUND")
+        if not (rnd and rnd.isdigit()):
+            rounds = [
+                int(m.group(1))
+                for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+            ]
+            rnd = str(max(rounds, default=0) + 1)
+        payload = {
+            "sf": sf_val,
+            "total_sec": round(total, 3),
+            "queries": timings,
+            "reps": reps,
+        }
+        for fname in (
+            "bench_detail.json",
+            f"BENCH_detail_r{int(rnd):02d}.json",
+        ):
+            with open(os.path.join(here, fname), "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
     except OSError as e:
-        print(f"bench: could not write bench_detail.json: {e}", file=sys.stderr)
+        print(f"bench: could not write bench detail: {e}", file=sys.stderr)
 
     # Compact keys ("q03" for "q03_pricing_summary"); the driver captures
     # only the last ~2000 chars of stdout, so the line must stay short.

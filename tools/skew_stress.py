@@ -57,12 +57,110 @@ WAVE = [
     "q268_multiway_smj_revenue",
 ]
 
+#: round-6 wave (VERDICT r5 task #4): the heaviest r5-continuation
+#: queries, whose ~sf1 stress rows were uniform-data only.  --r6 adds
+#: Zipf(1.2) remaps on THEIR group/join keys: documents.source (q288
+#: greedy set cover), documents.lang (q275 language ID), the orders
+#: o_totalprice band (q323 v-optimal histogram); q290/q296/q313 ride
+#: the core events.user_id / orders.o_custkey remaps.  q315's grid-cell
+#: "skew" is point density — measured separately by the §8.7 density
+#: stress — but it runs here too for the oracle-on-skewed-data gate.
+WAVE_R6 = [
+    "q275_char_ngram_langid",
+    "q288_greedy_source_coverage",
+    "q290_pagerank_two_iter",
+    "q296_rfm_segmentation",
+    "q313_recsys_holdout_eval",
+    "q315_dbscan_core_labels",
+    "q323_voptimal_histogram",
+]
+
 
 def zipf_rank(u: "F.Column", n_keys: int) -> "F.Column":
     """Discrete-Pareto inverse CDF: P(rank >= r) = r^-(s-1)."""
     return F.least(
         F.lit(n_keys), F.floor(F.pow(u, F.lit(-1.0 / (ZIPF_S - 1.0))))
     ).cast("long")
+
+
+def _zipf_pick(df, key_col: str, id_col: str, salt: str, values: list):
+    """Remap a categorical column to a Zipf(1.2) draw over its own
+    value domain (ordered ascending; rank 1 = hottest), keyed on a
+    stable row id so rebuilds are reproducible."""
+    m = 1_000_003
+    u = (
+        (
+            F.abs(
+                F.xxhash64(
+                    F.col(id_col).cast("string"),
+                    F.lit(zlib.crc32(salt.encode()) % m),
+                )
+            )
+            % m
+            + 1
+        )
+        / (m + 1)
+    ).cast("double")
+    rank = zipf_rank(u, len(values))
+    arr = F.array(*[F.lit(v) for v in sorted(values)])
+    return df.withColumn(key_col, F.element_at(arr, rank.cast("int")))
+
+
+def build_skewed_r6(spark, n: int, dest: str) -> None:
+    """build_skewed + the r6 remaps on the continuation queries' keys:
+    documents.source, documents.lang, and the orders o_totalprice band
+    (band = floor(price/20000): the hottest band owns ~87% of orders,
+    prices keep their within-band offset so sums stay non-degenerate).
+    """
+    build_skewed(spark, n, dest)
+    marker = os.path.join(dest, "_skewed_r6")
+    if os.path.exists(marker):
+        return
+    for key_col, salt in (("source", "zipf-src"), ("lang", "zipf-lang")):
+        path = os.path.join(dest, "documents.parquet")
+        df = spark.read.parquet(path)
+        vals = [r[0] for r in df.select(key_col).distinct().collect()]
+        skewed = _zipf_pick(df, key_col, "doc_id", salt, vals)
+        skewed.write.mode("overwrite").parquet(path + ".tmp")
+        shutil.rmtree(path)
+        os.rename(path + ".tmp", path)
+        print(f"skewed documents.{key_col} over {len(vals)} values")
+    path = os.path.join(dest, "orders.parquet")
+    df = spark.read.parquet(path)
+    n_bands = (
+        df.select(
+            F.floor(F.col("o_totalprice").cast("decimal(18,2)") / 20000)
+        )
+        .distinct()
+        .count()
+    )
+    m = 1_000_003
+    u = (
+        (
+            F.abs(
+                F.xxhash64(
+                    F.col("o_orderkey"), F.lit(zlib.crc32(b"zipf-band") % m)
+                )
+            )
+            % m
+            + 1
+        )
+        / (m + 1)
+    ).cast("double")
+    band = (zipf_rank(u, n_bands) - 1).cast("decimal(18,2)")
+    dtype = dict(df.dtypes)["o_totalprice"]
+    skewed = df.withColumn(
+        "o_totalprice",
+        (
+            band * 20000
+            + F.col("o_totalprice").cast("decimal(18,2)") % 20000
+        ).cast(dtype),
+    )
+    skewed.write.mode("overwrite").parquet(path + ".tmp")
+    shutil.rmtree(path)
+    os.rename(path + ".tmp", path)
+    print(f"skewed orders.o_totalprice band over {n_bands} bands")
+    open(marker, "w").close()
 
 
 def build_skewed(spark, n: int, dest: str) -> None:
@@ -139,8 +237,10 @@ def task_durations_since(
 
 def main() -> None:
     args = sys.argv[1:]
+    r6 = "--r6" in args
+    args = [a for a in args if a != "--r6"]
     n = int(args[0]) if args and args[0].isdigit() else 10
-    names = [a for a in args if not a.isdigit()] or WAVE
+    names = [a for a in args if not a.isdigit()] or (WAVE_R6 if r6 else WAVE)
 
     import duckdb
 
@@ -168,9 +268,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    dest = f"/tmp/hdt_skew_sf{n}"
+    dest = f"/tmp/hdt_skew{'_r6' if r6 else ''}_sf{n}"
     t0 = time.time()
-    build_skewed(spark, n, dest)
+    (build_skewed_r6 if r6 else build_skewed)(spark, n, dest)
     print(f"skewed inputs ready in {time.time() - t0:.1f}s at {dest}")
 
     con = duckdb.connect()

@@ -65,6 +65,18 @@ def grid_radius_pairs(
         (F.col("_cx") + F.col("dx")).alias("_jx"),
         (F.col("_cy") + F.col("dy")).alias("_jy"),
     )
+    # Task granularity: when the cell side is small enough to broadcast,
+    # the pair join runs broadcast-hash and the probe side inherits the
+    # SCAN partitioning — a handful of file-slices each producing
+    # millions of pairs (output explodes ~pop(cell) per probe row).
+    # The r6 skewed-wave straggler gate measured 6-14x task imbalance
+    # from exactly this: coarse probe slices + quadratic output + GC.
+    # A round-robin repartition to the session's reduce granularity
+    # costs one linear shuffle of the x9-replicated points (narrow
+    # rows) and balances the quadratic stage at any scale; correctness
+    # is unaffected (the join needs no co-partitioning of the probe).
+    n_probe = int(pts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    left = left.repartition(n_probe)
     right = a.select(
         F.col("_id").alias("_id2"),
         F.col("_x").alias("_x2"),

@@ -20115,13 +20115,23 @@ def q315(spark: SparkSession, sf: str) -> DataFrame:
             % 1000000
         ).alias("y"),
     )
-    pr = SP.grid_radius_pairs(pts, "id", "x", "y", _DB_EPS).select(
-        F.col("id_a").alias("ida"), F.col("id_b").alias("idb")
+    # Checkpoint the PAIR list, not its symmetrized double: sym below is
+    # a union of two selects over pr, so checkpointing sym instead would
+    # (a) run the quadratic grid join twice — once per union branch —
+    # and (b) store 2x the rows.  The r6 skewed-wave straggler gate
+    # caught exactly that: every task read identical input, but the
+    # final scheduling wave ran 5x the stage median because the
+    # checkpoint store was at capacity and the last writers paid the
+    # eviction/spill.  One checkpointed copy of pr halves both the
+    # join work and the storage footprint; sym stays a cheap lazy
+    # union over the cached pairs.
+    pr = (
+        SP.grid_radius_pairs(pts, "id", "x", "y", _DB_EPS)
+        .select(F.col("id_a").alias("ida"), F.col("id_b").alias("idb"))
+        .localCheckpoint()  # read 2x each by deg and the near-core semi join
     )
-    sym = (
-        pr.select(F.col("ida").alias("id"), F.col("idb").alias("nb"))
-        .unionAll(pr.select(F.col("idb").alias("id"), F.col("ida").alias("nb")))
-        .localCheckpoint()  # read by deg and the near-core semi join
+    sym = pr.select(F.col("ida").alias("id"), F.col("idb").alias("nb")).unionAll(
+        pr.select(F.col("idb").alias("id"), F.col("ida").alias("nb"))
     )
     deg = sym.groupBy("id").agg(F.count("*").alias("k"))
     lab0 = (

@@ -259,6 +259,13 @@ def main() -> None:
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
         )
         .appName("skew-stress")
+        # same heap budget as registry_stress's get_spark(): local mode
+        # puts every executor thread in the driver JVM, and the default
+        # 1g OOMs on q313's ~sf1 localCheckpointed model frame
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        )
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")

@@ -253,14 +253,12 @@ def connected_components(
     Returns (node, component) with component = min node id reachable —
     the deterministic canonical "keeper" for the cluster.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    from .graph import symmetrize
+
+    # one-pass explode symmetrization: a two-branch union would run
+    # the (often expensive — banded-join) pair builder once per
+    # branch before the checkpoint lands
+    edges = symmetrize(pairs, id_a, id_b).localCheckpoint()
     # seed = the first propagation round for free: from identity labels,
     # round 1's neighbor-min is just min(dst) per src (no join needed),
     # so start from least(node, min neighbor).  Near-dup components are

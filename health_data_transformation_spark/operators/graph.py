@@ -28,11 +28,33 @@ JUMP_PPM = 150_000  # (1 - damping) * 1e6
 DAMP_NUM, DAMP_DEN = 850, 1000
 
 
-def symmetrize(pairs: DataFrame, a: str, b: str) -> DataFrame:
-    """Undirected edge list (both directions, distinct) from pairs."""
-    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-    return fwd.unionByName(rev).distinct()
+def symmetrize(
+    pairs: DataFrame, a: str, b: str, distinct: bool = True
+) -> DataFrame:
+    """Undirected edge list (both directions) from pairs, in ONE pass.
+
+    Each input row fans out to both directions via a 2-element
+    explode instead of a two-branch union: a union of two selects
+    over the same frame physically executes the upstream plan once
+    PER BRANCH (the q315 checkpoint-double-execution class — an
+    edge builder with a distinct/aggregate inside is replayed in
+    full), while the explode reads it once and the x2 fanout is
+    map-side.  Both columns must share a type (struct fields must
+    agree across the two array elements).
+
+    ``distinct=False`` skips the dedup shuffle — correct when the
+    input is already a canonical ``a < b`` edge list, where the two
+    directions cannot collide.
+    """
+    out = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+    return out.distinct() if distinct else out
 
 
 def pagerank_integer(edges: DataFrame, iterations: int = 3) -> DataFrame:

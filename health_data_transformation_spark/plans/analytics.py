@@ -4442,12 +4442,13 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
     "drives fraud rings, org charts, and lineage queries",
 )
 def q138(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.graph import bfs_levels
+    from ..operators.graph import bfs_levels, symmetrize
 
     edges = _graph_edges(spark, sf)
-    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    # one-pass explode symmetrization: the two-branch union form ran
+    # the edge builder (scan+explode+DISTINCT) once per branch before
+    # bfs_levels' checkpoint could materialize it
+    sym = symmetrize(edges, "a", "b", distinct=False)
     return bfs_levels(sym, seed=1, max_depth=4)
 
 
@@ -11441,10 +11442,14 @@ def _q233_oracle() -> str:
     "results are bit-identical on any cluster size or partitioning",
 )
 def q233(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import symmetrize
+
     e = _graph_edges(spark, sf)
-    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    # one-pass symmetrization + checkpoint: sym feeds h1, and h2's
+    # plan REPLAYS h1's, so an unbarriered sym would rebuild the
+    # edge list (scan+explode+DISTINCT) several times — the old
+    # two-branch union doubled each of those rebuilds on top
+    sym = symmetrize(e, "a", "b", distinct=False).localCheckpoint()
     c = load_table(spark, sf, "customer")
     cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
     f0 = c.select(F.col("c_custkey").alias("node"), cents.alias("h"))
@@ -17022,10 +17027,14 @@ def q290(spark: SparkSession, sf: str) -> DataFrame:
     # is the standard iterative-graph practice (Pregel/GraphX keep
     # edges resident across supersteps); localCheckpoint is the
     # local-mode equivalent.
+    from ..operators.graph import symmetrize
+
     e = _graph_edges(spark, sf)
+    # one-pass explode symmetrization: the old two-branch union ran
+    # the edge builder once per branch before the checkpoint landed
     de = (
-        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        symmetrize(e, "a", "b", distinct=False)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .localCheckpoint()
     )
     deg = de.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint()

@@ -111,6 +111,46 @@ def minhash_signatures(
     return df.select(*cols)
 
 
+def _band_explode(
+    signatures: DataFrame,
+    id_col: str,
+    band_size: int,
+    num_hashes: int,
+    out_id: str | None = None,
+    band_in_hash: bool = True,
+) -> DataFrame:
+    """One-pass band fanout: (id, band, bucket) rows, one per (doc, band),
+    via explode(array(struct...)) — the signature subtree executes ONCE.
+
+    The previous shape — one select per band, unioned — physically
+    executed the signature plan once per branch (the q315
+    double-execution class): minhash is an O(num_hashes x tokens)
+    expression per row, so B band branches re-hashed every document B
+    times before the bucket groupBy/join even started.  The explode
+    evaluates sig0..sigN once per row and fans out map-side in the same
+    stage; bucket hash formulas are preserved exactly (``band_in_hash``
+    keeps the two historical variants bit-identical so the DuckDB
+    oracles still reproduce them).
+    """
+    assert num_hashes % band_size == 0
+    structs = []
+    for b in range(num_hashes // band_size):
+        sig_cols = [F.col(f"sig{b * band_size + j}") for j in range(band_size)]
+        parts = [c.cast("string") for c in sig_cols]
+        if band_in_hash:
+            parts = [F.lit(b)] + parts
+        structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *parts)).alias("bucket"),
+            )
+        )
+    out = out_id or id_col
+    return signatures.select(
+        F.col(id_col).alias(out), F.explode(F.array(*structs)).alias("_bb")
+    ).select(out, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+
+
 def lsh_band_buckets(
     signatures: DataFrame, id_col: str = "doc_id", band_size: int = 2, num_hashes: int = 8
 ) -> DataFrame:
@@ -119,20 +159,9 @@ def lsh_band_buckets(
     Docs sharing any band bucket are near-dup *candidates*; downstream
     verification (exact Jaccard) runs only within buckets.
     """
-    assert num_hashes % band_size == 0
-    bands = []
-    for b in range(num_hashes // band_size):
-        sig_cols = [F.col(f"sig{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in sig_cols])).alias("bucket"),
-            )
-        )
-    all_bands = bands[0]
-    for extra in bands[1:]:
-        all_bands = all_bands.unionAll(extra)
+    all_bands = _band_explode(
+        signatures, id_col, band_size, num_hashes, band_in_hash=False
+    )
     return (
         all_bands.groupBy("band", "bucket")
         .agg(
@@ -161,33 +190,37 @@ def lsh_candidate_pairs(
     shingle sets (boilerplate), so capping bounds the quadratic term
     without losing real near-dups.
     """
-    assert num_hashes % band_size == 0
-    bands = []
-    for b in range(num_hashes // band_size):
-        sig_cols = [F.col(f"sig{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            signatures.select(
-                F.col(id_col),
-                F.md5(
-                    F.concat_ws(",", F.lit(b), *[c.cast("string") for c in sig_cols])
-                ).alias("bucket"),
-            )
-        )
-    exploded = bands[0]
-    for extra in bands[1:]:
-        exploded = exploded.unionAll(extra)
+    exploded = _band_explode(signatures, id_col, band_size, num_hashes).drop(
+        "band"
+    )
     if max_bucket is not None:
         # windowed count beats a groupBy+join: one shuffle on the same key
         sizes = Window.partitionBy("bucket")
         exploded = exploded.withColumn("_bn", F.count("*").over(sizes)).filter(
             F.col("_bn") <= max_bucket
         ).drop("_bn")
-    left = exploded.select(F.col("bucket"), F.col(id_col).alias("id_a"))
-    right = exploded.select(F.col("bucket"), F.col(id_col).alias("id_b"))
+    # Self-join over IDENTICAL aliased subtrees (rename only AFTER the
+    # join): the old shape projected id -> id_a / id_b BELOW the
+    # exchange, which broke plan canonicalization, so no ReusedExchange
+    # fired and the minhash subtree executed once per side.  With both
+    # sides canonically equal, the bucket shuffle is computed once and
+    # reused; pair expansion stays distributed across bucket partitions.
+    # (A collect_list + nested-transform expansion was measured 2.2x
+    # SLOWER at sf0.1: the per-row slice copies serialize quadratic
+    # work into single tasks — the join is the right fanout engine.)
+    # shuffle-hash, never broadcast: a corpus-scale band table must not
+    # be broadcast at 100 TB, and locally the broadcast plan runs the
+    # whole pair expansion inside the (often single, unsplittable-
+    # parquet) stream-side scan task — the shuffle IS the parallelism
+    xa = exploded.alias("_xa").hint("shuffle_hash")
+    xb = exploded.alias("_xb").hint("shuffle_hash")
     return (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        xa.join(xb, "bucket")
+        .filter(F.col(f"_xa.{id_col}") < F.col(f"_xb.{id_col}"))
+        .select(
+            F.col(f"_xa.{id_col}").alias("id_a"),
+            F.col(f"_xb.{id_col}").alias("id_b"),
+        )
         .distinct()
     )
 
@@ -634,25 +667,9 @@ def lsh_incremental_matches(
     sig_b = minhash_signatures(batch, text_col, id_col, num_hashes)
 
     def bucketed(sigs: DataFrame, out: str) -> DataFrame:
-        bands = []
-        for b in range(num_hashes // band_size):
-            sig_cols = [
-                F.col(f"sig{b * band_size + j}") for j in range(band_size)
-            ]
-            bands.append(
-                sigs.select(
-                    F.col(id_col).alias(out),
-                    F.md5(
-                        F.concat_ws(
-                            ",", F.lit(b), *[c.cast("string") for c in sig_cols]
-                        )
-                    ).alias("bucket"),
-                )
-            )
-        all_bands = bands[0]
-        for extra in bands[1:]:
-            all_bands = all_bands.unionAll(extra)
-        return all_bands
+        return _band_explode(
+            sigs, id_col, band_size, num_hashes, out_id=out
+        ).drop("band")
 
     cb = bucketed(sig_c, "id_c")
     if max_bucket is not None:

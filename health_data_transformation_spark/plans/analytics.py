@@ -6662,22 +6662,25 @@ def q173(spark: SparkSession, sf: str) -> DataFrame:
     qv = emb.select("vec_id", int8_quantize("embedding").alias("v"))
     assign = int_kmeans_assign(qv, "vec_id", "v", k=8, rounds=2)
     n2 = int_dot("v", "v")
+    # rename AFTER the within-cluster self-join, not below it:
+    # identical aliased subtrees keep the cluster exchange canonically
+    # equal on both sides, so the quantize + assignment join is
+    # shuffled once and reused (a localCheckpoint here measured SLOWER
+    # at sf0.1 — the cache barrier serializes the DAG)
     nrm = assign.join(qv, "vec_id").select(
         "vec_id", "cluster", "v", n2.alias("n2")
     )
-    a = nrm.select(
-        F.col("cluster"), F.col("vec_id").alias("ia"),
-        F.col("v").alias("va"), F.col("n2").alias("na2"),
-    )
-    b = nrm.select(
-        F.col("cluster"), F.col("vec_id").alias("ib"),
-        F.col("v").alias("vb"), F.col("n2").alias("nb2"),
-    )
-    d = int_dot("va", "vb")
+    a, b = nrm.alias("_va"), nrm.alias("_vb")
+    d = int_dot(F.col("_va.v"), F.col("_vb.v"))
     dup = (
         a.join(b, "cluster")
-        .filter(F.col("ia") < F.col("ib"))
-        .select("ib", d.alias("d"), "na2", "nb2")
+        .filter(F.col("_va.vec_id") < F.col("_vb.vec_id"))
+        .select(
+            F.col("_vb.vec_id").alias("ib"),
+            d.alias("d"),
+            F.col("_va.n2").alias("na2"),
+            F.col("_vb.n2").alias("nb2"),
+        )
         .filter(
             (F.col("d") > 0)
             & (400 * F.col("d") * F.col("d") >= 49 * F.col("na2") * F.col("nb2"))
@@ -8115,10 +8118,19 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("doc_id", F.md5("s").alias("h"))
     )
-    rare = sh.groupBy("h").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= _Q194_DF_CAP
+    # windowed df count + filter: ONE pass over the exploded shingle
+    # frame and one shuffle on h, where the old groupBy+join-back shape
+    # executed the explode subtree twice (and its three consumers below
+    # re-executed the join each — 4x total, q315 double-execution
+    # class).  The checkpoint serves na and both self-join sides from
+    # one cached copy of the already-rare-filtered (smaller) frame.
+    wdf = Window.partitionBy("h")
+    shc = (
+        sh.withColumn("_df", F.count("*").over(wdf))
+        .filter(F.col("_df") <= _Q194_DF_CAP)
+        .drop("_df")
+        .localCheckpoint(eager=False)
     )
-    shc = sh.join(rare.select("h"), "h")
     na = shc.groupBy("doc_id").agg(F.count("*").alias("n_a"))
     a = shc.select(F.col("doc_id").alias("id_a"), "h")
     b = shc.select(F.col("doc_id").alias("id_b"), "h")
@@ -10793,6 +10805,11 @@ def _q227_oracle() -> str:
 )
 def q227(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
+    # dp feeds four consumers; no checkpoint on purpose — its distinct
+    # exchange is canonically identical in every branch, so Spark's
+    # ReuseExchange computes the shuffle once and only the cheap
+    # post-exchange work repeats (a localCheckpoint here measured
+    # SLOWER at sf0.1: the cache barrier serializes the DAG)
     dp = docs.select(
         "source", F.explode(T.token_shingles("text", 3)).alias("sh")
     ).distinct()
@@ -10809,19 +10826,20 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source", "perm")
         .agg(F.min("h").alias("reg"))
     )
-    a = regs.select(
-        F.col("source").alias("src_a"), "perm", F.col("reg").alias("reg_a")
-    )
-    b = regs.select(
-        F.col("source").alias("src_b"), "perm", F.col("reg").alias("reg_b")
-    )
+    # rename AFTER the self-join, not below it: identical aliased
+    # subtrees keep the perm exchange canonically equal on both sides,
+    # so the 64x register aggregate is computed once and reused
+    ra, rb = regs.alias("_ra"), regs.alias("_rb")
     agree = (
-        a.join(b, ["perm"])
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
+        ra.join(rb, ["perm"])
+        .filter(F.col("_ra.source") < F.col("_rb.source"))
+        .groupBy(
+            F.col("_ra.source").alias("src_a"),
+            F.col("_rb.source").alias("src_b"),
+        )
         .agg(
             F.sum(
-                F.when(F.col("reg_a") == F.col("reg_b"), 1).otherwise(0)
+                F.when(F.col("_ra.reg") == F.col("_rb.reg"), 1).otherwise(0)
             ).alias("agree64")
         )
     )

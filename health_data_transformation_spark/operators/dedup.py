@@ -528,7 +528,12 @@ def prefix_filter_jaccard_pairs(
     # scan + tokenize — cheaper than writing a corpus-sized shadow copy
     # to executor-local storage (a localCheckpoint here measured ~2x
     # the wall of the recompute at sf0.1: barriers serialize the DAG
-    # and kill whole-stage pipelining).
+    # and kill whole-stage pipelining).  The freq groupBy+join below is
+    # also measured-optimal: a windowed count-over-tok (q194's rewrite)
+    # re-measured ~25% SLOWER on q141/q261 at sf0.1 — WindowExec sorts
+    # the whole token stream, while hash-agg + hash join (exchanges
+    # reused at runtime) never sort, and unlike q194 the window here
+    # only annotates, it doesn't shrink the stream.
     sets = df.select(
         F.col(id_col).alias("id"), F.col(set_col).alias("toks")
     )

@@ -108,6 +108,77 @@ def test_lsh_candidate_pairs_find_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_band_explode_bucket_formulas_pinned(spark):
+    """Pin _band_explode's two bucket-hash variants to an independent
+    Python md5 of the same concat string: the DuckDB oracles reproduce
+    these buckets bit-for-bit, so any drift in the fanout rewrite
+    (delimiter, band literal, cast formatting) must fail HERE, not in
+    a registry differential."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "pack my box with jugs")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(df, num_hashes=4)
+    sig_rows = {r["doc_id"]: r for r in sigs.collect()}
+
+    def exp_bucket(doc, b, band_size, with_band):
+        parts = [str(sig_rows[doc][f"sig{b * band_size + j}"]) for j in range(band_size)]
+        if with_band:
+            parts = [str(b)] + parts
+        return hashlib.md5(",".join(parts).encode()).hexdigest()
+
+    # band-in-hash variant (lsh_candidate_pairs / incremental bucketed)
+    got = {
+        (r["doc_id"], r["band"]): r["bucket"]
+        for r in dedup._band_explode(sigs, "doc_id", 2, 4).collect()
+    }
+    assert len(got) == 4  # 2 docs x 2 bands, one signature pass fanout
+    for doc in (1, 2):
+        for b in (0, 1):
+            assert got[(doc, b)] == exp_bucket(doc, b, 2, True)
+
+    # band-NOT-in-hash variant (lsh_band_buckets historical formula)
+    got2 = {
+        (r["doc_id"], r["band"]): r["bucket"]
+        for r in dedup._band_explode(
+            sigs, "doc_id", 2, 4, band_in_hash=False
+        ).collect()
+    }
+    for doc in (1, 2):
+        for b in (0, 1):
+            assert got2[(doc, b)] == exp_bucket(doc, b, 2, False)
+
+    # out_id relabel used by lsh_incremental_matches' bucketed()
+    cols = dedup._band_explode(sigs, "doc_id", 2, 4, out_id="id_c").columns
+    assert cols == ["id_c", "band", "bucket"]
+
+
+def test_lsh_candidate_pairs_max_bucket_caps_hot_buckets(spark):
+    """max_bucket drops oversized buckets BEFORE pair expansion: five
+    byte-identical docs share every band bucket, so cap=4 must kill all
+    their pairs while an unrelated near-dup pair survives."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)]
+    rows += [(10, "completely different corpus text entirely unrelated words"),
+             (11, "completely different corpus text entirely unrelated phrase")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, num_hashes=8)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(
+            sigs, band_size=2, num_hashes=8, max_bucket=4
+        ).collect()
+    }
+    assert all(a not in range(5) or b not in range(5) for a, b in capped)
+    assert (10, 11) in capped
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, band_size=2, num_hashes=8).collect()
+    }
+    assert {(a, b) for a in range(5) for b in range(a + 1, 5)} <= uncapped
+
+
 def test_simhash_close_for_near_dups(spark):
     df = spark.createDataFrame(
         [

@@ -1110,3 +1110,52 @@ def test_decode_quarantine_null_payload_and_typed_taxonomy(spark):
     assert classify_bmp_error(BmpMagicError("reworded entirely")) == "bad_magic"
     assert classify_bmp_error(BmpFormatError("reworded entirely")) == "bad_format"
     assert classify_bmp_error(ValueError("magic")) == "corrupt"
+
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 9),
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=1,
+            max_size=6,
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(data=docs_strategy)
+@settings(**SETTINGS)
+def test_lsh_candidate_pairs_equal_naive_band_collisions(spark, data):
+    """Banding completeness/soundness on arbitrary corpora: the
+    distributed candidate set must equal EXACTLY the pairs whose
+    signatures agree on >= 1 full band, computed naively in Python from
+    the collected signature rows.  Pins the one-pass explode fanout +
+    shuffle-hash self-join rewrite to the banding definition itself
+    (not just to fixture examples): no pair invented, no pair lost,
+    regardless of duplicate texts, singleton docs, or empty overlap."""
+    from health_data_transformation_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in data], "doc_id long, text string"
+    )
+    sigs = dedup.minhash_signatures(df, num_hashes=4)
+    rows = {r["doc_id"]: [r[f"sig{j}"] for j in range(4)] for r in sigs.collect()}
+    ids = sorted(rows)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if any(
+            rows[a][band * 2 : band * 2 + 2] == rows[b][band * 2 : band * 2 + 2]
+            for band in range(2)
+        )
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, band_size=2, num_hashes=4).collect()
+    }
+    assert got == expected

@@ -8494,71 +8494,61 @@ def _q199_oracle() -> str:
     "EXACT distinct count, and canonical min/max strings for integer "
     "and string columns (double/timestamp min/max rendering is not "
     "engine-canonical and is deliberately NULL).  Each table is "
-    "profiled in ONE multi-distinct aggregate over a scan pruned to "
-    "its profiled columns: Catalyst plans N countDistincts via one "
-    "Expand (each row multiplied by N but projected to a single "
-    "column + gid, collapsed by map-side partial aggregation), so "
-    "every table is read exactly once and the job is 10 subtrees, "
-    "not 51.  DECISION LOG — measured both shapes twice: an early "
-    "round found the Expand 2.4x WORSE on the 11-column fact table "
-    "(25 s vs 10 s at sf0.1) and q199 shipped as 51 single-distinct "
-    "union subtrees; the round-6 re-measurement on the Spark 4 "
-    "planner (best-of-3, value parity asserted) found the "
-    "multi-distinct 1.9x BETTER at sf0.1 (2.76 s vs 5.34 s) and "
-    "2.0x at ~sf1 (2.53 s vs 5.11 s) — both scheduling-bound "
-    "locally, and one pass per table also wins on a cluster by "
-    "scanning each table once instead of once per column.  At "
+    "profiled by ONE single-distinct aggregate per column, each over "
+    "a scan pruned to THAT column, unioned (51 narrow subtrees).  "
+    "DECISION LOG — measured three times, twice reversed: an early "
+    "round found the per-table multi-distinct Expand 2.4x WORSE on "
+    "the 11-column fact table (25 s vs 10 s at sf0.1) and q199 "
+    "shipped as 51 single-distinct union subtrees; a mid-round-6 "
+    "re-measurement appeared to show the Expand 1.9-2.0x BETTER "
+    "(2.76 s vs 5.34 s) and q199 briefly switched — but the very "
+    "next full bench run measured the switched shape at 40 s, and "
+    "per-table isolation reproduced it (lineitem's 11-column "
+    "multi-distinct = 22.6 s ALONE; union shape 8.3 s total in the "
+    "same session): in expand-based multi-distinct planning every "
+    "(gid, value) group row carries the aggregate's FULL buffer "
+    "(~50 slots here), so high-cardinality distinct columns blow "
+    "the partial-aggregate hash table wide, while the union's "
+    "subtrees keep one distinct column and a 5-slot buffer each.  "
+    "The mid-round 2.76 s was never reproduced; treat it as a "
+    "measurement artifact.  The union shape is also scale-sound: "
+    "each subtree scans ONE pruned column, so total bytes read "
+    "across all 51 subtrees ~= one full-width table scan.  At "
     "100 TB distinct counts would downgrade to HLL sketches (q81) "
     "per column when exactness stops paying for itself",
 )
 def q199(spark: SparkSession, sf: str) -> DataFrame:
-    by_tbl: dict[str, list[tuple[str, str]]] = {}
-    for tbl, col, kind in _Q199_COLS:
-        by_tbl.setdefault(tbl, []).append((col, kind))
     outs = []
-    for tbl, cols in by_tbl.items():
-        df = load_table(spark, sf, tbl).select([c for c, _ in cols])
-        aggs = []
-        for col, kind in cols:
-            aggs.append(F.count(F.lit(1)).cast("long").alias(f"{col}__n"))
-            aggs.append(
+    for tbl, col, kind in _Q199_COLS:
+        df = load_table(spark, sf, tbl).select(col)
+        mn = (
+            F.min(col).cast("string")
+            if kind in ("i", "s")
+            else F.min(F.lit(None).cast("string"))
+        )
+        mx = (
+            F.max(col).cast("string")
+            if kind in ("i", "s")
+            else F.max(F.lit(None).cast("string"))
+        )
+        outs.append(
+            df.agg(
+                F.count("*").cast("long").alias("n_rows"),
                 F.sum(F.col(col).isNull().cast("long"))
                 .cast("long")
-                .alias(f"{col}__nulls")
+                .alias("n_nulls"),
+                F.countDistinct(col).cast("long").alias("n_distinct"),
+                mn.alias("min_str"),
+                mx.alias("max_str"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(col).alias("col"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_str",
+                "max_str",
             )
-            aggs.append(
-                F.countDistinct(col).cast("long").alias(f"{col}__nd")
-            )
-            if kind in ("i", "s"):
-                aggs.append(F.min(col).cast("string").alias(f"{col}__mn"))
-                aggs.append(F.max(col).cast("string").alias(f"{col}__mx"))
-        wide = df.agg(*aggs)
-        # unpivot the 1-row wide aggregate to the per-column shape
-        rows = []
-        for col, kind in cols:
-            mn = (
-                F.col(f"{col}__mn")
-                if kind in ("i", "s")
-                else F.lit(None).cast("string")
-            )
-            mx = (
-                F.col(f"{col}__mx")
-                if kind in ("i", "s")
-                else F.lit(None).cast("string")
-            )
-            rows.append(
-                F.struct(
-                    F.lit(tbl).alias("tbl"),
-                    F.lit(col).alias("col"),
-                    F.col(f"{col}__n").alias("n_rows"),
-                    F.col(f"{col}__nulls").alias("n_nulls"),
-                    F.col(f"{col}__nd").alias("n_distinct"),
-                    mn.alias("min_str"),
-                    mx.alias("max_str"),
-                )
-            )
-        outs.append(
-            wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
         )
     res = outs[0]
     for o in outs[1:]:

@@ -93,17 +93,11 @@ def minhash_signatures(
     """
     from ..functions.text import token_shingles
 
-    # Task-granularity guard (the q315 grid-join rule): signature
-    # compute is the heavy per-row stage, and a small corpus parquet is
-    # often ONE unsplittable row group, which would serialize the whole
-    # minhash pipeline into a single task.  When the scan is coarser
-    # than the session reduce width, buy parallelism with one narrow
-    # (id, text) exchange — explicit numPartitions so AQE cannot
-    # coalesce it away.  On a cluster the scan already has more splits
-    # than the reduce width and this is a no-op.
-    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < max(2, width // 2):
-        df = df.repartition(width, F.col(id_col))
+    # signature compute is the heavy per-row stage — make sure it is
+    # not serialized into one task by an unsplittable small scan
+    from .skew import widen_coarse_scan
+
+    df = widen_coarse_scan(df, id_col)
     toks = (
         F.array_distinct(token_shingles(text_col, shingle_k))
         if shingle_k

@@ -82,3 +82,26 @@ def salted_join(
 
     cold_joined = big.filter(~hot).join(other.filter(~hot), key)
     return hot_joined.unionByName(cold_joined)
+
+
+def widen_coarse_scan(df: DataFrame, key: str | Column) -> DataFrame:
+    """Task-granularity guard for heavy per-row compute over a coarse
+    scan (the q315 grid-join rule, generalized).
+
+    A small parquet file is often ONE unsplittable row group, so a
+    CPU-heavy per-row stage (minhash, quantization, n-gram profiles)
+    downstream of it runs in a single task no matter how many cores
+    the session has.  When the scan has fewer splits than half the
+    session reduce width, repartition on ``key`` to the reduce width —
+    with an EXPLICIT partition count, because AQE coalesces
+    column-only repartitions of small data right back to one
+    partition.  On a production cluster the scan has more splits than
+    reducers and this is a no-op; the exchange, when it does fire,
+    ships only the projected columns ahead of strictly heavier
+    per-row work.
+    """
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(2, width // 2):
+        key_col = F.col(key) if isinstance(key, str) else key
+        return df.repartition(width, key_col)
+    return df

@@ -179,6 +179,24 @@ def test_lsh_candidate_pairs_max_bucket_caps_hot_buckets(spark):
     assert {(a, b) for a in range(5) for b in range(a + 1, 5)} <= uncapped
 
 
+def test_widen_coarse_scan_guard(spark):
+    """The task-granularity guard repartitions a coarse (single-split)
+    frame to the session reduce width, leaves an already-wide frame
+    untouched, and never changes row content."""
+    from health_data_transformation_spark.operators.skew import widen_coarse_scan
+
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    narrow = spark.range(1000).coalesce(1).withColumn("k", F.col("id") % 7)
+    widened = widen_coarse_scan(narrow, "k")
+    assert widened.rdd.getNumPartitions() == width
+    assert widened.count() == 1000
+    assert {r["id"] for r in widened.collect()} == set(range(1000))
+
+    wide = spark.range(1000).repartition(width * 2, "id")
+    same = widen_coarse_scan(wide, "id")
+    assert same.rdd.getNumPartitions() == width * 2  # untouched
+
+
 def test_simhash_close_for_near_dups(spark):
     df = spark.createDataFrame(
         [

@@ -436,18 +436,20 @@ def simhash_banded_pairs(
     exploded = sim.select(
         F.col(id_col), F.col("simhash"), F.explode(bands).alias("bv")
     ).select(id_col, "simhash", "bv.band", "bv.val")
-    a = exploded.select(
-        F.col("band"), F.col("val"),
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
-    )
-    b = exploded.select(
-        F.col("band"), F.col("val"),
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
-    )
+    # rename AFTER the self-join: identical aliased subtrees keep the
+    # (band, val) exchange canonically equal on both sides, so the
+    # corpus-wide simhash vote aggregate is shuffled once and reused
+    # instead of executing once per side
+    xa, xb = exploded.alias("_sa"), exploded.alias("_sb")
     cand = (
-        a.join(b, ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        xa.join(xb, ["band", "val"])
+        .filter(F.col(f"_sa.{id_col}") < F.col(f"_sb.{id_col}"))
+        .select(
+            F.col(f"_sa.{id_col}").alias("id_a"),
+            F.col(f"_sb.{id_col}").alias("id_b"),
+            F.col("_sa.simhash").alias("sh_a"),
+            F.col("_sb.simhash").alias("sh_b"),
+        )
         .distinct()
     )
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -477,23 +479,24 @@ def jaccard_pairs(
         F.col(id_col), distinct_tokens(text_col).alias("toks"),
         *([F.col(block_col)] if block_col else []),
     )
-    join_cond = [block_col] if block_col else []
-    a = base.select(
-        *([F.col(block_col)] if block_col else []),
-        F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"),
-    )
-    b = base.select(
-        *([F.col(block_col)] if block_col else []),
-        F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"),
-    )
-    joined = a.join(b, join_cond) if join_cond else a.crossJoin(b)
-    joined = joined.filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    # rename AFTER the self-join (identical aliased subtrees -> the
+    # block exchange is computed once and reused; renames below the
+    # join break plan canonicalization and re-tokenize per side)
+    ja, jb = base.alias("_ja"), base.alias("_jb")
+    joined = ja.join(jb, [block_col]) if block_col else ja.crossJoin(jb)
+    joined = joined.filter(F.col(f"_ja.{id_col}") < F.col(f"_jb.{id_col}"))
+    inter = F.size(
+        F.array_intersect(F.col("_ja.toks"), F.col("_jb.toks"))
+    ).cast("double")
+    union = (
+        F.size(F.col("_ja.toks")) + F.size(F.col("_jb.toks"))
+    ).cast("double") - inter
     jac = floor6(inter / union)
-    return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= min_jaccard
-    )
+    return joined.select(
+        F.col(f"_ja.{id_col}").alias("id_a"),
+        F.col(f"_jb.{id_col}").alias("id_b"),
+        jac.alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
 
 
 def prefix_filter_jaccard_pairs(
@@ -626,24 +629,20 @@ def embedding_near_dup_pairs(
     # folds instead of O(pairs); dot/(na*nb) is bit-identical to the
     # recomputed-cosine expression (same float ops, same order)
     base = df.select(*cols).withColumn("_norm", norm(vec_col))
-    a = base.select(
-        *([F.col(block_col)] if block_col else []),
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
-        F.col("_norm").alias("_norm_a"),
-    )
-    b = base.select(
-        *([F.col(block_col)] if block_col else []),
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
-        F.col("_norm").alias("_norm_b"),
-    )
-    joined = a.join(b, [block_col]) if block_col else a.crossJoin(b)
-    joined = joined.filter(F.col("id_a") < F.col("id_b"))
+    # rename AFTER the self-join so the norm-precompute subtree stays
+    # canonically equal on both sides (one exchange, reused)
+    ea, eb = base.alias("_ea"), base.alias("_eb")
+    joined = ea.join(eb, [block_col]) if block_col else ea.crossJoin(eb)
+    joined = joined.filter(F.col(f"_ea.{id_col}") < F.col(f"_eb.{id_col}"))
     sim = floor6(
-        dot(F.col("vec_a"), F.col("vec_b")) / (F.col("_norm_a") * F.col("_norm_b"))
+        dot(F.col(f"_ea.{vec_col}"), F.col(f"_eb.{vec_col}"))
+        / (F.col("_ea._norm") * F.col("_eb._norm"))
     )
-    return joined.select("id_a", "id_b", sim.alias("cos_sim")).filter(
-        F.col("cos_sim") >= min_cosine
-    )
+    return joined.select(
+        F.col(f"_ea.{id_col}").alias("id_a"),
+        F.col(f"_eb.{id_col}").alias("id_b"),
+        sim.alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= min_cosine)
 
 
 def lsh_incremental_matches(

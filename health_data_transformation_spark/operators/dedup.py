@@ -156,6 +156,21 @@ def _band_explode(
     ).select(out, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
 
+def _cap_buckets(exploded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop oversized buckets BEFORE pair expansion (shared by the
+    batch and incremental candidate generators so the cap semantics
+    cannot drift).  A windowed count beats a groupBy+join-back: one
+    shuffle on the same key, one pass over the banded rows."""
+    if max_bucket is None:
+        return exploded
+    sizes = Window.partitionBy("bucket")
+    return (
+        exploded.withColumn("_bn", F.count("*").over(sizes))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+
+
 def lsh_band_buckets(
     signatures: DataFrame, id_col: str = "doc_id", band_size: int = 2, num_hashes: int = 8
 ) -> DataFrame:
@@ -195,15 +210,10 @@ def lsh_candidate_pairs(
     shingle sets (boilerplate), so capping bounds the quadratic term
     without losing real near-dups.
     """
-    exploded = _band_explode(signatures, id_col, band_size, num_hashes).drop(
-        "band"
+    exploded = _cap_buckets(
+        _band_explode(signatures, id_col, band_size, num_hashes).drop("band"),
+        max_bucket,
     )
-    if max_bucket is not None:
-        # windowed count beats a groupBy+join: one shuffle on the same key
-        sizes = Window.partitionBy("bucket")
-        exploded = exploded.withColumn("_bn", F.count("*").over(sizes)).filter(
-            F.col("_bn") <= max_bucket
-        ).drop("_bn")
     # Self-join over IDENTICAL aliased subtrees (rename only AFTER the
     # join): the old shape projected id -> id_a / id_b BELOW the
     # exchange, which broke plan canonicalization, so no ReusedExchange
@@ -680,14 +690,7 @@ def lsh_incremental_matches(
             sigs, id_col, band_size, num_hashes, out_id=out
         ).drop("band")
 
-    cb = bucketed(sig_c, "id_c")
-    if max_bucket is not None:
-        w = Window.partitionBy("bucket")
-        cb = (
-            cb.withColumn("_bn", F.count("*").over(w))
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
-        )
+    cb = _cap_buckets(bucketed(sig_c, "id_c"), max_bucket)
     bb = bucketed(sig_b, "id_b")
     cands = bb.join(cb, "bucket").select("id_b", "id_c").distinct()
 

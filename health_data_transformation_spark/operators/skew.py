@@ -99,9 +99,23 @@ def widen_coarse_scan(df: DataFrame, key: str | Column) -> DataFrame:
     reducers and this is a no-op; the exchange, when it does fire,
     ships only the projected columns ahead of strictly heavier
     per-row work.
+
+    CONTRACT: call this on SCAN-ROOTED frames only (a table read plus
+    narrow projections/filters).  The split-count probe goes through
+    ``df.rdd``, which is free for a scan but — on a plan containing
+    exchanges — makes AQE materialize every upstream stage just to
+    count partitions, re-creating the double-execution class this
+    repo hunts.  The guard is advisory, never load-bearing: any probe
+    failure (streaming frame, non-numeric ``spark.sql.shuffle.
+    partitions`` such as Databricks' ``auto``) degrades to a no-op
+    rather than failing the query.
     """
-    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < max(2, width // 2):
+    try:
+        width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        coarse = df.rdd.getNumPartitions() < max(2, width // 2)
+    except Exception:
+        return df
+    if coarse:
         key_col = F.col(key) if isinstance(key, str) else key
         return df.repartition(width, key_col)
     return df

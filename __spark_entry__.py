@@ -31,66 +31,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Queries promoted into the front of the registry ordering.  The
 #: driver's correctness gate re-checks a fixed-size 50-query prefix of
-#: ``queries()``, so the ordering is evidence steering.  Round-6 policy
-#: (VERDICT r5 task #1): the registry is FROZEN and the round is spent
-#: paying down driver-evidence debt — the prefix is the q169 ingest
-#: anchor (S4-S8 §2 proof, pinned every round per VERDICT r5 task #6)
-#: plus the 49-query q102-q154 block, the largest contiguous
-#: never-driver-verified range in ``tools/driver_ledger.py`` output.
+#: ``queries()``, so the ordering is evidence steering.  Round-7 policy
+#: (VERDICT r6 tasks #1/#4): registry still FROZEN; the prefix is the
+#: q169 ingest anchor (S4-S8 §2 proof, pinned every round) plus the
+#: four never-driver-verified STREAMING twins (q92/q187/q192/q213 —
+#: highest-risk block: their correctness rests on mtime-ordered file
+#: staging the driver environment could plausibly break; q181/q204/
+#: q238/q244 from the verdict's list already carry driver evidence per
+#: ``tools/driver_ledger.py``), then the q155-q193 never-verified range
+#: oldest-first, then the next never-verified in registry order
+#: (q195-q218).  49 never-verified slots: ledger "never" 166 -> 117.
 #: Every rotated-out query keeps driver-grade evidence in a committed
 #: CORRECTNESS_r*.json (the ledger asserts this for the §2 proofs) and
 #: stays green in the committed full-registry local artifact.
 _PROMOTED = [
     "q169_ingest_lifecycle",
-    "q102_zorder_key",
-    "q103_time_weighted_sums",
-    "q104_decay_scores",
-    "q106_er_match_scores",
-    "q107_udtf_chunks",
-    "q108_feature_hashing",
-    "q109_target_encoding",
-    "q110_negative_sampling",
-    "q111_asof_ttl",
-    "q112_rollup_cascade",
-    "q113_bloom_filter",
-    "q114_dup_shingle_ratio",
-    "q115_repetition_ratio",
-    "q116_bigram_lift",
-    "q117_decontamination",
-    "q118_grouped_reservoir",
-    "q119_argmax_customer",
-    "q120_interval_overlap",
-    "q121_rolling_distinct_users",
-    "q122_zscore_stats",
-    "q123_gap_fill_hours",
-    "q124_first_touch",
-    "q125_vocab_encode",
-    "q126_gaps_islands",
-    "q127_funnel_steps",
-    "q128_except_all",
-    "q129_equidepth_hist",
-    "q130_ewma_po2",
-    "q131_mad_outliers",
-    "q132_seasonal_hotspots",
-    "q133_autocorr_terms",
-    "q134_markov_transitions",
-    "q135_grid_radius_join",
-    "q136_ab_arms",
-    "q137_triangle_count",
-    "q138_bfs_levels",
-    "q139_weighted_median",
-    "q140_cusum_days",
-    "q142_source_checksums",
-    "q143_pareto_frontier",
-    "q144_scd2_compress",
-    "q145_sorted_neighborhood",
-    "q146_systematic_sample",
-    "q147_latency_histogram",
-    "q148_decay_attribution",
-    "q149_gini_concentration",
-    "q151_event_throttle",
-    "q152_pii_redaction",
-    "q154_variant_extract",
+    "q92_stream_count_min",
+    "q187_stream_static_enrich",
+    "q192_watermark_late_drop",
+    "q213_event_lag_percentiles",
+    "q155_custom_datasource",
+    "q157_basket_coitems",
+    "q159_apply_changes",
+    "q160_nearest_event",
+    "q161_oov_rate",
+    "q163_p90_gap",
+    "q164_growth_accounting",
+    "q165_winsorized_mean",
+    "q166_share_of_parent",
+    "q167_calendar_join",
+    "q168_benford_digits",
+    "q170_repetition_screen",
+    "q171_rrf_fusion",
+    "q172_mixture_allocation",
+    "q174_unigram_surprisal",
+    "q175_dataset_card",
+    "q176_soft_dedup_weights",
+    "q177_time_travel",
+    "q178_incremental_dedup",
+    "q179_quality_keeper",
+    "q182_domain_stats",
+    "q183_train_shard_manifest",
+    "q185_bpe_pair_counts",
+    "q188_source_overlap",
+    "q189_schema_evolution",
+    "q190_hard_negatives",
+    "q193_audio_energy",
+    "q195_event_trigrams",
+    "q196_change_data_feed",
+    "q197_temperature_mixture",
+    "q198_golden_record",
+    "q201_join_fanout_preflight",
+    "q202_dsar_export",
+    "q203_hll_rolling_merge",
+    "q205_pit_scd2_join",
+    "q206_novelty_rate",
+    "q207_group_kfold",
+    "q208_ablation_manifest",
+    "q210_incremental_view_maintenance",
+    "q211_split_leakage_audit",
+    "q214_bootstrap_ci",
+    "q215_bigram_surprisal",
+    "q216_label_centroid_matrix",
+    "q217_interval_coverage",
+    "q218_conditional_merge",
 ]
 
 

@@ -34,6 +34,91 @@ def execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: Canary pair (VERDICT r6 task #2): two stable, never-perf-touched
+#: queries timed best-of-CANARY_REPS at bench START and again at bench
+#: END.  Their drift measures *session/machine-day* speed, not plan
+#: changes, so bench_diff can normalize per-query round-over-round
+#: ratios by it — r6's +11% median drift was unattributable without
+#: this, and the q199 phantom (a 2.76 s single-session measurement
+#: never reproduced) showed unnormalized timings can lie.
+CANARIES = ("q01_week_count", "q47_percentiles")
+CANARY_REPS = 3
+
+
+def derive_round(here: str, env_round: str | None) -> int:
+    """The in-progress round number for BENCH_detail_r{N}.json.
+
+    ADVICE r6: deriving from max(driver BENCH_r*)+1 alone mislabels any
+    re-run made after this round's detail already exists.  The driver
+    stamps BENCH_rN at round END, so the in-progress round is
+    max(driver_max + 1, detail_max): a first run in r7 sees (6, 6) -> 7;
+    a re-run after writing detail r07 sees (6, 7) -> 7 (overwrites its
+    own detail, correct); the first run of r8 sees (7, 7) -> 8.
+    """
+    import glob as _glob
+    import re as _re
+
+    if env_round and env_round.isdigit():
+        return int(env_round)
+
+    def _max_round(pattern: str) -> int:
+        return max(
+            (
+                int(m.group(1))
+                for p in _glob.glob(os.path.join(here, pattern % "*"))
+                if (m := _re.search(pattern % r"(\d+)" + "$", p))
+            ),
+            default=0,
+        )
+
+    driver_max = _max_round("BENCH_r%s.json")
+    detail_max = _max_round("BENCH_detail_r%s.json")
+    return max(driver_max + 1, detail_max)
+
+
+def session_fingerprint(spark) -> dict:
+    """JVM-session provenance recorded per bench run (VERDICT r6 task
+    #2): lets a later reader distinguish fresh-JVM cold measurements
+    from warm ones and see whether GC pressure differed between two
+    runs being diffed.  Best-effort — any probe failure yields a
+    partial fingerprint, never a bench failure."""
+    fp: dict = {"pid": os.getpid()}
+    try:
+        jvm = spark._jvm
+        mf = jvm.java.lang.management.ManagementFactory
+        fp["jvm_uptime_ms"] = int(mf.getRuntimeMXBean().getUptime())
+        gc_count = gc_ms = 0
+        it = mf.getGarbageCollectorMXBeans().iterator()
+        while it.hasNext():
+            b = it.next()
+            gc_count += max(0, int(b.getCollectionCount()))
+            gc_ms += max(0, int(b.getCollectionTime()))
+        fp["gc_count"] = gc_count
+        fp["gc_ms"] = gc_ms
+        heap = mf.getMemoryMXBean().getHeapMemoryUsage()
+        fp["heap_used_mb"] = int(heap.getUsed()) // (1024 * 1024)
+    except Exception as e:  # py4j gateway quirks must not fail the bench
+        fp["err"] = f"{type(e).__name__}: {e}"
+    return fp
+
+
+def run_canaries(spark, sf_dir: str) -> dict:
+    """Best-of-CANARY_REPS wall time per canary query, with the session
+    fingerprint captured alongside (so start-vs-end GC/uptime deltas
+    are auditable)."""
+    from health_data_transformation_spark.plans.analytics import REGISTRY
+
+    out: dict = {"fingerprint": session_fingerprint(spark), "reps": {}}
+    for name in CANARIES:
+        runs = []
+        for _ in range(CANARY_REPS):
+            t0 = time.time()
+            execute(REGISTRY[name].fn(spark, sf_dir))
+            runs.append(round(time.time() - t0, 3))
+        out["reps"][name] = runs
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from health_data_transformation_spark.plans.analytics import REGISTRY
@@ -44,6 +129,8 @@ def main() -> None:
 
     # warm the JVM/codegen path so per-query times measure the plan, not startup
     execute(REGISTRY["q03_pricing_summary"].fn(spark, sf_dir))
+
+    canary_start = run_canaries(spark, sf_dir)
 
     single_pass = os.environ.get("SPARK_GRAFT_BENCH_REPS") == "1"
     REP_THRESHOLD = 0.95  # under this, a query can't trip the diff gate
@@ -81,6 +168,8 @@ def main() -> None:
         reps[name] = [round(r, 3) for r in runs]
         total += dt
 
+    canary_end = run_canaries(spark, sf_dir)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -95,23 +184,32 @@ def main() -> None:
     # round-named copy makes the provenance self-maintaining).  Round =
     # $ROUND if set, else newest committed driver BENCH_r*.json + 1.
     try:
-        import glob as _glob
-        import re as _re
-
         here = os.path.dirname(os.path.abspath(__file__))
-        rnd = os.environ.get("ROUND")
-        if not (rnd and rnd.isdigit()):
-            rounds = [
-                int(m.group(1))
-                for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
-                if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-            ]
-            rnd = str(max(rounds, default=0) + 1)
+        rnd = derive_round(here, os.environ.get("ROUND"))
+        # Canary drift: geometric mean over the pair of
+        # min(end)/min(start).  ~1.0 means the session stayed stable
+        # for the whole bench; a drifting session tells bench_diff its
+        # own within-run noise floor.
+        drift = 1.0
+        try:
+            for name in CANARIES:
+                s = min(canary_start["reps"][name])
+                t = min(canary_end["reps"][name])
+                drift *= (t / s) if s > 0 else 1.0
+            drift = round(drift ** (1.0 / len(CANARIES)), 4)
+        except (KeyError, ValueError, ZeroDivisionError):
+            drift = None
         payload = {
             "sf": sf_val,
             "total_sec": round(total, 3),
             "queries": timings,
             "reps": reps,
+            "canary": {
+                "queries": list(CANARIES),
+                "start": canary_start,
+                "end": canary_end,
+                "within_run_drift": drift,
+            },
         }
         for fname in (
             "bench_detail.json",

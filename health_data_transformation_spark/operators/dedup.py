@@ -81,7 +81,7 @@ def exact_content_groups(df: DataFrame, text_col: str = "text", id_col: str = "d
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 8,
-    shingle_k: int | None = None,
+    shingle_k: int | None = None, widen: bool = True,
 ) -> DataFrame:
     """MinHash signature per document over its distinct-token set (or,
     with ``shingle_k``, its distinct k-token-shingle set — the
@@ -90,14 +90,23 @@ def minhash_signatures(
 
     sig_i = min over tokens of hex_hash64(token, salt=i).  Computed as a
     per-row array expression (no explode, no shuffle).
+
+    ``widen`` gates the task-granularity guard: widen_coarse_scan's
+    ``df.rdd`` split probe is only safe on SCAN-ROOTED frames (on an
+    exchange-bearing plan AQE materializes every upstream stage just to
+    count partitions).  Callers handed an *arbitrary* user frame —
+    lsh_incremental_matches's corpus/batch inputs — must pass
+    ``widen=False``; the registry's own scan-rooted paths keep the
+    default.
     """
     from ..functions.text import token_shingles
 
-    # signature compute is the heavy per-row stage — make sure it is
-    # not serialized into one task by an unsplittable small scan
-    from .skew import widen_coarse_scan
+    if widen:
+        # signature compute is the heavy per-row stage — make sure it is
+        # not serialized into one task by an unsplittable small scan
+        from .skew import widen_coarse_scan
 
-    df = widen_coarse_scan(df, id_col)
+        df = widen_coarse_scan(df, id_col)
     toks = (
         F.array_distinct(token_shingles(text_col, shingle_k))
         if shingle_k
@@ -249,6 +258,7 @@ def lsh_near_dup_pairs(
     min_jaccard: float = 0.5,
     max_bucket: int | None = None,
     shingle_k: int | None = None,
+    widen: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection:
     shingle -> minhash -> band -> bucket-join candidates -> exact-Jaccard
@@ -261,7 +271,7 @@ def lsh_near_dup_pairs(
     sets for the *candidate* pairs only — never a quadratic pass over
     the corpus.  Output: (id_a, id_b, jaccard), id_a < id_b.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, widen=widen)
     cands = lsh_candidate_pairs(sigs, id_col, band_size, num_hashes, max_bucket)
     from ..functions.text import token_shingles
 
@@ -682,8 +692,11 @@ def lsh_incremental_matches(
     ``n_matches`` counts distinct corpus docs with verified exact
     Jaccard >= threshold and ``admitted`` marks batch docs with none.
     """
-    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes)
-    sig_b = minhash_signatures(batch, text_col, id_col, num_hashes)
+    # widen=False: corpus/batch are caller-supplied frames of unknown
+    # plan shape — the granularity probe is only safe on scan-rooted
+    # inputs (see minhash_signatures docstring).
+    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes, widen=False)
+    sig_b = minhash_signatures(batch, text_col, id_col, num_hashes, widen=False)
 
     def bucketed(sigs: DataFrame, out: str) -> DataFrame:
         return _band_explode(

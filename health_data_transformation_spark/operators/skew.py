@@ -21,6 +21,22 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+def session_reduce_width(spark) -> int:
+    """The session's reduce granularity as an int, or 0 when unknowable.
+
+    ``spark.sql.shuffle.partitions`` is not numeric on every deployment
+    (Databricks AQE accepts ``auto``); every advisory repartition in
+    this package must treat a non-numeric value as "skip the
+    optimization", never as an error (ADVICE r6: spatial.py raised
+    ValueError here and failed q135/q315 outright).  Returns 0 on any
+    probe failure so callers can gate with ``if width > 0``.
+    """
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return 0
+
+
 def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame:
     """Uniform deterministic-per-row salt in [0, buckets).
 
@@ -110,8 +126,10 @@ def widen_coarse_scan(df: DataFrame, key: str | Column) -> DataFrame:
     partitions`` such as Databricks' ``auto``) degrades to a no-op
     rather than failing the query.
     """
+    width = session_reduce_width(df.sparkSession)
+    if width <= 0:
+        return df
     try:
-        width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         coarse = df.rdd.getNumPartitions() < max(2, width // 2)
     except Exception:
         return df

@@ -75,8 +75,15 @@ def grid_radius_pairs(
     # costs one linear shuffle of the x9-replicated points (narrow
     # rows) and balances the quadratic stage at any scale; correctness
     # is unaffected (the join needs no co-partitioning of the probe).
-    n_probe = int(pts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    left = left.repartition(n_probe)
+    # Guarded probe (shared with skew.widen_coarse_scan): the balancing
+    # repartition is advisory, never load-bearing — on sessions where
+    # the conf is non-numeric (Databricks AQE 'auto') it degrades to a
+    # no-op instead of failing every consumer (q135, q315 DBSCAN).
+    from .skew import session_reduce_width
+
+    n_probe = session_reduce_width(pts.sparkSession)
+    if n_probe > 0:
+        left = left.repartition(n_probe)
     right = a.select(
         F.col("_id").alias("_id2"),
         F.col("_x").alias("_x2"),

@@ -197,6 +197,61 @@ def test_widen_coarse_scan_guard(spark):
     assert same.rdd.getNumPartitions() == width * 2  # untouched
 
 
+def test_session_reduce_width_degrades_on_non_numeric_conf(spark):
+    """ADVICE r6: every advisory repartition probe must treat a
+    non-numeric spark.sql.shuffle.partitions (Databricks AQE 'auto')
+    as 'skip', never raise — spatial.grid_radius_pairs used to
+    ValueError and fail q135/q315 outright."""
+    from health_data_transformation_spark.operators.skew import (
+        session_reduce_width,
+        widen_coarse_scan,
+    )
+
+    assert session_reduce_width(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    class _AutoConf:
+        def get(self, key):
+            return "auto"
+
+    class _AutoSession:
+        conf = _AutoConf()
+
+    assert session_reduce_width(_AutoSession()) == 0
+
+    class _AutoFrame:
+        sparkSession = _AutoSession()
+
+    probe = _AutoFrame()
+    assert widen_coarse_scan(probe, "k") is probe  # no-op, no df.rdd touch
+
+
+def test_minhash_widen_opt_out_skips_rdd_probe(spark, monkeypatch):
+    """ADVICE r6: lsh_incremental_matches feeds caller-supplied frames
+    into minhash_signatures — widen=False must bypass the df.rdd split
+    probe entirely (on exchange-bearing plans it materializes every
+    upstream stage)."""
+    from health_data_transformation_spark.operators import skew
+
+    calls = []
+    real = skew.widen_coarse_scan
+
+    def spy(df, key):
+        calls.append(key)
+        return real(df, key)
+
+    monkeypatch.setattr(skew, "widen_coarse_scan", spy)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    dedup.minhash_signatures(df, num_hashes=2, widen=False).collect()
+    assert calls == []
+    dedup.minhash_signatures(df, num_hashes=2).collect()
+    assert calls == ["doc_id"]
+
+
 def test_simhash_close_for_near_dups(spark):
     df = spark.createDataFrame(
         [

@@ -36,8 +36,11 @@ def test_promoted_families_inside_driver_prefix():
 
     ledger = build_ledger()
     # the rotation must actually pay down evidence debt: >=45 prefix
-    # slots had NO committed driver evidence before this round (r6)
-    fresh = [n for n in first50 if not [r for r in ledger[n] if r < 6]]
+    # slots had NO committed driver evidence before the in-progress
+    # round (= newest committed driver round + 1, derived so this
+    # assertion doesn't need a per-round edit)
+    cur = max((r for rs in ledger.values() for r in rs), default=0) + 1
+    fresh = [n for n in first50 if not [r for r in ledger[n] if r < cur]]
     assert len(fresh) >= 45, f"only {len(fresh)} never-verified in prefix"
 
     # §2 proof queries: driver-verified in at least one committed round

@@ -10,6 +10,18 @@ not a plan change).  This is the gate that would have caught the q105
 double-evaluation regression (3.3 s -> 18.3 s between rounds) at
 commit time instead of at judging time.
 
+Canary normalization (VERDICT r6 task #2): when BOTH detail files
+carry the ``canary`` block bench.py writes (a fixed pair of stable
+queries timed best-of-3 at run start and end), per-query ratios are
+divided by the cross-run canary factor — geomean over the pair of
+new_canary_min / old_canary_min.  This separates machine-day /
+session drift (which moves the canaries and every query together,
+like r6's unattributable +11% median) from a real plan regression
+(which moves one query against the canaries).  The gate criterion
+uses the NORMALIZED ratio but keeps the raw absolute floor: a
+regression must be >= factor x after drift correction AND >= floor
+seconds of raw growth.
+
 Usage:
     python tools/bench_diff.py OLD.json NEW.json [--factor 2.0] [--floor 1.0]
 
@@ -25,15 +37,48 @@ import json
 import sys
 
 
-def load_queries(path: str) -> dict[str, float]:
+def load_detail(path: str) -> dict:
     with open(path) as fh:
-        data = json.load(fh)
+        return json.load(fh)
+
+
+def load_queries(data) -> dict[str, float]:
+    if isinstance(data, str):  # path (back-compat for importers)
+        data = load_detail(data)
     qs = data.get("queries", data)
     return {
         str(k): float(v)
         for k, v in qs.items()
         if isinstance(v, (int, float))
     }
+
+
+def canary_mins(data) -> dict[str, float]:
+    """Per-canary min over ALL recorded reps (start and end blocks)."""
+    c = data.get("canary") if isinstance(data, dict) else None
+    if not c:
+        return {}
+    mins: dict[str, float] = {}
+    for block in ("start", "end"):
+        for name, runs in (c.get(block, {}).get("reps") or {}).items():
+            if runs:
+                lo = min(runs)
+                mins[name] = min(mins.get(name, lo), lo)
+    return mins
+
+
+def canary_factor(old_data, new_data) -> float | None:
+    """Geomean of new/old canary mins over the canaries present in
+    both files; None when either side lacks canary data (raw ratios
+    are then used, the pre-r7 behavior)."""
+    old_c, new_c = canary_mins(old_data), canary_mins(new_data)
+    shared = [n for n in old_c if n in new_c and old_c[n] > 0]
+    if not shared:
+        return None
+    prod = 1.0
+    for n in shared:
+        prod *= new_c[n] / old_c[n]
+    return prod ** (1.0 / len(shared))
 
 
 def main() -> int:
@@ -47,9 +92,18 @@ def main() -> int:
                          "seconds of absolute growth (default 1.0)")
     args = ap.parse_args()
 
-    old, new = load_queries(args.old), load_queries(args.new)
+    old_data, new_data = load_detail(args.old), load_detail(args.new)
+    old, new = load_queries(old_data), load_queries(new_data)
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
+
+    factor = canary_factor(old_data, new_data)
+    norm = factor if factor and factor > 0 else 1.0
+    if factor is not None:
+        print(f"canary drift factor (new/old session speed): {factor:.3f} "
+              f"— per-query ratios normalized by it")
+    else:
+        print("no canary data on one or both sides — raw ratios")
 
     regressions: list[tuple[str, float, float, float]] = []
     improved = 0
@@ -57,8 +111,10 @@ def main() -> int:
         o, n = old[name], new[name]
         if n < o:
             improved += 1
-        if o > 0 and n >= args.factor * o and (n - o) >= args.floor:
-            regressions.append((name, o, n, n / o))
+        # normalized ratio gates the factor; the absolute floor stays
+        # raw (drift cannot conjure a full second on a sub-second query)
+        if o > 0 and (n / norm) >= args.factor * o and (n - o) >= args.floor:
+            regressions.append((name, o, n, (n / norm) / o))
 
     if added:
         print(f"new queries ({len(added)}): {', '.join(added[:10])}"
@@ -67,10 +123,11 @@ def main() -> int:
         print(f"removed queries ({len(removed)}): {', '.join(removed)}")
     print(f"compared {len(set(old) & set(new))} queries; "
           f"{improved} improved; {len(regressions)} regressed "
-          f">= {args.factor}x (+{args.floor}s floor)")
+          f">= {args.factor}x normalized (+{args.floor}s raw floor)")
 
     for name, o, n, ratio in sorted(regressions, key=lambda r: -r[3]):
-        print(f"REGRESSION {name}: {o:.2f}s -> {n:.2f}s ({ratio:.1f}x)")
+        print(f"REGRESSION {name}: {o:.2f}s -> {n:.2f}s "
+              f"({ratio:.1f}x normalized)")
     return 1 if regressions else 0
 
 

@@ -145,7 +145,14 @@ def main() -> int:
     # bench_detail.json, killing the r4->r5 per-query diff).  The
     # current round's detail MUST be committed under
     # BENCH_detail_r{N}.json; the diff runs prior-round vs current.
-    this_round = int(re.search(r"_r(\d+)\.json$", str(artifact)).group(1))
+    m_round = re.search(r"_r(\d+)\.json$", str(artifact))
+    if m_round is None:
+        print(
+            "GATE FAIL: artifact name must end in _rNN.json "
+            f"(e.g. CORRECTNESS_local_r07.json), got: {artifact}"
+        )
+        return 1
+    this_round = int(m_round.group(1))
     benches = sorted(
         glob.glob(str(ROOT / "BENCH_detail_r*.json")),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),

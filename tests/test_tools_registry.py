@@ -238,3 +238,116 @@ def test_round_gate_artifact_freshness(tmp_path, monkeypatch):
     assert not check(
         {"q1": {**good["q1"], "values_match": False}}, ["q1"]
     )
+
+
+def test_bench_derive_round(tmp_path):
+    """ADVICE r6: the detail round must be max(driver+1, detail) so a
+    re-run after this round's detail exists overwrites it instead of
+    stamping the next round."""
+    from bench import derive_round
+
+    assert derive_round(str(tmp_path), None) == 1  # empty repo
+    (tmp_path / "BENCH_r06.json").write_text("{}")
+    (tmp_path / "BENCH_detail_r06.json").write_text("{}")
+    assert derive_round(str(tmp_path), None) == 7   # fresh r7 run
+    (tmp_path / "BENCH_detail_r07.json").write_text("{}")
+    assert derive_round(str(tmp_path), None) == 7   # re-run overwrites r7
+    (tmp_path / "BENCH_r07.json").write_text("{}")
+    assert derive_round(str(tmp_path), None) == 8   # driver closed r7
+    assert derive_round(str(tmp_path), "42") == 42  # ROUND env wins
+
+
+def test_bench_diff_canary_normalization(tmp_path):
+    """A uniform 2x slowdown that also moves the canaries 2x is drift,
+    not regression; the same slowdown with FLAT canaries is real."""
+    def detail(times, canary_t):
+        return {
+            "queries": times,
+            "canary": {
+                "queries": ["q01", "q47"],
+                "start": {"reps": {"q01": [canary_t], "q47": [canary_t]}},
+                "end": {"reps": {"q01": [canary_t], "q47": [canary_t]}},
+                "within_run_drift": 1.0,
+            },
+        }
+
+    old = tmp_path / "old.json"
+    drift = tmp_path / "drift.json"
+    real = tmp_path / "real.json"
+    old.write_text(json.dumps(detail({"a": 2.0, "b": 3.0}, 1.0)))
+    # whole session 2x slower, canaries too -> normalized ratio 1.0
+    drift.write_text(json.dumps(detail({"a": 4.0, "b": 6.0}, 2.0)))
+    # 'a' alone 3x slower, canaries flat -> real regression
+    real.write_text(json.dumps(detail({"a": 6.0, "b": 3.0}, 1.0)))
+
+    rc_drift = subprocess.run(
+        [sys.executable, "/root/repo/tools/bench_diff.py", str(old), str(drift)],
+        capture_output=True, text=True,
+    )
+    assert rc_drift.returncode == 0, rc_drift.stdout
+    assert "canary drift factor" in rc_drift.stdout
+
+    rc_real = subprocess.run(
+        [sys.executable, "/root/repo/tools/bench_diff.py", str(old), str(real)],
+        capture_output=True, text=True,
+    )
+    assert rc_real.returncode == 1
+    assert "REGRESSION a:" in rc_real.stdout
+
+
+def test_round_gate_perf_claims(tmp_path):
+    """r6 verdict task #6: a perf claim needs >=2 distinct-session
+    measurements in bench_sessions.jsonl; no claims file passes."""
+    from pathlib import Path
+
+    from tools.round_gate import check_perf_claims
+
+    root = Path(tmp_path)
+    assert check_perf_claims(7, root) is None  # no claims file
+
+    (root / "PERF_CLAIMS_r07.json").write_text(
+        json.dumps({"q199_warehouse_profile": "switched agg shape"})
+    )
+    msg = check_perf_claims(7, root)
+    assert msg is not None and "GATE FAIL" in msg  # no sessions at all
+
+    def session(pid, uptime):
+        return json.dumps({
+            "fingerprint": {"pid": pid, "jvm_uptime_ms": uptime},
+            "queries": {"q199_warehouse_profile": [1.0, 1.1]},
+        })
+
+    (root / "bench_sessions.jsonl").write_text(session(1, 100) + "\n")
+    assert "GATE FAIL" in check_perf_claims(7, root)  # one session only
+
+    (root / "bench_sessions.jsonl").write_text(
+        session(1, 100) + "\n" + session(2, 200) + "\n"
+    )
+    assert check_perf_claims(7, root) is None  # two distinct sessions
+
+
+def test_explain_audit_rescan_rule():
+    """The re-execution detector flags >RESCAN_MAX identical surviving
+    scans and ignores distinct-filter multi-pass plans."""
+    from tools.explain_audit import RESCAN_MAX, audit_rescan
+
+    def plan(n_same, pushed="[]"):
+        lines = []
+        for i in range(n_same):
+            nid = i + 1
+            lines.append(f"{'   ' * i}* Scan parquet  ({nid})")
+        lines.append("")
+        for i in range(n_same):
+            nid = i + 1
+            lines.append(f"({nid}) Scan parquet ")
+            lines.append(
+                "Location: InMemoryFileIndex [file:/x/documents.parquet]"
+            )
+            lines.append("ReadSchema: struct<text:string>")
+            lines.append(f"PushedFilters: {pushed}")
+            lines.append("PartitionFilters: []")
+        return "\n".join(lines)
+
+    assert audit_rescan(plan(RESCAN_MAX)) == []
+    findings = audit_rescan(plan(RESCAN_MAX + 1))
+    assert findings and "documents" in findings[0]

@@ -424,9 +424,94 @@ def formatted_plan(spark, df) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+# ---------------------------------------------------------------------------
+# Accidental re-execution rule (r6 verdict task #5 — the q315/q138/
+# q194 class): a union-of-selects or a checkpoint target above a join
+# can physically execute the SAME subtree once per branch, and AQE's
+# exchange reuse only merges branches whose subtrees are CANONICALLY
+# identical (rename-below-the-join breaks it).  The static initial
+# plan cannot show this — `df.count()` builds its own QueryExecution
+# and the printed plan stays `isFinalPlan=false` with duplicate scans
+# that runtime reuse may well merge.  So the detector EXECUTES the
+# frame (collect on the SAME DataFrame object), reads the
+# isFinalPlan=true formatted plan, and groups surviving Scan nodes by
+# (relation, ReadSchema, PushedFilters, PartitionFilters): duplicates
+# that ReusedExchange/ReusedSubquery merged are gone from the final
+# plan by construction, so >RESCAN_MAX identical surviving scans mean
+# the subtree genuinely runs that many times.  Non-identical scans of
+# one relation (different pushed filters — the q127 funnel's three
+# pruned passes) are different work by design and never flagged.
+
+#: identical-scan count above which the final plan is flagged; 2
+#: allows the deliberate self-join pair shapes (band tables, pair
+#: construction) whose two sides cannot share one exchange
+RESCAN_MAX = 2
+
+#: queries whose final plan DELIBERATELY re-scans one relation with
+#: identical pushed filters more than RESCAN_MAX times (each entry
+#: documents why that is the intended scale shape, mirroring
+#: ALLOWED_TINY_BROADCAST_CROSS)
+ALLOWED_RESCAN: dict[str, str] = {
+    # iterative/multi-round driver loops re-plan per round, so each
+    # round's scan appears once — bounded by the documented round count
+}
+
+
+def _final_plan_scan_groups(plan: str) -> dict[tuple, int]:
+    """Count Scan nodes in a formatted plan grouped by what they read."""
+    children, details, names = _parse_plan_tree(plan)
+    groups: dict[tuple, int] = {}
+    for nid, name in names.items():
+        if not name.startswith("Scan"):
+            continue
+        d = details.get(nid, "")
+        rel = re.search(r"/(\w+)\.parquet", d)
+        if not rel:
+            continue
+        schema = re.search(r"ReadSchema: ([^\n]*)", d)
+        pushed = re.search(r"PushedFilters: ([^\n]*)", d)
+        part = re.search(r"PartitionFilters: ([^\n]*)", d)
+        key = (
+            rel.group(1),
+            schema.group(1) if schema else "",
+            pushed.group(1) if pushed else "",
+            part.group(1) if part else "",
+        )
+        groups[key] = groups.get(key, 0) + 1
+    return groups
+
+
+def audit_rescan(plan_final: str) -> list[str]:
+    """Findings: identical scans surviving >RESCAN_MAX times in an
+    executed (isFinalPlan=true) plan — runtime exchange reuse did not
+    merge them, so the subtree executes once per occurrence."""
+    findings = []
+    for (rel, schema, pushed, part), n in _final_plan_scan_groups(
+        plan_final
+    ).items():
+        if n > RESCAN_MAX:
+            findings.append(
+                f"relation '{rel}' scanned {n}x with identical "
+                f"ReadSchema/PushedFilters in the FINAL plan — the "
+                f"subtree above it executes {n} times (no "
+                f"ReusedExchange merged it); pushed={pushed[:60]}"
+            )
+    return findings
+
+
+def executed_final_plan(spark, df) -> str:
+    """Execute df (collect on the SAME object) and return the adaptive
+    FINAL formatted plan.  collect — not count/noop-write — because
+    those build their own QueryExecution and leave this one initial."""
+    df.collect()
+    return formatted_plan(spark, df)
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    argv = [a for a in sys.argv[1:] if a != "--rescan"]
+    rescan = "--rescan" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    names = argv[1:] or DEFAULT_QUERIES
 
     from pyspark.sql import SparkSession
 
@@ -444,7 +529,8 @@ def main() -> None:
         names = list(queries.keys())
     failed = False
     for name in names:
-        plan = formatted_plan(spark, queries[name](spark, sf_dir))
+        df = queries[name](spark, sf_dir)
+        plan = formatted_plan(spark, df)
         joins = JOIN_RE.findall(plan)
         pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
         interesting = [p for p in pushed if p != "PushedFilters: []"][:3]
@@ -460,8 +546,27 @@ def main() -> None:
         wfind = (
             [] if name in ALLOWED_BOUNDED_WINDOW else audit_windows(plan)
         )
+        rfind: list[str] = []
+        if rescan and name not in ALLOWED_RESCAN:
+            # static prefilter: runtime reuse can only REMOVE duplicate
+            # scans, so a clean initial plan is already proof — execute
+            # only when the initial plan shows a suspect group
+            if any(
+                n > RESCAN_MAX
+                for n in _final_plan_scan_groups(plan).values()
+            ):
+                try:
+                    rfind = audit_rescan(executed_final_plan(spark, df))
+                except Exception as e:  # streaming frames can't collect
+                    print(f"    rescan-skip ({type(e).__name__}: {e})")
         status = (
-            "FORBIDDEN-JOIN" if bad else "BAD-WINDOW" if wfind else "ok"
+            "FORBIDDEN-JOIN"
+            if bad
+            else "BAD-WINDOW"
+            if wfind
+            else "RE-EXECUTION"
+            if rfind
+            else "ok"
         )
         print(
             f"{status:14s} {name}: joins={joins or '-'} "
@@ -470,9 +575,11 @@ def main() -> None:
         )
         for w in wfind:
             print(f"    {w}")
+        for r in rfind:
+            print(f"    {r}")
         for p in interesting:
             print(f"    {p[:110]}")
-        failed = failed or bool(bad) or bool(wfind)
+        failed = failed or bool(bad) or bool(wfind) or bool(rfind)
     sys.exit(1 if failed else 0)
 
 

@@ -8,7 +8,11 @@ Checks, in order (first failure exits 1):
      query set == live registry set, zero failures) — a query added
      after the artifact was written fails this gate by construction
   3. bench_diff between the two newest committed BENCH details (>=2x
-     AND >=1s regressions fail; new/removed queries reported only)
+     AND >=1s regressions fail, canary-normalized when both details
+     carry canary blocks; new/removed queries reported only)
+  3b. perf-claim provenance: every query in PERF_CLAIMS_r{N}.json must
+     have >=2 distinct-JVM-session measurements in bench_sessions.jsonl
+     (the q199 single-session-measurement rule)
   4. driver_ledger summary printed (informational)
 
 Usage:
@@ -47,6 +51,55 @@ def newest(pattern: str) -> str | None:
         return int(m.group(1)) if m else -1
 
     return max(paths, key=key)
+
+
+def check_perf_claims(this_round: int, root: Path) -> str | None:
+    """Perf-claim session provenance (r6 verdict task #6, the q199
+    lesson): a perf-motivated SHAPE change justified by a single
+    warm-session measurement shipped a 40 s regression in r6 before
+    being retracted.  Any query whose plan shape was changed THIS
+    round for performance must be listed in PERF_CLAIMS_r{N}.json
+    ({query: one-line justification}); each claimed query must have
+    measurements from >= 2 distinct JVM sessions in
+    bench_sessions.jsonl (written by tools/ab_measure.py).  No claims
+    file = no perf-motivated shape changes declared this round
+    (correctness fixes and new queries are exempt — their gate is the
+    oracle, not a timing).  Returns a GATE FAIL message or None.
+    """
+    claims_path = root / f"PERF_CLAIMS_r{this_round:02d}.json"
+    if not claims_path.exists():
+        print("\n=== no PERF_CLAIMS file this round (no perf-motivated "
+              "shape changes declared)")
+        return None
+    claims = json.loads(claims_path.read_text())
+    sessions_by_query: dict[str, set[tuple]] = {}
+    slog = root / "bench_sessions.jsonl"
+    if slog.exists():
+        for line in slog.read_text().splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            fp = rec.get("fingerprint", {})
+            sig = (fp.get("pid"), fp.get("jvm_uptime_ms"))
+            for q in rec.get("queries", {}):
+                sessions_by_query.setdefault(q, set()).add(sig)
+    under = {
+        q: len(sessions_by_query.get(q, ()))
+        for q in claims
+        if len(sessions_by_query.get(q, ())) < 2
+    }
+    if under:
+        return (
+            f"GATE FAIL: perf claims without >=2-session evidence "
+            f"in bench_sessions.jsonl: {under} — run "
+            f"tools/ab_measure.py --sessions 2 <query> first"
+        )
+    print(
+        f"\n=== perf claims: {len(claims)} queries, all with "
+        f">=2-session measurement provenance"
+    )
+    return None
 
 
 def main() -> int:
@@ -180,6 +233,22 @@ def main() -> int:
         ) != 0:
             print("GATE FAIL: bench regression")
             return 1
+
+    # 3b. perf-claim session provenance (r6 verdict task #6, the q199
+    # lesson): a perf-motivated SHAPE change justified by a single
+    # warm-session measurement shipped a 40 s regression in r6 before
+    # being retracted.  Policy: any query whose plan shape was changed
+    # THIS round for performance reasons must be listed in
+    # PERF_CLAIMS_r{N}.json ({query: one-line justification}); the
+    # gate then requires bench_sessions.jsonl (written by
+    # tools/ab_measure.py) to contain measurements for that query from
+    # >= 2 distinct JVM sessions.  No claims file = no perf-motivated
+    # shape changes this round (correctness fixes and new queries are
+    # exempt — their gate is the oracle, not a timing).
+    msg = check_perf_claims(this_round, ROOT)
+    if msg is not None:
+        print(msg)
+        return 1
 
     # 4. driver-coverage ledger: COVERAGE.md header/mention check and
     # the q169 prefix-pin assertion are HARD failures (r5 tasks #3/#6)

@@ -172,6 +172,107 @@ def grouped_weighted_quantile(
     )
 
 
+def grouped_weighted_quantiles(
+    df: DataFrame, key_col: str, value_col: str, weight_col: str,
+    specs: dict[str, tuple[int, int]],
+    bin_shift: int = 14,
+) -> DataFrame:
+    """Several exact weighted quantiles per group in ONE locate pass +
+    ONE refine pass over ``df`` — for ANY number of quantiles.
+
+    ``specs`` maps an output label to (q_num, q_den), e.g.
+    ``{"p5": (1, 20), "p95": (19, 20)}``.  Returns LONG format:
+    (key, q, quantile_value, total_weight), one row per (group, label);
+    callers pivot the (tiny) result as needed.
+
+    Why this exists (r7 re-execution audit): calling
+    :func:`grouped_weighted_quantile` once per quantile re-executes the
+    whole input subtree per call — 2 passes each, so p5+p95 over a
+    join-produced frame ran it 4x (q165 showed lineitem scanned 8x in
+    the final plan; q251 re-ran its conversion range-join 5x).  The
+    bin histogram does not depend on q, so ALL quantiles share it: the
+    locate phase crosses the per-key bin cumulative (tiny) with the
+    spec dim, and the refine phase joins each row to every spec whose
+    target bin it falls in (a 1-to-few broadcast join).  Input passes:
+    exactly 2, independent of len(specs).
+    """
+    spark = df.sparkSession
+    key, val = F.col(key_col), F.col(value_col).cast("long")
+    binned = F.shiftright(val, bin_shift).alias("_bin")
+    per_bin = df.select(key, binned, F.col(weight_col).alias("_w")).groupBy(
+        key_col, "_bin"
+    ).agg(F.sum("_w").alias("_wb"))
+    wbin = Window.partitionBy(key_col).orderBy("_bin")
+    binc = per_bin.select(
+        key_col,
+        "_bin",
+        F.col("_wb"),
+        F.sum("_wb").over(wbin).alias("_cumb"),
+        F.sum("_wb").over(Window.partitionBy(key_col)).alias("_tot"),
+    )
+    # spec dim: pure-JVM literal rows (never createDataFrame — a 1-row
+    # Python frame costs ~5 s of worker spin-up, see the q244 rule)
+    spec_rows = [
+        F.struct(
+            F.lit(label).alias("_q"),
+            F.lit(int(qn)).cast("long").alias("_qn"),
+            F.lit(int(qd)).cast("long").alias("_qd"),
+        )
+        for label, (qn, qd) in specs.items()
+    ]
+    spec_dim = spark.range(1).select(
+        F.explode(F.array(*spec_rows)).alias("_s")
+    ).select("_s.*")
+    target = (
+        binc.crossJoin(F.broadcast(spec_dim))
+        .filter(F.col("_cumb") * F.col("_qd") >= F.col("_qn") * F.col("_tot"))
+        .groupBy(key_col, "_q")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("_bin").alias("tbin"),
+                    (F.col("_cumb") - F.col("_wb")).alias("before"),
+                ),
+                F.col("_bin"),
+            ).alias("_t"),
+            F.max("_tot").alias("_tot"),
+            F.max("_qn").alias("_qn"),
+            F.max("_qd").alias("_qd"),
+        )
+        .select(key_col, "_q", "_t.tbin", "_t.before", "_tot", "_qn", "_qd")
+    )
+    rows = df.select(key, val.alias("_v"), F.col(weight_col).alias("_w"))
+    in_bin = (
+        rows.join(
+            F.broadcast(target),
+            (rows[key_col] == target[key_col])
+            & (F.shiftright(F.col("_v"), bin_shift) == F.col("tbin")),
+        )
+        .drop(target[key_col])
+        .groupBy(key_col, "_q", "_v", "before", "_tot", "_qn", "_qd")
+        .agg(F.sum("_w").alias("_wv"))
+    )
+    wval = Window.partitionBy(key_col, "_q").orderBy("_v")
+    cum2 = in_bin.select(
+        key_col,
+        "_q",
+        "_v",
+        "_tot",
+        "_qn",
+        "_qd",
+        (F.col("before") + F.sum("_wv").over(wval)).alias("_cum"),
+    )
+    return (
+        cum2.filter(F.col("_cum") * F.col("_qd") >= F.col("_qn") * F.col("_tot"))
+        .groupBy(key_col, "_q")
+        .agg(
+            F.min("_v").alias("quantile_value"),
+            F.max("_tot").alias("total_weight"),
+        )
+        .withColumnRenamed("_q", "q")
+    )
+
+
 def grouped_weighted_median(
     df: DataFrame, key_col: str, value_col: str, weight_col: str,
     bin_shift: int = 14,

@@ -25,7 +25,7 @@ exact counting would itself be the bottleneck.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..functions.text import hex_hash64, hex_hash64_sql
 
@@ -323,12 +323,29 @@ def heavy_hitters_exact(
         .select(item_col)
         .distinct()
     )
-    total = items_only.agg(F.count("*").alias("n_total"))
+    # Verify pass carries the exact N too (r7 re-execution audit: the
+    # separate full-scan count was a third corpus pass).  LEFT join
+    # against the broadcast candidate list, mask non-candidates into a
+    # single NULL group: per-candidate counts AND the total (sum over
+    # all groups, null group included) come from ONE aggregation.  N
+    # is then an empty-partition window over the aggregate — NOT a
+    # second aggregate branch: every branching variant tried (group-key
+    # filter, agg-result flag filter) was de-canonicalized by filter
+    # pushdown or column pruning and re-ran the verify scan.  The
+    # window funnels only the BOUNDED per-key table (<= partitions x
+    # capacity + 1 rows behind an aggregate barrier) through one task.
+    tagged = items_only.join(
+        F.broadcast(cands.select(F.col(item_col), F.lit(True).alias("_c"))),
+        item_col,
+        "left",
+    )
+    per_key = tagged.groupBy(
+        F.when(F.col("_c"), F.col(item_col)).alias(item_col)
+    ).agg(F.count("*").alias("cnt"), F.max("_c").alias("_cand"))
+    wall = Window.partitionBy()
     return (
-        items_only.join(F.broadcast(cands), item_col)
-        .groupBy(item_col)
-        .agg(F.count("*").alias("cnt"))
-        .crossJoin(F.broadcast(total))
+        per_key.withColumn("n_total", F.sum("cnt").over(wall))
+        .filter(F.col("_cand"))
         .filter(F.col("cnt") * capacity > F.col("n_total"))
         .select(item_col, "cnt", "n_total")
     )

@@ -3461,21 +3461,28 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
     tok_counts = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
     bigrams = d.select(F.explode(T.token_shingles("text", 2)).alias("bg"))
     bg_counts = bigrams.groupBy("bg").agg(F.count("*").alias("c_bg"))
-    # Stream totals as broadcast 1-row aggregates instead of two
-    # driver-side .count() literals: one job, no driver round-trip
-    # (q93/q161/q166 idiom).
-    n_tok = toks.agg(F.count("*").cast("double").alias("_n_tok"))
-    n_bg = bigrams.agg(F.count("*").cast("double").alias("_n_bg"))
-    a = tok_counts.select(F.col("tok").alias("_ta"), F.col("c_tok").alias("c_a"))
-    b = tok_counts.select(F.col("tok").alias("_tb"), F.col("c_tok").alias("c_b"))
+    # Totals derive from the COUNTS tables (sum of per-token counts ==
+    # token total), not from re-aggregating the exploded corpus: the
+    # 1-row totals were separate corpus-explode aggregates whose reuse
+    # depended on runtime exchange canonicalization (r7 re-execution
+    # audit).  Aggregating the (vocabulary-sized) counts tables costs
+    # nothing and removes the dependence at any scale.
+    n_tok = tok_counts.agg(F.sum("c_tok").cast("double").alias("_n_tok"))
+    n_bg = bg_counts.agg(F.sum("c_bg").cast("double").alias("_n_bg"))
+    # alias-after-join (r6 canonicalization rule): projecting tok ->
+    # _ta / _tb BELOW the join broke subtree equality, so the token-
+    # count aggregate executed once per side; identical aliased frames
+    # let the runtime reuse one exchange for both lookups
+    a = tok_counts.alias("_qa")
+    b = tok_counts.alias("_qb")
     split = F.split(F.col("bg"), " ")
     lift = (
         F.floor(
             (F.col("c_bg").cast("double") * F.col("_n_tok") * F.col("_n_tok"))
             / (
                 F.col("_n_bg")
-                * F.col("c_a").cast("double")
-                * F.col("c_b").cast("double")
+                * F.col("_qa.c_tok").cast("double")
+                * F.col("_qb.c_tok").cast("double")
             )
             * 1000000.0
         )
@@ -3483,8 +3490,8 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         bg_counts.filter(F.col("c_bg") >= 20)
-        .join(F.broadcast(a), split.getItem(0) == F.col("_ta"))
-        .join(F.broadcast(b), split.getItem(1) == F.col("_tb"))
+        .join(F.broadcast(a), split.getItem(0) == F.col("_qa.tok"))
+        .join(F.broadcast(b), split.getItem(1) == F.col("_qb.tok"))
         .crossJoin(F.broadcast(n_tok))
         .crossJoin(F.broadcast(n_bg))
         .select("bg", F.col("c_bg").cast("long").alias("c_bg"), lift.alias("lift"))
@@ -5964,7 +5971,7 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
     "the company dashboard",
 )
 def q165(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.profile import grouped_weighted_quantile
+    from ..operators.profile import grouped_weighted_quantiles
 
     li = load_table(spark, sf, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
@@ -5973,13 +5980,20 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
         .alias("v"),
     )
     cents = li.withColumn("w", F.lit(1).cast("long"))
-    p5 = grouped_weighted_quantile(
-        cents, "flag", "v", "w", q_num=1, q_den=20
-    ).select("flag", F.col("quantile_value").alias("p5"))
-    p95 = grouped_weighted_quantile(
-        cents, "flag", "v", "w", q_num=19, q_den=20
-    ).select("flag", F.col("quantile_value").alias("p95"))
-    bounds = p5.join(p95, "flag")
+    # both bounds from ONE locate + ONE refine pass: the per-quantile
+    # gwq calls executed the lineitem subtree once per phase per
+    # quantile (2 passes x 2 quantiles + the clip pass = 5 scans,
+    # flagged by the r7 re-execution audit; now 3 — the structural
+    # minimum for an exact two-phase quantile plus winsorize)
+    q = grouped_weighted_quantiles(
+        cents, "flag", "v", "w", {"p5": (1, 20), "p95": (19, 20)}
+    )
+    bounds = q.groupBy("flag").agg(
+        F.min(F.when(F.col("q") == "p5", F.col("quantile_value"))).alias("p5"),
+        F.min(F.when(F.col("q") == "p95", F.col("quantile_value"))).alias(
+            "p95"
+        ),
+    )
     return (
         li.join(F.broadcast(bounds), "flag")
         .groupBy("flag")
@@ -9032,31 +9046,38 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
     h = T.hex_hash64(F.col("c_custkey").cast("string"), salt="scd")
     ts = lambda x: F.lit(x).cast("timestamp")  # noqa: E731
     base = c.select(F.col("c_custkey").alias("k"), h.alias("h"))
-    v0 = base.select(
-        "k",
+    # one-scan version fanout: the union-of-filtered-selects built the
+    # same customer subtree once per version (r7 re-execution audit:
+    # customer scanned 3x with no reuse — the per-branch hash filters
+    # broke canonical equality).  An explode over a per-row version
+    # array emits exactly the rows the three branches did, map-side.
+    s0 = F.struct(
         F.lit(0).alias("v"),
         ts("1993-01-01").alias("valid_from"),
         F.when(F.col("h") % 2 == 0, ts("1995-07-01"))
         .otherwise(ts("9999-12-31"))
         .alias("valid_to"),
     )
-    v1 = base.filter(F.col("h") % 2 == 0).select(
-        "k",
+    s1 = F.struct(
         F.lit(1).alias("v"),
         ts("1995-07-01").alias("valid_from"),
         F.when(F.col("h") % 3 == 0, ts("1997-01-01"))
         .otherwise(ts("9999-12-31"))
         .alias("valid_to"),
     )
-    v2 = base.filter((F.col("h") % 2 == 0) & (F.col("h") % 3 == 0)).select(
-        "k",
+    s2 = F.struct(
         F.lit(2).alias("v"),
         ts("1997-01-01").alias("valid_from"),
         ts("9999-12-31").alias("valid_to"),
     )
+    vers = (
+        F.when((F.col("h") % 2 == 0) & (F.col("h") % 3 == 0), F.array(s0, s1, s2))
+        .when(F.col("h") % 2 == 0, F.array(s0, s1))
+        .otherwise(F.array(s0))
+    )
     dim = (
-        v0.unionByName(v1)
-        .unionByName(v2)
+        base.select("k", F.explode(vers).alias("_ver"))
+        .select("k", "_ver.v", "_ver.valid_from", "_ver.valid_to")
         .select(
             "k",
             F.concat(
@@ -9890,9 +9911,20 @@ def q215(spark: SparkSession, sf: str) -> DataFrame:
             F.element_at("t", F.col("p")),
         ).alias("w12"),
     )
-    uni = grams.groupBy("w1").agg(F.count("*").alias("c1"))
+    # One corpus aggregation: the bigram counts determine the unigram
+    # counts (each gram row contributes its w1 exactly once, so
+    # c1(w1) = sum of c12 over bigrams starting with w1) and the vocab
+    # size (distinct first words of the count table).  uni and vocab
+    # previously re-ran the whole explode subtree — the r7 audit
+    # showed documents scanned 3x; deriving them from the (vocabulary-
+    # sized) bi table leaves 2 corpus passes: the count pass and the
+    # per-position scoring join.
     bi = grams.groupBy("w12").agg(F.count("*").alias("c12"))
-    vocab = grams.agg(F.countDistinct("w1").alias("v"))
+    bi_w1 = bi.withColumn(
+        "w1", F.substring_index(F.col("w12"), " ", 1)
+    )
+    uni = bi_w1.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = uni.agg(F.count("*").alias("v"))
     scored = (
         grams.join(uni, "w1")
         .join(bi, "w12")
@@ -12446,57 +12478,79 @@ def q243(spark: SparkSession, sf: str) -> DataFrame:
             .cast("int")
         )
 
-    frames = []
-    for label, vcol, numeric in [
-        ("l_returnflag", "v_flag", False),
-        ("l_orderkey", "v_key", True),
-        ("l_shipdate_days", "v_days", True),
-    ]:
-        lagged = base.select(
-            F.col(vcol).alias("v"), F.lag(vcol).over(w).alias("pv")
+    # ONE window pass + ONE aggregate for all three advised columns,
+    # unpivoted through a struct-array explode: the per-column loop
+    # re-ran the scan + the fid sort/window once per column (r7
+    # re-execution audit: lineitem scanned 3x) for what is a single
+    # row-adjacency computation
+    def runs(v, pv):
+        return F.sum(
+            F.when(~F.col(v).eqNullSafe(F.col(pv)), 1).otherwise(0)
         )
-        stats = lagged.agg(
-            F.count("*").alias("n_rows"),
-            F.sum(
-                F.when(
-                    ~F.col("v").eqNullSafe(F.col("pv")), 1
-                ).otherwise(0)
-            ).alias("n_runs"),
-            (
-                F.max(F.abs(F.col("v") - F.col("pv")))
-                if numeric
-                else F.lit(None).cast("long")
-            ).alias("mad"),
-            (F.max("v") if numeric else F.lit(None).cast("long")).alias(
-                "mx"
-            ),
-        )
-        frames.append(
-            stats.select(
-                F.lit(label).alias("col"),
-                F.col("n_rows").cast("long").alias("n_rows"),
-                F.col("n_runs").cast("long").alias("n_runs"),
-                F.expr(
-                    "(CAST(n_runs AS DECIMAL(38,0)) * 1000000) div n_rows"  # div-ok: runs <= rows, quotient <= 1e6
-                )
-                .cast("long")
-                .alias("rle_ratio_ppm"),
-                bits(F.col("mx")).alias("plain_bits"),
-                bits(F.col("mad")).alias("delta_bits"),
-                F.when(F.col("n_runs") * 4 < F.col("n_rows"), "rle")
-                .when(
-                    F.col("mad").isNotNull()
-                    & (bits(F.col("mad")) * 2 <= bits(F.col("mx"))),
-                    "delta",
-                )
-                .otherwise("plain")
-                .alias("encoding"),
+
+    lagged = base.select(
+        "v_flag",
+        "v_key",
+        "v_days",
+        F.lag("v_flag").over(w).alias("p_flag"),
+        F.lag("v_key").over(w).alias("p_key"),
+        F.lag("v_days").over(w).alias("p_days"),
+    )
+    wide = lagged.agg(
+        F.count("*").alias("n_rows"),
+        runs("v_flag", "p_flag").alias("runs_flag"),
+        runs("v_key", "p_key").alias("runs_key"),
+        runs("v_days", "p_days").alias("runs_days"),
+        F.max(F.abs(F.col("v_key") - F.col("p_key"))).alias("mad_key"),
+        F.max("v_key").alias("mx_key"),
+        F.max(F.abs(F.col("v_days") - F.col("p_days"))).alias("mad_days"),
+        F.max("v_days").alias("mx_days"),
+    )
+    nul = F.lit(None).cast("long")
+    per_col = F.array(
+        F.struct(
+            F.lit("l_returnflag").alias("col"),
+            F.col("runs_flag").cast("long").alias("n_runs"),
+            nul.alias("mad"),
+            nul.alias("mx"),
+        ),
+        F.struct(
+            F.lit("l_orderkey").alias("col"),
+            F.col("runs_key").cast("long").alias("n_runs"),
+            F.col("mad_key").cast("long").alias("mad"),
+            F.col("mx_key").cast("long").alias("mx"),
+        ),
+        F.struct(
+            F.lit("l_shipdate_days").alias("col"),
+            F.col("runs_days").cast("long").alias("n_runs"),
+            F.col("mad_days").cast("long").alias("mad"),
+            F.col("mx_days").cast("long").alias("mx"),
+        ),
+    )
+    return (
+        wide.select("n_rows", F.explode(per_col).alias("_c"))
+        .select("n_rows", "_c.col", "_c.n_runs", "_c.mad", "_c.mx")
+        .select(
+            "col",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_runs").cast("long").alias("n_runs"),
+            F.expr(
+                "(CAST(n_runs AS DECIMAL(38,0)) * 1000000) div n_rows"  # div-ok: runs <= rows, quotient <= 1e6
             )
+            .cast("long")
+            .alias("rle_ratio_ppm"),
+            bits(F.col("mx")).alias("plain_bits"),
+            bits(F.col("mad")).alias("delta_bits"),
+            F.when(F.col("n_runs") * 4 < F.col("n_rows"), "rle")
+            .when(
+                F.col("mad").isNotNull()
+                & (bits(F.col("mad")) * 2 <= bits(F.col("mx"))),
+                "delta",
+            )
+            .otherwise("plain")
+            .alias("encoding"),
         )
-    out = frames[0]
-    for fdf in frames[1:]:
-        out = out.unionByName(fdf)
-    return out
+    )
 
 
 @register(
@@ -13228,7 +13282,7 @@ def q250(spark: SparkSession, sf: str) -> DataFrame:
     "aggregates",
 )
 def q251(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.profile import grouped_weighted_quantile
+    from ..operators.profile import grouped_weighted_quantiles
 
     ev = load_events_range(spark, sf, lo="2024-01-01", hi="2024-02-01")
     c = ev.filter(F.col("event_type") == "click").select(
@@ -13257,22 +13311,21 @@ def q251(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumn("w", F.lit(1))
     )
-    p50 = grouped_weighted_quantile(
-        conv, "day", "lag_us", "w", q_num=1, q_den=2
-    ).select(F.col("day"), F.col("quantile_value").alias("p50_us"))
-    p90 = grouped_weighted_quantile(
-        conv, "day", "lag_us", "w", q_num=9, q_den=10
-    ).select(F.col("day"), F.col("quantile_value").alias("p90_us"))
-    counts = conv.groupBy("day").agg(F.count("*").alias("n_conv"))
-    return (
-        counts.join(p50, "day")
-        .join(p90, "day")
-        .select(
-            "day",
-            F.col("n_conv").cast("long").alias("n_conv"),
-            F.col("p50_us").cast("long").alias("p50_us"),
-            F.col("p90_us").cast("long").alias("p90_us"),
-        )
+    # ONE locate + ONE refine pass for both percentiles; n_conv is the
+    # quantile pass's own total_weight (w = 1), so the conversion
+    # range-join executes exactly twice — the per-quantile gwq calls
+    # plus a separate count re-ran it 5x (r7 re-execution audit)
+    q = grouped_weighted_quantiles(
+        conv, "day", "lag_us", "w", {"p50": (1, 2), "p90": (9, 10)}
+    )
+    return q.groupBy("day").agg(
+        F.max("total_weight").cast("long").alias("n_conv"),
+        F.min(F.when(F.col("q") == "p50", F.col("quantile_value")))
+        .cast("long")
+        .alias("p50_us"),
+        F.min(F.when(F.col("q") == "p90", F.col("quantile_value")))
+        .cast("long")
+        .alias("p90_us"),
     )
 
 
@@ -13577,19 +13630,31 @@ def q255(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("a2"),
     )
-    conf = lab.groupBy("a1", "a2").agg(F.count("*").alias("n"))
-    m1 = conf.groupBy(F.col("a1").alias("k")).agg(F.sum("n").alias("c1"))
-    m2 = conf.groupBy(F.col("a2").alias("k")).agg(F.sum("n").alias("c2"))
-    tot = conf.agg(F.sum("n").alias("n"))
-    agree = conf.filter(F.col("a1") == F.col("a2")).agg(
-        F.sum("n").alias("ag")
+    # The label domain is FIXED (hash % 3 by construction), so the
+    # whole confusion matrix fits in ONE aggregate row — the marginal /
+    # total / agree branches previously collapsed the groupBy into
+    # per-branch direct aggregates over the corpus (r7 re-execution
+    # audit: documents scanned 4x).  Every kappa term is then a pure
+    # expression over the 9 cells + marginals of that single row.
+    cell = [
+        F.sum(
+            ((F.col("a1") == i) & (F.col("a2") == j)).cast("long")
+        ).alias(f"n_{i}{j}")
+        for i in range(3)
+        for j in range(3)
+    ]
+    wide = lab.agg(F.count("*").alias("n"), *cell)
+    ag_expr = sum(F.col(f"n_{k}{k}") for k in range(3))
+    # marginal products in DECIMAL(38,0) from birth: c1*c2 ~ (n/3)^2
+    # wraps int64 past n ~ 1e10 rows (the q149/q166 overflow class)
+    pe_expr = sum(
+        sum(F.col(f"n_{k}{j}") for j in range(3)).cast("decimal(38,0)")
+        * sum(F.col(f"n_{i}{k}") for i in range(3))
+        for k in range(3)
     )
-    pe = m1.join(m2, "k").agg(
-        F.sum(F.col("c1") * F.col("c2")).alias("e")
-    )
+    onerow = wide.select("n", ag_expr.alias("ag"), pe_expr.alias("e"))
     return (
-        tot.crossJoin(F.broadcast(agree))
-        .crossJoin(F.broadcast(pe))
+        onerow
         .select(
             F.col("n").cast("long").alias("n_docs"),
             F.col("ag").cast("long").alias("n_agree"),
@@ -16927,7 +16992,11 @@ def q289(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("o_orderkey") % 2 == 1).alias("is_cal"),
     )
     cal = scored.filter("is_cal")
-    n_cal = cal.agg(F.count("*").alias("n"))
+    hist = cal.groupBy("nc").agg(F.count("*").alias("c"))
+    # n derives from the (<=10000-row) histogram, not a second scan of
+    # the calibration split (r7 re-execution audit: orders was scanned
+    # 4x; the count is the histogram's own mass)
+    n_cal = hist.agg(F.sum("c").cast("long").alias("n"))
     idx = n_cal.select(
         "n",
         F.expr(
@@ -16935,7 +17004,6 @@ def q289(spark: SparkSession, sf: str) -> DataFrame:
             " + 999999) div 1000000 AS BIGINT)"  # div-ok: ceil of (n+1)*0.9, quotient <= n+1; ppm-ok: (n+1)*9e5 passes int64 only past ~1e13 cal rows, routed decimal below at need — here n is a 1-row COUNT, bounded by corpus rows < 9e12 at the 100 TB design point
         ).alias("q_idx"),
     )
-    hist = cal.groupBy("nc").agg(F.count("*").alias("c"))
     wcum = Window.orderBy("nc").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -21115,52 +21183,70 @@ def q322(spark: SparkSession, sf: str) -> DataFrame:
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
         ).alias("cents"),
     )
-    out = None
-    for fac in _ANOVA_FACTORS:
-        grp = sel.groupBy(F.col(fac).alias("g")).agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
-        )
-        tot = sel.agg(
-            F.count("*").alias("nn"),
-            F.sum(F.col("cents").cast("decimal(38,0)")).alias("ss"),
-            F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias(
-                "sq"
-            ),
-        )
-        ssb = grp.agg(
+    # ONE grouping-sets pass (the q55 idiom): the per-factor loop built
+    # six separate aggregates over the same scan — the r7 re-execution
+    # audit showed orders scanned 4x (the factor-independent moment
+    # totals re-ran once per branch with no exchange reuse).  GROUPING
+    # SETS ((priority),(band),(year),()) computes every per-factor
+    # group row AND the grand totals in a single expand+aggregate; the
+    # eta2 combine then runs entirely on the (domain-bounded) group
+    # table.  sq is only read off the () row but is map-side-combined
+    # like the rest, so carrying it on all sets costs one extra sum.
+    sel.createOrReplaceTempView("q322_sel")
+    per = spark.sql(
+        """SELECT priority, band, year,
+                  grouping(priority) AS g_p, grouping(band) AS g_b,
+                  grouping(year) AS g_y,
+                  count(*) AS n,
+                  sum(CAST(cents AS DECIMAL(38,0))) AS s,
+                  sum(CAST(cents AS DECIMAL(38,0)) * cents) AS sq
+           FROM q322_sel
+           GROUP BY GROUPING SETS ((priority), (band), (year), ())"""
+    )
+    tot = per.filter("g_p = 1 AND g_b = 1 AND g_y = 1").select(
+        F.col("n").alias("nn"), F.col("s").alias("ss"), F.col("sq")
+    )
+    factor = (
+        F.when(F.col("g_p") == 0, F.lit("priority"))
+        .when(F.col("g_b") == 0, F.lit("band"))
+        .otherwise(F.lit("year"))
+    )
+    ssb = (
+        per.filter("g_p + g_b + g_y = 2")  # exactly one factor grouped
+        .groupBy(factor.alias("factor"))
+        .agg(
             F.count("*").alias("n_groups"),
             F.sum(
                 F.expr(_exdiv("s * s", "CAST(n AS DECIMAL(38,0))"))
             ).alias("ssb_raw"),
         )
-        row = (
-            ssb.crossJoin(F.broadcast(tot))
-            .select(
-                F.lit(fac).alias("factor"),
-                F.col("n_groups").cast("long").alias("n_groups"),
-                F.when(
-                    F.expr("sq * nn - ss * ss = 0"), F.lit(0).cast("long")
-                )
-                .otherwise(
-                    F.expr(
-                        _exdiv(
-                            # greatest(.., 0): per-group floor of
-                            # s^2/n can push the scaled SSB a hair
-                            # under S^2 when eta^2 ~ 0; clamp so both
-                            # engines divide a nonnegative value
-                            "greatest(ssb_raw * nn - ss * ss,"
-                            " CAST(0 AS DECIMAL(38,0)))"
-                            " * CAST(1000000 AS DECIMAL(38,0))",
-                            "sq * nn - ss * ss",
-                        )
-                    ).cast("long")
-                )
-                .alias("eta2_ppm"),
+    )
+    return (
+        ssb.crossJoin(F.broadcast(tot))
+        .select(
+            "factor",
+            F.col("n_groups").cast("long").alias("n_groups"),
+            F.when(
+                F.expr("sq * nn - ss * ss = 0"), F.lit(0).cast("long")
             )
+            .otherwise(
+                F.expr(
+                    _exdiv(
+                        # greatest(.., 0): per-group floor of
+                        # s^2/n can push the scaled SSB a hair
+                        # under S^2 when eta^2 ~ 0; clamp so both
+                        # engines divide a nonnegative value
+                        "greatest(ssb_raw * nn - ss * ss,"
+                        " CAST(0 AS DECIMAL(38,0)))"
+                        " * CAST(1000000 AS DECIMAL(38,0))",
+                        "sq * nn - ss * ss",
+                    )
+                ).cast("long")
+            )
+            .alias("eta2_ppm"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("factor")
+        .orderBy("factor")
+    )
 
 
 def _q323_oracle() -> str:
@@ -21958,7 +22044,13 @@ def q328(spark: SparkSession, sf: str) -> DataFrame:
                     ]
                 )
             ).alias("pos"),
-        )
+            # explicit isnotnull: pos is never null (md5-derived), but
+            # the semi join INFERS IsNotNull(pos) on its build side
+            # only, de-canonicalizing the bits subtree vs the n_bits
+            # count branch so the scan+explode+distinct ran twice (r7
+            # final-plan audit); stating the constraint on both makes
+            # the subtrees identical and exchange reuse fire
+        ).filter(F.col("pos").isNotNull())
     members = split.filter(F.col("grp") == 0).select("k")
     probes = split.filter(F.col("grp") == 1).select("k")
     bits = positions(members).select("pos").distinct()
@@ -21968,15 +22060,21 @@ def q328(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count("*").alias("hit"))
     )
-    n_m = members.agg(F.count("*").alias("n_members"))
-    n_p = probes.agg(F.count("*").alias("n_probes"))
+    # both population counts from ONE scan (the per-split count
+    # branches re-ran the full customer scan each — the grp split is
+    # hash-computed, so no pushed filter prunes either branch; r7
+    # re-execution audit).  n_b and n_fp read the bits-distinct /
+    # matched-groupBy exchanges their producers already shuffle.
+    pops = split.agg(
+        F.sum((F.col("grp") == 0).cast("long")).alias("n_members"),
+        F.sum((F.col("grp") == 1).cast("long")).alias("n_probes"),
+    )
     n_b = bits.agg(F.count("*").alias("n_bits_set"))
     n_fp = matched.filter(F.col("hit") == _BF_K).agg(
         F.count("*").alias("n_fp")
     )
     return (
-        n_m.crossJoin(F.broadcast(n_p))
-        .crossJoin(F.broadcast(n_b))
+        pops.crossJoin(F.broadcast(n_b))
         .crossJoin(F.broadcast(n_fp))
         .select(
             F.col("n_members").cast("long").alias("n_members"),

@@ -503,3 +503,33 @@ def test_top_k_per_group_scalable_equals_window(spark):
         "g", "v", "id", "rank"
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_grouped_weighted_quantiles_matches_single_calls(spark):
+    """The multi-quantile variant (one locate + one refine pass for ALL
+    quantiles — the r7 re-execution fix for q165/q251) must agree with
+    the per-quantile operator on every (group, label), including
+    negative values (arithmetic-shift binning) and weighted rows."""
+    from health_data_transformation_spark.operators.profile import (
+        grouped_weighted_quantile,
+        grouped_weighted_quantiles,
+    )
+
+    df = spark.range(4000).select(
+        (F.col("id") % 5).alias("k"),
+        (F.xxhash64("id") % 100000).alias("v"),  # mixed-sign values
+        (F.col("id") % 3 + 1).alias("w"),
+    )
+    specs = {"p5": (1, 20), "p50": (1, 2), "p95": (19, 20)}
+    multi = {
+        (r["k"], r["q"]): (r["quantile_value"], r["total_weight"])
+        for r in grouped_weighted_quantiles(df, "k", "v", "w", specs).collect()
+    }
+    assert len(multi) == 5 * 3
+    for label, (qn, qd) in specs.items():
+        single = {
+            r["k"]: (r["quantile_value"], r["total_weight"])
+            for r in grouped_weighted_quantile(df, "k", "v", "w", qn, qd).collect()
+        }
+        for k, sv in single.items():
+            assert multi[(k, label)] == sv, (k, label)

@@ -102,6 +102,9 @@ def test_explain_audit_names_exist_in_registry():
     assert not missing, f"audit names not in registry: {missing}"
     stale = [n for n in mod.ALLOWED_TINY_BROADCAST_CROSS if n not in qs]
     assert not stale, f"allowlist names not in registry: {stale}"
+    stale_r = [n for n in mod.ALLOWED_RESCAN if n not in qs]
+    assert not stale_r, f"rescan allowlist names not in registry: {stale_r}"
+    assert all(mod.ALLOWED_RESCAN.values()), "rescan allowlist entry without a reason"
 
 
 def test_registry_fn_names_match_keys():
@@ -351,3 +354,57 @@ def test_explain_audit_rescan_rule():
     assert audit_rescan(plan(RESCAN_MAX)) == []
     findings = audit_rescan(plan(RESCAN_MAX + 1))
     assert findings and "documents" in findings[0]
+
+
+def test_explain_audit_rescan_scopes_to_final_plan():
+    """An executed AdaptiveSparkPlan prints the Initial Plan tree below
+    the Final one; scans that ReusedExchange already merged still
+    appear there and must NOT be counted (the q116 phantom from the
+    rule's first sweep)."""
+    from tools.explain_audit import audit_rescan
+
+    plan = """== Physical Plan ==
+AdaptiveSparkPlan (99)
++- == Final Plan ==
+   * HashAggregate (3)
+   +- ReusedExchange (2)
+      +- Scan parquet  (1)
++- == Initial Plan ==
+   HashAggregate (98)
+   +- Union (97)
+      :- Scan parquet  (93)
+      :- Scan parquet  (94)
+      :- Scan parquet  (95)
+      +- Scan parquet  (96)
+
+(1) Scan parquet 
+Location: InMemoryFileIndex [file:/x/documents.parquet]
+ReadSchema: struct<text:string>
+PushedFilters: []
+PartitionFilters: []
+
+(93) Scan parquet 
+Location: InMemoryFileIndex [file:/x/documents.parquet]
+ReadSchema: struct<text:string>
+PushedFilters: []
+PartitionFilters: []
+
+(94) Scan parquet 
+Location: InMemoryFileIndex [file:/x/documents.parquet]
+ReadSchema: struct<text:string>
+PushedFilters: []
+PartitionFilters: []
+
+(95) Scan parquet 
+Location: InMemoryFileIndex [file:/x/documents.parquet]
+ReadSchema: struct<text:string>
+PushedFilters: []
+PartitionFilters: []
+
+(96) Scan parquet 
+Location: InMemoryFileIndex [file:/x/documents.parquet]
+ReadSchema: struct<text:string>
+PushedFilters: []
+PartitionFilters: []
+"""
+    assert audit_rescan(plan) == []  # final tree has ONE scan

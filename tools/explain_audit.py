@@ -236,6 +236,11 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # 1-row moment-totals frame crossed with the 1-row SSB frame per
     # factor (x3 factors)
     "q322_anova_effect_size",
+    # grouped_weighted_quantiles: the constant quantile-spec dim (2-3
+    # rows) crossed with the tiny per-key bin histogram — the multi-
+    # quantile locate phase shares ONE input pass across all quantiles
+    "q165_winsorized_mean",
+    "q251_conversion_lag_quantiles",
 }
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
@@ -454,12 +459,85 @@ RESCAN_MAX = 2
 ALLOWED_RESCAN: dict[str, str] = {
     # iterative/multi-round driver loops re-plan per round, so each
     # round's scan appears once — bounded by the documented round count
+    "q165_winsorized_mean": (
+        "structural minimum after the r7 multi-quantile rewrite: exact "
+        "two-phase quantile (locate + bin-pruned refine) + the "
+        "winsorize/clip pass = 3 data-dependent passes over one "
+        "2-column pruned scan; pass k's filter depends on pass k-1's "
+        "aggregate, so no subtree is identical work"
+    ),
+    "q131_mad_outliers": (
+        "robust-statistics data dependency: median -> median of "
+        "absolute deviations -> outlier count are three sequentially "
+        "dependent passes (each pass's expression reads the previous "
+        "pass's broadcast aggregate); identical scans, different work"
+    ),
+    "q178_incremental_dedup": (
+        "by-design rehydration: per side (corpus, batch) one "
+        "signature pass + one candidate-only token-rehydration pass = "
+        "4 scans; carrying token arrays through the band-explode "
+        "shuffle instead would multiply shuffle volume by bands x "
+        "tokens — re-reading only the candidate rows is the 100 TB "
+        "shape the operator documents"
+    ),
+    "q209_ann_recall_eval": (
+        "recall evaluation needs the ANN arm and the exact-truth arm "
+        "over the same vectors plus the anchor panel — 3 structurally "
+        "different passes; the truth arm is audit-scale by design "
+        "(SCALE.md)"
+    ),
+    "q264_approx_percentile_gate": (
+        "exact-vs-approx acceptance gate: 2-pass exact quantile "
+        "(locate + bin-pruned refine) + the percentile_approx sketch "
+        "pass + the rank-of-approx verification pass; every pass's "
+        "predicate depends on the previous result — identical scans, "
+        "4 different computations"
+    ),
+    "q116_bigram_lift": (
+        "2 genuine corpus passes (token counts, bigram counts) + the "
+        "bigram-total branch, which differs from the joined branch "
+        "only by a Catalyst-INFERRED IsNotNull(split(bg)) pushed below "
+        "the partial aggregate on the join side — canonically unequal "
+        "through no statement of ours; the totals already derive from "
+        "the counts tables (r7), so the residual triple is scan-level "
+        "only"
+    ),
+    "q328_bloom_fpr_measured": (
+        "population counts (1 combined pass), filter-build arm, probe "
+        "arm = 3 passes over a 1-column key scan; the member/probe "
+        "split is hash-computed so no pushed filter can prune either "
+        "arm by construction; n_bits/n_fp reuse their producers' "
+        "exchanges (r7 fix)"
+    ),
 }
 
 
+def _strip_initial_plan(plan: str) -> str:
+    """Drop the '== Initial Plan ==' tree an executed AdaptiveSparkPlan
+    prints BELOW its final tree.  Counting scans across both sections
+    double-counts: the initial tree shows the pre-reuse duplicates that
+    runtime ReusedExchange already merged (first registry sweep of this
+    rule flagged q116 on exactly that phantom).  The node-detail
+    section that follows is keyed by node id and only final-tree ids
+    end up in the parse, so it can stay."""
+    lines = plan.splitlines()
+    out: list[str] = []
+    skipping = False
+    for ln in lines:
+        if "== Initial Plan ==" in ln:
+            skipping = True
+            continue
+        if skipping and not ln.strip():
+            skipping = False  # initial tree ends at the first blank line
+        if not skipping:
+            out.append(ln)
+    return "\n".join(out)
+
+
 def _final_plan_scan_groups(plan: str) -> dict[tuple, int]:
-    """Count Scan nodes in a formatted plan grouped by what they read."""
-    children, details, names = _parse_plan_tree(plan)
+    """Count Scan nodes in a formatted plan grouped by what they read.
+    On an executed adaptive plan, only the Final Plan tree is counted."""
+    children, details, names = _parse_plan_tree(_strip_initial_plan(plan))
     groups: dict[tuple, int] = {}
     for nid, name in names.items():
         if not name.startswith("Scan"):

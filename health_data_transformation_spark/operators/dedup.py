@@ -424,6 +424,7 @@ def simhash_banded_pairs(
     id_col: str = "doc_id",
     bits: int = 16,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """ALL pairs within a Hamming radius — exact, by pigeonhole banding.
 
@@ -437,6 +438,18 @@ def simhash_banded_pairs(
     shuffle key is the tiny band value, never the document).  The
     corpus-sized self-join is on band keys whose expected bucket size
     is n / 2^(bits/(r+1)) per band — tune bits upward at larger n.
+
+    ``max_bucket`` (parity with ``lsh_candidate_pairs``): drop
+    (band, value) buckets larger than the cap BEFORE pair expansion.
+    On a duplicate-saturated corpus the TRUE answer is quadratic — a
+    g-doc boilerplate cluster has identical signatures, so all C(g,2)
+    pairs are within any radius and the exact statement itself
+    explodes (the r7 §8.9 wave measured 133M output rows from a ~50k
+    corpus with 40% template copies).  The cap trades those
+    boilerplate-cluster pairs (which exact-hash dedup should own —
+    they are byte-identical or near-identical content) for bounded
+    compute; pairs whose every shared band is oversized are lost,
+    exactly like the MinHash cap.
     """
     n_bands = max_hamming + 1
     assert bits % n_bands == 0, "bits must divide into max_hamming+1 bands"
@@ -456,6 +469,13 @@ def simhash_banded_pairs(
     exploded = sim.select(
         F.col(id_col), F.col("simhash"), F.explode(bands).alias("bv")
     ).select(id_col, "simhash", "bv.band", "bv.val")
+    if max_bucket is not None:
+        sizes = Window.partitionBy("band", "val")
+        exploded = (
+            exploded.withColumn("_bn", F.count("*").over(sizes))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     # rename AFTER the self-join: identical aliased subtrees keep the
     # (band, val) exchange canonically equal on both sides, so the
     # corpus-wide simhash vote aggregate is shuffled once and reused

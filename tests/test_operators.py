@@ -533,3 +533,31 @@ def test_grouped_weighted_quantiles_matches_single_calls(spark):
         }
         for k, sv in single.items():
             assert multi[(k, label)] == sv, (k, label)
+
+
+def test_simhash_banded_pairs_max_bucket_caps_saturated_buckets(spark):
+    """r7 §8.9: identical docs share every (band, value) bucket, so the
+    cap must kill the boilerplate cluster's pairs while a small
+    near-dup group survives (parity with the MinHash cap test)."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(6)]
+    rows += [(10, "completely different corpus text entirely unrelated words"),
+             (11, "completely different corpus text entirely unrelated words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import pyspark.sql.functions as F
+    from health_data_transformation_spark.functions import text as T
+
+    d = df.withColumn("_sh3", F.array_distinct(T.token_shingles("text", 3)))
+    sim = dedup.simhash(d, bits=32, set_col="_sh3")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_banded_pairs(
+            sim, bits=32, max_hamming=3, max_bucket=4
+        ).collect()
+    }
+    assert all(a not in range(6) or b not in range(6) for a, b in capped)
+    assert (10, 11) in capped
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_banded_pairs(sim, bits=32, max_hamming=3).collect()
+    }
+    assert {(a, b) for a in range(6) for b in range(a + 1, 6)} <= uncapped

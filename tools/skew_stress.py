@@ -94,6 +94,58 @@ WAVE_DUP = [
     "q227_corpus_overlap_minhash",
 ]
 
+#: The wave's first run measured that q162's EXACT statement has a
+#: corpus-QUADRATIC true answer on this input (133M pairs from ~50k
+#: docs: a g-doc template cluster has identical signatures, so all
+#: C(g,2) pairs are within any radius) — toPandas/the O(n^2) oracle
+#: both blow up on the output itself, not on a bad plan.  The wave
+#: therefore runs the CAPPED statement (max_bucket=200: drops the
+#: template monsters, keeps the ~15-doc drift-chain and ~10-doc
+#: replica buckets) against a DuckDB oracle that mirrors the cap.
+_DUP_Q162_CAP = 200
+
+
+def _dup_q162(spark, sf_dir: str):
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from health_data_transformation_spark.functions import text as T
+    from health_data_transformation_spark.operators import dedup as D
+    from health_data_transformation_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("_sh3", F.array_distinct(T.token_shingles("text", 3)))
+    sim = D.simhash(d, bits=32, set_col="_sh3")
+    return D.simhash_banded_pairs(
+        sim, bits=32, max_hamming=3, max_bucket=_DUP_Q162_CAP
+    ).select("id_a", "id_b", "hamming")
+
+
+def _dup_q162_oracle() -> str:
+    from health_data_transformation_spark.plans.analytics import (
+        _simhash_all_oracle,
+    )
+
+    return (
+        _simhash_all_oracle()
+        + f""",
+       bands AS (
+         SELECT doc_id, simhash, b.band,
+                (simhash >> (b.band * 8)) & 255 AS val
+         FROM sim CROSS JOIN (VALUES (0),(1),(2),(3)) b(band)),
+       sized AS (SELECT band, val, count(*) AS n FROM bands GROUP BY 1, 2),
+       kept AS (
+         SELECT bands.* FROM bands JOIN sized USING (band, val)
+         WHERE sized.n <= {_DUP_Q162_CAP}),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.simhash AS sa, b.simhash AS sb
+         FROM kept a JOIN kept b USING (band, val)
+         WHERE a.doc_id < b.doc_id)
+       SELECT id_a, id_b,
+              CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
+    )
+
 
 def zipf_rank(u: "F.Column", n_keys: int) -> "F.Column":
     """Discrete-Pareto inverse CDF: P(rank >= r) = r^-(s-1)."""
@@ -333,6 +385,9 @@ def measure_cap_recall(spark, dest: str) -> None:
         "pass that owns byte-identical duplicates; the cap protects "
         "the quadratic verifier from boilerplate blowup."
     )
+
+
+def build_skewed(spark, n: int, dest: str) -> None:
     from registry_stress import build_replicated
 
     from health_data_transformation_spark.sources.tables import load_table
@@ -462,6 +517,10 @@ def main() -> None:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if dup:
+        # capped statement + cap-mirroring oracle (see _DUP_Q162_CAP)
+        qs = {**qs, "q162_simhash_banded": _dup_q162}
+        oracles = {**oracles, "q162_simhash_banded": _dup_q162_oracle()}
     offsets = {p: os.path.getsize(p) for p in event_files(log_dir)}
 
     failures: list[str] = []

@@ -41,7 +41,16 @@ def execute(df) -> None:
 #: ratios by it — r6's +11% median drift was unattributable without
 #: this, and the q199 phantom (a 2.76 s single-session measurement
 #: never reproduced) showed unnormalized timings can lie.
-CANARIES = ("q01_week_count", "q47_percentiles")
+#: Pair choice (revised after the first r7 canary run): mid-weight
+#: 1-1.5 s queries with the lowest measured rep spread in the full
+#: r7 detail (1.02x) and different machinery (salted join+union vs
+#: cube aggregate).  The original q01/q47 pair was a bad instrument —
+#: q01 at 0.13 s is scheduler-noise-dominated and q47's reps spread
+#: 1.5x within one session.  Each canary block runs one UNTIMED warm
+#: rep first so the start block measures session speed, not codegen
+#: warm-up (the first r7 run's 0.58 within-run 'drift' was mostly
+#: warm-up).
+CANARIES = ("q49_salted_join", "q28_cube_counts")
 CANARY_REPS = 3
 
 
@@ -110,6 +119,7 @@ def run_canaries(spark, sf_dir: str) -> dict:
 
     out: dict = {"fingerprint": session_fingerprint(spark), "reps": {}}
     for name in CANARIES:
+        execute(REGISTRY[name].fn(spark, sf_dir))  # untimed warm rep
         runs = []
         for _ in range(CANARY_REPS):
             t0 = time.time()

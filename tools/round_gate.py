@@ -14,6 +14,9 @@ Checks, in order (first failure exits 1):
      have >=2 distinct-JVM-session measurements in bench_sessions.jsonl
      (the q199 single-session-measurement rule)
   4. driver_ledger summary printed (informational)
+  5. hof_capture_lint clean
+  6. explain_audit --rescan at sf0.001 clean (forbidden joins, window
+     funnels, and >2 identical scans surviving an executed final plan)
 
 Usage:
   python tools/round_gate.py [--artifact CORRECTNESS_local_rNN.json]
@@ -261,6 +264,24 @@ def main() -> int:
     # element (the q275/int8_quantize class)
     if run([sys.executable, "tools/hof_capture_lint.py"]) != 0:
         print("GATE FAIL: hof_capture_lint findings")
+        return 1
+
+    # 6. plan audit incl. subtree re-execution (r6 task #5): the full
+    # static sweep (forbidden joins, window funnels) plus --rescan,
+    # which EXECUTES frames whose initial plan shows >2 identical
+    # scans and flags survivors in the adaptive final plan (runtime
+    # ReusedExchange removes merged duplicates, so survivors genuinely
+    # re-execute).  sf0.001 keeps the executed prefilter cheap (~3
+    # min); plan shapes are scale-independent.
+    if run(
+        [
+            sys.executable,
+            "tools/explain_audit.py",
+            "--rescan",
+            "/root/testdata/sf0.001",
+        ]
+    ) != 0:
+        print("GATE FAIL: explain_audit findings (plan shape/re-execution)")
         return 1
     print("\nROUND GATE: PASS")
     return 0

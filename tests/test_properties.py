@@ -1159,3 +1159,49 @@ def test_lsh_candidate_pairs_equal_naive_band_collisions(spark, data):
         for r in dedup.lsh_candidate_pairs(sigs, band_size=2, num_hashes=4).collect()
     }
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # group key
+            st.integers(-5000, 5000),   # value (mixed sign -> shift path)
+            st.integers(1, 4),          # weight
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(**SETTINGS)
+def test_grouped_weighted_quantiles_matches_python_reference(spark, rows):
+    """The r7 multi-quantile operator (one locate + one refine pass for
+    ALL quantiles) against a naive Python reference of the documented
+    definition: the smallest value whose cumulative weight reaches
+    q_num/q_den of the group total (lower weighted quantile)."""
+    from health_data_transformation_spark.operators.profile import (
+        grouped_weighted_quantiles,
+    )
+
+    specs = {"p25": (1, 4), "p50": (1, 2), "p90": (9, 10)}
+    df = spark.createDataFrame(rows, "k long, v long, w long")
+    got = {
+        (r["k"], r["q"]): (r["quantile_value"], r["total_weight"])
+        for r in grouped_weighted_quantiles(df, "k", "v", "w", specs).collect()
+    }
+
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, v, w in rows:
+        by_key.setdefault(k, []).append((v, w))
+    for k, vw in by_key.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        for label, (qn, qd) in specs.items():
+            cum = 0
+            expect = None
+            for v, w in vw:
+                cum += w
+                if cum * qd >= qn * tot:
+                    expect = v
+                    break
+            assert got[(k, label)] == (expect, tot), (k, label)
+    assert len(got) == len(by_key) * len(specs)

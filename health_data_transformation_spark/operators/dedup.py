@@ -694,6 +694,7 @@ def lsh_incremental_matches(
     num_hashes: int = 8,
     min_jaccard: float = 0.4,
     max_bucket: int | None = None,
+    widen: bool = False,
 ) -> DataFrame:
     """Near-dup matches of an INCREMENT against an existing corpus.
 
@@ -712,11 +713,15 @@ def lsh_incremental_matches(
     ``n_matches`` counts distinct corpus docs with verified exact
     Jaccard >= threshold and ``admitted`` marks batch docs with none.
     """
-    # widen=False: corpus/batch are caller-supplied frames of unknown
-    # plan shape — the granularity probe is only safe on scan-rooted
-    # inputs (see minhash_signatures docstring).
-    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes, widen=False)
-    sig_b = minhash_signatures(batch, text_col, id_col, num_hashes, widen=False)
+    # widen defaults to False: corpus/batch are caller-supplied frames
+    # of unknown plan shape, and the granularity probe is only safe on
+    # scan-rooted inputs (see minhash_signatures docstring).  Callers
+    # that KNOW their frames are scan-rooted (the registry q178 path —
+    # table read + narrow filters) should pass widen=True: without the
+    # guard a single-split scan serializes the signature stage, which
+    # the r7 bench measured as a reproducible 1.7x on q178.
+    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes, widen=widen)
+    sig_b = minhash_signatures(batch, text_col, id_col, num_hashes, widen=widen)
 
     def bucketed(sigs: DataFrame, out: str) -> DataFrame:
         return _band_explode(

@@ -7084,6 +7084,11 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
     return D.lsh_incremental_matches(
         corpus, batch,
         band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50,
+        # scan-rooted inputs (table read + narrow filters): opt back in
+        # to the task-granularity guard the r6-ADVICE default turned
+        # off for arbitrary frames — without it the single-split sf0.1
+        # scan serialized the signature stage (measured 1.7x)
+        widen=True,
     )
 
 

@@ -31,70 +31,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Queries promoted into the front of the registry ordering.  The
 #: driver's correctness gate re-checks a fixed-size 50-query prefix of
-#: ``queries()``, so the ordering is evidence steering.  Round-7 policy
-#: (VERDICT r6 tasks #1/#4): registry still FROZEN; the prefix is the
-#: q169 ingest anchor (S4-S8 §2 proof, pinned every round) plus the
-#: four never-driver-verified STREAMING twins (q92/q187/q192/q213 —
-#: highest-risk block: their correctness rests on mtime-ordered file
-#: staging the driver environment could plausibly break; q181/q204/
-#: q238/q244 from the verdict's list already carry driver evidence per
-#: ``tools/driver_ledger.py``), then the q155-q193 never-verified range
-#: oldest-first, then the next never-verified in registry order
-#: (q195-q218).  49 never-verified slots: ledger "never" 166 -> 117.
-#: Every rotated-out query keeps driver-grade evidence in a committed
-#: CORRECTNESS_r*.json (the ledger asserts this for the §2 proofs) and
-#: stays green in the committed full-registry local artifact.
+#: ``queries()``, so the ordering is evidence steering.  Round-8 policy
+#: (VERDICT r7 tasks #3/#7): registry still FROZEN; the prefix is the
+#: q169 ingest anchor (S4-S8 §2 proof, pinned every round) plus 49
+#: never-driver-verified queries — the streaming-family members first
+#: (q78 stream-stream join, q42 windowed stream counts: the
+#: highest-risk class per the verdict; q238/q244/q56 from the
+#: verdict's list already carry driver evidence per
+#: ``tools/driver_ledger.py`` — q238/q244 r4, q56 r1-r5 — and
+#: spending prefix slots on them would miss the never-count <= 68
+#: target), then the q219-q264 never-verified block in registry
+#: order, then q290-q305.  49 never-verified slots: ledger "never"
+#: 117 -> 68.  Every rotated-out query keeps driver-grade evidence in
+#: a committed CORRECTNESS_r*.json (the ledger asserts this for the
+#: §2 proofs) and stays green in the committed full-registry local
+#: artifacts (sf0.01 + sf0.1).
 _PROMOTED = [
     "q169_ingest_lifecycle",
-    "q92_stream_count_min",
-    "q187_stream_static_enrich",
-    "q192_watermark_late_drop",
-    "q213_event_lag_percentiles",
-    "q155_custom_datasource",
-    "q157_basket_coitems",
-    "q159_apply_changes",
-    "q160_nearest_event",
-    "q161_oov_rate",
-    "q163_p90_gap",
-    "q164_growth_accounting",
-    "q165_winsorized_mean",
-    "q166_share_of_parent",
-    "q167_calendar_join",
-    "q168_benford_digits",
-    "q170_repetition_screen",
-    "q171_rrf_fusion",
-    "q172_mixture_allocation",
-    "q174_unigram_surprisal",
-    "q175_dataset_card",
-    "q176_soft_dedup_weights",
-    "q177_time_travel",
-    "q178_incremental_dedup",
-    "q179_quality_keeper",
-    "q182_domain_stats",
-    "q183_train_shard_manifest",
-    "q185_bpe_pair_counts",
-    "q188_source_overlap",
-    "q189_schema_evolution",
-    "q190_hard_negatives",
-    "q193_audio_energy",
-    "q195_event_trigrams",
-    "q196_change_data_feed",
-    "q197_temperature_mixture",
-    "q198_golden_record",
-    "q201_join_fanout_preflight",
-    "q202_dsar_export",
-    "q203_hll_rolling_merge",
-    "q205_pit_scd2_join",
-    "q206_novelty_rate",
-    "q207_group_kfold",
-    "q208_ablation_manifest",
-    "q210_incremental_view_maintenance",
-    "q211_split_leakage_audit",
-    "q214_bootstrap_ci",
-    "q215_bigram_surprisal",
-    "q216_label_centroid_matrix",
-    "q217_interval_coverage",
-    "q218_conditional_merge",
+    "q78_stream_stream_join",
+    "q42_stream_window_counts",
+    "q219_keyset_pagination",
+    "q220_metric_parity_check",
+    "q223_expectations_report",
+    "q224_inverted_index",
+    "q225_group_mean_impute",
+    "q226_compaction_planner",
+    "q228_seasonal_anomaly_gate",
+    "q229_histogram_rolling_p99",
+    "q230_cuped_adjustment",
+    "q236_sampled_pair_similarity",
+    "q239_backfill_blast_radius",
+    "q240_cms_join_size_estimate",
+    "q241_k_anonymity_audit",
+    "q242_diff_in_diff",
+    "q245_linear_interpolation",
+    "q246_bitmap_index",
+    "q247_cohort_ltv_curve",
+    "q248_ma_crossover_signals",
+    "q249_abc_classification",
+    "q251_conversion_lag_quantiles",
+    "q252_bitmap_rolling_distinct",
+    "q253_retention_sweep_plan",
+    "q254_fd_discovery",
+    "q255_annotator_agreement",
+    "q256_score_calibration",
+    "q257_ledger_reconciliation",
+    "q258_burst_detection",
+    "q259_pandas_udf_parity",
+    "q260_hierarchy_rollup",
+    "q262_position_bias_ips",
+    "q264_approx_percentile_gate",
+    "q290_pagerank_two_iter",
+    "q291_position_attribution",
+    "q292_markov_next_event_eval",
+    "q293_entropy_compress_screen",
+    "q294_pareto_skyline",
+    "q295_join_order_advisor",
+    "q296_rfm_segmentation",
+    "q297_peak_concurrency",
+    "q298_changepoint_detection",
+    "q299_winnowing_fingerprints",
+    "q300_risk_coverage_curve",
+    "q301_kcore_peeling",
+    "q302_phrase_search",
+    "q303_partition_modularity",
+    "q304_forecast_eval_mase",
+    "q305_heaps_vocab_growth",
 ]
 
 

@@ -7081,14 +7081,15 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
     in_batch = F.col("doc_id") % 7 == 3
     corpus = d.filter(~in_batch)
     batch = d.filter(in_batch)
+    # scan-rooted inputs (table read + narrow filters): the widen=None
+    # default auto-detects this shape and applies the task-granularity
+    # guard — without it the single-split sf0.1 scan serializes the
+    # signature stage (measured 1.7x in r7; the auto-detect replaced
+    # the per-call-site widen=True annotation that fixed only this one
+    # of the three scan-rooted callers)
     return D.lsh_incremental_matches(
         corpus, batch,
         band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50,
-        # scan-rooted inputs (table read + narrow filters): opt back in
-        # to the task-granularity guard the r6-ADVICE default turned
-        # off for arbitrary frames — without it the single-split sf0.1
-        # scan serialized the signature stage (measured 1.7x)
-        widen=True,
     )
 
 

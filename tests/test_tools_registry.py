@@ -36,12 +36,21 @@ def test_promoted_families_inside_driver_prefix():
 
     ledger = build_ledger()
     # the rotation must actually pay down evidence debt: >=45 prefix
-    # slots had NO committed driver evidence before the in-progress
-    # round (= newest committed driver round + 1, derived so this
-    # assertion doesn't need a per-round edit)
-    cur = max((r for rs in ledger.values() for r in rs), default=0) + 1
-    fresh = [n for n in first50 if not [r for r in ledger[n] if r < cur]]
-    assert len(fresh) >= 45, f"only {len(fresh)} never-verified in prefix"
+    # slots must be FIRST verified by the current rotation.  VERDICT r7
+    # wrong #1: deriving "the in-progress round" as max(rounds)+1 made
+    # the test self-breaking — the moment the round's own artifact
+    # landed, every slot had evidence < cur and fresh collapsed to 0,
+    # so the test was red at every judged (post-round) state.  The
+    # derivation that is correct BOTH mid-round and post-round: a slot
+    # counts as paid down if it has no committed evidence yet (the
+    # artifact hasn't landed) or its EARLIEST evidence is the newest
+    # committed round (first-verified-by-this-rotation).
+    latest = max((r for rs in ledger.values() for r in rs), default=0)
+    fresh = [
+        n for n in first50
+        if not ledger.get(n) or min(ledger[n]) == latest
+    ]
+    assert len(fresh) >= 45, f"only {len(fresh)} first-verified-here in prefix"
 
     # §2 proof queries: driver-verified in at least one committed round
     for name in [
@@ -299,8 +308,10 @@ def test_bench_diff_canary_normalization(tmp_path):
 
 
 def test_round_gate_perf_claims(tmp_path):
-    """r6 verdict task #6: a perf claim needs >=2 distinct-session
-    measurements in bench_sessions.jsonl; no claims file passes."""
+    """r6 verdict task #6 + ADVICE r7: a perf claim needs >=2
+    distinct-session measurements under >=2 DISTINCT labels (an actual
+    old-vs-new A/B, not two runs of the B arm) in bench_sessions.jsonl;
+    no claims file passes."""
     from pathlib import Path
 
     from tools.round_gate import check_perf_claims
@@ -314,19 +325,28 @@ def test_round_gate_perf_claims(tmp_path):
     msg = check_perf_claims(7, root)
     assert msg is not None and "GATE FAIL" in msg  # no sessions at all
 
-    def session(pid, uptime):
+    def session(pid, uptime, label):
         return json.dumps({
             "fingerprint": {"pid": pid, "jvm_uptime_ms": uptime},
+            "label": label,
             "queries": {"q199_warehouse_profile": [1.0, 1.1]},
         })
 
-    (root / "bench_sessions.jsonl").write_text(session(1, 100) + "\n")
+    (root / "bench_sessions.jsonl").write_text(session(1, 100, "new") + "\n")
     assert "GATE FAIL" in check_perf_claims(7, root)  # one session only
 
+    # two distinct sessions, ONE label: a single post-change ab_measure
+    # run with no baseline arm — the exact q199 failure mode (ADVICE r7)
     (root / "bench_sessions.jsonl").write_text(
-        session(1, 100) + "\n" + session(2, 200) + "\n"
+        session(1, 100, "new") + "\n" + session(2, 200, "new") + "\n"
     )
-    assert check_perf_claims(7, root) is None  # two distinct sessions
+    assert "GATE FAIL" in check_perf_claims(7, root)
+
+    # two distinct sessions, two labels (old + new shape): pass
+    (root / "bench_sessions.jsonl").write_text(
+        session(1, 100, "old") + "\n" + session(2, 200, "new") + "\n"
+    )
+    assert check_perf_claims(7, root) is None
 
 
 def test_explain_audit_rescan_rule():

@@ -109,7 +109,11 @@ def main() -> int:
     improved = 0
     for name in sorted(set(old) & set(new)):
         o, n = old[name], new[name]
-        if n < o:
+        # ADVICE r7: count improvements with the SAME normalized ratio
+        # the regression gate uses — under a drift factor != 1 a raw
+        # n < o comparison mixes normalized regression counts with
+        # unnormalized improvement counts in the summary line
+        if (n / norm) < o:
             improved += 1
         # normalized ratio gates the factor; the absolute floor stays
         # raw (drift cannot conjure a full second on a sub-second query)
@@ -122,7 +126,7 @@ def main() -> int:
     if removed:
         print(f"removed queries ({len(removed)}): {', '.join(removed)}")
     print(f"compared {len(set(old) & set(new))} queries; "
-          f"{improved} improved; {len(regressions)} regressed "
+          f"{improved} improved (normalized); {len(regressions)} regressed "
           f">= {args.factor}x normalized (+{args.floor}s raw floor)")
 
     for name, o, n, ratio in sorted(regressions, key=lambda r: -r[3]):

@@ -76,6 +76,7 @@ def check_perf_claims(this_round: int, root: Path) -> str | None:
         return None
     claims = json.loads(claims_path.read_text())
     sessions_by_query: dict[str, set[tuple]] = {}
+    labels_by_query: dict[str, set[str]] = {}
     slog = root / "bench_sessions.jsonl"
     if slog.exists():
         for line in slog.read_text().splitlines():
@@ -87,20 +88,34 @@ def check_perf_claims(this_round: int, root: Path) -> str | None:
             sig = (fp.get("pid"), fp.get("jvm_uptime_ms"))
             for q in rec.get("queries", {}):
                 sessions_by_query.setdefault(q, set()).add(sig)
+                labels_by_query.setdefault(q, set()).add(
+                    str(rec.get("label", ""))
+                )
+    # ADVICE r7: >=2 distinct sessions alone lets a single post-change
+    # ab_measure run pass with no baseline — exactly the q199 failure
+    # mode this gate targets.  Require the sessions to carry >=2
+    # DISTINCT labels per claimed query (one labeled run for the old
+    # shape, one for the new — ab_measure --label records it), so an
+    # actual A/B comparison exists, not just repetition of the B arm.
     under = {
-        q: len(sessions_by_query.get(q, ()))
+        q: {
+            "sessions": len(sessions_by_query.get(q, ())),
+            "labels": sorted(labels_by_query.get(q, ())),
+        }
         for q in claims
         if len(sessions_by_query.get(q, ())) < 2
+        or len(labels_by_query.get(q, ())) < 2
     }
     if under:
         return (
-            f"GATE FAIL: perf claims without >=2-session evidence "
-            f"in bench_sessions.jsonl: {under} — run "
-            f"tools/ab_measure.py --sessions 2 <query> first"
+            f"GATE FAIL: perf claims without >=2-session AND >=2-label "
+            f"(old+new shape) evidence in bench_sessions.jsonl: {under} "
+            f"— run tools/ab_measure.py --sessions 2 --label <shape> "
+            f"<query> for BOTH shapes"
         )
     print(
         f"\n=== perf claims: {len(claims)} queries, all with "
-        f">=2-session measurement provenance"
+        f">=2-session / >=2-label (A/B) measurement provenance"
     )
     return None
 
@@ -282,6 +297,19 @@ def main() -> int:
         ]
     ) != 0:
         print("GATE FAIL: explain_audit findings (plan shape/re-execution)")
+        return 1
+
+    # 7. tools/registry tests on the POST-artifact state (VERDICT r7
+    # wrong #1): the driver-prefix freshness test used to derive its
+    # epoch as max(ledger)+1, so it was green mid-round and red the
+    # moment the round's artifact landed — and nothing re-ran pytest
+    # after artifacts.  Running the (no-Spark, ~1 s) tools/registry
+    # test file here, after steps 2-6 have seen the final artifacts,
+    # structurally closes the green-mid-round/red-at-judging mode.
+    if run(
+        [sys.executable, "-m", "pytest", "tests/test_tools_registry.py", "-q"]
+    ) != 0:
+        print("GATE FAIL: tools/registry tests red on post-artifact state")
         return 1
     print("\nROUND GATE: PASS")
     return 0

@@ -261,11 +261,17 @@ def build_dup_corpus(spark, n: int, dest: str) -> None:
         return
     path = os.path.join(dest, "documents.parquet")
     df = spark.read.parquet(path)
+    # ADVICE r7: collect() row order is not guaranteed — sort by doc_id
+    # so the hash-to-template assignment (and the corpus bytes) really
+    # are reproducible across reruns, as the docstring claims
     templates = [
         r["text"]
-        for r in df.filter(F.col("doc_id").isin([0, 1, 2, 3]))
-        .select("doc_id", "text")
-        .collect()
+        for r in sorted(
+            df.filter(F.col("doc_id").isin([0, 1, 2, 3]))
+            .select("doc_id", "text")
+            .collect(),
+            key=lambda r: r["doc_id"],
+        )
     ]
     assert len(templates) == 4
     m = 1_000_003

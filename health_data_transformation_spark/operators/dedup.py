@@ -75,6 +75,37 @@ def exact_content_groups(df: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def exact_prepass(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """The §8.9 production contract as a composition: linear exact-hash
+    dedup owns byte-identical content BEFORE banded LSH ever sees it.
+
+    Returns ``(reps, groups)``: ``reps`` is one representative row per
+    distinct content (min-``id_col`` keeper, full original schema);
+    ``groups`` is ``exact_content_groups``'s (fingerprint, keeper_id,
+    n_copies) table.  A g-copy exact group contributes its C(g,2)
+    "pairs" COMPACTLY through ``groups`` (group membership, linear to
+    compute and to store) instead of as a quadratic pair list — the r7
+    §8.9 wave measured why that matters: 819 exact-copy groups on the
+    40%-duplicate corpus held 39.4M analytic-truth pairs, which the
+    capped LSH path recovered at 0.009% (the cap protects the
+    quadratic verifier by dropping saturated buckets wholesale).
+    Running LSH on ``reps`` only, every byte-identical cluster
+    collapses to one bucket member, so the cap stops burning recall on
+    content the exact pass already owns.
+
+    Scale shape: one groupBy on the 16-byte fingerprint (map-side
+    combinable) + one semi join on ``id_col`` — both linear, both on
+    compact keys; the text column never re-shuffles.
+    """
+    groups = exact_content_groups(df, text_col, id_col)
+    reps = df.join(
+        groups.select(F.col("keeper_id").alias(id_col)), id_col, "left_semi"
+    )
+    return reps, groups
+
+
 # ---------------------------------------------------------------------------
 # near-dup: MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -259,6 +290,7 @@ def lsh_near_dup_pairs(
     max_bucket: int | None = None,
     shingle_k: int | None = None,
     widen: bool = True,
+    pre_dedup_exact: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection:
     shingle -> minhash -> band -> bucket-join candidates -> exact-Jaccard
@@ -270,7 +302,22 @@ def lsh_near_dup_pairs(
     ``max_bucket``, and (b) two id-equi joins rehydrating token
     sets for the *candidate* pairs only — never a quadratic pass over
     the corpus.  Output: (id_a, id_b, jaccard), id_a < id_b.
+
+    ``pre_dedup_exact`` (the §8.9 contract, operationalized): collapse
+    byte-identical contents to their min-id representative FIRST via
+    ``exact_prepass``, run the banded pipeline on representatives only,
+    and return representative-level pairs.  Exact-copy clusters then
+    never saturate band buckets, so ``max_bucket`` is the fallback for
+    genuinely distinct near-dup content rather than the default path
+    burning recall on boilerplate (r7 measured 0.009% pair recall on
+    saturated clusters without the prepass).  Full-corpus coverage =
+    these pairs + ``exact_prepass``'s groups table (compact C(g,2)).
     """
+    if pre_dedup_exact:
+        df, _ = exact_prepass(df, text_col, id_col)
+        # the semi join above roots the frame on an exchange, so the
+        # minhash task-granularity probe must not run (see is_scan_rooted)
+        widen = False
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, widen=widen)
     cands = lsh_candidate_pairs(sigs, id_col, band_size, num_hashes, max_bucket)
     from ..functions.text import token_shingles
@@ -375,7 +422,7 @@ def connected_components(
 
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16,
-    set_col: str | None = None,
+    set_col: str | None = None, pre_dedup_exact: bool = False,
 ) -> DataFrame:
     """SimHash over a document's feature set: per-bit majority vote of
     feature hashes.  Features default to distinct whitespace tokens;
@@ -385,7 +432,17 @@ def simhash(
     Expressed as explode -> conditional sums -> bit pack.  The groupBy key
     is the document id, so partial aggregation combines map-side; token
     rows never hit the shuffle at full width (two long columns only).
+
+    ``pre_dedup_exact`` (§8.9 contract; text-feature mode only):
+    collapse byte-identical texts to their min-id representative via
+    ``exact_prepass`` before voting — downstream banded pairing then
+    sees each distinct content once, so exact-copy clusters cannot
+    saturate (band, value) buckets, and the vote explode itself runs
+    once per distinct content instead of once per copy.
     """
+    if pre_dedup_exact:
+        assert set_col is None, "pre_dedup_exact fingerprints text_col"
+        df, _ = exact_prepass(df, text_col, id_col)
     feats = F.col(set_col) if set_col else distinct_tokens(text_col)
     toks = (
         df.select(F.col(id_col), F.explode(feats).alias("tok"))

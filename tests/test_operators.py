@@ -444,6 +444,66 @@ def test_lsh_recall_on_exact_duplicates(spark):
                 assert pairs.get((i, j)) == 1.0
 
 
+def test_exact_prepass_unsaturates_lsh_buckets(spark):
+    """The §8.9 contract operationalized (VERDICT r7 task #6): without
+    the exact prepass, a byte-identical cluster bigger than max_bucket
+    saturates every band bucket it touches and the cap drops the WHOLE
+    cluster (r7 measured 0.009% pair recall on saturated clusters);
+    with pre_dedup_exact=True the cluster collapses to one
+    representative, the cap no longer fires on it, and near-dup pairs
+    to its neighbors are found — while the groups table recovers the
+    exact-copy membership compactly (C(g,2) via group id, linear)."""
+    # 24 distinct tokens: a one-token mutation rarely moves a band's
+    # min-hash, so variant<->template band collision is robust (and
+    # deterministic for the fixed hash function — verified below)
+    template = " ".join(f"tok{i:02d}" for i in range(24))
+    rows = [(i, template) for i in range(12)]          # 12 exact copies
+    rows.append((100, template.replace("tok07", "iota")))   # near variant
+    rows.append((101, template.replace("tok19", "kappa")))  # near variant
+    rows += [(200 + i, f"unrelated{i} solo{i} text{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kw = dict(band_size=2, num_hashes=8, min_jaccard=0.5, max_bucket=6)
+    capped = dedup.lsh_near_dup_pairs(df, **kw).collect()
+    # the 12-copy cluster saturates its buckets past the cap: no pair
+    # touching the template survives (the measured r7 failure mode)
+    assert not [r for r in capped if r["id_a"] < 100]
+
+    reps_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_near_dup_pairs(
+            df, pre_dedup_exact=True, **kw
+        ).collect()
+    }
+    # the template collapsed to keeper 0; its variant pairs are found
+    assert (0, 100) in reps_pairs and (0, 101) in reps_pairs
+    # no non-keeper copy appears in any pair
+    assert all(a == 0 or a >= 100 for a, _ in reps_pairs)
+
+    reps, groups = dedup.exact_prepass(df)
+    g = {r["keeper_id"]: r["n_copies"] for r in groups.collect()}
+    assert g[0] == 12  # exact coverage: C(12,2) pairs, held compactly
+    assert reps.count() == 1 + 2 + 3
+    assert {r["doc_id"] for r in reps.select("doc_id").collect()} == (
+        {0, 100, 101, 200, 201, 202}
+    )
+
+
+def test_simhash_pre_dedup_exact_one_row_per_content(spark):
+    """simhash(pre_dedup_exact=True) votes once per distinct content;
+    representative signatures equal the unsuppressed ones."""
+    rows = [(i, "alpha beta gamma delta") for i in range(5)]
+    rows.append((9, "alpha beta gamma epsilon"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    reps = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(df, pre_dedup_exact=True).collect()
+    }
+    assert set(reps) == {0, 9}
+    assert reps[0] == full[0] and reps[9] == full[9]
+
+
 def test_connected_components_chain_and_islands(spark):
     """A~B~C~D chain collapses to one component (pairs alone would not);
     disjoint pairs stay separate."""

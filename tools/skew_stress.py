@@ -393,6 +393,84 @@ def measure_cap_recall(spark, dest: str) -> None:
     )
 
 
+def measure_prededup_effect(spark, dest: str) -> None:
+    """VERDICT r7 task #6: the §8.9 contract (exact-hash dedup owns
+    boilerplate BEFORE banded LSH) operationalized as
+    ``pre_dedup_exact=`` — measure what it changes on the saturated
+    corpus.  Three numbers: (a) the largest band bucket before/after
+    the exact prepass, (b) whether the q51 cap (50) still fires and on
+    WHAT (byte-identical clusters vs genuinely distinct near-variant
+    contents), (c) exact-copy coverage of the composed pipeline
+    (groups table + representative pairs) against analytic truth —
+    the r7 wave measured 0.009% pair / 2.4% member recall for the
+    cap-only pipeline on this corpus.
+    """
+    sys.path.insert(0, "/root/repo")
+    from health_data_transformation_spark.operators import dedup as D
+    from health_data_transformation_spark.sources.tables import load_table
+
+    d = load_table(spark, dest, "documents")
+
+    def bucket_profile(frame, widen: bool):
+        sigs = D.minhash_signatures(frame, num_hashes=8, widen=widen)
+        ex = D._band_explode(sigs, "doc_id", 4, 8).drop("band")
+        row = (
+            ex.groupBy("bucket")
+            .count()
+            .agg(
+                F.max("count").alias("max_bucket"),
+                F.sum(F.when(F.col("count") > 50, 1).otherwise(0)).alias(
+                    "n_over_cap"
+                ),
+            )
+            .collect()[0]
+        )
+        return row["max_bucket"], row["n_over_cap"]
+
+    reps, groups = D.exact_prepass(d)
+    b_max, b_over = bucket_profile(d, widen=True)
+    a_max, a_over = bucket_profile(reps, widen=False)
+    print(
+        f"band buckets before prepass: max {b_max}, {b_over} over cap 50; "
+        f"after prepass: max {a_max}, {a_over} over cap 50"
+    )
+
+    # exact-copy coverage of the COMPOSED pipeline: every >=2-copy
+    # group is fully represented by the groups table (keeper + count =
+    # C(g,2) pairs, linear), independent of what the capped LSH finds
+    truth = (
+        groups.filter(F.col("n_copies") >= 2)
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum(F.expr("n_copies * (n_copies - 1) div 2")).alias(
+                "true_pairs"
+            ),
+            F.sum(F.col("n_copies") - 1).alias("dup_members"),
+        )
+        .collect()[0]
+    )
+    print(
+        f"composed pipeline exact-copy coverage: {truth['n_groups']} "
+        f"groups / {truth['true_pairs']} pairs / "
+        f"{truth['dup_members']} droppable members — 100% by "
+        f"construction via the groups table (vs 0.009% pair / 2.4% "
+        f"member recall for cap-only LSH, r7)"
+    )
+
+    t0 = time.time()
+    n_rep_pairs = (
+        D.lsh_near_dup_pairs(
+            d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50,
+            pre_dedup_exact=True,
+        )
+        .count()
+    )
+    print(
+        f"representative-level near-dup pairs (pre_dedup_exact=True, "
+        f"cap 50): {n_rep_pairs} in {time.time() - t0:.1f}s"
+    )
+
+
 def build_skewed(spark, n: int, dest: str) -> None:
     from registry_stress import build_replicated
 
@@ -583,6 +661,7 @@ def main() -> None:
         sys.exit(1)
     if dup:
         measure_cap_recall(spark, dest)
+        measure_prededup_effect(spark, dest)
     print("skew wave clean: no wrong answers, no stragglers >5x median")
 
 

@@ -713,11 +713,20 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     block_col: str | None = None,
     min_cosine: float = 0.99,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine >= threshold within a block.
 
     Blocked (e.g. by an IVF/LSH bucket) to avoid all-pairs; with no
     block this is the exact quadratic baseline for small N.
+
+    ``max_block`` (§8.10, parity with the LSH bucket caps): blocks
+    holding more than ``max_block`` rows are dropped BEFORE the pair
+    join — this operator is the exact quadratic verifier, so one hot
+    block (a skewed IVF cell, a boilerplate-saturated LSH bucket) is a
+    C(g,2) output blowup no plan fixes.  The §8.10 contract: exact-
+    vector dedup (similarity.exact_vector_prepass) owns byte-identical
+    vectors first; the cap bounds what is genuinely distinct-but-dense.
     """
     from ..functions.vector import dot, norm
 
@@ -726,6 +735,15 @@ def embedding_near_dup_pairs(
     # folds instead of O(pairs); dot/(na*nb) is bit-identical to the
     # recomputed-cosine expression (same float ops, same order)
     base = df.select(*cols).withColumn("_norm", norm(vec_col))
+    if block_col and max_block is not None:
+        # applied BEFORE the two-sided alias so the capped subtree stays
+        # canonically equal on both join sides (one exchange, reused)
+        sizes = Window.partitionBy(block_col)
+        base = (
+            base.withColumn("_bn", F.count("*").over(sizes))
+            .filter(F.col("_bn") <= max_block)
+            .drop("_bn")
+        )
     # rename AFTER the self-join so the norm-precompute subtree stays
     # canonically equal on both sides (one exchange, reused)
     ea, eb = base.alias("_ea"), base.alias("_eb")

@@ -195,22 +195,83 @@ def embedding_lsh_signature(
     return q.withColumn("lsh_sig", sig.cast("long")).drop("_q")
 
 
+def exact_vector_prepass(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> tuple[DataFrame, DataFrame]:
+    """The §8.9 exact-dedup contract applied to embedding columns:
+    byte-identical vectors collapse to their min-``id_col`` keeper
+    BEFORE any signature banding sees them.
+
+    Returns ``(reps, groups)``: ``reps`` keeps one representative row
+    per distinct vector (full original schema); ``groups`` is
+    (``vec_col``, keeper_id, n_copies) — a g-copy exact group holds its
+    C(g,2) "pairs" compactly through membership, linear to compute and
+    store, exactly like the text-side ``dedup.exact_prepass``.  Exact
+    vector copies are the embedding analogue of boilerplate: identical
+    inputs to a deterministic encoder produce identical vectors, and on
+    a duplicate-saturated corpus they put all their C(g,2) pairs inside
+    ONE signature bucket (§8.10 measures the blowup).
+
+    Scale shape: one groupBy whose key is the raw vector (dim x 4
+    bytes; arrays hash/compare natively in Spark) + one semi join on
+    ``id_col``.  At 100 TB you would fingerprint the vector to 16
+    bytes first (md5 over the canonical byte layout — the exact
+    analogue of the text path's md5) so the shuffle key is constant-
+    width; the grouping semantics are identical.
+    """
+    groups = df.groupBy(vec_col).agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+    reps = df.join(
+        groups.select(F.col("keeper_id").alias(id_col)), id_col, "left_semi"
+    )
+    return reps, groups
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     n_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    max_bucket: int | None = None,
+    pre_dedup_exact: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs: equal LSH signature, scored by the
     exact integer dot of the quantized vectors.  The join key is the
     signature — candidate generation is an equi self-join, never an
-    all-pairs scan."""
+    all-pairs scan.
+
+    ``max_bucket`` (§8.10, parity with the MinHash/SimHash caps):
+    signatures shared by more than ``max_bucket`` vectors are dropped
+    BEFORE pair expansion — a g-vector signature bucket emits C(g,2)
+    pairs, so one saturated bucket is a corpus-quadratic output no
+    plan can fix.  ``pre_dedup_exact`` composes
+    :func:`exact_vector_prepass` first so the cap stops burning recall
+    on byte-identical vectors (owned linearly by the groups table) and
+    only guards the irreducibly-quadratic near-variant class.  The
+    third knob is ``n_planes`` itself: the signature space must scale
+    with the corpus (2^n_planes >> N / tolerable-bucket), or RANDOM
+    collisions alone make the equi-join quadratic — §8.10 measures all
+    three on a saturated corpus.
+    """
     from ..functions.vector import int8_quantize, int_dot
 
+    if pre_dedup_exact:
+        df, _ = exact_vector_prepass(df, vec_col, id_col)
     sigs = embedding_lsh_signature(df, n_planes, vec_col, dim).select(
         id_col, "lsh_sig", int8_quantize(vec_col).alias("_q")
     )
+    if max_bucket is not None:
+        # windowed count, not groupBy+join-back: one shuffle on the
+        # same key the pair join needs anyway (dedup._cap_buckets'
+        # measured shape)
+        sizes = Window.partitionBy("lsh_sig")
+        sigs = (
+            sigs.withColumn("_sn", F.count("*").over(sizes))
+            .filter(F.col("_sn") <= max_bucket)
+            .drop("_sn")
+        )
     a = sigs.select(
         F.col("lsh_sig"), F.col(id_col).alias("id_a"), F.col("_q").alias("qa")
     )

@@ -374,6 +374,32 @@ def test_embedding_near_dup_pairs(spark):
     assert pairs == {(1, 2)}
 
 
+def test_embedding_near_dup_max_block(spark):
+    """§8.10 cap parity: this operator is the exact quadratic verifier,
+    so blocks over ``max_block`` (a hot IVF cell) are dropped BEFORE
+    the pair join; surviving blocks pair normally."""
+    rows = [(i, 1, [1.0, float(i) * 1e-4]) for i in range(5)]  # hot block
+    rows += [
+        (10, 2, [0.0, 1.0]),
+        (11, 2, [0.01, 0.999]),
+        (12, 2, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    kw = dict(block_col="label", min_cosine=0.99)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(df, **kw).collect()
+    }
+    assert (0, 1) in uncapped and (10, 11) in uncapped
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(df, max_block=4, **kw).collect()
+    }
+    assert capped == {(10, 11)}
+
+
 def test_top_k_per_group(spark):
     df = spark.createDataFrame(
         [("g1", 1, 10.0), ("g1", 2, 30.0), ("g1", 3, 20.0), ("g2", 4, 5.0)],

@@ -144,6 +144,48 @@ def test_pagerank_integer_star_graph(spark):
     assert ranks == again
 
 
+def test_exact_vector_prepass_unsaturates_sig_buckets(spark):
+    """§8.10 (the §8.9 contract on the embedding family): a
+    byte-identical vector cluster bigger than ``max_bucket`` saturates
+    its one signature bucket and the cap drops the WHOLE cluster —
+    zero pairs, the r7-measured failure mode; with
+    ``pre_dedup_exact=True`` the cluster collapses to its min-id
+    representative, the cap stops firing, and pairs to the genuinely
+    distinct same-direction variants are found (a positive scaling
+    preserves every hyperplane sign AND the per-vector-scaled int8
+    quantization, so variants share the keeper's bucket by
+    construction).  The groups table holds the C(g,2) exact-copy
+    membership compactly."""
+    from health_data_transformation_spark.operators.similarity import (
+        embedding_lsh_pairs,
+        exact_vector_prepass,
+    )
+
+    v = [1.0, -2.0, 3.0, -4.0, 5.0, -6.0, 7.0, -8.0]
+    rows = [(i, v) for i in range(12)]  # 12 exact copies
+    rows.append((100, [x * 1.5 for x in v]))  # distinct bytes, same direction
+    rows.append((101, [x * 2.0 for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kw = dict(n_planes=4, dim=8, max_bucket=6)
+    capped = embedding_lsh_pairs(df, **kw).collect()
+    assert capped == []  # the 14-member bucket is dropped wholesale
+
+    reps_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_lsh_pairs(df, pre_dedup_exact=True, **kw).collect()
+    }
+    assert reps_pairs == {(0, 100), (0, 101), (100, 101)}
+
+    reps, groups = exact_vector_prepass(df)
+    g = {r["keeper_id"]: r["n_copies"] for r in groups.collect()}
+    assert g[0] == 12  # C(12,2) pairs held compactly by membership
+    assert g[100] == 1 and g[101] == 1
+    assert sorted(r["vec_id"] for r in reps.select("vec_id").collect()) == (
+        [0, 100, 101]
+    )
+
+
 def test_embedding_lsh_recall_on_tight_clusters(spark):
     """Angularly tight clusters collide in signature; near-orthogonal
     clusters do not (random-hyperplane LSH approximates cosine)."""

@@ -104,6 +104,139 @@ WAVE_DUP = [
 #: replica buckets) against a DuckDB oracle that mirrors the cap.
 _DUP_Q162_CAP = 200
 
+#: round-8 wave (§8.10): the EMBEDDING family against a duplicate-
+#: saturated, cell-skewed vector corpus — the §8.9 CommonCrawl shape
+#: transplanted to the modality where it hits hardest: a deterministic
+#: encoder maps byte-identical inputs to byte-identical vectors, so a
+#: boilerplate-heavy corpus puts 40% of all vectors inside FOUR exact-
+#: copy clusters whose single LSH signature bucket holds C(g,2) pairs,
+#: and the hot IVF cell (label 0 owns the template mass) is the skewed
+#: partition every per-cell operator must survive.  Linear-statement
+#: members run as-is with oracle equality ON the saturated corpus;
+#: q100/q43 run wave variants exercising the new §8.10 knobs
+#: (n_planes scaling, max_bucket, pre_dedup_exact, max_block) against
+#: cap-mirroring oracles, exactly like §8.9's _dup_q162.
+WAVE_EMB = [
+    "q38_cosine_topk",
+    "q39_embedding_norms",
+    "q40_ivf_topk",
+    "q73_ivf_built_search",
+    "q82_int8_cosine_topk",
+    "q158_integer_kmeans",
+    "q190_hard_negatives",
+    "q216_label_centroid_matrix",
+    "q276_power_iteration_pca",
+    "q319_matryoshka_truncation_eval",
+    "q100_embedding_lsh_pairs",
+    "q43_embedding_near_dup",
+]
+
+#: q100 wave variant: 16 planes (the signature space must scale with
+#: the corpus: 2^8 buckets at 50k vectors is ~200/bucket of RANDOM
+#: collision pairs before any real similarity — measured by
+#: measure_emb_design_limit), exact-vector prepass (byte-identical
+#: clusters owned linearly by the groups table), cap 200 (bounds the
+#: irreducibly-quadratic near-variant class that survives the prepass).
+_EMB_Q100_PLANES = 16
+_EMB_Q100_CAP = 200
+#: q43 wave variant: the exact quadratic verifier blocked by label;
+#: the hot cell (~40% of the corpus) is dropped by max_block, the
+#: honest blocks verify normally.  Pair volume is corpus-quadratic
+#: within blocks, so the compare is per-label exact-integer aggregates
+#: (count + floor6-sum in e6 units) instead of raw pair rows.
+_EMB_Q43_CAP = 5000
+
+
+def _emb_q100(spark, sf_dir: str):
+    from health_data_transformation_spark.operators.similarity import (
+        embedding_lsh_pairs,
+    )
+    from health_data_transformation_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(
+        e,
+        n_planes=_EMB_Q100_PLANES,
+        max_bucket=_EMB_Q100_CAP,
+        pre_dedup_exact=True,
+    )
+
+
+def _emb_q100_oracle() -> str:
+    from health_data_transformation_spark.functions.vector import (
+        int8_quantize_sql,
+    )
+    from health_data_transformation_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(_EMB_Q100_PLANES, 64)
+    bits = " + ".join(
+        f"(CASE WHEN CAST(list_dot_product(CAST(qv AS DOUBLE[]), "
+        f"CAST({plane!r} AS DOUBLE[])) AS BIGINT) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    return f"""WITH reps AS (
+           SELECT min(vec_id) AS vec_id, embedding
+           FROM embeddings GROUP BY embedding),
+        q AS (SELECT vec_id, {int8_quantize_sql('embedding')} AS qv FROM reps),
+        sigs AS (SELECT vec_id, qv, CAST({bits} AS BIGINT) AS lsh_sig FROM q),
+        kept AS (
+           SELECT sigs.* FROM sigs JOIN (
+             SELECT lsh_sig FROM sigs GROUP BY lsh_sig
+             HAVING count(*) <= {_EMB_Q100_CAP}) k USING (lsh_sig))
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.lsh_sig,
+               CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                     CAST(b.qv AS DOUBLE[])) AS BIGINT) AS qdot
+        FROM kept a JOIN kept b
+          ON a.lsh_sig = b.lsh_sig AND a.vec_id < b.vec_id"""
+
+
+def _emb_q43(spark, sf_dir: str):
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from health_data_transformation_spark.operators import dedup as D
+    from health_data_transformation_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dup_pairs(
+        e, block_col="label", min_cosine=0.3, max_block=_EMB_Q43_CAP
+    )
+    lbl = e.select(F.col("vec_id").alias("id_a"), "label")
+    # floor6 cos_sim is k/1e6 within 1 ulp; +0.5-then-floor recovers the
+    # exact integer k identically in both engines (no half-even hazard:
+    # the argument is never nearer than ~1e-9 to a .5 boundary)
+    return (
+        pairs.join(lbl, "id_a")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.floor(F.col("cos_sim") * 1000000 + F.lit(0.5)))
+            .cast("long")
+            .alias("sim_sum_e6"),
+        )
+    )
+
+
+def _emb_q43_oracle() -> str:
+    from health_data_transformation_spark.functions.vector import cosine_sql
+
+    cs = cosine_sql("a.embedding", "b.embedding")
+    return f"""WITH blocks AS (
+           SELECT label FROM embeddings GROUP BY label
+           HAVING count(*) <= {_EMB_Q43_CAP}),
+        e AS (SELECT embeddings.* FROM embeddings JOIN blocks USING (label)),
+        pairs AS (
+           SELECT a.label,
+                  (floor(({cs}) * 1000000.0) / 1000000.0) AS cos_sim
+           FROM e a JOIN e b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE (floor(({cs}) * 1000000.0) / 1000000.0) >= 0.3)
+        SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(floor(cos_sim * 1000000 + 0.5)) AS BIGINT)
+                 AS sim_sum_e6
+        FROM pairs GROUP BY label"""
+
 
 def _dup_q162(spark, sf_dir: str):
     import pyspark.sql.functions as F  # noqa: F811
@@ -471,6 +604,169 @@ def measure_prededup_effect(spark, dest: str) -> None:
     )
 
 
+def build_embdup_corpus(spark, n: int, dest: str) -> None:
+    """Replicated ~sf1 inputs where embeddings is duplicate-saturated
+    and cell-skewed (§8.10 — the §8.9 corpus shape for vectors).
+
+    Deterministic per-row assignment (xxhash64 of vec_id, crc32 salt —
+    reproducible bit-for-bit across reruns, rows keyed not collected):
+      * 20% exact template copies: the vector of one of replica-0's
+        vec_id 0-3, byte-identical — the deterministic-encoder-on-
+        boilerplate class; each template owns a ~2.5k-member exact
+        cluster at n=25 (one signature bucket, C(g,2) pairs inside).
+      * 20% near template copies: one hash-picked coordinate shifted
+        by a hash-picked epsilon (1-7 per-mille) — 448 distinct
+        variants per template that SURVIVE exact dedup and still share
+        the template's signature: the irreducibly-quadratic class the
+        bucket cap exists for.
+      * template copies (both kinds) take label 0 — the hot IVF cell
+        (~44% of the corpus) every per-cell operator must survive.
+      * the rest jitter one vec_id-picked coordinate by a hash-picked
+        +-1e-2: byte-distinct near-dups of their base vector (the
+        rep{i} analogue), so the distinct arm measures SIGNATURE-SPACE
+        collisions rather than accidental byte equality.
+    """
+    from registry_stress import build_replicated
+
+    build_replicated(spark, n, dest)
+    marker = os.path.join(dest, "_embdup")
+    if os.path.exists(marker):
+        return
+    path = os.path.join(dest, "embeddings.parquet")
+    df = spark.read.parquet(path)
+    templates = [
+        list(r["embedding"])
+        for r in sorted(
+            df.filter(F.col("vec_id").isin([0, 1, 2, 3]))
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+    assert len(templates) == 4 and all(len(t) == 64 for t in templates)
+    m = 1_000_003
+    h = F.abs(
+        F.xxhash64(
+            F.col("vec_id").cast("string"),
+            F.lit(zlib.crc32(b"embdup-corpus") % m),
+        )
+    )
+    tmpl = F.element_at(
+        F.array(
+            *[F.array(*[F.lit(float(x)) for x in t]) for t in templates]
+        ),
+        ((h / 100).cast("long") % 4 + 1).cast("int"),
+    )
+    exact = F.transform(tmpl, lambda x: x.cast("float"))
+    pos = (h / 800).cast("long") % 64
+    eps = ((h % 7) + 1).cast("double") / 1000.0
+    near = F.transform(
+        tmpl,
+        lambda x, i: F.when(i == pos, x + eps).otherwise(x).cast("float"),
+    )
+    jpos = F.col("vec_id") % 64
+    jeps = ((h % 2001).cast("double") - 1000.0) / 100000.0
+    jitter = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == jpos, x.cast("double") + jeps)
+        .otherwise(x.cast("double"))
+        .cast("float"),
+    )
+    bucket = h % 100
+    new_emb = (
+        F.when(bucket < 20, exact)   # 20% exact template copies
+        .when(bucket < 40, near)     # 20% near template copies
+        .otherwise(jitter)           # byte-distinct near-dup jitter
+    )
+    new_label = F.when(bucket < 40, F.lit(0)).otherwise(F.col("label"))
+    out = df.withColumn("embedding", new_emb).withColumn("label", new_label)
+    out.write.mode("overwrite").parquet(path + ".tmp")
+    shutil.rmtree(path)
+    os.rename(path + ".tmp", path)
+    print(
+        "embdup-saturated embeddings written (40% template copies, "
+        "hot label-0 cell)"
+    )
+    open(marker, "w").close()
+
+
+def measure_emb_design_limit(spark, dest: str) -> None:
+    """§8.10's three knobs, measured on the saturated vector corpus.
+
+    (a) analytic exact-copy truth (identical vectors have cosine 1: a
+    g-copy group holds C(g,2) true pairs, no enumeration);
+    (b) the UNCAPPED q100 equi-join's output volume as a function of
+    n_planes, computed LINEARLY from the signature histogram
+    (sum C(bucket,2)) — never materialized: the signature space must
+    scale with the corpus or random collisions alone go quadratic;
+    (c) what exact_vector_prepass changes at 16 planes (bucket profile
+    before/after, whether the cap still fires and on what), plus the
+    timed capped+prepassed run.
+    """
+    sys.path.insert(0, "/root/repo")
+    from health_data_transformation_spark.operators import similarity as S
+    from health_data_transformation_spark.sources.tables import load_table
+
+    e = load_table(spark, dest, "embeddings")
+    groups = (
+        e.groupBy("embedding")
+        .agg(F.count("*").alias("g"), F.min("vec_id").alias("gid"))
+        .filter(F.col("g") >= 2)
+    )
+    truth = groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.expr("g * (g - 1) div 2")).alias("true_pairs"),
+        F.sum(F.col("g") - 1).alias("droppable"),
+        F.max("g").alias("max_group"),
+    ).collect()[0]
+    print(
+        f"exact-copy truth: {truth['n_groups']} groups, max size "
+        f"{truth['max_group']}, {truth['true_pairs']} pairs, "
+        f"{truth['droppable']} droppable members"
+    )
+
+    def sig_profile(frame, planes):
+        hist = (
+            S.embedding_lsh_signature(frame, planes)
+            .groupBy("lsh_sig")
+            .agg(F.count("*").alias("c"))
+        )
+        return hist.agg(
+            F.count("*").alias("n_sigs"),
+            F.max("c").alias("max_bucket"),
+            F.sum(F.expr("c * (c - 1) div 2")).alias("pair_volume"),
+            F.sum(
+                F.when(F.col("c") > _EMB_Q100_CAP, 1).otherwise(0)
+            ).alias("n_over_cap"),
+        ).collect()[0]
+
+    for planes in (8, 16, 24):
+        p = sig_profile(e, planes)
+        print(
+            f"uncapped q100 volume at n_planes={planes}: "
+            f"{p['n_sigs']} distinct sigs, max bucket {p['max_bucket']}, "
+            f"{p['pair_volume']} pairs ({p['n_over_cap']} buckets over "
+            f"cap {_EMB_Q100_CAP})"
+        )
+
+    reps, _g = S.exact_vector_prepass(e)
+    a = sig_profile(reps, _EMB_Q100_PLANES)
+    print(
+        f"after exact_vector_prepass at n_planes={_EMB_Q100_PLANES}: "
+        f"{a['n_sigs']} sigs over {reps.count()} reps, max bucket "
+        f"{a['max_bucket']}, {a['pair_volume']} pairs, "
+        f"{a['n_over_cap']} buckets over cap — exact-copy coverage is "
+        f"100% by construction via the groups table "
+        f"({truth['true_pairs']} pairs held compactly)"
+    )
+    t0 = time.time()
+    n_pairs = _emb_q100(spark, dest).count()
+    print(
+        f"capped+prepassed q100 variant (planes={_EMB_Q100_PLANES}, "
+        f"cap={_EMB_Q100_CAP}): {n_pairs} pairs in {time.time() - t0:.1f}s"
+    )
+
+
 def build_skewed(spark, n: int, dest: str) -> None:
     from registry_stress import build_replicated
 
@@ -547,10 +843,11 @@ def main() -> None:
     args = sys.argv[1:]
     r6 = "--r6" in args
     dup = "--dup" in args
-    args = [a for a in args if a not in ("--r6", "--dup")]
-    n = int(args[0]) if args and args[0].isdigit() else 10
+    emb = "--emb" in args
+    args = [a for a in args if a not in ("--r6", "--dup", "--emb")]
+    n = int(args[0]) if args and args[0].isdigit() else (25 if emb else 10)
     names = [a for a in args if not a.isdigit()] or (
-        WAVE_DUP if dup else WAVE_R6 if r6 else WAVE
+        WAVE_EMB if emb else WAVE_DUP if dup else WAVE_R6 if r6 else WAVE
     )
 
     import duckdb
@@ -586,11 +883,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    dest = f"/tmp/hdt_{'dup' if dup else 'skew_r6' if r6 else 'skew'}_sf{n}"
+    mode = "embdup" if emb else "dup" if dup else "skew_r6" if r6 else "skew"
+    dest = f"/tmp/hdt_{mode}_sf{n}"
     t0 = time.time()
-    builder = build_dup_corpus if dup else build_skewed_r6 if r6 else build_skewed
+    builder = (
+        build_embdup_corpus
+        if emb
+        else build_dup_corpus if dup else build_skewed_r6 if r6 else build_skewed
+    )
     builder(spark, n, dest)
-    print(f"{'dup' if dup else 'skewed'} inputs ready in {time.time() - t0:.1f}s at {dest}")
+    print(f"{mode} inputs ready in {time.time() - t0:.1f}s at {dest}")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -605,6 +907,19 @@ def main() -> None:
         # capped statement + cap-mirroring oracle (see _DUP_Q162_CAP)
         qs = {**qs, "q162_simhash_banded": _dup_q162}
         oracles = {**oracles, "q162_simhash_banded": _dup_q162_oracle()}
+    if emb:
+        # §8.10 wave variants: capped/prepassed statements + mirroring
+        # oracles (see _EMB_Q100_* / _EMB_Q43_CAP)
+        qs = {
+            **qs,
+            "q100_embedding_lsh_pairs": _emb_q100,
+            "q43_embedding_near_dup": _emb_q43,
+        }
+        oracles = {
+            **oracles,
+            "q100_embedding_lsh_pairs": _emb_q100_oracle(),
+            "q43_embedding_near_dup": _emb_q43_oracle(),
+        }
     offsets = {p: os.path.getsize(p) for p in event_files(log_dir)}
 
     failures: list[str] = []
@@ -662,6 +977,8 @@ def main() -> None:
     if dup:
         measure_cap_recall(spark, dest)
         measure_prededup_effect(spark, dest)
+    if emb:
+        measure_emb_design_limit(spark, dest)
     print("skew wave clean: no wrong answers, no stragglers >5x median")
 
 

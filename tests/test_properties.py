@@ -1205,3 +1205,48 @@ def test_grouped_weighted_quantiles_matches_python_reference(spark, rows):
                     break
             assert got[(k, label)] == (expect, tot), (k, label)
     assert len(got) == len(by_key) * len(specs)
+
+
+# small alphabet of vector values forces byte-identical collisions;
+# ids are distinct by construction (enumerate) so min-keeper is
+# deterministic
+_vec_alphabet = st.sampled_from(
+    # every value exactly float32-representable, so the Spark-collected
+    # array<float> round-trips bit-equal to the Python reference
+    [(1.0, 2.0), (1.0, 2.125), (-3.5, 0.0), (0.0, 0.0), (7.25, -8.5)]
+)
+
+
+@given(vecs=st.lists(_vec_alphabet, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_exact_vector_prepass_equals_python_grouping(spark, vecs):
+    """§8.10: (reps, groups) must exactly equal the Python grouping of
+    byte-identical vectors — keeper = min id per distinct vector,
+    sum(n_copies) == N (no row lost or double-counted), reps carry
+    exactly the keeper rows with their original payload."""
+    from health_data_transformation_spark.operators.similarity import (
+        exact_vector_prepass,
+    )
+
+    rows = [(i, list(v)) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    reps, groups = exact_vector_prepass(df)
+
+    by_vec: dict[tuple, list[int]] = {}
+    for i, v in enumerate(vecs):
+        by_vec.setdefault(v, []).append(i)
+
+    got_groups = {
+        (tuple(r["embedding"]), r["keeper_id"]): r["n_copies"]
+        for r in groups.collect()
+    }
+    assert got_groups == {
+        (tuple(float(x) for x in v), min(ids)): len(ids)
+        for v, ids in by_vec.items()
+    }
+    assert sum(got_groups.values()) == len(vecs)
+
+    got_reps = {r["vec_id"]: tuple(r["embedding"]) for r in reps.collect()}
+    assert got_reps == {
+        min(ids): tuple(float(x) for x in v) for v, ids in by_vec.items()
+    }

@@ -196,7 +196,10 @@ def embedding_lsh_signature(
 
 
 def exact_vector_prepass(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fingerprint: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The §8.9 exact-dedup contract applied to embedding columns:
     byte-identical vectors collapse to their min-``id_col`` keeper
@@ -214,11 +217,41 @@ def exact_vector_prepass(
 
     Scale shape: one groupBy whose key is the raw vector (dim x 4
     bytes; arrays hash/compare natively in Spark) + one semi join on
-    ``id_col``.  At 100 TB you would fingerprint the vector to 16
-    bytes first (md5 over the canonical byte layout — the exact
-    analogue of the text path's md5) so the shuffle key is constant-
-    width; the grouping semantics are identical.
+    ``id_col``.  ``fingerprint=True`` is the 100 TB path — the exact
+    analogue of the text side's md5 content fingerprint: the grouping
+    key becomes a 128-bit pair of independently-seeded ``xxhash64``
+    values over the vector (JVM-side, hashes array ELEMENTS
+    recursively), so the dedup shuffle moves (id, 16 B) per row
+    instead of (id, dim x 4 B), and only the distinct keepers'
+    vectors are rehydrated afterwards (one join on ``keeper_id``,
+    O(distinct) rows).  Same (reps, groups) schema and values as the
+    raw path, assuming no 128-bit collision (P < 1e-18 at 1e10 rows;
+    a raw-key verify pass is the escalation if that ever matters).
+    One honest divergence: Spark normalizes floats inside GROUP BY
+    keys (-0.0 == 0.0, all NaN payloads equal), and xxhash64 mirrors
+    the -0.0 normalization but NOT exotic NaN payloads — encoder
+    outputs never contain NaN, and a corpus that does should be
+    quarantined upstream (P9), not deduped.
     """
+    if fingerprint:
+        keyed = df.select(
+            F.col(id_col),
+            F.xxhash64(F.lit(1), F.col(vec_col)).alias("_fp1"),
+            F.xxhash64(F.lit(2), F.col(vec_col)).alias("_fp2"),
+        )
+        groups_k = keyed.groupBy("_fp1", "_fp2").agg(
+            F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies")
+        )
+        groups = groups_k.join(
+            df.select(F.col(id_col).alias("keeper_id"), F.col(vec_col)),
+            "keeper_id",
+        ).select(vec_col, "keeper_id", "n_copies")
+        reps = df.join(
+            groups_k.select(F.col("keeper_id").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+        return reps, groups
     groups = df.groupBy(vec_col).agg(
         F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies")
     )
@@ -258,7 +291,10 @@ def embedding_lsh_pairs(
     from ..functions.vector import int8_quantize, int_dot
 
     if pre_dedup_exact:
-        df, _ = exact_vector_prepass(df, vec_col, id_col)
+        # fingerprint=True: the dedup shuffle key is 16 B, not the raw
+        # vector — the 100 TB composition (groups are discarded here,
+        # so the keeper-vector rehydration join never executes)
+        df, _ = exact_vector_prepass(df, vec_col, id_col, fingerprint=True)
     sigs = embedding_lsh_signature(df, n_planes, vec_col, dim).select(
         id_col, "lsh_sig", int8_quantize(vec_col).alias("_q")
     )

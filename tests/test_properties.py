@@ -1250,3 +1250,14 @@ def test_exact_vector_prepass_equals_python_grouping(spark, vecs):
     assert got_reps == {
         min(ids): tuple(float(x) for x in v) for v, ids in by_vec.items()
     }
+
+    # the 100 TB path (128-bit xxhash64 fingerprint key, constant-width
+    # shuffle) must produce the identical (reps, groups)
+    freps, fgroups = exact_vector_prepass(df, fingerprint=True)
+    assert {
+        (tuple(r["embedding"]), r["keeper_id"]): r["n_copies"]
+        for r in fgroups.collect()
+    } == got_groups
+    assert {
+        r["vec_id"]: tuple(r["embedding"]) for r in freps.collect()
+    } == got_reps

@@ -50,6 +50,14 @@ SAFE_ON_LINE = re.compile(
 # (relpath, stripped line) -> why the product provably fits int64
 ALLOWLIST: dict[tuple[str, str], str] = {
     (
+        "tools/skew_stress.py",
+        'CAST(sum(floor(cos_sim * 1000000 + 0.5)) AS BIGINT)',
+    ): "DuckDB oracle side: sum over INTEGER operands promotes to "
+       "HUGEINT (int128) internally, and the §8.10 max_block cap "
+       "bounds per-label pairs to C(5000,2) so |sum| <= 1.25e13 — the "
+       "CAST back to BIGINT is exact; the Spark twin routes the same "
+       "sum through DECIMAL(38,0) per the q149/q317 rule",
+    (
         "health_data_transformation_spark/operators/sessions.py",
         "gap_us = gap_minutes * 60 * 1_000_000",
     ): "driver-side Python int on a config scalar (minutes), not data",

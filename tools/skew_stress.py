@@ -211,7 +211,9 @@ def _emb_q43(spark, sf_dir: str):
         .groupBy("label")
         .agg(
             F.count("*").cast("long").alias("n_pairs"),
-            F.sum(F.floor(F.col("cos_sim") * 1000000 + F.lit(0.5)))
+            F.sum(
+                F.floor(F.col("cos_sim") * 1000000 + F.lit(0.5)).cast("decimal(38,0)")  # noqa: E501
+            )
             .cast("long")
             .alias("sim_sum_e6"),
         )

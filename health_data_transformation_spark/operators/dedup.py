@@ -714,6 +714,7 @@ def embedding_near_dup_pairs(
     block_col: str | None = None,
     min_cosine: float = 0.99,
     max_block: int | None = None,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine >= threshold within a block.
 
@@ -727,8 +728,19 @@ def embedding_near_dup_pairs(
     C(g,2) output blowup no plan fixes.  The §8.10 contract: exact-
     vector dedup (similarity.exact_vector_prepass) owns byte-identical
     vectors first; the cap bounds what is genuinely distinct-but-dense.
+
+    ``pair_budget`` (§8.10a) derives the block-size threshold from the
+    total verify-pair volume instead — an absolute ``max_block`` goes
+    vacuous when every block outgrows it under corpus growth (measured
+    at 2x in §8.10a); the budget form keeps the largest set of
+    smallest blocks whose summed C(g,2) fits.  Requires ``block_col``;
+    mutually exclusive with ``max_block``.
     """
     from ..functions.vector import dot, norm
+    from .similarity import apply_pair_budget
+
+    if max_block is not None and pair_budget is not None:
+        raise ValueError("pass max_block or pair_budget, not both")
 
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
     # precompute each row's norm BEFORE the pair join: O(n) higher-order
@@ -744,6 +756,8 @@ def embedding_near_dup_pairs(
             .filter(F.col("_bn") <= max_block)
             .drop("_bn")
         )
+    if block_col and pair_budget is not None:
+        base = apply_pair_budget(base, block_col, pair_budget)
     # rename AFTER the self-join so the norm-precompute subtree stays
     # canonically equal on both sides (one exchange, reused)
     ea, eb = base.alias("_ea"), base.alias("_eb")

@@ -25,6 +25,65 @@ def _with_query(df: DataFrame, query: DataFrame, vec_col: str) -> DataFrame:
     return df.crossJoin(F.broadcast(query))
 
 
+def apply_pair_budget(
+    df: DataFrame, key_col: str, pair_budget: int
+) -> DataFrame:
+    """Budget-derived group cap (§8.10a): keep rows whose ``key_col``
+    group is small enough that the TOTAL C(g,2) pair volume of all
+    kept groups stays within ``pair_budget``.
+
+    The §8.10a measurement showed why this exists: an ABSOLUTE cap is
+    corpus-relative — at 2x corpus every block outgrew q43's fixed
+    ``max_block`` and the verifier went vacuous (0 rows, correctly,
+    uselessly).  A budget cap instead derives the size threshold from
+    the quadratic work the caller can afford, so it keeps the largest
+    set of smallest groups that fits and stays non-vacuous at any
+    corpus size (the giant-cluster class is already owned by the
+    linear exact prepasses; §8.9/§8.10 contract).
+
+    One plan, no driver round-trip: per-group sizes via a window on
+    ``key_col`` (the same exchange the caller's pair join needs),
+    per-SIZE pair totals on the tiny distinct-size frame, a running
+    sum over sizes ascending (the documented aggregate-then-window
+    shape: O(distinct sizes) rows), and the resulting scalar threshold
+    broadcast back as a non-equi filter against the sized rows.
+    Measured cost contract: the threshold arm is NOT exchange-reused
+    with the probe arm (column pruning narrows it to ``key_col`` only,
+    breaking canonical equality — verified in the final plan), so the
+    budget form pays one extra column-pruned pass over the input to
+    SIZE the cap; that pass is linear, reads one column, and replaces
+    a human guessing a constant that §8.10a showed going vacuous under
+    corpus growth.  The running total routes through DECIMAL(38,0): a
+    single galactic group's C(g,2) alone can exceed int64.
+    """
+    w = Window.partitionBy(key_col)
+    sized = df.withColumn("_gn", F.count("*").over(w))
+    per_size = (
+        sized.groupBy(key_col)
+        .agg(F.max("_gn").alias("_gn"))
+        .groupBy("_gn")
+        .agg(F.count("*").alias("_nb"))
+    )
+    wcum = Window.orderBy("_gn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_size.withColumn(
+        "_cum",
+        F.sum(
+            (F.col("_nb") * F.expr("_gn * (_gn - 1) div 2")).cast(
+                "decimal(38,0)"
+            )
+        ).over(wcum),
+    )
+    thr = cum.filter(
+        F.col("_cum") <= F.lit(pair_budget).cast("decimal(38,0)")
+    ).agg(F.coalesce(F.max("_gn"), F.lit(0)).alias("_cap"))
+    return (
+        sized.join(F.broadcast(thr), F.col("_gn") <= F.col("_cap"))
+        .drop("_gn", "_cap")
+    )
+
+
 def cosine_scores(
     df: DataFrame, query: DataFrame, vec_col: str = "embedding",
     query_col: str = "qv", out_col: str = "sim", scale: int = 6,
@@ -269,6 +328,7 @@ def embedding_lsh_pairs(
     dim: int = 64,
     max_bucket: int | None = None,
     pre_dedup_exact: bool = False,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs: equal LSH signature, scored by the
     exact integer dot of the quantized vectors.  The join key is the
@@ -287,7 +347,17 @@ def embedding_lsh_pairs(
     with the corpus (2^n_planes >> N / tolerable-bucket), or RANDOM
     collisions alone make the equi-join quadratic — §8.10 measures all
     three on a saturated corpus.
+
+    ``pair_budget`` (§8.10a) is the corpus-growth-proof alternative to
+    ``max_bucket``: instead of an absolute size (which goes vacuous
+    when every bucket outgrows it), derive the size threshold from the
+    total candidate-pair volume the caller affords —
+    :func:`apply_pair_budget` keeps the largest set of smallest
+    buckets whose summed C(g,2) fits the budget.  Mutually exclusive
+    with ``max_bucket``.
     """
+    if max_bucket is not None and pair_budget is not None:
+        raise ValueError("pass max_bucket or pair_budget, not both")
     from ..functions.vector import int8_quantize, int_dot
 
     if pre_dedup_exact:
@@ -308,6 +378,8 @@ def embedding_lsh_pairs(
             .filter(F.col("_sn") <= max_bucket)
             .drop("_sn")
         )
+    if pair_budget is not None:
+        sigs = apply_pair_budget(sigs, "lsh_sig", pair_budget)
     a = sigs.select(
         F.col("lsh_sig"), F.col(id_col).alias("id_a"), F.col("_q").alias("qa")
     )

@@ -729,3 +729,59 @@ def test_simhash_banded_pairs_max_bucket_caps_saturated_buckets(spark):
         for r in dedup.simhash_banded_pairs(sim, bits=32, max_hamming=3).collect()
     }
     assert {(a, b) for a in range(6) for b in range(a + 1, 6)} <= uncapped
+
+
+def test_apply_pair_budget_keeps_smallest_groups(spark):
+    """§8.10a: the budget cap keeps the largest set of SMALLEST groups
+    whose summed C(g,2) fits the budget — group sizes 5/3/2 hold
+    10/3/1 pairs, so budget 4 keeps sizes <=3 (1+3), budget 3 keeps
+    only the size-2 group, budget 0 keeps nothing, and a budget
+    covering everything is a no-op.  An absolute cap that every group
+    outgrows returns nothing (the §8.10a vacuity); the budget form
+    never goes vacuous while any group fits."""
+    from health_data_transformation_spark.operators.similarity import (
+        apply_pair_budget,
+    )
+
+    rows = (
+        [(i, "a") for i in range(5)]
+        + [(10 + i, "b") for i in range(3)]
+        + [(20 + i, "c") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "id long, k string")
+
+    def kept(budget):
+        return {
+            r["k"] for r in apply_pair_budget(df, "k", budget).collect()
+        }
+
+    assert kept(14) == {"a", "b", "c"}
+    assert kept(4) == {"b", "c"}
+    assert kept(3) == {"c"}
+    assert kept(0) == set()
+
+
+def test_embedding_near_dup_pair_budget_not_vacuous(spark):
+    """The §8.10a lesson wired in: with every block bigger than a
+    fixed max_block the verifier returns nothing, but the same corpus
+    under pair_budget still verifies the blocks that fit."""
+    rows = [(i, 1, [1.0, float(i) * 1e-4]) for i in range(5)]
+    rows += [(10, 2, [0.0, 1.0]), (11, 2, [0.01, 0.999])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    kw = dict(block_col="label", min_cosine=0.99)
+    assert (
+        dedup.embedding_near_dup_pairs(df, max_block=1, **kw).collect() == []
+    )
+    budgeted = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            df, pair_budget=1, **kw
+        ).collect()
+    }
+    assert budgeted == {(10, 11)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.embedding_near_dup_pairs(df, max_block=1, pair_budget=1, **kw)

@@ -67,13 +67,15 @@ def apply_pair_budget(
     wcum = Window.orderBy("_gn").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # decimal-first: _gn * (_gn - 1) wraps int64 at _gn > ~3e9 (a
+    # 100 TB-plausible group); the /2 is exact by evenness so the
+    # cast back to scale 0 loses nothing
+    pairs = F.expr(
+        "CAST(CAST(_gn AS DECIMAL(38,0)) * (_gn - 1) / 2 AS DECIMAL(38,0))"
+    )
     cum = per_size.withColumn(
         "_cum",
-        F.sum(
-            (F.col("_nb") * F.expr("_gn * (_gn - 1) div 2")).cast(
-                "decimal(38,0)"
-            )
-        ).over(wcum),
+        F.sum(F.col("_nb").cast("decimal(38,0)") * pairs).over(wcum),
     )
     thr = cum.filter(
         F.col("_cum") <= F.lit(pair_budget).cast("decimal(38,0)")

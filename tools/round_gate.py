@@ -147,7 +147,12 @@ def main() -> int:
             # would not match newest()'s _r(\d+) regex and later gate
             # runs would silently fall back to an OLDER artifact,
             # defeating the freshness check (ADVICE r5).  Derive the
-            # round from ROUND, else newest-existing + 1.
+            # round from ROUND, else max(newest driver round + 1,
+            # newest local round) — the same rule as the bench round
+            # (r7 fix): within a round, a SECOND --regen must overwrite
+            # the current round's artifact, not stamp N+1 (an r8 regen
+            # after CORRECTNESS_local_r08 exists used to produce _r09
+            # and then demand a BENCH_detail_r09 that cannot exist yet).
             rnd = os.environ.get("ROUND")
             if rnd is None:
                 prev = newest("CORRECTNESS_local_r*.json")
@@ -157,9 +162,14 @@ def main() -> int:
                         "prior CORRECTNESS_local_r*.json to derive it from"
                     )
                     return 1
-                rnd = str(
-                    int(re.search(r"_r(\d+)\.json$", prev).group(1)) + 1
+                local_rnd = int(re.search(r"_r(\d+)\.json$", prev).group(1))
+                driver = newest("CORRECTNESS_r*.json")
+                driver_rnd = (
+                    int(re.search(r"_r(\d+)\.json$", driver).group(1))
+                    if driver
+                    else 0
                 )
+                rnd = str(max(driver_rnd + 1, local_rnd))
             if not str(rnd).isdigit():
                 print(f"GATE FAIL: ROUND={rnd!r} is not a round number")
                 return 1

@@ -196,11 +196,27 @@ def _band_explode(
     ).select(out, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
 
-def _cap_buckets(exploded: DataFrame, max_bucket: int | None) -> DataFrame:
+def _cap_buckets(
+    exploded: DataFrame,
+    max_bucket: int | None,
+    pair_budget: int | None = None,
+) -> DataFrame:
     """Drop oversized buckets BEFORE pair expansion (shared by the
     batch and incremental candidate generators so the cap semantics
     cannot drift).  A windowed count beats a groupBy+join-back: one
-    shuffle on the same key, one pass over the banded rows."""
+    shuffle on the same key, one pass over the banded rows.
+
+    ``pair_budget`` (§8.10b, mutually exclusive with ``max_bucket``):
+    derive the bucket-size threshold from a total candidate-pair
+    budget instead of an absolute constant — §8.10a measured the
+    absolute form going vacuous under corpus growth (every bucket
+    outgrows a fixed constant at 2x)."""
+    if max_bucket is not None and pair_budget is not None:
+        raise ValueError("pass max_bucket or pair_budget, not both")
+    if pair_budget is not None:
+        from .similarity import apply_pair_budget
+
+        return apply_pair_budget(exploded, "bucket", pair_budget)
     if max_bucket is None:
         return exploded
     sizes = Window.partitionBy("bucket")
@@ -239,6 +255,7 @@ def lsh_candidate_pairs(
     band_size: int = 2,
     num_hashes: int = 8,
     max_bucket: int | None = None,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) colliding on >= 1 LSH band.
 
@@ -248,11 +265,15 @@ def lsh_candidate_pairs(
     expansion — the standard guard at scale: a bucket of size n emits
     n(n-1)/2 pairs, and oversized buckets come from low-information
     shingle sets (boilerplate), so capping bounds the quadratic term
-    without losing real near-dups.
+    without losing real near-dups.  ``pair_budget`` is the §8.10b
+    budget-derived alternative (threshold sized from total candidate
+    volume; stays non-vacuous under corpus growth); exclusive with
+    ``max_bucket``.
     """
     exploded = _cap_buckets(
         _band_explode(signatures, id_col, band_size, num_hashes).drop("band"),
         max_bucket,
+        pair_budget,
     )
     # Self-join over IDENTICAL aliased subtrees (rename only AFTER the
     # join): the old shape projected id -> id_a / id_b BELOW the
@@ -291,6 +312,7 @@ def lsh_near_dup_pairs(
     shingle_k: int | None = None,
     widen: bool = True,
     pre_dedup_exact: bool = False,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection:
     shingle -> minhash -> band -> bucket-join candidates -> exact-Jaccard
@@ -319,7 +341,9 @@ def lsh_near_dup_pairs(
         # minhash task-granularity probe must not run (see is_scan_rooted)
         widen = False
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, widen=widen)
-    cands = lsh_candidate_pairs(sigs, id_col, band_size, num_hashes, max_bucket)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, band_size, num_hashes, max_bucket, pair_budget
+    )
     from ..functions.text import token_shingles
 
     set_expr = (
@@ -482,6 +506,7 @@ def simhash_banded_pairs(
     bits: int = 16,
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """ALL pairs within a Hamming radius — exact, by pigeonhole banding.
 
@@ -526,6 +551,14 @@ def simhash_banded_pairs(
     exploded = sim.select(
         F.col(id_col), F.col("simhash"), F.explode(bands).alias("bv")
     ).select(id_col, "simhash", "bv.band", "bv.val")
+    if max_bucket is not None and pair_budget is not None:
+        raise ValueError("pass max_bucket or pair_budget, not both")
+    if pair_budget is not None:
+        # §8.10b: threshold derived from total candidate volume over
+        # the composite (band, val) key — non-vacuous under growth
+        from .similarity import apply_pair_budget
+
+        exploded = apply_pair_budget(exploded, ["band", "val"], pair_budget)
     if max_bucket is not None:
         sizes = Window.partitionBy("band", "val")
         exploded = (

@@ -26,7 +26,7 @@ def _with_query(df: DataFrame, query: DataFrame, vec_col: str) -> DataFrame:
 
 
 def apply_pair_budget(
-    df: DataFrame, key_col: str, pair_budget: int
+    df: DataFrame, key_col: str | list[str], pair_budget: int
 ) -> DataFrame:
     """Budget-derived group cap (§8.10a): keep rows whose ``key_col``
     group is small enough that the TOTAL C(g,2) pair volume of all
@@ -56,10 +56,11 @@ def apply_pair_budget(
     corpus growth.  The running total routes through DECIMAL(38,0): a
     single galactic group's C(g,2) alone can exceed int64.
     """
-    w = Window.partitionBy(key_col)
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    w = Window.partitionBy(*keys)
     sized = df.withColumn("_gn", F.count("*").over(w))
     per_size = (
-        sized.groupBy(key_col)
+        sized.groupBy(*keys)
         .agg(F.max("_gn").alias("_gn"))
         .groupBy("_gn")
         .agg(F.count("*").alias("_nb"))

@@ -785,3 +785,52 @@ def test_embedding_near_dup_pair_budget_not_vacuous(spark):
 
     with _pytest.raises(ValueError):
         dedup.embedding_near_dup_pairs(df, max_block=1, pair_budget=1, **kw)
+
+
+def test_text_side_pair_budget_parity(spark):
+    """§8.10b on the text generators: a boilerplate cluster saturates
+    every band bucket; a tight pair budget drops those buckets (the
+    small near-dup group survives) in BOTH the MinHash and SimHash
+    banded paths, and composite (band, val) keys work.  Mutual
+    exclusion with max_bucket raises."""
+    import pyspark.sql.functions as F
+    from health_data_transformation_spark.functions import text as T
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog again")
+        for i in range(6)
+    ]
+    rows += [
+        (10, "completely different corpus text entirely unrelated words"),
+        (11, "completely different corpus text entirely unrelated words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_near_dup_pairs(
+            df, min_jaccard=0.9, pair_budget=10
+        ).collect()
+    }
+    assert (10, 11) in lsh
+    assert all(a not in range(6) or b not in range(6) for a, b in lsh)
+
+    d = df.withColumn("_sh3", F.array_distinct(T.token_shingles("text", 3)))
+    sim = dedup.simhash(d, bits=32, set_col="_sh3")
+    sh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_banded_pairs(
+            sim, bits=32, max_hamming=3, pair_budget=10
+        ).collect()
+    }
+    assert (10, 11) in sh
+    assert all(a not in range(6) or b not in range(6) for a, b in sh)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.lsh_near_dup_pairs(df, max_bucket=4, pair_budget=10).collect()
+    with _pytest.raises(ValueError):
+        dedup.simhash_banded_pairs(
+            sim, bits=32, max_hamming=3, max_bucket=4, pair_budget=10
+        ).collect()

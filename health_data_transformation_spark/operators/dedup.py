@@ -95,6 +95,11 @@ def exact_prepass(
     collapses to one bucket member, so the cap stops burning recall on
     content the exact pass already owns.
 
+    Callers needing that full coverage pass ``return_groups=True`` (only
+    valid with ``pre_dedup_exact``) and get ``(pairs, groups)`` — the
+    prepass fingerprint groupBy and semi join run ONCE instead of the
+    caller re-running ``exact_prepass`` beside this function.
+
     Scale shape: one groupBy on the 16-byte fingerprint (map-side
     combinable) + one semi join on ``id_col`` — both linear, both on
     compact keys; the text column never re-shuffles.
@@ -313,7 +318,8 @@ def lsh_near_dup_pairs(
     widen: bool = True,
     pre_dedup_exact: bool = False,
     pair_budget: int | None = None,
-) -> DataFrame:
+    return_groups: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """End-to-end MinHash-LSH near-dup detection:
     shingle -> minhash -> band -> bucket-join candidates -> exact-Jaccard
     verify -> threshold.
@@ -335,8 +341,11 @@ def lsh_near_dup_pairs(
     saturated clusters without the prepass).  Full-corpus coverage =
     these pairs + ``exact_prepass``'s groups table (compact C(g,2)).
     """
+    if return_groups and not pre_dedup_exact:
+        raise ValueError("return_groups requires pre_dedup_exact=True")
+    groups = None
     if pre_dedup_exact:
-        df, _ = exact_prepass(df, text_col, id_col)
+        df, groups = exact_prepass(df, text_col, id_col)
         # the semi join above roots the frame on an exchange, so the
         # minhash task-granularity probe must not run (see is_scan_rooted)
         widen = False
@@ -358,9 +367,12 @@ def lsh_near_dup_pairs(
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
     jac = floor6(inter / union)
-    return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
+    pairs = joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= min_jaccard
     )
+    if return_groups:
+        return pairs, groups
+    return pairs
 
 
 def connected_components(
@@ -465,7 +477,11 @@ def simhash(
     once per distinct content instead of once per copy.
     """
     if pre_dedup_exact:
-        assert set_col is None, "pre_dedup_exact fingerprints text_col"
+        if set_col is not None:
+            # the prepass fingerprints text_col; deduping by text while
+            # features come from set_col would collapse rows whose texts
+            # match but feature sets differ (and asserts vanish under -O)
+            raise ValueError("pre_dedup_exact fingerprints text_col; not valid with set_col")
         df, _ = exact_prepass(df, text_col, id_col)
     feats = F.col(set_col) if set_col else distinct_tokens(text_col)
     toks = (
@@ -774,6 +790,11 @@ def embedding_near_dup_pairs(
 
     if max_block is not None and pair_budget is not None:
         raise ValueError("pass max_block or pair_budget, not both")
+    if block_col is None and (max_block is not None or pair_budget is not None):
+        # both caps bound per-BLOCK quadratic work; with no blocking the
+        # join is the unbounded all-pairs baseline and the cap would
+        # silently no-op — refuse instead
+        raise ValueError("max_block/pair_budget require block_col")
 
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
     # precompute each row's norm BEFORE the pair join: O(n) higher-order

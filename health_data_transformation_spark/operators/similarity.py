@@ -57,6 +57,11 @@ def apply_pair_budget(
     single galactic group's C(g,2) alone can exceed int64.
     """
     keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    clash = {"_gn", "_cap"} & set(df.columns)
+    if clash:
+        # withColumn would silently overwrite a caller's column of the
+        # same name and then drop it at the end, corrupting their data
+        raise ValueError(f"apply_pair_budget reserves helper columns {sorted(clash)}")
     w = Window.partitionBy(*keys)
     sized = df.withColumn("_gn", F.count("*").over(w))
     per_size = (

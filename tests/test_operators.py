@@ -834,3 +834,44 @@ def test_text_side_pair_budget_parity(spark):
         dedup.simhash_banded_pairs(
             sim, bits=32, max_hamming=3, max_bucket=4, pair_budget=10
         ).collect()
+
+
+def test_advice_r8_guards(spark):
+    """ADVICE r8 defects, pinned: (1) embedding caps without block_col
+    raise instead of silently no-opping into the unbounded quadratic
+    join; (2) simhash pre_dedup_exact + set_col raises (not a strippable
+    assert); (3) apply_pair_budget refuses a caller frame that already
+    holds a reserved helper column; (4) lsh_near_dup_pairs can return
+    the prepass groups table so full-corpus coverage needs ONE prepass."""
+    import pytest as _pytest
+    from health_data_transformation_spark.operators.similarity import (
+        apply_pair_budget,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="block_col"):
+        dedup.embedding_near_dup_pairs(vecs, pair_budget=10)
+    with _pytest.raises(ValueError, match="block_col"):
+        dedup.embedding_near_dup_pairs(vecs, max_block=10)
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    sets = docs.withColumn("s", F.split("text", " "))
+    with _pytest.raises(ValueError, match="set_col"):
+        dedup.simhash(sets, set_col="s", pre_dedup_exact=True)
+
+    clashing = docs.withColumn("_gn", F.lit(1))
+    with _pytest.raises(ValueError, match="_gn"):
+        apply_pair_budget(clashing, "text", 10)
+
+    with _pytest.raises(ValueError, match="pre_dedup_exact"):
+        dedup.lsh_near_dup_pairs(docs, return_groups=True)
+    pairs, groups = dedup.lsh_near_dup_pairs(
+        docs, pre_dedup_exact=True, return_groups=True
+    )
+    g = {(r["keeper_id"], r["n_copies"]) for r in groups.collect()}
+    assert g == {(1, 2), (3, 1)}
+    assert pairs.columns == ["id_a", "id_b", "jaccard"]

@@ -857,7 +857,24 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _lsh_near_dup_oracle(min_jaccard: float) -> str:
+def _pair_budget_cap_cte(src: str, key: str, budget: int) -> str:
+    """DuckDB CTE chain mirroring ``similarity.apply_pair_budget``:
+    per-``key`` group sizes, per-SIZE pair totals, a running C(g,2)
+    sum over sizes ascending, and the derived threshold (max size
+    whose cumulative pair volume fits ``budget``; 0 when nothing
+    fits).  Emits ``sized`` (key, gn) and ``thr`` (cap) CTE bodies —
+    the caller joins them back to keep rows whose group fits."""
+    return (
+        f"sized AS (SELECT {key}, count(*) AS gn FROM {src} GROUP BY {key}),\n"
+        "per_size AS (SELECT gn, count(*) AS nb FROM sized GROUP BY gn),\n"
+        "cum AS (SELECT gn, SUM(nb * (gn * (gn - 1) // 2)) OVER (ORDER BY gn)\n"
+        "          AS cumpairs FROM per_size),\n"
+        f"thr AS (SELECT COALESCE(MAX(gn), 0) AS cap FROM cum\n"
+        f"        WHERE cumpairs <= {budget}),\n"
+    )
+
+
+def _lsh_near_dup_oracle(min_jaccard: float, pair_budget: int | None = None) -> str:
     sig_exprs = ",\n".join(
         f"         list_min(list_transform(t, x -> {hex_hash64_sql('x', f'mh{i}')})) AS sig{i}"
         for i in range(8)
@@ -876,10 +893,17 @@ def _lsh_near_dup_oracle(min_jaccard: float) -> str:
         + "  UNION ALL\n"
         + band(1, 4)
         + "),\n"
-        "capped AS (SELECT doc_id, bucket FROM (\n"
-        "    SELECT doc_id, bucket, count(*) OVER (PARTITION BY bucket) AS bn\n"
-        "    FROM bands) WHERE bn <= 50),\n"
-        "cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        + (
+            _pair_budget_cap_cte("bands", "bucket", pair_budget)
+            + "capped AS (SELECT b.doc_id, b.bucket FROM bands b\n"
+            "           JOIN sized s USING (bucket) CROSS JOIN thr t\n"
+            "           WHERE s.gn <= t.cap),\n"
+            if pair_budget is not None
+            else "capped AS (SELECT doc_id, bucket FROM (\n"
+            "    SELECT doc_id, bucket, count(*) OVER (PARTITION BY bucket) AS bn\n"
+            "    FROM bands) WHERE bn <= 50),\n"
+        )
+        + "cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
         "          FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),\n"
         "verified AS (\n"
         "  SELECT c.id_a, c.id_b,\n"
@@ -900,9 +924,37 @@ def _lsh_near_dup_oracle(min_jaccard: float) -> str:
     "threshold (candidate-only verification; never a quadratic corpus pass)",
 )
 def q51(spark: SparkSession, sf: str) -> DataFrame:
+    # max_bucket=50 is NOT production sizing: §8.10a measured absolute
+    # caps going vacuous under corpus growth (every bucket outgrows a
+    # constant at 2x).  50 is derived from the sf0.1 test corpus's
+    # bucket-size tail (classes 1..~60 hold the real near-dups; the
+    # >=234-row buckets are boilerplate) and kept here as the
+    # absolute-cap exemplar beside q330's budget-derived form —
+    # production callers size with pair_budget (q330, §8.10b).
     d = load_table(spark, sf, "documents")
     return D.lsh_near_dup_pairs(
         d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
+    )
+
+
+@register(
+    "q330_lsh_near_dup_budget",
+    _lsh_near_dup_oracle(0.4, pair_budget=2000),
+    "q51's MinHash-LSH near-dup under the §8.10b budget-derived bucket "
+    "cap: the bucket-size threshold is sized IN-PLAN from a total "
+    "candidate-pair budget (running C(g,2) over the distinct-size "
+    "frame, DECIMAL(38,0) total) instead of an absolute max_bucket "
+    "that §8.10a measured going vacuous under corpus growth; the "
+    "oracle mirrors the derivation, so the differential gates the "
+    "threshold math itself — selective and non-vacuous at all three "
+    "test SFs (bucket tails are heavy; e.g. sf0.1 derives cap 10, "
+    "keeping the many small buckets and dropping the 2,257-row "
+    "boilerplate bucket)",
+)
+def q330(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return D.lsh_near_dup_pairs(
+        d, band_size=4, num_hashes=8, min_jaccard=0.4, pair_budget=2000
     )
 
 
@@ -2014,8 +2066,41 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     "use of similarity; blocked to avoid all-pairs)",
 )
 def q43(spark: SparkSession, sf: str) -> DataFrame:
+    # uncapped on purpose: the 10 label blocks are ~sf-bounded in the
+    # test corpus, so this entry is the exact blocked-quadratic
+    # baseline; the budget-capped production form is q329 (§8.10b)
     e = load_table(spark, sf, "embeddings")
     return D.embedding_near_dup_pairs(e, block_col="label", min_cosine=0.3)
+
+
+@register(
+    "q329_embedding_near_dup_budget",
+    f"""WITH {_pair_budget_cap_cte("embeddings", "label", 20000)}
+        kept AS (SELECT e.* FROM embeddings e
+                 JOIN sized s USING (label) CROSS JOIN thr t
+                 WHERE s.gn <= t.cap)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               (floor(({cosine_sql('a.embedding', 'b.embedding')}) * 1000000.0) / 1000000.0) AS cos_sim
+        FROM kept a JOIN kept b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE (floor(({cosine_sql('a.embedding', 'b.embedding')}) * 1000000.0) / 1000000.0) >= 0.3""",
+    "q43's blocked embedding near-dup under the §8.10b budget-derived "
+    "block cap (apply_pair_budget): the block-size threshold is sized "
+    "in-plan from a 20k total verify-pair budget instead of an "
+    "absolute max_block that §8.10a measured going vacuous under "
+    "corpus growth; the oracle mirrors the derivation (per-size "
+    "running C(g,2), threshold = largest affordable size class), so "
+    "the differential gates the threshold math — at sf0.01 the whole "
+    "corpus fits (threshold >= max block, keep-all), at sf0.1 only "
+    "the smallest label block fits (1/10 kept): both regimes "
+    "non-vacuous, the 100 TB answer for blocks the budget cannot "
+    "afford is the linear exact prepass, not the quadratic verifier",
+)
+def q329(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return D.embedding_near_dup_pairs(
+        e, block_col="label", min_cosine=0.3, pair_budget=20000
+    )
 
 
 @register(

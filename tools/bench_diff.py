@@ -24,10 +24,17 @@ seconds of raw growth.
 
 Usage:
     python tools/bench_diff.py OLD.json NEW.json [--factor 2.0] [--floor 1.0]
+                               [--json BENCH_DIFF_rNN.json]
 
 Exit 0: no regression.  Exit 1: regressions listed on stdout.
 New queries (absent from OLD) and removed queries are reported but
 never fail the gate.
+
+``--json`` (VERDICT r8 task #4) writes the diff summary as a committed
+artifact so round-notes prose can quote figures instead of restating
+them — the r7/r8 within-run-drift class was notes quoting a diff run
+against a detail that a later re-record superseded.  round_gate passes
+it automatically, derived from the current round's detail pair.
 """
 
 from __future__ import annotations
@@ -90,6 +97,9 @@ def main() -> int:
     ap.add_argument("--floor", type=float, default=1.0,
                     help="ignore regressions smaller than this many "
                          "seconds of absolute growth (default 1.0)")
+    ap.add_argument("--json", dest="json_out", default=None,
+                    help="write the diff summary (factor, counts, "
+                         "regression list, totals) to this path")
     args = ap.parse_args()
 
     old_data, new_data = load_detail(args.old), load_detail(args.new)
@@ -132,6 +142,32 @@ def main() -> int:
     for name, o, n, ratio in sorted(regressions, key=lambda r: -r[3]):
         print(f"REGRESSION {name}: {o:.2f}s -> {n:.2f}s "
               f"({ratio:.1f}x normalized)")
+
+    if args.json_out:
+        shared = set(old) & set(new)
+        summary = {
+            "old": args.old,
+            "new": args.new,
+            "canary_factor": factor,
+            "compared": len(shared),
+            "improved_normalized": improved,
+            "added": added,
+            "removed": removed,
+            "gate": {"factor": args.factor, "floor_s": args.floor},
+            "regressions": [
+                {"query": name, "old_s": o, "new_s": n,
+                 "ratio_normalized": ratio}
+                for name, o, n, ratio in sorted(
+                    regressions, key=lambda r: -r[3]
+                )
+            ],
+            "total_old_s": round(sum(old[n] for n in shared), 2),
+            "total_new_s": round(sum(new[n] for n in shared), 2),
+        }
+        with open(args.json_out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+            fh.write("\n")
+        print(f"diff summary written: {args.json_out}")
     return 1 if regressions else 0
 
 

@@ -29,6 +29,12 @@ FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")
 #: a BroadcastNestedLoopJoin against a constant-size side is the right
 #: plan there, not a scalability bug
 ALLOWED_TINY_BROADCAST_CROSS = {
+    # apply_pair_budget's derived threshold is a 1-row aggregate
+    # broadcast back as a non-equi (<=) filter — a BNLJ with a 1-row
+    # build side per probe arm (the §8.10b scalar-broadcast idiom);
+    # appears once per self-join side of the capped frame
+    "q329_embedding_near_dup_budget",
+    "q330_lsh_near_dup_budget",
     "q38_cosine_topk",
     "q39_embedding_norms",
     "q40_ivf_topk",

@@ -256,8 +256,19 @@ def main() -> int:
         if int(re.search(r"_r(\d+)", p).group(1)) < this_round
     ]
     if prior:
+        # VERDICT r8 task #4: emit the diff as a committed artifact so
+        # round-notes figures cannot drift from the evidence — prose
+        # quotes BENCH_DIFF_r{N}.json, regenerated here against the
+        # FINAL committed detail pair on every gate run.
+        diff_artifact = ROOT / f"BENCH_DIFF_r{this_round:02d}.json"
         if run(
-            [sys.executable, "tools/bench_diff.py", prior[-1], str(cur_detail)]
+            [
+                sys.executable,
+                "tools/bench_diff.py",
+                prior[-1],
+                str(cur_detail),
+                f"--json={diff_artifact}",
+            ]
         ) != 0:
             print("GATE FAIL: bench regression")
             return 1

@@ -838,6 +838,7 @@ def lsh_incremental_matches(
     min_jaccard: float = 0.4,
     max_bucket: int | None = None,
     widen: bool | None = None,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Near-dup matches of an INCREMENT against an existing corpus.
 
@@ -852,10 +853,26 @@ def lsh_incremental_matches(
     buckets are boilerplate shingle sets, same guard as
     lsh_candidate_pairs).
 
+    ``pair_budget`` (§8.11, mutually exclusive with ``max_bucket``)
+    is the budget-derived form for THIS two-sided shape: the verify
+    volume of a bucket is corpus-rows x batch-rows (a product, not
+    C(g,2)), so the threshold comes from
+    ``similarity.apply_join_pair_budget`` — cheapest shared buckets
+    kept until the summed product volume spends the budget, the
+    corpus side filtered to them.  The same §8.10a reasoning applies
+    at ingest time: an absolute corpus-side cap goes vacuous as the
+    stored corpus grows, while the budget states the quadratic work
+    one ingest batch is allowed to cost.
+
     Returns one row per batch doc: (id, n_matches, admitted) where
     ``n_matches`` counts distinct corpus docs with verified exact
     Jaccard >= threshold and ``admitted`` marks batch docs with none.
+    A dropped bucket yields NO candidates from that bucket, so docs
+    whose only collisions are in dropped buckets come out ``admitted``
+    — same failure direction as ``max_bucket``, sized by budget.
     """
+    if max_bucket is not None and pair_budget is not None:
+        raise ValueError("pass max_bucket or pair_budget, not both")
     # widen=None auto-detects PER FRAME whether the task-granularity
     # guard is safe: the df.rdd split probe is free only on scan-rooted
     # plans (see minhash_signatures docstring), and the r7 round proved
@@ -880,6 +897,10 @@ def lsh_incremental_matches(
 
     cb = _cap_buckets(bucketed(sig_c, "id_c"), max_bucket)
     bb = bucketed(sig_b, "id_b")
+    if pair_budget is not None:
+        from .similarity import apply_join_pair_budget
+
+        cb = apply_join_pair_budget(cb, bb, "bucket", pair_budget)
     cands = bb.join(cb, "bucket").select("id_b", "id_c").distinct()
 
     toks_c = corpus.select(

@@ -92,6 +92,66 @@ def apply_pair_budget(
     )
 
 
+def apply_join_pair_budget(
+    build: DataFrame, probe: DataFrame, key_col: str | list[str],
+    pair_budget: int,
+) -> DataFrame:
+    """Budget-derived bucket cap for a two-sided bucket JOIN (§8.11):
+    a bucket holding Nb build rows and Np probe rows emits Nb x Np
+    candidate pairs, so keep the largest set of CHEAPEST shared
+    buckets whose summed product volume fits ``pair_budget`` and
+    return the BUILD side filtered to them (dropping a bucket on one
+    side kills its candidates; the probe side never re-filters).
+
+    This is ``apply_pair_budget``'s contract for the incremental /
+    ingest-time shape (batch-vs-corpus candidates, q178 class), where
+    the quadratic term is a PRODUCT of two per-bucket counts rather
+    than C(g,2) of one.  Product volumes take too many distinct values
+    to reuse the per-size-class trick (the running total must never
+    order O(distinct buckets) rows through one window at 100 TB), so
+    volumes are compressed to BIT-LENGTH classes — ``length(bin(v))``,
+    <= 63 classes, exact integer ops, no fp log — and the threshold is
+    derived per class: include a class iff the DECIMAL(38,0) running
+    total through it fits the budget.  Conservative by at most one
+    power of two versus the exact per-volume order (documented trade:
+    a 2x-coarser knee for an O(classes) window).  Volumes are clamped
+    to 2^62 before ``bin`` (DECIMAL product first — two >2^31-row
+    sides would wrap an int64 multiply); a clamped bucket lands in the
+    top class, which no sane budget affords.
+    """
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    nb = build.groupBy(*keys).agg(F.count("*").alias("_nb"))
+    np_ = probe.groupBy(*keys).agg(F.count("*").alias("_np"))
+    vol = (
+        nb.join(np_, keys)
+        .withColumn(
+            "_vol", F.col("_nb").cast("decimal(38,0)") * F.col("_np")
+        )
+        .withColumn(
+            "_vc",
+            F.expr(
+                "length(bin(CAST(least(_vol, CAST(4611686018427387904 AS "
+                "DECIMAL(38,0))) AS BIGINT)))"
+            ),
+        )
+    )
+    wcum = Window.orderBy("_vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        vol.groupBy("_vc")
+        .agg(F.sum("_vol").alias("_cv"))
+        .withColumn("_cum", F.sum("_cv").over(wcum))
+    )
+    thr = cum.filter(
+        F.col("_cum") <= F.lit(pair_budget).cast("decimal(38,0)")
+    ).agg(F.coalesce(F.max("_vc"), F.lit(0)).alias("_cap"))
+    kept = vol.join(
+        F.broadcast(thr), F.col("_vc") <= F.col("_cap")
+    ).select(*keys)
+    return build.join(kept, keys, "left_semi")
+
+
 def cosine_scores(
     df: DataFrame, query: DataFrame, vec_col: str = "embedding",
     query_col: str = "qv", out_col: str = "sim", scale: int = 6,

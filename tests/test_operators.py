@@ -875,3 +875,41 @@ def test_advice_r8_guards(spark):
     g = {(r["keeper_id"], r["n_copies"]) for r in groups.collect()}
     assert g == {(1, 2), (3, 1)}
     assert pairs.columns == ["id_a", "id_b", "jaccard"]
+
+
+def test_incremental_join_pair_budget(spark):
+    """§8.11: lsh_incremental_matches(pair_budget=) derives the
+    bucket keep-set from the PRODUCT volume (corpus rows x batch rows
+    per bucket).  A boilerplate cluster's buckets exceed a tight
+    budget and are dropped (its batch probe comes out admitted —
+    same failure direction as max_bucket); a small near-dup group's
+    buckets fit and its probe is rejected.  A generous budget keeps
+    everything; max_bucket + pair_budget together raise."""
+    import pytest as _pytest
+
+    corpus_rows = [(i, "tpl alpha beta gamma delta epsilon zeta") for i in range(50)]
+    corpus_rows += [(100, "rare one two three four five six"),
+                    (101, "rare one two three four five six")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1000, "tpl alpha beta gamma delta epsilon zeta"),
+         (1001, "rare one two three four five six"),
+         (1002, "unrelated totally novel content words here")],
+        "doc_id long, text string",
+    )
+
+    def admitted(**kw):
+        return {
+            r["doc_id"]: r["admitted"]
+            for r in dedup.lsh_incremental_matches(corpus, batch, **kw).collect()
+        }
+
+    tight = admitted(pair_budget=10)
+    assert tight == {1000: True, 1001: False, 1002: True}
+    wide = admitted(pair_budget=100_000)
+    assert wide == {1000: False, 1001: False, 1002: True}
+    assert wide == admitted()  # budget covering everything == uncapped
+    with _pytest.raises(ValueError):
+        dedup.lsh_incremental_matches(
+            corpus, batch, max_bucket=5, pair_budget=10
+        )

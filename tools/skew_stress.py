@@ -606,6 +606,117 @@ def measure_prededup_effect(spark, dest: str) -> None:
     )
 
 
+def measure_budget_recall_curve(spark, dest: str) -> None:
+    """§8.11 (r9): what a pair budget BUYS, measured as a curve.
+
+    §8.10b showed the budget cap stays non-vacuous where absolute caps
+    return 0 rows; this wave measures the other side of the trade —
+    recall on genuinely-distinct near-dup content as a function of the
+    budget — on the §8.9 saturated corpus with the production
+    composition (``pre_dedup_exact=True``: exact copies are owned by
+    the prepass groups table at every point on the curve, so the
+    budget only ever spends on distinct-but-near content).
+
+    Ground truth comes from re-deriving the corpus builder's
+    deterministic class assignment (same xxhash64/crc32 expression as
+    ``build_dup_corpus``), NOT from running a quadratic truth pass:
+    every doc is labeled exact-copy / near-copy(template t) / chain /
+    organic, so "near-template member coverage" = distinct near-copy
+    REPRESENTATIVES reached by >= 1 verified pair, over the exact
+    count of such representatives.  Near-copies of one template differ
+    pairwise by <= 2 of ~30 tokens (J ~ 0.87), so ideal coverage is
+    ~100% whenever their buckets survive the cap.
+    """
+    sys.path.insert(0, "/root/repo")
+    from health_data_transformation_spark.operators import dedup as D
+    from health_data_transformation_spark.sources.tables import load_table
+
+    d = load_table(spark, dest, "documents")
+
+    # re-derive the builder's class labels (bit-identical expression)
+    m = 1_000_003
+    h = F.abs(
+        F.xxhash64(
+            F.col("doc_id").cast("string"),
+            F.lit(zlib.crc32(b"dup-corpus") % m),
+        )
+    )
+    bucket = h % 100
+    labeled = d.select(
+        "doc_id",
+        F.when(bucket < 20, F.lit("exact"))
+        .when(bucket < 40, F.lit("near"))
+        .when(bucket < 42, F.lit("chain"))
+        .otherwise(F.lit("organic"))
+        .alias("cls"),
+    )
+
+    reps, groups = D.exact_prepass(d)
+    rep_cls = reps.select("doc_id").join(labeled, "doc_id")
+    totals = {
+        r["cls"]: r["n"]
+        for r in rep_cls.groupBy("cls").agg(F.count("*").alias("n")).collect()
+    }
+    print(f"rep-level class counts after prepass: {totals}")
+
+    # bucket-size classes on the REP banded rows (what the budget sees)
+    sigs = D.minhash_signatures(reps, num_hashes=8, widen=False)
+    ex = D._band_explode(sigs, "doc_id", 4, 8).drop("band")
+    size_classes = sorted(
+        (r["gn"], r["nb"])
+        for r in ex.groupBy("bucket")
+        .agg(F.count("*").alias("gn_"))
+        .groupBy(F.col("gn_").alias("gn"))
+        .agg(F.count("*").alias("nb"))
+        .collect()
+    )
+
+    def derived(budget: int) -> tuple[int, int]:
+        """(threshold, kept candidate-pair volume) per the
+        apply_pair_budget rule, restated on the collected size-class
+        table (O(distinct sizes) rows — tiny)."""
+        cum, thr, kept = 0, 0, 0
+        for gn, nb in size_classes:
+            cum += nb * gn * (gn - 1) // 2
+            if cum <= budget:
+                thr, kept = gn, cum
+        return thr, kept
+
+    for B in (50_000, 500_000, 2_000_000, 8_000_000):
+        thr, kept_vol = derived(B)
+        t0 = time.time()
+        pairs = D.lsh_near_dup_pairs(
+            d, band_size=4, num_hashes=8, min_jaccard=0.4,
+            pre_dedup_exact=True, pair_budget=B,
+        ).select("id_a", "id_b")
+        n_pairs = pairs.count()
+        wall = time.time() - t0
+        touched = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .union(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+            .join(labeled, "doc_id")
+            .groupBy("cls")
+            .agg(F.count("*").alias("n"))
+        )
+        reach = {r["cls"]: r["n"] for r in touched.collect()}
+        near_cov = reach.get("near", 0) / max(1, totals.get("near", 0))
+        chain_cov = reach.get("chain", 0) / max(1, totals.get("chain", 0))
+        print(
+            f"budget {B:>9,}: derived cap {thr:>6}, kept candidate "
+            f"volume {kept_vol:>9,}, verified rep pairs {n_pairs:>9,} "
+            f"in {wall:5.1f}s; member coverage near {near_cov:.1%} "
+            f"({reach.get('near', 0)}/{totals.get('near', 0)}), "
+            f"chain {chain_cov:.1%} "
+            f"({reach.get('chain', 0)}/{totals.get('chain', 0)})"
+        )
+    print(
+        "exact-copy coverage is 100% at every budget by construction "
+        "(prepass groups table); the absolute cap-50 reference on this "
+        "corpus is 57,153 rep pairs (§8.9b)"
+    )
+
+
 def build_embdup_corpus(spark, n: int, dest: str) -> None:
     """Replicated ~sf1 inputs where embeddings is duplicate-saturated
     and cell-skewed (§8.10 — the §8.9 corpus shape for vectors).
@@ -846,10 +957,15 @@ def main() -> None:
     r6 = "--r6" in args
     dup = "--dup" in args
     emb = "--emb" in args
-    args = [a for a in args if a not in ("--r6", "--dup", "--emb")]
+    # --curve (§8.11): build/reuse the --dup corpus, skip the query
+    # wave, run only the budget-recall-curve measurement
+    curve = "--curve" in args
+    dup = dup or curve
+    args = [a for a in args if a not in ("--r6", "--dup", "--emb", "--curve")]
     n = int(args[0]) if args and args[0].isdigit() else (25 if emb else 10)
     names = [a for a in args if not a.isdigit()] or (
-        WAVE_EMB if emb else WAVE_DUP if dup else WAVE_R6 if r6 else WAVE
+        [] if curve
+        else WAVE_EMB if emb else WAVE_DUP if dup else WAVE_R6 if r6 else WAVE
     )
 
     import duckdb
@@ -976,7 +1092,9 @@ def main() -> None:
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         sys.exit(1)
-    if dup:
+    if curve:
+        measure_budget_recall_curve(spark, dest)
+    elif dup:
         measure_cap_recall(spark, dest)
         measure_prededup_effect(spark, dest)
     if emb:

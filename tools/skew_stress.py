@@ -717,6 +717,100 @@ def measure_budget_recall_curve(spark, dest: str) -> None:
     )
 
 
+def measure_ingest_budget(spark, dest: str) -> None:
+    """§8.11b (r9): the ingest-time failure DIRECTION of cap vacuity.
+
+    For batch admission (``lsh_incremental_matches``) an oversized-
+    bucket drop does not lose recall quietly — it ADMITS the probe:
+    a near-duplicate of saturated boilerplate sails into the stored
+    corpus because its only collision buckets were dropped.  This
+    measures that direction on the §8.9 saturated corpus with three
+    probe classes (all NOVEL texts, so the exact-fingerprint first
+    pass cannot own them):
+
+      * near-template probes: one token of a template replaced with a
+        fresh ``probemut{k}`` token — TRUE near-dups of ~10k stored
+        copies; must be rejected;
+      * near-chain probes: one token of a drift-chain window replaced
+        — true near-dups of small-bucket content; must be rejected;
+      * novel probes: fresh token streams; must be admitted.
+
+    Compared: ``max_bucket=50`` (the q51-parameter absolute cap) vs
+    ``pair_budget=2_000_000`` (the §8.10b constant).  The absolute
+    cap's template-bucket drop is corpus-size-frozen (a saturated
+    bucket is over ANY constant at every scale), so its false-
+    admission rate on near-template probes is structural; the budget
+    form sizes the threshold from volume and affords the saturated
+    buckets iff the stated work allows.
+    """
+    sys.path.insert(0, "/root/repo")
+    from health_data_transformation_spark.operators import dedup as D
+    from health_data_transformation_spark.sources.tables import load_table
+
+    d = load_table(spark, dest, "documents")
+    templates = [
+        r["text"]
+        for r in sorted(
+            d.filter(F.col("doc_id").isin([0, 1, 2, 3]))
+            .select("doc_id", "text")
+            .collect(),
+            key=lambda r: r["doc_id"],
+        )
+    ]
+
+    def mutate(text: str, k: int) -> str:
+        toks = text.split(" ")
+        toks[k % len(toks)] = f"probemut{k}"
+        return " ".join(toks)
+
+    probes = []
+    pid = 10_000_000
+    for k in range(25):
+        for t in templates:
+            probes.append((pid, mutate(t, k), "near_template"))
+            pid += 1
+    for p in range(0, 64, 4):
+        win = " ".join(f"chain{j}" for j in range(p, p + 30))
+        probes.append((pid, mutate(win, p), "near_chain"))
+        pid += 1
+    for k in range(100):
+        probes.append(
+            (pid, " ".join(f"novel{pid}tok{j}" for j in range(30)), "novel")
+        )
+        pid += 1
+    batch = spark.createDataFrame(
+        probes, "doc_id long, text string, cls string"
+    )
+    batch.persist().count()
+
+    for label, kw in (
+        ("max_bucket=50", dict(max_bucket=50)),
+        ("pair_budget=2M", dict(pair_budget=2_000_000)),
+    ):
+        t0 = time.time()
+        res = D.lsh_incremental_matches(
+            d, batch.select("doc_id", "text"), **kw
+        )
+        verdicts = (
+            res.join(batch.select("doc_id", "cls"), "doc_id")
+            .groupBy("cls")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
+            )
+            .collect()
+        )
+        wall = time.time() - t0
+        by = {r["cls"]: (r["n_admitted"], r["n"]) for r in verdicts}
+        nt, nc, nv = by["near_template"], by["near_chain"], by["novel"]
+        print(
+            f"{label:>16}: near-template FALSE-ADMITS {nt[0]}/{nt[1]}, "
+            f"near-chain false-admits {nc[0]}/{nc[1]}, "
+            f"novel correctly admitted {nv[0]}/{nv[1]} in {wall:.1f}s"
+        )
+    batch.unpersist()
+
+
 def build_embdup_corpus(spark, n: int, dest: str) -> None:
     """Replicated ~sf1 inputs where embeddings is duplicate-saturated
     and cell-skewed (§8.10 — the §8.9 corpus shape for vectors).
@@ -960,11 +1054,17 @@ def main() -> None:
     # --curve (§8.11): build/reuse the --dup corpus, skip the query
     # wave, run only the budget-recall-curve measurement
     curve = "--curve" in args
-    dup = dup or curve
-    args = [a for a in args if a not in ("--r6", "--dup", "--emb", "--curve")]
+    # --ingest (§8.11b): same corpus, only the admission measurement
+    ingest = "--ingest" in args
+    dup = dup or curve or ingest
+    args = [
+        a
+        for a in args
+        if a not in ("--r6", "--dup", "--emb", "--curve", "--ingest")
+    ]
     n = int(args[0]) if args and args[0].isdigit() else (25 if emb else 10)
     names = [a for a in args if not a.isdigit()] or (
-        [] if curve
+        [] if curve or ingest
         else WAVE_EMB if emb else WAVE_DUP if dup else WAVE_R6 if r6 else WAVE
     )
 
@@ -1092,7 +1192,9 @@ def main() -> None:
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         sys.exit(1)
-    if curve:
+    if ingest:
+        measure_ingest_budget(spark, dest)
+    elif curve:
         measure_budget_recall_curve(spark, dest)
     elif dup:
         measure_cap_recall(spark, dest)

@@ -1261,3 +1261,37 @@ def test_exact_vector_prepass_equals_python_grouping(spark, vecs):
     assert {
         r["vec_id"]: tuple(r["embedding"]) for r in freps.collect()
     } == got_reps
+
+
+@given(
+    sizes=st.lists(st.integers(1, 12), min_size=1, max_size=8),
+    budget=st.integers(0, 300),
+)
+@settings(**SETTINGS)
+def test_pair_budget_matches_python_model(spark, sizes, budget):
+    """apply_pair_budget == the rule stated in its docstring, pinned
+    against an independent Python model over arbitrary group-size
+    multisets: threshold = largest size class whose cumulative
+    (sizes ascending) C(g,2) total fits the budget; kept rows =
+    exactly the groups at or under the threshold; the summed pair
+    volume of kept groups never exceeds the budget."""
+    from health_data_transformation_spark.operators.similarity import (
+        apply_pair_budget,
+    )
+
+    rows = [
+        (g * 100 + i, f"k{g}") for g, n in enumerate(sizes) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, k string")
+
+    cum, thr = 0, 0
+    for gn in sorted(set(sizes)):
+        cum += sizes.count(gn) * gn * (gn - 1) // 2
+        if cum <= budget:
+            thr = gn
+    expect = {f"k{g}" for g, n in enumerate(sizes) if n <= thr}
+    kept_rows = apply_pair_budget(df, "k", budget).collect()
+    assert {r["k"] for r in kept_rows} == expect
+    # rows survive intact (no helper-column leakage, full groups kept)
+    assert len(kept_rows) == sum(n for n in sizes if n <= thr)
+    assert sum(n * (n - 1) // 2 for n in sizes if n <= thr) <= budget

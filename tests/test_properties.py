@@ -1295,3 +1295,61 @@ def test_pair_budget_matches_python_model(spark, sizes, budget):
     # rows survive intact (no helper-column leakage, full groups kept)
     assert len(kept_rows) == sum(n for n in sizes if n <= thr)
     assert sum(n * (n - 1) // 2 for n in sizes if n <= thr) <= budget
+
+
+@given(
+    build_sizes=st.lists(st.integers(0, 9), min_size=1, max_size=6),
+    probe_sizes=st.lists(st.integers(0, 9), min_size=1, max_size=6),
+    budget=st.integers(0, 200),
+)
+@settings(**SETTINGS)
+def test_join_pair_budget_matches_python_model(
+    spark, build_sizes, probe_sizes, budget
+):
+    """apply_join_pair_budget == its documented rule, pinned against
+    an independent Python model: per shared key the volume is the
+    PRODUCT of the two sides' counts, volumes compress to bit-length
+    classes, a class is kept iff the cumulative volume through it
+    (classes ascending) fits the budget, and the returned frame is
+    the BUILD side semi-joined to kept keys (build-only keys drop —
+    they emit no candidates).  Kept volume never exceeds the budget."""
+    from health_data_transformation_spark.operators.similarity import (
+        apply_join_pair_budget,
+    )
+
+    nkeys = max(len(build_sizes), len(probe_sizes))
+    build_rows = [
+        (k * 100 + i, f"b{k}")
+        for k, n in enumerate(build_sizes)
+        for i in range(n)
+    ]
+    probe_rows = [
+        (k * 100 + i, f"b{k}")
+        for k, n in enumerate(probe_sizes)
+        for i in range(n)
+    ]
+    if not build_rows or not probe_rows:
+        return
+    build = spark.createDataFrame(build_rows, "id long, bucket string")
+    probe = spark.createDataFrame(probe_rows, "id long, bucket string")
+
+    vols = {}
+    for k in range(nkeys):
+        nb = build_sizes[k] if k < len(build_sizes) else 0
+        np_ = probe_sizes[k] if k < len(probe_sizes) else 0
+        if nb > 0 and np_ > 0:
+            vols[f"b{k}"] = nb * np_
+    cum, thr = 0, 0
+    for cls in sorted({v.bit_length() for v in vols.values()}):
+        cum += sum(v for v in vols.values() if v.bit_length() == cls)
+        if cum <= budget:
+            thr = cls
+    expect_keys = {key for key, v in vols.items() if v.bit_length() <= thr}
+    got = apply_join_pair_budget(build, probe, "bucket", budget).collect()
+    assert {r["bucket"] for r in got} == expect_keys
+    assert len(got) == sum(
+        n
+        for k, n in enumerate(build_sizes)
+        if f"b{k}" in expect_keys
+    )
+    assert sum(vols[k] for k in expect_keys) <= budget

@@ -33,18 +33,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: driver's correctness gate re-checks a fixed-size 50-query prefix of
 #: ``queries()``, so the ordering is evidence steering.  Round-9 policy
 #: (VERDICT r8 tasks #1/#2/#5): the prefix is the q169 ingest anchor
-#: (S4-S8 §2 proof, pinned every round), then the round's two NEW
-#: registry entries exercising the §8.10b budget-derived cap
-#: (q329/q330 — the r8 verdict's headline ask: pair_budget= under the
-#: driver's gate, with cap-mirroring oracles), then 47 of the 68
-#: remaining never-driver-verified queries in the verdict's order:
-#: the q30-q44 text/vector foundations (the LLM-pipeline proof
-#: queries), q99, the q306-q328 tail, and 9 middle-block fills in
-#: registry order.  Ledger arithmetic: 68 never + 2 new = 70; 49
-#: never-verified slots -> 21 remain for r10 (the verdict's <=19
-#: target predates the 2-entry unfreeze it also asked for; both
-#: cannot fit one 50-slot prefix, so the new-entry ask wins the 2
-#: slots and r10's 49 slots still close the remaining 21 with room).
+#: (S4-S8 §2 proof, pinned every round), then the round's three NEW
+#: registry entries exercising the budget-derived caps (q329/q330:
+#: §8.10b pair budgets, the r8 verdict's headline ask; q331: the
+#: §8.11b ingest-side join budget, added after the wave measured the
+#: absolute cap FALSELY ADMITTING 93% of near-boilerplate probes at
+#: ingest), then 46 of the 68 remaining never-driver-verified
+#: queries in the verdict's order: the q30-q44 text/vector
+#: foundations (the LLM-pipeline proof queries), q99, the q306-q328
+#: tail, and 8 middle-block fills in registry order.  Ledger
+#: arithmetic: 68 never + 3 new = 71; 49 never-verified slots -> 22
+#: remain for r10 (the verdict's <=19 target predates the new-entry
+#: unfreeze it also asked for; both cannot fit one 50-slot prefix,
+#: so the new entries win 3 slots and r10's 49 slots still close the
+#: remaining 22 with room).
 #: r8 task #5 (q238/q244/q56) stays deferred with the same documented
 #: arithmetic: all three already carry driver evidence (q238/q244 r4,
 #: q56 r1-r5) and re-proving them would push never-count 3 higher.
@@ -52,6 +54,7 @@ _PROMOTED = [
     "q169_ingest_lifecycle",
     "q329_embedding_near_dup_budget",
     "q330_lsh_near_dup_budget",
+    "q331_incremental_dedup_budget",
     "q30_token_stats",
     "q31_quality_scores",
     "q32_langid_heuristic",
@@ -98,7 +101,6 @@ _PROMOTED = [
     "q71_snapshot_diff",
     "q72_top_customer_share",
     "q73_ivf_built_search",
-    "q74_tfidf_top_terms",
 ]
 
 

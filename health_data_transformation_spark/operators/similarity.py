@@ -120,10 +120,36 @@ def apply_join_pair_budget(
     top class, which no sane budget affords.
     """
     keys = [key_col] if isinstance(key_col, str) else list(key_col)
-    nb = build.groupBy(*keys).agg(F.count("*").alias("_nb"))
-    np_ = probe.groupBy(*keys).agg(F.count("*").alias("_np"))
-    vol = (
-        nb.join(np_, keys)
+    clash = {"_nb", "_np", "_vol", "_vc", "_cap"} & (
+        set(build.columns) | set(probe.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"apply_join_pair_budget reserves helper columns {sorted(clash)}"
+        )
+    # Flow-through shape (the apply_pair_budget lesson, two-sided):
+    # every count comes from a WINDOW over the join key, never a bare
+    # groupBy on the raw side — a groupBy computes its partial
+    # aggregate BELOW the exchange, breaking canonical equality with
+    # the candidate join's exchange, so the upstream subtree (scan +
+    # signature compute for the LSH callers) would execute once more
+    # per arm (measured: the groupBy form re-ran the documents scan
+    # 4 extra times in q331's final plan).  With the window form each
+    # side shuffles ONCE by the key; the probe-count reduction, the
+    # volume join, the threshold arm, and the budget filter all sit
+    # ABOVE those two exchanges (WindowExec and the per-key groupBy
+    # preserve hash partitioning), so extra passes re-read shuffle
+    # files, never the scans.
+    w = Window.partitionBy(*keys)
+    bs = build.withColumn("_nb", F.count("*").over(w))
+    np_ = (
+        probe.withColumn("_np", F.count("*").over(w))
+        .select(*keys, "_np")
+        .groupBy(*keys)
+        .agg(F.max("_np").alias("_np"))
+    )
+    sized = (
+        bs.join(np_, keys)
         .withColumn(
             "_vol", F.col("_nb").cast("decimal(38,0)") * F.col("_np")
         )
@@ -135,21 +161,27 @@ def apply_join_pair_budget(
             ),
         )
     )
+    # threshold arm: per-bucket distinct volumes -> per-class totals ->
+    # running sum (O(classes) rows) -> scalar cap; reads the same two
+    # exchanges `sized` flows over
+    vol_tbl = sized.select(*keys, "_vol", "_vc").groupBy(*keys).agg(
+        F.max("_vol").alias("_vol"), F.max("_vc").alias("_vc")
+    )
     wcum = Window.orderBy("_vc").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = (
-        vol.groupBy("_vc")
+        vol_tbl.groupBy("_vc")
         .agg(F.sum("_vol").alias("_cv"))
         .withColumn("_cum", F.sum("_cv").over(wcum))
     )
     thr = cum.filter(
         F.col("_cum") <= F.lit(pair_budget).cast("decimal(38,0)")
     ).agg(F.coalesce(F.max("_vc"), F.lit(0)).alias("_cap"))
-    kept = vol.join(
-        F.broadcast(thr), F.col("_vc") <= F.col("_cap")
-    ).select(*keys)
-    return build.join(kept, keys, "left_semi")
+    return (
+        sized.join(F.broadcast(thr), F.col("_vc") <= F.col("_cap"))
+        .drop("_nb", "_np", "_vol", "_vc", "_cap")
+    )
 
 
 def cosine_scores(

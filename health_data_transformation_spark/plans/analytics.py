@@ -7097,8 +7097,16 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
     return fp(1).unionByName(fp(2)).unionByName(fp(3))
 
 
-def _q178_oracle() -> str:
-    """Incremental LSH dedup oracle: batch (doc_id % 7 = 3) vs corpus."""
+def _q178_oracle(pair_budget: int | None = None) -> str:
+    """Incremental LSH dedup oracle: batch (doc_id % 7 = 3) vs corpus.
+
+    With ``pair_budget`` the corpus-side absolute cap (bn <= 50) is
+    replaced by the join-budget derivation mirroring
+    ``similarity.apply_join_pair_budget``: per shared bucket the
+    candidate volume is corpus-rows x batch-rows, volumes compress to
+    bit-length classes (DuckDB ``length(bin(v))`` == Spark's — no
+    leading zeros), and a class is kept iff the running volume total
+    through it (classes ascending) fits the budget."""
     sig_exprs = ",\n".join(
         f"         list_min(list_transform(t, x -> {hex_hash64_sql('x', f'mh{i}')})) AS sig{i}"
         for i in range(8)
@@ -7116,15 +7124,37 @@ def _q178_oracle() -> str:
         "              FROM documents),\n"
         f"sigs AS (SELECT doc_id,\n{sig_exprs}\n  FROM toks),\n"
         "bands AS (\n  " + band(0, 0) + "  UNION ALL\n  " + band(1, 4) + "),\n"
-        "cb AS (SELECT doc_id AS id_c, bucket FROM (\n"
-        "    SELECT b.doc_id, b.bucket,\n"
-        "           count(*) OVER (PARTITION BY b.bucket) AS bn\n"
-        "    FROM bands b JOIN toks tk ON b.doc_id = tk.doc_id\n"
-        "    WHERE NOT tk.in_batch) WHERE bn <= 50),\n"
-        "bb AS (SELECT b.doc_id AS id_b, b.bucket\n"
-        "       FROM bands b JOIN toks tk ON b.doc_id = tk.doc_id\n"
-        "       WHERE tk.in_batch),\n"
-        "cands AS (SELECT DISTINCT id_b, id_c FROM bb JOIN cb USING (bucket)),\n"
+        + (
+            "cbands AS (SELECT b.doc_id AS id_c, b.bucket\n"
+            "           FROM bands b JOIN toks tk ON b.doc_id = tk.doc_id\n"
+            "           WHERE NOT tk.in_batch),\n"
+            "bb AS (SELECT b.doc_id AS id_b, b.bucket\n"
+            "       FROM bands b JOIN toks tk ON b.doc_id = tk.doc_id\n"
+            "       WHERE tk.in_batch),\n"
+            "nc AS (SELECT bucket, count(*) AS nb FROM cbands GROUP BY bucket),\n"
+            "npb AS (SELECT bucket, count(*) AS np FROM bb GROUP BY bucket),\n"
+            "vol AS (SELECT bucket, nb * np AS v,\n"
+            "               length(bin(least(nb * np,\n"
+            "                     4611686018427387904))) AS vc\n"
+            "        FROM nc JOIN npb USING (bucket)),\n"
+            "cum AS (SELECT vc, SUM(v) OVER (ORDER BY vc) AS cumv\n"
+            "        FROM (SELECT vc, SUM(v) AS v FROM vol GROUP BY vc)),\n"
+            f"thr AS (SELECT COALESCE(MAX(vc), 0) AS cap FROM cum\n"
+            f"        WHERE cumv <= {pair_budget}),\n"
+            "cb AS (SELECT c.id_c, c.bucket FROM cbands c\n"
+            "       JOIN vol USING (bucket) CROSS JOIN thr t\n"
+            "       WHERE vol.vc <= t.cap),\n"
+            if pair_budget is not None
+            else "cb AS (SELECT doc_id AS id_c, bucket FROM (\n"
+            "    SELECT b.doc_id, b.bucket,\n"
+            "           count(*) OVER (PARTITION BY b.bucket) AS bn\n"
+            "    FROM bands b JOIN toks tk ON b.doc_id = tk.doc_id\n"
+            "    WHERE NOT tk.in_batch) WHERE bn <= 50),\n"
+            "bb AS (SELECT b.doc_id AS id_b, b.bucket\n"
+            "       FROM bands b JOIN toks tk ON b.doc_id = tk.doc_id\n"
+            "       WHERE tk.in_batch),\n"
+        )
+        + "cands AS (SELECT DISTINCT id_b, id_c FROM bb JOIN cb USING (bucket)),\n"
         "verified AS (\n"
         "  SELECT c.id_b, c.id_c\n"
         "  FROM cands c JOIN toks tb ON c.id_b = tb.doc_id\n"
@@ -7175,6 +7205,34 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
     return D.lsh_incremental_matches(
         corpus, batch,
         band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50,
+    )
+
+
+@register(
+    "q331_incremental_dedup_budget",
+    _q178_oracle(pair_budget=1000),
+    "q178's ingest-time admission under the §8.11b budget-derived cap "
+    "(similarity.apply_join_pair_budget): the corpus-side bucket "
+    "keep-set is sized in-plan from a total candidate-pair budget over "
+    "the PRODUCT volumes (corpus rows x batch rows per shared bucket), "
+    "compressed to bit-length classes so the running DECIMAL(38,0) "
+    "total never orders O(distinct buckets) rows through one window.  "
+    "The oracle mirrors the derivation (DuckDB length(bin(v)) == "
+    "Spark's), so the differential gates the class threshold itself.  "
+    "Why this entry exists: §8.11b measured the absolute cap FALSELY "
+    "ADMITTING 93% of near-boilerplate probes at 1x and 2x corpus "
+    "(ingest-side cap vacuity poisons the stored corpus) while this "
+    "budget form held 2%; budget 1000 is selective and non-vacuous at "
+    "all three test SFs (e.g. sf0.1 derives class cap 4, keeping 129 "
+    "small buckets, dropping the 2 class-20 boilerplate buckets whose "
+    "volume alone is ~1.16M)",
+)
+def q331(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    in_batch = F.col("doc_id") % 7 == 3
+    return D.lsh_incremental_matches(
+        d.filter(~in_batch), d.filter(in_batch),
+        band_size=4, num_hashes=8, min_jaccard=0.4, pair_budget=1000,
     )
 
 

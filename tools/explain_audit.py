@@ -35,6 +35,7 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # appears once per self-join side of the capped frame
     "q329_embedding_near_dup_budget",
     "q330_lsh_near_dup_budget",
+    "q331_incremental_dedup_budget",
     "q38_cosine_topk",
     "q39_embedding_norms",
     "q40_ivf_topk",
@@ -485,6 +486,14 @@ ALLOWED_RESCAN: dict[str, str] = {
         "shuffle instead would multiply shuffle volume by bands x "
         "tokens — re-reading only the candidate rows is the 100 TB "
         "shape the operator documents"
+    ),
+    "q331_incremental_dedup_budget": (
+        "same inherent 4 as q178 (per-side signature pass + "
+        "candidate-only token rehydration); apply_join_pair_budget's "
+        "sizing/threshold arms add NO scan survivors — the flow-"
+        "through window shape keeps them above the two band "
+        "exchanges (re-reads of shuffle files, verified in the "
+        "executed final plan)"
     ),
     "q209_ann_recall_eval": (
         "recall evaluation needs the ANN arm and the exact-truth arm "

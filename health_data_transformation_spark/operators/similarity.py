@@ -120,12 +120,16 @@ def apply_join_pair_budget(
     top class, which no sane budget affords.
     """
     keys = [key_col] if isinstance(key_col, str) else list(key_col)
-    clash = {"_nb", "_np", "_vol", "_vc", "_cap"} & (
-        set(build.columns) | set(probe.columns)
+    # build side flows through every helper; probe only ever gains _np
+    # and is then narrowed to keys + _np — don't refuse probe frames
+    # carrying columns this function never touches there
+    clash = sorted(
+        ({"_nb", "_np", "_vol", "_vc", "_cap"} & set(build.columns))
+        | ({"_np"} & set(probe.columns))
     )
     if clash:
         raise ValueError(
-            f"apply_join_pair_budget reserves helper columns {sorted(clash)}"
+            f"apply_join_pair_budget reserves helper columns {clash}"
         )
     # Flow-through shape (the apply_pair_budget lesson, two-sided):
     # every count comes from a WINDOW over the join key, never a bare

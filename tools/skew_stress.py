@@ -689,6 +689,10 @@ def measure_budget_recall_curve(spark, dest: str) -> None:
             d, band_size=4, num_hashes=8, min_jaccard=0.4,
             pre_dedup_exact=True, pair_budget=B,
         ).select("id_a", "id_b")
+        # persist so the coverage join below reads the cached pairs
+        # instead of re-executing the whole pipeline (r9 self-review);
+        # the printed wall = one pipeline execution + materialization
+        pairs.persist()
         n_pairs = pairs.count()
         wall = time.time() - t0
         touched = (
@@ -710,6 +714,7 @@ def measure_budget_recall_curve(spark, dest: str) -> None:
             f"chain {chain_cov:.1%} "
             f"({reach.get('chain', 0)}/{totals.get('chain', 0)})"
         )
+        pairs.unpersist()
     print(
         "exact-copy coverage is 100% at every budget by construction "
         "(prepass groups table); the absolute cap-50 reference on this "
@@ -748,14 +753,20 @@ def measure_ingest_budget(spark, dest: str) -> None:
     from health_data_transformation_spark.sources.tables import load_table
 
     d = load_table(spark, dest, "documents")
+    # the TRUE template texts are the corpus's top-4 exact-frequency
+    # classes (~20% exact copies split over 4 templates, far above any
+    # near-variant or chain-position class) — docs 0-3 themselves were
+    # REWRITTEN by the builder's hash assignment (doc 0 lands in the
+    # near-copy bucket), so reading them back post-build would hand out
+    # a mutated copy as a "template" and make 1-token probes actually
+    # 2-token (r9 self-review finding)
     templates = [
         r["text"]
-        for r in sorted(
-            d.filter(F.col("doc_id").isin([0, 1, 2, 3]))
-            .select("doc_id", "text")
-            .collect(),
-            key=lambda r: r["doc_id"],
-        )
+        for r in d.groupBy("text")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "text")
+        .limit(4)
+        .collect()
     ]
 
     def mutate(text: str, k: int) -> str:

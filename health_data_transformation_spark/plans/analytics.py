@@ -1621,6 +1621,8 @@ def _q76_oracle() -> str:
 def q76(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     pairs = D.lsh_near_dup_pairs(
+        # max_bucket=50: test-corpus-derived, NOT production sizing
+        # (see the q51 caveat; budget-derived form: q330/q331, §8.10b)
         d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
     ).select("id_a", "id_b")
     return D.connected_components(pairs)
@@ -1642,6 +1644,8 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
 def q77(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     pairs = D.lsh_near_dup_pairs(
+        # max_bucket=50: test-corpus-derived, NOT production sizing
+        # (see the q51 caveat; budget-derived form: q330/q331, §8.10b)
         d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
     ).select("id_a", "id_b")
     components = D.connected_components(pairs)
@@ -6956,6 +6960,8 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
 def q176(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     pairs = D.lsh_near_dup_pairs(
+        # max_bucket=50: test-corpus-derived, NOT production sizing
+        # (see the q51 caveat; budget-derived form: q330/q331, §8.10b)
         d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
     ).select("id_a", "id_b")
     components = D.connected_components(pairs)
@@ -7271,6 +7277,8 @@ def q331(spark: SparkSession, sf: str) -> DataFrame:
 def q179(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     pairs = D.lsh_near_dup_pairs(
+        # max_bucket=50: test-corpus-derived, NOT production sizing
+        # (see the q51 caveat; budget-derived form: q330/q331, §8.10b)
         d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
     ).select("id_a", "id_b")
     components = D.connected_components(pairs)
@@ -9666,6 +9674,8 @@ _Q211_SPLIT = hex_hash64_sql("CAST({id} AS VARCHAR)", "split")
 def q211(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     pairs = D.lsh_near_dup_pairs(
+        # max_bucket=50: test-corpus-derived, NOT production sizing
+        # (see the q51 caveat; budget-derived form: q330/q331, §8.10b)
         d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
     ).select("id_a", "id_b")
 

@@ -38,15 +38,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: §8.10b pair budgets, the r8 verdict's headline ask; q331: the
 #: §8.11b ingest-side join budget, added after the wave measured the
 #: absolute cap FALSELY ADMITTING 93% of near-boilerplate probes at
-#: ingest), then 46 of the 68 remaining never-driver-verified
-#: queries in the verdict's order: the q30-q44 text/vector
-#: foundations (the LLM-pipeline proof queries), q99, the q306-q328
-#: tail, and 8 middle-block fills in registry order.  Ledger
-#: arithmetic: 68 never + 3 new = 71; 49 never-verified slots -> 22
-#: remain for r10 (the verdict's <=19 target predates the new-entry
-#: unfreeze it also asked for; both cannot fit one 50-slot prefix,
-#: so the new entries win 3 slots and r10's 49 slots still close the
-#: remaining 22 with room).
+#: ingest; q332: the §8.12 persisted-store probe — the store is an
+#: implementation detail so its oracle is q178's verbatim, and the
+#: driver gates stored == recompute == relational truth as one hash),
+#: then 45 of the 68 remaining never-driver-verified queries in the
+#: verdict's order: the q30-q44 text/vector foundations (the
+#: LLM-pipeline proof queries), q99, the q306-q328 tail, and 7
+#: middle-block fills in registry order.  Ledger arithmetic: 68
+#: never + 4 new = 72; 49 never-verified slots -> 23 remain for r10
+#: (the verdict's <=19 target predates the new-entry unfreeze it
+#: also asked for; both cannot fit one 50-slot prefix, so the new
+#: entries win 4 slots and r10's 49 slots still close the remaining
+#: 23 with room).
 #: r8 task #5 (q238/q244/q56) stays deferred with the same documented
 #: arithmetic: all three already carry driver evidence (q238/q244 r4,
 #: q56 r1-r5) and re-proving them would push never-count 3 higher.
@@ -55,6 +58,7 @@ _PROMOTED = [
     "q329_embedding_near_dup_budget",
     "q330_lsh_near_dup_budget",
     "q331_incremental_dedup_budget",
+    "q332_incremental_dedup_stored",
     "q30_token_stats",
     "q31_quality_scores",
     "q32_langid_heuristic",
@@ -100,7 +104,6 @@ _PROMOTED = [
     "q70_sorted_collect",
     "q71_snapshot_diff",
     "q72_top_customer_share",
-    "q73_ivf_built_search",
 ]
 
 

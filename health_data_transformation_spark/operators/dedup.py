@@ -871,41 +871,158 @@ def lsh_incremental_matches(
     whose only collisions are in dropped buckets come out ``admitted``
     — same failure direction as ``max_bucket``, sized by budget.
     """
-    if max_bucket is not None and pair_budget is not None:
-        raise ValueError("pass max_bucket or pair_budget, not both")
-    # widen=None auto-detects PER FRAME whether the task-granularity
-    # guard is safe: the df.rdd split probe is free only on scan-rooted
-    # plans (see minhash_signatures docstring), and the r7 round proved
-    # hand-annotation doesn't scale — the blanket widen=False default
-    # serialized the signature stage on single-split scans (measured
-    # 1.7x on q178/q180/q181 at sf0.1; VERDICT r7 wrong #2 — the fix
-    # landed for one call site of three).  is_scan_rooted inspects the
-    # optimized logical plan driver-side and fails SAFE (unknown node
-    # -> False -> guard skipped), so arbitrary exchange-bearing caller
-    # frames keep the r6-ADVICE protection with no annotation.
+    buckets, tokens = build_lsh_store(
+        corpus, text_col, id_col, band_size, num_hashes, widen=widen
+    )
+    return lsh_incremental_matches_stored(
+        buckets, tokens, batch,
+        text_col=text_col, id_col=id_col, band_size=band_size,
+        num_hashes=num_hashes, min_jaccard=min_jaccard,
+        max_bucket=max_bucket, widen=widen, pair_budget=pair_budget,
+    )
+
+
+def build_lsh_store(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_size: int = 4,
+    num_hashes: int = 8,
+    widen: bool | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable probe-side LSH index of a stored corpus.
+
+    ``lsh_incremental_matches`` always claimed "corpus signatures are
+    computed once at their own ingest time and stored" — this is that
+    store, as two frames the caller persists ONCE per corpus delivery
+    (parquet, ideally sorted on the leading column so probe-time IN
+    filters prune row groups — see q332):
+
+      * ``buckets``: ``(bucket string, id_c)`` — one row per (band,
+        doc) collision key, exactly ``_band_explode``'s output.
+      * ``tokens``:  ``(id_c, toks_c array<string>)`` — the distinct
+        token sets exact-Jaccard verification needs, materialized so a
+        probe never re-tokenizes history.  This is the classic index
+        space/time trade, stated: the store carries the token arrays
+        (≈ corpus text size) so per-batch verification reads only the
+        candidates' rows instead of recomputing ``distinct_tokens``
+        over the full corpus on every ingest.
+
+    ``widen=None`` auto-detects scan-rootedness per frame — the same
+    task-granularity contract as ``lsh_incremental_matches`` (VERDICT
+    r7 wrong #2: the blanket ``widen=False`` default serialized the
+    signature stage on single-split scans, measured 1.7x at sf0.1).
+    """
     from .skew import is_scan_rooted
 
     widen_c = is_scan_rooted(corpus) if widen is None else widen
+    sig_c = minhash_signatures(
+        corpus, text_col, id_col, num_hashes, widen=widen_c
+    )
+    buckets = _band_explode(
+        sig_c, id_col, band_size, num_hashes, out_id="id_c"
+    ).drop("band")
+    tokens = corpus.select(
+        F.col(id_col).alias("id_c"), distinct_tokens(text_col).alias("toks_c")
+    )
+    return buckets, tokens
+
+
+def lsh_incremental_matches_stored(
+    buckets: DataFrame,
+    tokens: DataFrame,
+    batch: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_size: int = 4,
+    num_hashes: int = 8,
+    min_jaccard: float = 0.4,
+    max_bucket: int | None = None,
+    widen: bool | None = None,
+    pair_budget: int | None = None,
+    probe_pushdown: bool = False,
+) -> DataFrame:
+    """``lsh_incremental_matches`` probing a PRE-BUILT store.
+
+    ``buckets``/``tokens`` are ``build_lsh_store``'s frames (typically
+    read back from parquet).  Per-batch work is then genuinely
+    O(batch x collision rate): only the batch is signed and banded;
+    the corpus side is scanned, never recomputed.  Band/bucket
+    parameters must match the ones the store was built with —
+    ``band_size``/``num_hashes`` here shape only the batch side, so a
+    mismatch silently yields empty collisions; keep them with the
+    store.
+
+    ``probe_pushdown=True`` turns the store scan into an index READ:
+    the batch's distinct band buckets (bounded by |batch| x n_bands)
+    are collected and applied as an IN filter on ``buckets``, and the
+    surviving candidates' corpus ids as an IN filter on ``tokens`` —
+    on a store sorted by (bucket) / (id_c) both pushed filters prune
+    parquet row groups, so probe IO is O(collisions), not O(store).
+    The candidate-id list is driver state, so pushdown REQUIRES a
+    bound: ``max_bucket`` (ids <= probe_buckets x cap) or
+    ``pair_budget`` (kept volume sums corpus-rows x batch-rows >=
+    corpus-rows per shared bucket, so ids <= budget).  Both collected
+    lists are therefore bounded by construction — the same O(driver)
+    contract as the repo's other collect sites.
+
+    Semantics are IDENTICAL to the recompute path for every knob:
+    ``max_bucket`` counts rows within a bucket (unchanged by dropping
+    non-probed buckets) and ``apply_join_pair_budget`` derives its
+    threshold from buckets SHARED with the probe side only (non-shared
+    buckets never enter the volume sum), so pre-filtering the store to
+    probe buckets is a pure IO optimization — pinned by
+    test_lsh_store_path_equals_recompute.
+    """
+    if max_bucket is not None and pair_budget is not None:
+        raise ValueError("pass max_bucket or pair_budget, not both")
+    for frame, need, name in (
+        (buckets, {"bucket", "id_c"}, "buckets"),
+        (tokens, {"id_c", "toks_c"}, "tokens"),
+    ):
+        missing = need - set(frame.columns)
+        if missing:
+            raise ValueError(
+                f"store frame '{name}' lacks column(s) {sorted(missing)}; "
+                "build it with build_lsh_store"
+            )
+    if probe_pushdown and max_bucket is None and pair_budget is None:
+        raise ValueError(
+            "probe_pushdown requires max_bucket or pair_budget — they "
+            "bound the collected candidate-id list"
+        )
+    from .skew import is_scan_rooted
+
     widen_b = is_scan_rooted(batch) if widen is None else widen
-    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes, widen=widen_c)
-    sig_b = minhash_signatures(batch, text_col, id_col, num_hashes, widen=widen_b)
-
-    def bucketed(sigs: DataFrame, out: str) -> DataFrame:
-        return _band_explode(
-            sigs, id_col, band_size, num_hashes, out_id=out
-        ).drop("band")
-
-    cb = _cap_buckets(bucketed(sig_c, "id_c"), max_bucket)
-    bb = bucketed(sig_b, "id_b")
+    sig_b = minhash_signatures(
+        batch, text_col, id_col, num_hashes, widen=widen_b
+    )
+    bb = _band_explode(
+        sig_b, id_col, band_size, num_hashes, out_id="id_b"
+    ).drop("band")
+    if probe_pushdown:
+        # one bounded materialization (O(batch x bands)) feeds both the
+        # driver IN-list and the bucket join — never two executions of
+        # the signature stage (the q315 checkpoint lesson, §8.8)
+        bb = bb.localCheckpoint()
+        probe_buckets = [
+            r["bucket"] for r in bb.select("bucket").distinct().collect()
+        ]
+        buckets = buckets.filter(F.col("bucket").isin(probe_buckets))
+    cb = _cap_buckets(buckets, max_bucket)
     if pair_budget is not None:
         from .similarity import apply_join_pair_budget
 
         cb = apply_join_pair_budget(cb, bb, "bucket", pair_budget)
     cands = bb.join(cb, "bucket").select("id_b", "id_c").distinct()
+    if probe_pushdown:
+        cands = cands.localCheckpoint()
+        cand_ids = [
+            r["id_c"] for r in cands.select("id_c").distinct().collect()
+        ]
+        tokens = tokens.filter(F.col("id_c").isin(cand_ids))
 
-    toks_c = corpus.select(
-        F.col(id_col).alias("id_c"), distinct_tokens(text_col).alias("toks_c")
-    )
     toks_b = batch.select(
         F.col(id_col).alias("id_b"), distinct_tokens(text_col).alias("toks_b")
     )
@@ -913,7 +1030,7 @@ def lsh_incremental_matches(
     union = (F.size("toks_b") + F.size("toks_c")).cast("double") - inter
     verified = (
         cands.join(toks_b, "id_b")
-        .join(toks_c, "id_c")
+        .join(tokens, "id_c")
         .select("id_b", "id_c", floor6(inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )

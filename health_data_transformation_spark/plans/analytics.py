@@ -7243,6 +7243,60 @@ def q331(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q332_incremental_dedup_stored",
+    _q178_oracle(),
+    "q178's ingest-time admission probing a PERSISTED signature store "
+    "— the shape q178's own docstring promises ('corpus signatures "
+    "are computed once at their own ingest and probed like an index') "
+    "made real: dedup.build_lsh_store writes the corpus's band-bucket "
+    "table (sorted by bucket) and token-set table (sorted by id) to "
+    "parquet ONCE, and lsh_incremental_matches_stored(probe_pushdown) "
+    "signs only the BATCH, collects its distinct band buckets "
+    "(bounded: |batch| x n_bands) as an IN filter on the bucket "
+    "store, and the surviving candidates' corpus ids (bounded: probe "
+    "buckets x max_bucket) as an IN filter on the token store — on "
+    "the sorted stores both pushed filters prune parquet row groups, "
+    "so probe IO is O(collisions) while the recompute path (q178) "
+    "re-signs and re-tokenizes the full corpus every batch.  §8.12 "
+    "measures exactly that divergence as the store grows 1x->10x.  "
+    "The oracle IS q178's relational statement: the store is an "
+    "implementation detail, so stored-path == recompute-path == "
+    "relational truth is driver-gated as one hash equality",
+)
+def q332(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    in_batch = F.col("doc_id") % 7 == 3
+    corpus = d.filter(~in_batch)
+    batch = d.filter(in_batch)
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_q332_%s_%d"
+        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    buckets, tokens = D.build_lsh_store(
+        corpus, band_size=4, num_hashes=8
+    )
+    # one-time store build per corpus delivery: global sort on the
+    # probe key gives every row group a tight min/max, which is what
+    # lets the probe-time IN filters skip non-collision groups
+    buckets.sort("bucket").write.parquet(os.path.join(root, "buckets"))
+    tokens.sort("id_c").write.parquet(os.path.join(root, "tokens"))
+    sb = spark.read.parquet(os.path.join(root, "buckets"))
+    st = spark.read.parquet(os.path.join(root, "tokens"))
+    return D.lsh_incremental_matches_stored(
+        sb, st, batch,
+        band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50,
+        probe_pushdown=True,
+    )
+
+
+@register(
     "q179_quality_keeper",
     """WITH reach AS ("""
     + _q76_oracle()

@@ -913,3 +913,59 @@ def test_incremental_join_pair_budget(spark):
         dedup.lsh_incremental_matches(
             corpus, batch, max_bucket=5, pair_budget=10
         )
+
+
+def test_lsh_store_path_equals_recompute(spark, tmp_path):
+    """The persisted-store probe path (build_lsh_store +
+    lsh_incremental_matches_stored) is result-identical to the
+    recompute path for every knob combination — with and without
+    probe_pushdown — across a parquet round-trip of the store.  Also
+    pins the guards: pushdown without a bound raises (the collected
+    candidate-id list must be bounded), and a frame that is not a
+    store (wrong columns) is refused."""
+    import pytest as _pytest
+
+    corpus_rows = [(i, "tpl alpha beta gamma delta epsilon zeta")
+                   for i in range(20)]
+    corpus_rows += [(100, "rare one two three four five six"),
+                    (101, "rare one two three four five six seven"),
+                    (102, "lone unique text nothing shared here")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1000, "tpl alpha beta gamma delta epsilon zeta"),
+         (1001, "rare one two three four five six"),
+         (1002, "unrelated totally novel content words here")],
+        "doc_id long, text string",
+    )
+
+    buckets, tokens = dedup.build_lsh_store(corpus)
+    buckets.sort("bucket").write.parquet(str(tmp_path / "buckets"))
+    tokens.sort("id_c").write.parquet(str(tmp_path / "tokens"))
+    sb = spark.read.parquet(str(tmp_path / "buckets"))
+    st = spark.read.parquet(str(tmp_path / "tokens"))
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for kw in (dict(max_bucket=5), dict(pair_budget=100), dict()):
+        ref = canon(dedup.lsh_incremental_matches(corpus, batch, **kw))
+        assert canon(
+            dedup.lsh_incremental_matches_stored(sb, st, batch, **kw)
+        ) == ref
+        if kw:  # pushdown requires a bound
+            assert canon(
+                dedup.lsh_incremental_matches_stored(
+                    sb, st, batch, probe_pushdown=True, **kw
+                )
+            ) == ref
+
+    with _pytest.raises(ValueError, match="probe_pushdown"):
+        dedup.lsh_incremental_matches_stored(
+            sb, st, batch, probe_pushdown=True
+        )
+    with _pytest.raises(ValueError, match="build_lsh_store"):
+        dedup.lsh_incremental_matches_stored(st, sb, batch, max_bucket=5)
+    with _pytest.raises(ValueError, match="not both"):
+        dedup.lsh_incremental_matches_stored(
+            sb, st, batch, max_bucket=5, pair_budget=100
+        )

@@ -822,6 +822,177 @@ def measure_ingest_budget(spark, dest: str) -> None:
     batch.unpersist()
 
 
+def measure_store_growth(spark) -> None:
+    """§8.12 (r9): what the PERSISTED signature store buys at ingest.
+
+    q178's contract says corpus signatures are "computed once at their
+    own ingest time and stored; each new batch probes them like an
+    index" — but until r9 every probe API recomputed the corpus's
+    signatures AND token sets per call, i.e. per-ingest cost was
+    O(stored corpus), not O(batch x collisions).  This measures the
+    divergence as the stored corpus grows with the probe batch held
+    fixed:
+
+      * corpora: sf0.1 documents replicated 1x/8x/32x where replica
+        r>0 prefixes every token with ``r{r}`` — replicas are
+        TOKEN-DISJOINT from the base, so collision volume against the
+        probe batch is CONSTANT across sizes and any probe-wall growth
+        is attributable to store size alone (the isolation this
+        experiment needs; real growth adds collisions too, which is
+        the §8.11b budget's axis, not this one);
+      * probe batch: 100 near-dups (one token of a base text replaced
+        — must be rejected) + 100 novel docs (must be admitted), fixed
+        across sizes;
+      * arms, all ``max_bucket=50``, verdicts asserted identical:
+        (a) recompute — ``lsh_incremental_matches`` on the raw corpus
+            parquet (re-signs + re-tokenizes history every batch);
+        (b) stored — ``lsh_incremental_matches_stored`` on the
+            parquet store (scans it, never recomputes);
+        (c) stored + ``probe_pushdown`` — the batch's band buckets and
+            the candidates' corpus ids pushed as IN filters into the
+            bucket-/id-sorted store (parquet row-group pruning: the
+            index-READ shape).
+
+    Store build wall is reported separately — it is paid once per
+    corpus delivery (at the corpus's own ingest), not per probe.
+    """
+    sys.path.insert(0, "/root/repo")
+    from health_data_transformation_spark.operators import dedup as D
+
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = (
+        spark.read.parquet(f"{base_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+
+    seed_texts = [
+        r["text"]
+        for r in sorted(
+            base.filter(F.col("doc_id") < 100).collect(),
+            key=lambda r: r["doc_id"],
+        )
+    ]
+
+    def mutate(text: str, k: int) -> str:
+        toks = text.split(" ")
+        toks[k % len(toks)] = f"probemut{k}"
+        return " ".join(toks)
+
+    probes = [
+        (10_000_000 + k, mutate(t, k), "near_dup")
+        for k, t in enumerate(seed_texts)
+    ]
+    probes += [
+        (
+            10_100_000 + k,
+            " ".join(f"novel{k}tok{j}" for j in range(30)),
+            "novel",
+        )
+        for k in range(100)
+    ]
+    batch = spark.createDataFrame(
+        probes, "doc_id long, text string, cls string"
+    )
+    batch.persist().count()
+    bdocs = batch.select("doc_id", "text")
+
+    def du(path: str) -> int:
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(path):
+            for f in filenames:
+                total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    print("\n=== §8.12 store growth: probe wall vs stored-corpus size ===")
+    for mult in (1, 8, 32):
+        root = f"/tmp/hdt_storegrow_{mult}x"
+        cdir = os.path.join(root, "documents.parquet")
+        if not os.path.exists(os.path.join(root, "_done")):
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(root, exist_ok=True)
+            reps = base.crossJoin(
+                spark.range(mult).select(F.col("id").alias("rep"))
+            )
+            # replica 0 keeps the base text; replicas r>0 prefix every
+            # token with r{r} -> token-disjoint from the base, so the
+            # probe batch's collision set is IDENTICAL at every mult
+            text2 = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda t: F.concat(
+                            F.lit("r"), F.col("rep").cast("string"), t
+                        ),
+                    ),
+                    " ",
+                )
+            )
+            reps.select(
+                (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+                text2.alias("text"),
+            ).write.parquet(cdir)
+            open(os.path.join(root, "_done"), "w").close()
+        corpus = spark.read.parquet(cdir)
+        n_corpus = corpus.count()
+
+        bdir = os.path.join(root, "store_buckets")
+        tdir = os.path.join(root, "store_tokens")
+        shutil.rmtree(bdir, ignore_errors=True)
+        shutil.rmtree(tdir, ignore_errors=True)
+        t0 = time.time()
+        buckets, tokens = D.build_lsh_store(corpus)
+        buckets.sort("bucket").write.parquet(bdir)
+        tokens.sort("id_c").write.parquet(tdir)
+        t_build = time.time() - t0
+        sb = spark.read.parquet(bdir)
+        st = spark.read.parquet(tdir)
+
+        def verdict_tuple(res) -> tuple:
+            row = res.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("admitted").cast("long")).alias("adm"),
+                F.sum("n_matches").alias("nm"),
+            ).collect()[0]
+            return (row["n"], row["adm"], row["nm"])
+
+        arms = {
+            "recompute": lambda: D.lsh_incremental_matches(
+                corpus, bdocs, max_bucket=50
+            ),
+            "stored": lambda: D.lsh_incremental_matches_stored(
+                sb, st, bdocs, max_bucket=50
+            ),
+            "stored+pushdown": lambda: D.lsh_incremental_matches_stored(
+                sb, st, bdocs, max_bucket=50, probe_pushdown=True
+            ),
+        }
+        walls = {}
+        verdicts = {}
+        for label, make in arms.items():
+            best = None
+            for _rep in range(2):
+                t0 = time.time()
+                verdicts[label] = verdict_tuple(make())
+                w = time.time() - t0
+                best = w if best is None else min(best, w)
+            walls[label] = best
+        assert len(set(verdicts.values())) == 1, (
+            f"arms disagree at {mult}x: {verdicts}"
+        )
+        n, adm, nm = next(iter(verdicts.values()))
+        print(
+            f"{mult:>3}x: corpus {n_corpus:>7} docs, store "
+            f"{du(bdir) / 1e6:6.1f} MB buckets + {du(tdir) / 1e6:6.1f} MB "
+            f"tokens, build {t_build:5.1f}s | probe walls: "
+            f"recompute {walls['recompute']:5.2f}s, "
+            f"stored {walls['stored']:5.2f}s, "
+            f"pushdown {walls['stored+pushdown']:5.2f}s | "
+            f"verdicts n={n} admitted={adm} matches={nm}"
+        )
+    batch.unpersist()
+
+
 def build_embdup_corpus(spark, n: int, dest: str) -> None:
     """Replicated ~sf1 inputs where embeddings is duplicate-saturated
     and cell-skewed (§8.10 — the §8.9 corpus shape for vectors).
@@ -1067,15 +1238,18 @@ def main() -> None:
     curve = "--curve" in args
     # --ingest (§8.11b): same corpus, only the admission measurement
     ingest = "--ingest" in args
+    # --store (§8.12): self-building store-growth measurement only
+    store = "--store" in args
     dup = dup or curve or ingest
     args = [
         a
         for a in args
-        if a not in ("--r6", "--dup", "--emb", "--curve", "--ingest")
+        if a not in ("--r6", "--dup", "--emb", "--curve", "--ingest",
+                     "--store")
     ]
     n = int(args[0]) if args and args[0].isdigit() else (25 if emb else 10)
     names = [a for a in args if not a.isdigit()] or (
-        [] if curve or ingest
+        [] if curve or ingest or store
         else WAVE_EMB if emb else WAVE_DUP if dup else WAVE_R6 if r6 else WAVE
     )
 
@@ -1111,6 +1285,12 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if store:
+        # §8.12 builds its own 1x/8x/32x corpora; no wave, no oracle
+        measure_store_growth(spark)
+        print("store-growth wave done")
+        return
 
     mode = "embdup" if emb else "dup" if dup else "skew_r6" if r6 else "skew"
     dest = f"/tmp/hdt_{mode}_sf{n}"

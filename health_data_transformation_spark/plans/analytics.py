@@ -7452,7 +7452,12 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
     "(streaming/ingest.py:stream_incremental_dedup): the batch "
     "documents arrive as two microbatch files and foreachBatch runs "
     "the identical banding/verify admission per arrival against the "
-    "stored corpus.  Admission is stateless given the store (each doc "
+    "corpus's PERSISTED LSH store (build_lsh_store, written once "
+    "before the stream; each arrival probes it via "
+    "lsh_incremental_matches_stored, signing only the arrival — the "
+    "pre-r9 shape re-signed the full corpus inside every microbatch, "
+    "the §8.12-measured O(history) cost at the highest-frequency "
+    "ingest path).  Admission is stateless given the store (each doc "
     "consults only corpus signatures, never other arrivals), so the "
     "union of per-microbatch verdicts provably equals the one-shot "
     "batch result — and the oracle IS q178's relational statement, "

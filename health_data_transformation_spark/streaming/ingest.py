@@ -126,7 +126,7 @@ def stream_incremental_dedup(
     The batch twin is ``operators.dedup.lsh_incremental_matches``
     (q178); here the batch documents (doc_id % 7 = 3) arrive as TWO
     microbatch files (split by doc parity, maxFilesPerTrigger=1) and
-    ``foreachBatch`` runs the identical admission pipeline per
+    ``foreachBatch`` runs the identical admission semantics per
     microbatch, appending verdicts to a result sink.  Because admission
     only ever consults the stored corpus (never other batch docs), the
     union of per-microbatch verdicts EQUALS the batch result — which is
@@ -135,6 +135,18 @@ def stream_incremental_dedup(
     table is the probe-side index; streaming state itself is empty (no
     watermark needed — admission is stateless given the store), so
     arrival granularity changes nothing.
+
+    Since r9 the "probe-side index" line is literal: the corpus's LSH
+    store (``dedup.build_lsh_store`` — band buckets + token sets) is
+    PERSISTED once before the stream starts, and each microbatch
+    probes it with ``lsh_incremental_matches_stored`` — signing only
+    the arrival.  The prior shape re-signed and re-tokenized the full
+    corpus INSIDE every ``foreachBatch`` call, i.e. O(history) per
+    microbatch — the §8.12-measured cost the store exists to remove
+    (and the worst place to pay it: microbatches are the highest-
+    frequency ingest path).  Results are knob-for-knob identical
+    (test_lsh_store_path_equals_recompute; q181's oracle re-verifies
+    end to end).
     """
     import os
     import tempfile
@@ -142,7 +154,10 @@ def stream_incremental_dedup(
 
     import pyspark.sql.functions as F
 
-    from ..operators.dedup import lsh_incremental_matches
+    from ..operators.dedup import (
+        build_lsh_store,
+        lsh_incremental_matches_stored,
+    )
     from ..sources.tables import load_table
     from .windows import narrow_shuffle
 
@@ -153,6 +168,18 @@ def stream_incremental_dedup(
 
     stage = tempfile.mkdtemp(prefix="hdt_stream_inc_")
     out_dir = os.path.join(stage, "_verdicts")
+
+    # the corpus's probe-side index, persisted ONCE before any arrival
+    # (at 100 TB this is the stored corpus's own ingest-time signature
+    # pass, not per-stream work); bucket-/id-sorted so probe IN filters
+    # can prune row groups
+    store_b = os.path.join(stage, "_store_buckets")
+    store_t = os.path.join(stage, "_store_tokens")
+    buckets, tokens = build_lsh_store(corpus, band_size=4, num_hashes=8)
+    buckets.sort("bucket").write.parquet(store_b)
+    tokens.sort("id_c").write.parquet(store_t)
+    sb = spark.read.parquet(store_b)
+    st = spark.read.parquet(store_t)
 
     def stage_file(df, name: str) -> None:
         # the file stream source lists plain files, not nested dirs:
@@ -174,8 +201,8 @@ def stream_incremental_dedup(
     )
 
     def admit(bdf, batch_id: int) -> None:
-        lsh_incremental_matches(
-            corpus, bdf,
+        lsh_incremental_matches_stored(
+            sb, st, bdf,
             band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50,
         ).write.mode("append").parquet(out_dir)
 

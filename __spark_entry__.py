@@ -40,16 +40,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: absolute cap FALSELY ADMITTING 93% of near-boilerplate probes at
 #: ingest; q332: the §8.12 persisted-store probe — the store is an
 #: implementation detail so its oracle is q178's verbatim, and the
-#: driver gates stored == recompute == relational truth as one hash),
-#: then 45 of the 68 remaining never-driver-verified queries in the
-#: verdict's order: the q30-q44 text/vector foundations (the
-#: LLM-pipeline proof queries), q99, the q306-q328 tail, and 7
-#: middle-block fills in registry order.  Ledger arithmetic: 68
-#: never + 4 new = 72; 49 never-verified slots -> 23 remain for r10
-#: (the verdict's <=19 target predates the new-entry unfreeze it
-#: also asked for; both cannot fit one 50-slot prefix, so the new
-#: entries win 4 slots and r10's 49 slots still close the remaining
-#: 23 with room).
+#: driver gates stored == recompute == relational truth as one hash;
+#: q333/q334: the embedding-side ingest admission — SemDeDup-at-
+#: ingest under the join budget, recompute and persisted-store twins
+#: sharing one derivation-mirroring oracle), then 43 of the 68
+#: remaining never-driver-verified queries in the verdict's order:
+#: the q30-q44 text/vector foundations (the LLM-pipeline proof
+#: queries), q99, the q306-q328 tail, and 5 middle-block fills in
+#: registry order.  Ledger arithmetic: 68 never + 6 new = 74; 49
+#: never-verified slots -> 25 remain for r10 (the verdict's <=19
+#: target predates the new-entry unfreeze it also asked for; both
+#: cannot fit one 50-slot prefix, so the new entries win 6 slots and
+#: r10's 49 slots still close the remaining 25 with room).
 #: r8 task #5 (q238/q244/q56) stays deferred with the same documented
 #: arithmetic: all three already carry driver evidence (q238/q244 r4,
 #: q56 r1-r5) and re-proving them would push never-count 3 higher.
@@ -59,6 +61,8 @@ _PROMOTED = [
     "q330_lsh_near_dup_budget",
     "q331_incremental_dedup_budget",
     "q332_incremental_dedup_stored",
+    "q333_embedding_incremental_dedup",
+    "q334_embedding_incremental_stored",
     "q30_token_stats",
     "q31_quality_scores",
     "q32_langid_heuristic",
@@ -102,8 +106,6 @@ _PROMOTED = [
     "q60_lag_lead",
     "q61_unpivot",
     "q70_sorted_collect",
-    "q71_snapshot_diff",
-    "q72_top_customer_share",
 ]
 
 

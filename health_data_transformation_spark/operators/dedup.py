@@ -828,6 +828,196 @@ def embedding_near_dup_pairs(
     ).filter(F.col("cos_sim") >= min_cosine)
 
 
+def embedding_incremental_matches(
+    corpus: DataFrame,
+    batch: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    dim: int = 64,
+    min_cosine: float = 0.99,
+    max_bucket: int | None = None,
+    pair_budget: int | None = None,
+) -> DataFrame:
+    """Ingest-time near-dup admission for VECTORS — the embedding
+    sibling of :func:`lsh_incremental_matches` (q178 class), i.e.
+    SemDeDup-at-ingest: an incoming embedding batch is gated against
+    the stored corpus before landing.
+
+    Candidates come from random-hyperplane LSH signatures
+    (``similarity.embedding_lsh_signature`` — integer-exact, oracle-
+    portable) on BOTH sides, joined batch-signature to CORPUS-signature
+    only — no batch x batch and no corpus x corpus pair ever forms.
+    ``max_bucket`` caps the corpus side per signature bucket;
+    ``pair_budget`` (mutually exclusive) sizes the bucket keep-set from
+    the total corpus-rows x batch-rows verify volume via
+    ``similarity.apply_join_pair_budget`` — the §8.11b-measured reason
+    an ingest gate must prefer the budget form (an absolute cap's
+    dropped saturated buckets ADMIT their near-dups).  Verification is
+    the exact float cosine (sequential-fold double accumulation,
+    ``floor6``-quantized — bit-identical to the DuckDB oracle), on
+    candidates only.
+
+    Returns one row per batch vector: (id, n_matches, admitted).
+    """
+    buckets, vectors = build_embedding_lsh_store(
+        corpus, vec_col=vec_col, id_col=id_col, n_planes=n_planes, dim=dim
+    )
+    return embedding_incremental_matches_stored(
+        buckets, vectors, batch,
+        vec_col=vec_col, id_col=id_col, n_planes=n_planes, dim=dim,
+        min_cosine=min_cosine, max_bucket=max_bucket,
+        pair_budget=pair_budget,
+    )
+
+
+def build_embedding_lsh_store(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable probe-side index for embedding admission — the
+    vector analogue of :func:`build_lsh_store`, written once per corpus
+    delivery (parquet, sorted on the leading column for probe-time
+    row-group pruning):
+
+      * ``buckets``: ``(lsh_sig long, id_c)`` — the corpus's
+        random-hyperplane signatures (integer-exact, so the stored
+        signatures never drift from a recompute);
+      * ``vectors``: ``(id_c, vec_c, norm_c)`` — the raw vectors plus
+        their precomputed norms, so candidate verification reads the
+        store instead of re-folding norms over the full corpus every
+        batch (norms are O(dim) folds — precomputing them at build
+        time is the q43 O(n)-not-O(pairs) rule applied across
+        deliveries).
+    """
+    from .similarity import embedding_lsh_signature
+    from ..functions.vector import norm
+
+    sigs = embedding_lsh_signature(corpus, n_planes, vec_col, dim)
+    buckets = sigs.select(F.col("lsh_sig"), F.col(id_col).alias("id_c"))
+    vectors = corpus.select(
+        F.col(id_col).alias("id_c"), F.col(vec_col).alias("vec_c")
+    ).withColumn("norm_c", norm("vec_c"))
+    return buckets, vectors
+
+
+def embedding_incremental_matches_stored(
+    buckets: DataFrame,
+    vectors: DataFrame,
+    batch: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    dim: int = 64,
+    min_cosine: float = 0.99,
+    max_bucket: int | None = None,
+    pair_budget: int | None = None,
+    probe_pushdown: bool = False,
+) -> DataFrame:
+    """``embedding_incremental_matches`` probing a PRE-BUILT store —
+    the vector analogue of :func:`lsh_incremental_matches_stored`.
+
+    ``buckets``/``vectors`` are ``build_embedding_lsh_store``'s frames
+    (typically read back from parquet); only the BATCH is signed per
+    call.  ``n_planes``/``dim`` must match the store's build
+    parameters (they shape only the batch side — a mismatch silently
+    yields empty collisions).  ``probe_pushdown=True`` collects the
+    batch's distinct signatures (bounded by |batch|) as an IN filter
+    on ``buckets`` and the surviving candidates' corpus ids as an IN
+    filter on ``vectors`` — bounded by probe signatures x
+    ``max_bucket`` or by ``pair_budget`` (kept volume >= corpus rows
+    per shared bucket), so pushdown REQUIRES one of them; on sig-/id-
+    sorted stores both pushed filters prune parquet row groups
+    (§8.12's index-READ shape).  Semantics identical to the recompute
+    path for every knob: per-bucket counts and the budget derivation
+    see only buckets shared with the probe side, so pre-filtering to
+    probe signatures changes nothing — pinned by
+    test_embedding_store_path_equals_recompute.
+    """
+    from ..functions.vector import dot, norm
+
+    if max_bucket is not None and pair_budget is not None:
+        raise ValueError("pass max_bucket or pair_budget, not both")
+    for frame, need, name in (
+        (buckets, {"lsh_sig", "id_c"}, "buckets"),
+        (vectors, {"id_c", "vec_c", "norm_c"}, "vectors"),
+    ):
+        missing = need - set(frame.columns)
+        if missing:
+            raise ValueError(
+                f"store frame '{name}' lacks column(s) {sorted(missing)}; "
+                "build it with build_embedding_lsh_store"
+            )
+    if probe_pushdown and max_bucket is None and pair_budget is None:
+        raise ValueError(
+            "probe_pushdown requires max_bucket or pair_budget — they "
+            "bound the collected candidate-id list"
+        )
+    from .similarity import embedding_lsh_signature
+
+    bs = embedding_lsh_signature(batch, n_planes, vec_col, dim).select(
+        F.col("lsh_sig"), F.col(id_col).alias("id_b")
+    )
+    if probe_pushdown:
+        # one bounded materialization feeds both the driver IN-list and
+        # the bucket join (the q315 double-execution lesson, §8.8)
+        bs = bs.localCheckpoint()
+        probe_sigs = [
+            r["lsh_sig"] for r in bs.select("lsh_sig").distinct().collect()
+        ]
+        buckets = buckets.filter(F.col("lsh_sig").isin(probe_sigs))
+    cb = buckets
+    if max_bucket is not None:
+        sizes = Window.partitionBy("lsh_sig")
+        cb = (
+            cb.withColumn("_bn", F.count("*").over(sizes))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    if pair_budget is not None:
+        from .similarity import apply_join_pair_budget
+
+        cb = apply_join_pair_budget(cb, bs, "lsh_sig", pair_budget)
+    cands = bs.join(cb, "lsh_sig").select("id_b", "id_c").distinct()
+    if probe_pushdown:
+        cands = cands.localCheckpoint()
+        cand_ids = [
+            r["id_c"] for r in cands.select("id_c").distinct().collect()
+        ]
+        vectors = vectors.filter(F.col("id_c").isin(cand_ids))
+
+    vb = batch.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    ).withColumn("_nb", norm("_vb"))
+    sim = floor6(
+        dot(F.col("_vb"), F.col("vec_c")) / (F.col("_nb") * F.col("norm_c"))
+    )
+    verified = (
+        cands.join(vb, "id_b")
+        .join(vectors, "id_c")
+        .select("id_b", "id_c", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cosine)
+    )
+    matches = verified.groupBy("id_b").agg(
+        F.countDistinct("id_c").alias("n_matches")
+    )
+    return (
+        batch.select(F.col(id_col).alias("id_b"))
+        .join(matches, "id_b", "left")
+        .select(
+            F.col("id_b").alias(id_col),
+            F.coalesce(F.col("n_matches"), F.lit(0))
+            .cast("long")
+            .alias("n_matches"),
+            F.col("n_matches").isNull().alias("admitted"),
+        )
+    )
+
+
 def lsh_incremental_matches(
     corpus: DataFrame,
     batch: DataFrame,

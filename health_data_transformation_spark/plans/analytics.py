@@ -7296,6 +7296,132 @@ def q332(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q333_oracle(pair_budget: int = 100, n_planes: int = 8) -> str:
+    """Embedding ingest-admission oracle: batch (vec_id % 7 = 3) vs
+    corpus, candidates by equal random-hyperplane LSH signature
+    (q100's integer-exact restatement), corpus buckets kept per the
+    apply_join_pair_budget derivation (bit-length classes over
+    corpus-rows x batch-rows product volumes — q178/q331's mirrored
+    form), verified by exact floor6 cosine."""
+    from ..functions.vector import int8_quantize_sql
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, 64)
+    bits = " + ".join(
+        f"(CASE WHEN CAST(list_dot_product(CAST(qv AS DOUBLE[]), "
+        f"CAST({plane!r} AS DOUBLE[])) AS BIGINT) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    cos = cosine_sql("qb.embedding", "qc.embedding")
+    return f"""WITH q0 AS (SELECT vec_id, vec_id % 7 = 3 AS in_batch, embedding,
+                     {int8_quantize_sql('embedding')} AS qv
+              FROM embeddings),
+       sigs AS (SELECT vec_id, in_batch, CAST({bits} AS BIGINT) AS lsh_sig
+                FROM q0),
+       cs AS (SELECT vec_id AS id_c, lsh_sig FROM sigs WHERE NOT in_batch),
+       bs AS (SELECT vec_id AS id_b, lsh_sig FROM sigs WHERE in_batch),
+       nc AS (SELECT lsh_sig, count(*) AS nb FROM cs GROUP BY lsh_sig),
+       npb AS (SELECT lsh_sig, count(*) AS np FROM bs GROUP BY lsh_sig),
+       vol AS (SELECT lsh_sig, nb * np AS v,
+                      length(bin(least(nb * np,
+                            4611686018427387904))) AS vc
+               FROM nc JOIN npb USING (lsh_sig)),
+       cum AS (SELECT vc, SUM(v) OVER (ORDER BY vc) AS cumv
+               FROM (SELECT vc, SUM(v) AS v FROM vol GROUP BY vc)),
+       thr AS (SELECT COALESCE(MAX(vc), 0) AS cap FROM cum
+               WHERE cumv <= {pair_budget}),
+       cb AS (SELECT c.id_c, c.lsh_sig FROM cs c
+              JOIN vol USING (lsh_sig) CROSS JOIN thr t
+              WHERE vol.vc <= t.cap),
+       cands AS (SELECT DISTINCT id_b, id_c FROM bs JOIN cb USING (lsh_sig)),
+       verified AS (
+         SELECT c.id_b, c.id_c
+         FROM cands c JOIN q0 qb ON c.id_b = qb.vec_id
+                      JOIN q0 qc ON c.id_c = qc.vec_id
+         WHERE (floor(({cos}) * 1000000.0) / 1000000.0) >= 0.3),
+       m AS (SELECT id_b, count(DISTINCT id_c) AS n_matches
+             FROM verified GROUP BY id_b)
+       SELECT q0.vec_id,
+              CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+              m.id_b IS NULL AS admitted
+       FROM q0 LEFT JOIN m ON q0.vec_id = m.id_b
+       WHERE q0.in_batch"""
+
+
+@register(
+    "q333_embedding_incremental_dedup",
+    _q333_oracle(),
+    "ingest-time near-dup admission for VECTORS (SemDeDup-at-ingest, "
+    "the embedding sibling of q178/q331): the incoming embedding "
+    "batch (vec_id % 7 = 3) is signed with the q100 random-hyperplane "
+    "LSH (integer-exact signatures) and joined to the STORED corpus's "
+    "signatures only — no batch x batch and no corpus x corpus pair "
+    "ever forms; the corpus-side bucket keep-set is sized by "
+    "pair_budget=100 through apply_join_pair_budget (the §8.11b "
+    "lesson applies verbatim to vectors: an absolute bucket cap's "
+    "dropped dense buckets ADMIT their near-dups into the stored "
+    "corpus), and candidates verify by exact floor6 cosine >= 0.3 on "
+    "the raw vectors.  Budget 100 is selective and non-vacuous at ALL "
+    "THREE test SFs (measured class cums: sf0.001 keeps classes 1-2 "
+    "of 4 [cum 71 of 173], sf0.01 1-2 of 4 [70 of 115], sf0.1 1-2 of "
+    "6 [45 of 2170] — mid-distribution selectivity everywhere, the "
+    "q330 criterion).  The oracle mirrors signature construction "
+    "(q100's restatement) AND the budget derivation (q331's "
+    "bit-length classes), so the differential gates both",
+)
+def q333(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    in_batch = F.col("vec_id") % 7 == 3
+    return D.embedding_incremental_matches(
+        e.filter(~in_batch), e.filter(in_batch),
+        min_cosine=0.3, pair_budget=100,
+    )
+
+
+@register(
+    "q334_embedding_incremental_stored",
+    _q333_oracle(),
+    "q333's vector admission probing a PERSISTED store — the q332 "
+    "pattern on the embedding side: build_embedding_lsh_store writes "
+    "the corpus's signature buckets (sorted by lsh_sig) and raw "
+    "vectors + precomputed norms (sorted by id) to parquet ONCE, and "
+    "embedding_incremental_matches_stored(probe_pushdown) signs only "
+    "the BATCH, pushing its distinct signatures (bounded: |batch|) "
+    "and the surviving candidates' corpus ids (bounded: pair_budget) "
+    "as IN filters into the sorted stores — probe IO is "
+    "O(collisions), not O(store), and verification norms read the "
+    "store instead of re-folding the corpus.  The oracle IS q333's "
+    "statement verbatim: the store is an implementation detail, so "
+    "stored == recompute == relational truth is one driver hash "
+    "equality (the q332 proof shape)",
+)
+def q334(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf, "embeddings")
+    in_batch = F.col("vec_id") % 7 == 3
+    corpus = e.filter(~in_batch)
+    batch = e.filter(in_batch)
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_q334_%s_%d"
+        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    buckets, vectors = D.build_embedding_lsh_store(corpus)
+    buckets.sort("lsh_sig").write.parquet(os.path.join(root, "buckets"))
+    vectors.sort("id_c").write.parquet(os.path.join(root, "vectors"))
+    sb = spark.read.parquet(os.path.join(root, "buckets"))
+    sv = spark.read.parquet(os.path.join(root, "vectors"))
+    return D.embedding_incremental_matches_stored(
+        sb, sv, batch,
+        min_cosine=0.3, pair_budget=100, probe_pushdown=True,
+    )
+
+
 @register(
     "q179_quality_keeper",
     """WITH reach AS ("""

@@ -969,3 +969,58 @@ def test_lsh_store_path_equals_recompute(spark, tmp_path):
         dedup.lsh_incremental_matches_stored(
             sb, st, batch, max_bucket=5, pair_budget=100
         )
+
+
+def test_embedding_store_path_equals_recompute(spark, tmp_path):
+    """The embedding-side persisted store (build_embedding_lsh_store +
+    embedding_incremental_matches_stored) is result-identical to the
+    recompute path (embedding_incremental_matches) for every knob
+    combination, with and without probe_pushdown, across a parquet
+    round-trip — the q332 pin, vector side.  Plus the pushdown-bound
+    and store-schema guards."""
+    import pytest as _pytest
+
+    def vec(seed, bump=0.0):
+        return [float((seed * 31 + i * 7) % 13) / 13.0 + (bump if i == 0 else 0.0)
+                for i in range(64)]
+
+    corpus_rows = [(i, vec(1)) for i in range(12)]          # dense cluster
+    corpus_rows += [(100, vec(5)), (101, vec(5, 0.001)),    # small near-pair
+                    (102, vec(9))]                          # loner
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>"
+    )
+    batch = spark.createDataFrame(
+        [(1000, vec(1, 0.001)), (1001, vec(5, 0.002)), (1002, vec(11))],
+        "vec_id long, embedding array<float>",
+    )
+
+    buckets, vectors = dedup.build_embedding_lsh_store(corpus)
+    buckets.sort("lsh_sig").write.parquet(str(tmp_path / "buckets"))
+    vectors.sort("id_c").write.parquet(str(tmp_path / "vectors"))
+    sb = spark.read.parquet(str(tmp_path / "buckets"))
+    sv = spark.read.parquet(str(tmp_path / "vectors"))
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for kw in (dict(max_bucket=5), dict(pair_budget=40), dict()):
+        ref = canon(dedup.embedding_incremental_matches(
+            corpus, batch, min_cosine=0.9, **kw))
+        assert canon(dedup.embedding_incremental_matches_stored(
+            sb, sv, batch, min_cosine=0.9, **kw)) == ref
+        if kw:
+            assert canon(dedup.embedding_incremental_matches_stored(
+                sb, sv, batch, min_cosine=0.9, probe_pushdown=True, **kw
+            )) == ref
+
+    with _pytest.raises(ValueError, match="probe_pushdown"):
+        dedup.embedding_incremental_matches_stored(
+            sb, sv, batch, probe_pushdown=True
+        )
+    with _pytest.raises(ValueError, match="build_embedding_lsh_store"):
+        dedup.embedding_incremental_matches_stored(sv, sb, batch, max_bucket=5)
+    with _pytest.raises(ValueError, match="not both"):
+        dedup.embedding_incremental_matches_stored(
+            sb, sv, batch, max_bucket=5, pair_budget=40
+        )

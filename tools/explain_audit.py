@@ -36,6 +36,10 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q329_embedding_near_dup_budget",
     "q330_lsh_near_dup_budget",
     "q331_incremental_dedup_budget",
+    # same budget-threshold scalar broadcast, embedding ingest shape
+    # (q334, the stored twin, checkpoints the candidate frame so the
+    # budget arm never appears in its returned plan)
+    "q333_embedding_incremental_dedup",
     "q38_cosine_topk",
     "q39_embedding_norms",
     "q40_ivf_topk",
@@ -494,6 +498,22 @@ ALLOWED_RESCAN: dict[str, str] = {
         "through window shape keeps them above the two band "
         "exchanges (re-reads of shuffle files, verified in the "
         "executed final plan)"
+    ),
+    "q333_embedding_incremental_dedup": (
+        "inherent per-side passes, node-mapped from the executed "
+        "final plan: corpus = signature window + vector/norm "
+        "rehydration (2); batch = candidate-join side + budget "
+        "probe-count window + vector rehydration + final admitted-ids "
+        "probe (4).  The two extra batch passes vs the text twin "
+        "exist because AQE BROADCASTS the tiny batch signature frame "
+        "into the candidate join (BroadcastExchange cannot ReusedEx"
+        "change-merge with the probe window's shuffle Exchange); at "
+        "production batch sizes both sides shuffle on lsh_sig and "
+        "merge, and every batch pass is a narrow O(batch) scan.  The "
+        "budget threshold arm adds zero scan survivors (reuses the "
+        "two window exchanges — verified).  q334, the stored twin, "
+        "checkpoints the candidate frame and audits clean with no "
+        "entry"
     ),
     "q209_ann_recall_eval": (
         "recall evaluation needs the ANN arm and the exact-truth arm "

@@ -92,16 +92,28 @@ class SnapshotTable:
         path = self._manifest_path(version)
         if os.path.exists(path):
             raise SnapshotConflict(f"version {version} already committed")
-        tmp = path + ".tmp"
+        tmp = path + f".tmp-{os.getpid()}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         try:
-            # atomic visibility flip; a concurrent winner makes the
-            # rename target exist -> surface as a conflict, data dirs
-            # written by the loser are orphans (harmless, GC-able)
-            os.rename(tmp, path)
+            # atomic visibility flip that FAILS if the target exists:
+            # os.link raises FileExistsError where POSIX rename would
+            # silently REPLACE the winner's manifest (the exists()
+            # pre-check above is only a fast path — two racers can both
+            # pass it, and rename-based publish would let the second
+            # clobber the first, violating the optimistic-concurrency
+            # contract this class exists for).  The loser's data dirs
+            # are orphans (harmless, vacuum() collects them).
+            os.link(tmp, path)
+        except FileExistsError as exc:
+            raise SnapshotConflict(
+                f"version {version} already committed"
+            ) from exc
         except OSError as exc:  # pragma: no cover - platform dependent
             raise SnapshotConflict(str(exc)) from exc
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         return version
 
     # -- commits -------------------------------------------------------------

@@ -54,6 +54,39 @@ def test_conflict_on_concurrent_publish(spark, tmp_path):
         t1._publish(2, ["bogus"], "append")
 
 
+def test_publish_race_loser_conflicts_without_clobber(
+    spark, tmp_path, monkeypatch
+):
+    """The TOCTOU race the exists() fast path cannot close: both
+    committers pass the pre-check, then both attempt the visibility
+    flip.  The flip is os.link (fails EEXIST) — a POSIX rename would
+    silently REPLACE the winner's manifest.  The loser must get
+    SnapshotConflict and the winner's manifest must remain
+    byte-identical."""
+    import health_data_transformation_spark.snapshots as S
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.commit_overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.commit_append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    winner = t._read_manifest(2)
+
+    # simulate the loser having passed the pre-check before the winner
+    # published: blind the fast path for the manifest file only
+    real_exists = S.os.path.exists
+    v2 = t._manifest_path(2)
+    monkeypatch.setattr(
+        S.os.path, "exists", lambda p: False if p == v2 else real_exists(p)
+    )
+    with pytest.raises(SnapshotConflict):
+        t._publish(2, ["bogus"], "append")
+    monkeypatch.undo()
+    assert t._read_manifest(2) == winner  # not clobbered
+    assert not [
+        f for f in S.os.listdir(root) if ".tmp-" in f
+    ]  # loser's tmp cleaned up
+
+
 def test_read_empty_table_raises(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     with pytest.raises(ValueError):

@@ -31,81 +31,96 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Queries promoted into the front of the registry ordering.  The
 #: driver's correctness gate re-checks a fixed-size 50-query prefix of
-#: ``queries()``, so the ordering is evidence steering.  Round-9 policy
-#: (VERDICT r8 tasks #1/#2/#5): the prefix is the q169 ingest anchor
-#: (S4-S8 §2 proof, pinned every round), then the round's three NEW
-#: registry entries exercising the budget-derived caps (q329/q330:
-#: §8.10b pair budgets, the r8 verdict's headline ask; q331: the
-#: §8.11b ingest-side join budget, added after the wave measured the
-#: absolute cap FALSELY ADMITTING 93% of near-boilerplate probes at
-#: ingest; q332: the §8.12 persisted-store probe — the store is an
-#: implementation detail so its oracle is q178's verbatim, and the
-#: driver gates stored == recompute == relational truth as one hash;
-#: q333/q334: the embedding-side ingest admission — SemDeDup-at-
-#: ingest under the join budget, recompute and persisted-store twins
-#: sharing one derivation-mirroring oracle), then 43 of the 68
-#: remaining never-driver-verified queries in the verdict's order:
-#: the q30-q44 text/vector foundations (the LLM-pipeline proof
-#: queries), q99, the q306-q328 tail, and 5 middle-block fills in
-#: registry order.  Ledger arithmetic: 68 never + 6 new = 74; 49
-#: never-verified slots -> 25 remain for r10 (the verdict's <=19
-#: target predates the new-entry unfreeze it also asked for; both
-#: cannot fit one 50-slot prefix, so the new entries win 6 slots and
-#: r10's 49 slots still close the remaining 25 with room).
-#: r8 task #5 (q238/q244/q56) stays deferred with the same documented
-#: arithmetic: all three already carry driver evidence (q238/q244 r4,
-#: q56 r1-r5) and re-proving them would push never-count 3 higher.
+#: ``queries()``, so the ordering is evidence steering.  Round-10
+#: policy (VERDICT r9 tasks #1/#2/#4/#6), slot by slot:
+#:   1     q169 ingest anchor (S4-S8 §2 proof, pinned every round);
+#:   2     q335, this round's one NEW entry (the persisted IVF index —
+#:         task #4's stored==recompute==oracle twin for ANN serving);
+#:   3-27  ALL 25 remaining never-driver-verified queries (task #1:
+#:         ledger paydown to never-count 0 — the q71-q98 block);
+#:   28-30 q238/q244/q56, the twice-deferred spares the verdict named
+#:         (q56 additionally settles its r9 bench blip with
+#:         driver-grade evidence);
+#:   31-34 q76/q176/q179/q211 — the four max_bucket->pair_budget
+#:         migrations whose RESULTS changed this round (task #2), so
+#:         their old driver evidence no longer describes them (q77,
+#:         the fifth migration, is already in the never block);
+#:   35    q336, the JDBC federation entry (task #7: the S7 seam,
+#:         end-to-end against embedded Derby — new, so never-verified
+#:         by construction);
+#:   36-50 the 15 stalest by driver evidence (task #6's rotation
+#:         policy, first application: all from r2 — the q15-q55
+#:         block), ordered oldest-first from tools/driver_ledger.py
+#:         --stale.  Expected ledger after the r10 driver run:
+#:         never-count 0 (25 + 2 new - 27) and max staleness r2
+#:         (8 r2-era queries remain for the r11 rotation).
+#: Prefix slots held for RE-PROOF rather than never/staleness rotation
+#: (tests/test_tools_registry.py bounds this list at 8 and requires
+#: each member to already carry driver evidence): q238/q244/q56 are the
+#: verdict-named twice-deferred spares; q76/q176/q179/q211 changed
+#: RESULTS this round (max_bucket -> pair_budget migration), so their
+#: old driver evidence no longer describes them.
+_REPROOF = [
+    "q238_stream_stream_join",
+    "q244_stream_outer_join",
+    "q56_stateful_totals",
+    "q76_dedup_clusters",
+    "q176_soft_dedup_weights",
+    "q179_quality_keeper",
+    "q211_split_leakage_audit",
+]
+
 _PROMOTED = [
     "q169_ingest_lifecycle",
-    "q329_embedding_near_dup_budget",
-    "q330_lsh_near_dup_budget",
-    "q331_incremental_dedup_budget",
-    "q332_incremental_dedup_stored",
-    "q333_embedding_incremental_dedup",
-    "q334_embedding_incremental_stored",
-    "q30_token_stats",
-    "q31_quality_scores",
-    "q32_langid_heuristic",
-    "q33_normalized_fingerprint",
-    "q34_jaccard_pairs",
-    "q35_minhash_signatures",
-    "q36_lsh_buckets",
-    "q37_simhash",
-    "q38_cosine_topk",
-    "q39_embedding_norms",
-    "q40_ivf_topk",
-    "q41_multimodal_meta",
-    "q43_embedding_near_dup",
-    "q44_rolling_hash",
-    "q99_boilerplate_prefixes",
-    "q306_l_diversity_audit",
-    "q307_patch_grid_features",
-    "q308_zipf_rank_frequency",
-    "q309_rendezvous_routing",
-    "q310_audio_vad_trim",
-    "q311_aa_calibration",
-    "q312_bitemporal_asof",
-    "q313_recsys_holdout_eval",
-    "q314_join_key_discovery",
-    "q315_dbscan_core_labels",
-    "q316_binary_segmentation",
-    "q317_mutual_information_screen",
-    "q318_text_kl_drift",
-    "q319_matryoshka_truncation_eval",
-    "q320_skipgram_pmi",
-    "q321_grouped_theil_sen",
-    "q322_anova_effect_size",
-    "q323_voptimal_histogram",
-    "q324_front_coding_estimate",
-    "q325_postings_compression_estimate",
-    "q326_oof_target_encoding",
-    "q327_learned_index_bound",
-    "q328_bloom_fpr_measured",
-    "q52_simhash_near_pairs",
-    "q59_full_outer_join",
-    "q60_lag_lead",
-    "q61_unpivot",
-    "q70_sorted_collect",
+    "q335_ivf_search_stored",
+    "q71_snapshot_diff",
+    "q72_top_customer_share",
+    "q73_ivf_built_search",
+    "q74_tfidf_top_terms",
+    "q75_range_frame_moving_sum",
+    "q77_deduped_corpus",
+    "q79_stratified_sample",
+    "q80_count_min_sketch",
+    "q81_hll_distinct",
+    "q82_int8_cosine_topk",
+    "q83_percent_rank",
+    "q84_multimodal_resize",
+    "q85_weighted_sample",
+    "q86_quality_ratios",
+    "q87_char_shingles",
+    "q88_funnel_conversion",
+    "q89_cohort_retention",
+    "q90_grouped_median",
+    "q91_corpus_pipeline",
+    "q93_promo_revenue_share",
+    "q94_referential_audit",
+    "q95_drift_bins",
+    "q96_incremental_rollup",
+    "q97_pagerank_integer",
+    "q98_hot_key_detector",
+    "q238_stream_stream_join",
+    "q244_stream_outer_join",
+    "q56_stateful_totals",
+    "q76_dedup_clusters",
+    "q176_soft_dedup_weights",
+    "q179_quality_keeper",
+    "q211_split_leakage_audit",
+    "q336_jdbc_federation",
+    "q15_orders_per_customer",
+    "q16_topk_orders",
+    "q17_top3_per_customer",
+    "q18_running_user_totals",
+    "q19_rollup_counts",
+    "q20_distinct_per_segment",
+    "q21_intersect",
+    "q22_except",
+    "q28_cube_counts",
+    "q29_pivot",
+    "q47_percentiles",
+    "q48_stats_moments",
+    "q50_salted_agg",
+    "q54_range_join",
+    "q55_grouping_sets",
 ]
 
 

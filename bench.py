@@ -178,6 +178,37 @@ def main() -> None:
         reps[name] = [round(r, 3) for r in runs]
         total += dt
 
+    # VERDICT r9 task #5: the persisted-store queries pay a one-time
+    # store build + write inside the registered query (honest for the
+    # differential), which otherwise reads as query cost in
+    # round-over-round diffs.  Time each phase separately so the detail
+    # separates amortized build from per-batch probe (reconciled with
+    # SCALE.md §8.12's build/probe table).
+    store_split: dict[str, dict] = {}
+    try:
+        from health_data_transformation_spark.plans.analytics import (
+            STORE_SPLIT,
+        )
+
+        for name, (build, probe) in STORE_SPLIT.items():
+            if name not in REGISTRY:
+                continue
+            try:
+                t0 = time.time()
+                root = build(spark, sf_dir)
+                b = time.time() - t0
+                t0 = time.time()
+                execute(probe(spark, sf_dir, root))
+                p = time.time() - t0
+                store_split[name] = {
+                    "build_sec": round(b, 3),
+                    "probe_sec": round(p, 3),
+                }
+            except Exception as e:  # phase-split is informational only
+                store_split[name] = {"err": f"{type(e).__name__}: {e}"}
+    except ImportError:
+        pass
+
     canary_end = run_canaries(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -214,6 +245,7 @@ def main() -> None:
             "total_sec": round(total, 3),
             "queries": timings,
             "reps": reps,
+            "store_split": store_split,
             "canary": {
                 "queries": list(CANARIES),
                 "start": canary_start,

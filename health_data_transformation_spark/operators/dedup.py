@@ -871,6 +871,57 @@ def embedding_incremental_matches(
     )
 
 
+#: Above this many collected keys, ``probe_pushdown`` stops building a
+#: literal ``IN`` filter and switches to a broadcast hash semi-join
+#: against the (already localCheckpointed) probe frame.  The collected
+#: list is bounded by construction either way; what the limit bounds is
+#: the DRIVER-SIDE EXPRESSION TREE — at production batch sizes a
+#: 100k-literal ``Column.isin`` is slow to plan and memory-heavy on the
+#: driver (ADVICE r9).  Below the limit the ``In`` filter pushes into
+#: the parquet scan and prunes row groups on a sorted store; above it
+#: that storage-level pruning is traded for a broadcast semi-join,
+#: which keeps the store scan a streaming probe with no giant
+#: expression (same pruning intent, executor-side).
+PUSHDOWN_IN_LIMIT = 10_000
+
+
+def _pushdown_filter(
+    store: DataFrame, key: str, values: list, probe: DataFrame
+) -> DataFrame:
+    """Filter ``store`` to rows whose ``key`` appears in ``values``
+    (identically present as ``probe[key]``) — literal IN below
+    :data:`PUSHDOWN_IN_LIMIT`, broadcast semi-join above it."""
+    if len(values) <= PUSHDOWN_IN_LIMIT:
+        return store.filter(F.col(key).isin(values))
+    return store.join(
+        F.broadcast(probe.select(key).distinct()), key, "semi"
+    )
+
+
+def _check_store_params(
+    frame: DataFrame, col_name: str, expected: dict, builder: str
+) -> None:
+    """Fail CLOSED on a store/probe build-parameter mismatch.
+
+    The ``build_*_store`` functions stamp their parameters as column
+    metadata (persisted in parquet footers); a probe whose parameters
+    differ would silently produce empty collisions — which on the
+    ingest-admission path means admitting every near-dup (fail open).
+    Hand-built frames without the metadata are accepted as-is (the
+    documented keep-params-with-the-store convention applies).
+    """
+    meta = frame.schema[col_name].metadata or {}
+    for key, want in expected.items():
+        if key in meta and int(meta[key]) != int(want):
+            raise ValueError(
+                f"store param mismatch: the store was built with "
+                f"{key.removeprefix('hdt_')}={int(meta[key])} "
+                f"({builder}) but the probe passed {int(want)} — a "
+                "mismatched probe yields empty collisions and fails "
+                "the admission gate OPEN"
+            )
+
+
 def build_embedding_lsh_store(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -897,7 +948,14 @@ def build_embedding_lsh_store(
     from ..functions.vector import norm
 
     sigs = embedding_lsh_signature(corpus, n_planes, vec_col, dim)
-    buckets = sigs.select(F.col("lsh_sig"), F.col(id_col).alias("id_c"))
+    buckets = sigs.select(
+        F.col("lsh_sig"), F.col(id_col).alias("id_c")
+    ).withMetadata(
+        # build params persisted with the store (parquet footer
+        # metadata) so the stored probe fails closed on mismatch —
+        # see _check_store_params
+        "lsh_sig", {"hdt_n_planes": n_planes, "hdt_dim": dim}
+    )
     vectors = corpus.select(
         F.col(id_col).alias("id_c"), F.col(vec_col).alias("vec_c")
     ).withColumn("norm_c", norm("vec_c"))
@@ -924,8 +982,11 @@ def embedding_incremental_matches_stored(
     ``buckets``/``vectors`` are ``build_embedding_lsh_store``'s frames
     (typically read back from parquet); only the BATCH is signed per
     call.  ``n_planes``/``dim`` must match the store's build
-    parameters (they shape only the batch side — a mismatch silently
-    yields empty collisions).  ``probe_pushdown=True`` collects the
+    parameters; stores built by ``build_embedding_lsh_store`` carry
+    them as column metadata (persisted in parquet footers) and a
+    mismatched probe raises — without the check a mismatch silently
+    yields empty collisions, failing the admission gate OPEN
+    (``_check_store_params``).  ``probe_pushdown=True`` collects the
     batch's distinct signatures (bounded by |batch|) as an IN filter
     on ``buckets`` and the surviving candidates' corpus ids as an IN
     filter on ``vectors`` — bounded by probe signatures x
@@ -957,6 +1018,12 @@ def embedding_incremental_matches_stored(
             "probe_pushdown requires max_bucket or pair_budget — they "
             "bound the collected candidate-id list"
         )
+    _check_store_params(
+        buckets,
+        "lsh_sig",
+        {"hdt_n_planes": n_planes, "hdt_dim": dim},
+        "build_embedding_lsh_store",
+    )
     from .similarity import embedding_lsh_signature
 
     bs = embedding_lsh_signature(batch, n_planes, vec_col, dim).select(
@@ -969,7 +1036,7 @@ def embedding_incremental_matches_stored(
         probe_sigs = [
             r["lsh_sig"] for r in bs.select("lsh_sig").distinct().collect()
         ]
-        buckets = buckets.filter(F.col("lsh_sig").isin(probe_sigs))
+        buckets = _pushdown_filter(buckets, "lsh_sig", probe_sigs, bs)
     cb = buckets
     if max_bucket is not None:
         sizes = Window.partitionBy("lsh_sig")
@@ -988,7 +1055,7 @@ def embedding_incremental_matches_stored(
         cand_ids = [
             r["id_c"] for r in cands.select("id_c").distinct().collect()
         ]
-        vectors = vectors.filter(F.col("id_c").isin(cand_ids))
+        vectors = _pushdown_filter(vectors, "id_c", cand_ids, cands)
 
     vb = batch.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
@@ -1112,6 +1179,15 @@ def build_lsh_store(
     buckets = _band_explode(
         sig_c, id_col, band_size, num_hashes, out_id="id_c"
     ).drop("band")
+    # Build params travel WITH the store as column metadata — Spark
+    # persists field metadata in the parquet footer schema, so a store
+    # read back from disk still carries them and the *_stored probes
+    # fail closed on a band_size/num_hashes mismatch instead of
+    # silently yielding empty collisions (ADVICE r9: a param mismatch
+    # makes the ingest admission gate fail OPEN).
+    buckets = buckets.withMetadata(
+        "bucket", {"hdt_band_size": band_size, "hdt_num_hashes": num_hashes}
+    )
     tokens = corpus.select(
         F.col(id_col).alias("id_c"), distinct_tokens(text_col).alias("toks_c")
     )
@@ -1139,10 +1215,11 @@ def lsh_incremental_matches_stored(
     read back from parquet).  Per-batch work is then genuinely
     O(batch x collision rate): only the batch is signed and banded;
     the corpus side is scanned, never recomputed.  Band/bucket
-    parameters must match the ones the store was built with —
-    ``band_size``/``num_hashes`` here shape only the batch side, so a
-    mismatch silently yields empty collisions; keep them with the
-    store.
+    parameters must match the ones the store was built with; stores
+    built by ``build_lsh_store`` carry them as column metadata
+    (persisted in parquet footers) and a mismatched probe raises —
+    without the check a mismatch silently yields empty collisions,
+    failing the admission gate OPEN (``_check_store_params``).
 
     ``probe_pushdown=True`` turns the store scan into an index READ:
     the batch's distinct band buckets (bounded by |batch| x n_bands)
@@ -1150,6 +1227,10 @@ def lsh_incremental_matches_stored(
     surviving candidates' corpus ids as an IN filter on ``tokens`` —
     on a store sorted by (bucket) / (id_c) both pushed filters prune
     parquet row groups, so probe IO is O(collisions), not O(store).
+    Above :data:`PUSHDOWN_IN_LIMIT` collected keys the literal IN
+    filter gives way to a broadcast semi-join (ADVICE r9: a 100k-term
+    ``isin`` is a pathological driver-side expression tree) — the
+    trade is stated on the constant.
     The candidate-id list is driver state, so pushdown REQUIRES a
     bound: ``max_bucket`` (ids <= probe_buckets x cap) or
     ``pair_budget`` (kept volume sums corpus-rows x batch-rows >=
@@ -1182,6 +1263,12 @@ def lsh_incremental_matches_stored(
             "probe_pushdown requires max_bucket or pair_budget — they "
             "bound the collected candidate-id list"
         )
+    _check_store_params(
+        buckets,
+        "bucket",
+        {"hdt_band_size": band_size, "hdt_num_hashes": num_hashes},
+        "build_lsh_store",
+    )
     from .skew import is_scan_rooted
 
     widen_b = is_scan_rooted(batch) if widen is None else widen
@@ -1199,7 +1286,7 @@ def lsh_incremental_matches_stored(
         probe_buckets = [
             r["bucket"] for r in bb.select("bucket").distinct().collect()
         ]
-        buckets = buckets.filter(F.col("bucket").isin(probe_buckets))
+        buckets = _pushdown_filter(buckets, "bucket", probe_buckets, bb)
     cb = _cap_buckets(buckets, max_bucket)
     if pair_budget is not None:
         from .similarity import apply_join_pair_budget
@@ -1211,7 +1298,7 @@ def lsh_incremental_matches_stored(
         cand_ids = [
             r["id_c"] for r in cands.select("id_c").distinct().collect()
         ]
-        tokens = tokens.filter(F.col("id_c").isin(cand_ids))
+        tokens = _pushdown_filter(tokens, "id_c", cand_ids, cands)
 
     toks_b = batch.select(
         F.col(id_col).alias("id_b"), distinct_tokens(text_col).alias("toks_b")

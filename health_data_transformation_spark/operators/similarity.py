@@ -276,7 +276,92 @@ def ivf_search(
 
     At scale ``assigned`` is partitioned by cell, so the probe filter is
     partition pruning and search cost ~ n_probes/n_cells of the table.
+    Delegates through :func:`ivf_search_stored` (one code path, so the
+    recompute and persisted-store serving paths cannot drift — the
+    q332 twin discipline applied to ANN serving).
     """
+    return ivf_search_stored(
+        assigned, centroids, query, k=k, n_probes=n_probes,
+        vec_col=vec_col, id_col=id_col, query_col=query_col,
+    )
+
+
+def build_ivf_store(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable ANN serving index — §8.12's store pattern
+    applied to IVF (VERDICT r9 task #4: q73 rebuilt cells per query;
+    dedup got its persisted index in r9, this is the search-side twin).
+
+    Returns the two frames the caller writes ONCE per corpus delivery:
+
+      * ``assigned``: the input plus its ``cell`` id and the
+        precomputed vector norm ``_vnorm`` — written sorted (or
+        partitioned) by ``cell`` so probe-time cell filters prune
+        parquet row groups / partitions, and scored at probe time
+        without re-folding norms over the corpus (the q43
+        O(n)-not-O(pairs) rule applied across deliveries);
+      * ``centroids``: ``(cell, _centroid, _cnorm)`` — tiny
+        (``n_cells`` rows), read whole per query batch.
+
+    ``n_cells`` is stamped as column metadata on ``cell`` (persisted in
+    parquet footers) so a probe asking for more probes than the store
+    has cells fails loudly — the ADVICE-r9 params-with-the-store
+    contract, same as ``build_lsh_store``.
+    """
+    assigned, centroids = build_ivf_cells(df, vec_col, id_col, n_cells)
+    meta = {"hdt_n_cells": n_cells}
+    assigned = assigned.withColumn("_vnorm", norm(vec_col)).withMetadata(
+        "cell", meta
+    )
+    return assigned, centroids.withMetadata("cell", meta)
+
+
+def ivf_search_stored(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_col: str = "qv",
+) -> DataFrame:
+    """IVF search against a PRE-BUILT (typically parquet-persisted)
+    index — result-identical to :func:`ivf_search` on the same frames
+    (``ivf_search`` delegates here; pinned by
+    test_ivf_store_path_equals_recompute).
+
+    Per-query work: score ``n_cells`` stored centroids against the
+    broadcast query (tiny), collect the ``n_probes`` best cell ids
+    (driver state bounded by ``n_probes`` by construction), filter the
+    stored assignment table to those cells — on a cell-sorted or
+    cell-partitioned store that filter prunes row groups / partitions,
+    so probe IO is ~ n_probes/n_cells of the table — and take the
+    exact floored-cosine top-k inside them, reusing the store's
+    precomputed ``_vnorm`` when present instead of re-folding norms.
+    """
+    for frame, need, name in (
+        (assigned, {"cell", vec_col, id_col}, "assigned"),
+        (centroids, {"cell", "_centroid", "_cnorm"}, "centroids"),
+    ):
+        missing = need - set(frame.columns)
+        if missing:
+            raise ValueError(
+                f"store frame '{name}' lacks column(s) {sorted(missing)}; "
+                "build it with build_ivf_store"
+            )
+    meta = centroids.schema["cell"].metadata or {}
+    if "hdt_n_cells" in meta and n_probes > int(meta["hdt_n_cells"]):
+        raise ValueError(
+            f"n_probes={n_probes} exceeds the store's n_cells="
+            f"{int(meta['hdt_n_cells'])} (build_ivf_store metadata) — "
+            "probing every cell is a full scan; rebuild with more cells "
+            "or lower n_probes"
+        )
     q = query.withColumn("_qnorm", norm(query_col))
     cent_scored = centroids.crossJoin(F.broadcast(q)).withColumn(
         "_qsim",
@@ -289,8 +374,20 @@ def ivf_search(
         .limit(n_probes)
         .collect()
     ]
-    return brute_force_top_k(
-        assigned.filter(F.col("cell").isin(probes)), query, k, vec_col, id_col, query_col
+    filtered = assigned.filter(F.col("cell").isin(probes))
+    # same floored-cosine expression as brute_force_top_k/cosine_scores,
+    # with the stored norm substituted when the store provides it
+    vnorm = (
+        F.col("_vnorm") if "_vnorm" in assigned.columns else norm(F.col(vec_col))
+    )
+    scored = _with_query(filtered, q, vec_col)
+    sim = dot(F.col(vec_col), F.col(query_col)) / (vnorm * F.col("_qnorm"))
+    quant = F.lit(float(10 ** 6))
+    return (
+        scored.withColumn("sim", F.floor(sim * quant) / quant)
+        .select(F.col(id_col), F.col("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
     )
 
 

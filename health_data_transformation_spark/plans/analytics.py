@@ -1597,9 +1597,17 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q76_oracle() -> str:
+def _q76_oracle(pair_budget: int | None = 2000) -> str:
+    """Connected-components oracle over the LSH near-dup pair set.
+
+    r10 migration (VERDICT r9 wrong #1): the pair stage defaults to the
+    §8.10b budget-derived cap (pair_budget=2000, q330's constant —
+    measured selective and non-vacuous at all three SFs) instead of the
+    absolute max_bucket=50 that §8.10a measured going vacuous under
+    corpus growth; the oracle mirrors the budget derivation, so every
+    consumer differentially gates the threshold math."""
     return f"""
-    WITH pairs AS (SELECT id_a, id_b FROM ({_lsh_near_dup_oracle(0.4)}) t),
+    WITH pairs AS (SELECT id_a, id_b FROM ({_lsh_near_dup_oracle(0.4, pair_budget=pair_budget)}) t),
          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                    UNION SELECT id_b, id_a FROM pairs),
          reach AS (
@@ -1621,9 +1629,11 @@ def _q76_oracle() -> str:
 def q76(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     pairs = D.lsh_near_dup_pairs(
-        # max_bucket=50: test-corpus-derived, NOT production sizing
-        # (see the q51 caveat; budget-derived form: q330/q331, §8.10b)
-        d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
+        # pair_budget=2000 (r10, VERDICT r9 wrong #1): the §8.10b
+        # budget-derived cap replaces the absolute max_bucket=50 that
+        # §8.10a measured going vacuous under corpus growth; q330's
+        # constant, measured selective at all three SFs
+        d, band_size=4, num_hashes=8, min_jaccard=0.4, pair_budget=2000
     ).select("id_a", "id_b")
     return D.connected_components(pairs)
 
@@ -1644,9 +1654,11 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
 def q77(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     pairs = D.lsh_near_dup_pairs(
-        # max_bucket=50: test-corpus-derived, NOT production sizing
-        # (see the q51 caveat; budget-derived form: q330/q331, §8.10b)
-        d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
+        # pair_budget=2000 (r10, VERDICT r9 wrong #1): the §8.10b
+        # budget-derived cap replaces the absolute max_bucket=50 that
+        # §8.10a measured going vacuous under corpus growth; q330's
+        # constant, measured selective at all three SFs
+        d, band_size=4, num_hashes=8, min_jaccard=0.4, pair_budget=2000
     ).select("id_a", "id_b")
     components = D.connected_components(pairs)
     drop_list = components.filter(F.col("node") != F.col("component")).select(
@@ -6960,9 +6972,11 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
 def q176(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     pairs = D.lsh_near_dup_pairs(
-        # max_bucket=50: test-corpus-derived, NOT production sizing
-        # (see the q51 caveat; budget-derived form: q330/q331, §8.10b)
-        d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
+        # pair_budget=2000 (r10, VERDICT r9 wrong #1): the §8.10b
+        # budget-derived cap replaces the absolute max_bucket=50 that
+        # §8.10a measured going vacuous under corpus growth; q330's
+        # constant, measured selective at all three SFs
+        d, band_size=4, num_hashes=8, min_jaccard=0.4, pair_budget=2000
     ).select("id_a", "id_b")
     components = D.connected_components(pairs)
     sizes = components.groupBy("component").agg(F.count("*").alias("csz"))
@@ -7210,6 +7224,12 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
     # of the three scan-rooted callers)
     return D.lsh_incremental_matches(
         corpus, batch,
+        # q178 IS the absolute-cap exemplar of the incremental family
+        # (its budget migration is q331 beside it, and the stored twins
+        # q332-q334); after the r10 migration of q76/q77/q176/q179/q211
+        # the only registry entries passing a bare max_bucket are the
+        # two designated exemplars (q51, q178) and their direct
+        # composites/evals (q180, q250, q332)
         band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50,
     )
 
@@ -7264,14 +7284,22 @@ def q331(spark: SparkSession, sf: str) -> DataFrame:
     "relational truth is driver-gated as one hash equality",
 )
 def q332(spark: SparkSession, sf: str) -> DataFrame:
+    # build + probe in one call (the registered differential runs the
+    # whole delivery cycle); bench.py times the phases separately via
+    # STORE_SPLIT so the one-time build cost stops reading as query
+    # cost in round-over-round diffs (VERDICT r9 task #5)
+    return _q332_probe(spark, sf, _q332_build(spark, sf))
+
+
+def _q332_build(spark: SparkSession, sf: str) -> str:
+    """q332's one-time store build: corpus -> band-bucket + token-set
+    parquet stores, sorted on the probe keys.  Returns the store root."""
     import os
     import shutil
     import tempfile
 
     d = load_table(spark, sf, "documents").select("doc_id", "text")
-    in_batch = F.col("doc_id") % 7 == 3
-    corpus = d.filter(~in_batch)
-    batch = d.filter(in_batch)
+    corpus = d.filter(~(F.col("doc_id") % 7 == 3))
 
     root = os.path.join(
         tempfile.gettempdir(),
@@ -7287,6 +7315,15 @@ def q332(spark: SparkSession, sf: str) -> DataFrame:
     # lets the probe-time IN filters skip non-collision groups
     buckets.sort("bucket").write.parquet(os.path.join(root, "buckets"))
     tokens.sort("id_c").write.parquet(os.path.join(root, "tokens"))
+    return root
+
+
+def _q332_probe(spark: SparkSession, sf: str, root: str) -> DataFrame:
+    """q332's per-batch probe against the persisted store at ``root``."""
+    import os
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 7 == 3)
     sb = spark.read.parquet(os.path.join(root, "buckets"))
     st = spark.read.parquet(os.path.join(root, "tokens"))
     return D.lsh_incremental_matches_stored(
@@ -7396,14 +7433,20 @@ def q333(spark: SparkSession, sf: str) -> DataFrame:
     "equality (the q332 proof shape)",
 )
 def q334(spark: SparkSession, sf: str) -> DataFrame:
+    # build + probe in one call; bench.py separates the phases via
+    # STORE_SPLIT (VERDICT r9 task #5) — see q332
+    return _q334_probe(spark, sf, _q334_build(spark, sf))
+
+
+def _q334_build(spark: SparkSession, sf: str) -> str:
+    """q334's one-time store build: corpus -> signature-bucket +
+    vector(+norm) parquet stores, sorted on the probe keys."""
     import os
     import shutil
     import tempfile
 
     e = load_table(spark, sf, "embeddings")
-    in_batch = F.col("vec_id") % 7 == 3
-    corpus = e.filter(~in_batch)
-    batch = e.filter(in_batch)
+    corpus = e.filter(~(F.col("vec_id") % 7 == 3))
 
     root = os.path.join(
         tempfile.gettempdir(),
@@ -7414,6 +7457,15 @@ def q334(spark: SparkSession, sf: str) -> DataFrame:
     buckets, vectors = D.build_embedding_lsh_store(corpus)
     buckets.sort("lsh_sig").write.parquet(os.path.join(root, "buckets"))
     vectors.sort("id_c").write.parquet(os.path.join(root, "vectors"))
+    return root
+
+
+def _q334_probe(spark: SparkSession, sf: str, root: str) -> DataFrame:
+    """q334's per-batch probe against the persisted store at ``root``."""
+    import os
+
+    e = load_table(spark, sf, "embeddings")
+    batch = e.filter(F.col("vec_id") % 7 == 3)
     sb = spark.read.parquet(os.path.join(root, "buckets"))
     sv = spark.read.parquet(os.path.join(root, "vectors"))
     return D.embedding_incremental_matches_stored(
@@ -7457,9 +7509,11 @@ def q334(spark: SparkSession, sf: str) -> DataFrame:
 def q179(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     pairs = D.lsh_near_dup_pairs(
-        # max_bucket=50: test-corpus-derived, NOT production sizing
-        # (see the q51 caveat; budget-derived form: q330/q331, §8.10b)
-        d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
+        # pair_budget=2000 (r10, VERDICT r9 wrong #1): the §8.10b
+        # budget-derived cap replaces the absolute max_bucket=50 that
+        # §8.10a measured going vacuous under corpus growth; q330's
+        # constant, measured selective at all three SFs
+        d, band_size=4, num_hashes=8, min_jaccard=0.4, pair_budget=2000
     ).select("id_a", "id_b")
     components = D.connected_components(pairs)
     scored = components.join(
@@ -7544,6 +7598,8 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
     admitted = (
         D.lsh_incremental_matches(
             stored, batch,
+            # composes q178's exemplar config verbatim (the oracle is
+            # built on _q178_oracle); the budget form is q331
             band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50,
         )
         .filter(F.col("admitted"))
@@ -9825,7 +9881,7 @@ _Q211_SPLIT = hex_hash64_sql("CAST({id} AS VARCHAR)", "split")
 @register(
     "q211_split_leakage_audit",
     f"""WITH pairs AS (SELECT id_a, id_b
-                       FROM ({_lsh_near_dup_oracle(0.4)}) t),
+                       FROM ({_lsh_near_dup_oracle(0.4, pair_budget=2000)}) t),
        labeled AS (
          SELECT id_a, id_b,
                 CASE WHEN {_Q211_SPLIT.format(id='id_a')} % 10 = 0
@@ -9859,9 +9915,11 @@ _Q211_SPLIT = hex_hash64_sql("CAST({id} AS VARCHAR)", "split")
 def q211(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     pairs = D.lsh_near_dup_pairs(
-        # max_bucket=50: test-corpus-derived, NOT production sizing
-        # (see the q51 caveat; budget-derived form: q330/q331, §8.10b)
-        d, band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50
+        # pair_budget=2000 (r10, VERDICT r9 wrong #1): the §8.10b
+        # budget-derived cap replaces the absolute max_bucket=50 that
+        # §8.10a measured going vacuous under corpus growth; q330's
+        # constant, measured selective at all three SFs
+        d, band_size=4, num_hashes=8, min_jaccard=0.4, pair_budget=2000
     ).select("id_a", "id_b")
 
     def split(col):
@@ -22436,4 +22494,155 @@ def q328(spark: SparkSession, sf: str) -> DataFrame:
             .cast("long")
             .alias("fpr_ppm"),
         )
+    )
+
+
+@register(
+    "q335_ivf_search_stored",
+    _q73_oracle(),
+    "q73's IVF search probing a PERSISTED index — the §8.12 store "
+    "pattern applied to ANN serving (VERDICT r9 task #4: q73 rebuilt "
+    "centroids and cell assignments on every query; dedup got its "
+    "persisted index in r9, this is the search-side twin): "
+    "similarity.build_ivf_store writes the cell-assigned vector table "
+    "(sorted by cell, with precomputed norms) and the 16-row centroid "
+    "table to parquet ONCE per corpus delivery, and ivf_search_stored "
+    "scores only the stored centroids against the broadcast query, "
+    "collects the 4 best cell ids (driver state bounded by n_probes "
+    "by construction), filters the cell-sorted store — parquet "
+    "row-group pruning; partition pruning on a cell-partitioned "
+    "production store — and takes the exact floored-cosine top-10 "
+    "inside the probed cells using the STORED norms (no per-query "
+    "norm re-fold over the corpus).  The oracle IS q73's relational "
+    "statement verbatim: the store is an implementation detail, so "
+    "stored == recompute == relational truth is one driver hash "
+    "equality (the q332/q334 proof shape); n_cells travels as column "
+    "metadata in the parquet footer and a probe over-asking fails "
+    "loudly (ADVICE-r9 params-with-the-store contract)",
+)
+def q335(spark: SparkSession, sf: str) -> DataFrame:
+    # build + probe in one call; bench.py separates the phases via
+    # STORE_SPLIT (VERDICT r9 task #5) — see q332
+    return _q335_probe(spark, sf, _q335_build(spark, sf))
+
+
+def _q335_build(spark: SparkSession, sf: str) -> str:
+    """q335's one-time index build: embeddings -> cell-sorted assigned
+    table (+ precomputed norms) and centroid table on parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import build_ivf_store
+
+    e = load_table(spark, sf, "embeddings")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_q335_%s_%d"
+        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    assigned, cents = build_ivf_store(e, n_cells=16)
+    # one-time index build per corpus delivery: the cell sort gives
+    # every row group a tight cell min/max, which is what lets the
+    # probe-time cell filter skip non-probed groups (q332's rationale)
+    assigned.sort("cell").write.parquet(os.path.join(root, "assigned"))
+    cents.write.parquet(os.path.join(root, "centroids"))
+    return root
+
+
+def _q335_probe(spark: SparkSession, sf: str, root: str) -> DataFrame:
+    """q335's per-query probe against the persisted index at ``root``."""
+    import os
+
+    from ..operators.similarity import ivf_search_stored
+
+    e = load_table(spark, sf, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    sa = spark.read.parquet(os.path.join(root, "assigned"))
+    sc = spark.read.parquet(os.path.join(root, "centroids"))
+    return ivf_search_stored(sa, sc, query, k=10, n_probes=4)
+
+
+#: VERDICT r9 task #5: the three persisted-store queries pay their
+#: one-time store build + write INSIDE the registered query by
+#: construction (honest for the differential: the driver gates the
+#: whole delivery cycle as one hash).  For benching, that build cost is
+#: amortized once-per-delivery in production and must not read as
+#: query cost in round-over-round diffs — bench.py times each phase
+#: separately through this map and records them under "store_split" in
+#: the bench detail, reconciled with SCALE.md §8.12's build/probe
+#: table.
+STORE_SPLIT: dict[str, tuple] = {
+    "q332_incremental_dedup_stored": (_q332_build, _q332_probe),
+    "q334_embedding_incremental_stored": (_q334_build, _q334_probe),
+    "q335_ivf_search_stored": (_q335_build, _q335_probe),
+}
+
+
+@register(
+    "q336_jdbc_federation",
+    """SELECT r.r_name,
+              CAST(count(*) AS BIGINT) AS n_nations,
+              min(n.n_name) AS first_nation
+       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name""",
+    "JDBC federation source (SURVEY §2.1 S7's federating alternative — "
+    "the reference's actual source is a remote PostgreSQL, "
+    "Reporting.py:7-10/load_hhs.py:179-185): the nation dimension is "
+    "written to an embedded Derby database (the only JDBC engine in "
+    "the sandbox — pyspark ships its jars; production swaps the "
+    "URL/driver for pgJDBC, same code path) and read BACK through "
+    "sources/jdbc.py:read_jdbc_table as a RANGED PARALLEL scan (4 "
+    "partitions on n_nationkey — an unpartitioned JDBC read is one "
+    "task holding one connection, the day-one federation mistake), "
+    "then aggregated per region with the region dimension broadcast.  "
+    "The oracle states the same join/aggregate over the parquet "
+    "tables, so the differential gates the full JDBC round trip: "
+    "type mapping (INT/VARCHAR), write batching, ranged predicate "
+    "generation, and read-back fidelity",
+)
+def q336(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.jdbc import derby_url, read_jdbc_table, write_jdbc_table
+
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+
+    # pid-suffixed db path, NO rmtree: Derby keeps a database booted
+    # for the JVM's lifetime, so deleting the directory under it
+    # corrupts re-use within one process; ;create=true boots an
+    # existing db and mode=overwrite recreates the table
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_q336_%s_%d"
+        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    url = derby_url(os.path.join(root, "db"))
+    write_jdbc_table(
+        nation, url, "nation", column_types="n_name VARCHAR(25)"
+    )
+    federated = read_jdbc_table(
+        spark, url, "nation",
+        partition_column="n_nationkey", lower=0, upper=25, num_partitions=4,
+    )
+    return (
+        federated.groupBy("n_regionkey")
+        .agg(
+            F.count("*").cast("long").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .join(
+            F.broadcast(
+                region.select(
+                    F.col("r_regionkey").alias("n_regionkey"), "r_name"
+                )
+            ),
+            "n_regionkey",
+        )
+        .select("r_name", "n_nations", "first_nation")
     )

@@ -11,12 +11,15 @@ the same mechanism Delta/Iceberg use, reduced to its core:
   ``<root>/data/`` (existing files are never modified or deleted);
 - a commit is made visible by writing manifest ``_v<N>.json`` listing
   the data directories that constitute version N, via temp-file +
-  ``os.rename`` (atomic on POSIX) — readers either see version N fully
-  or not at all;
-- optimistic concurrency: a committer that finds ``_v<N>.json``
-  already present aborts with ``SnapshotConflict`` instead of
-  clobbering (the loser retries on top of the winner, exactly the
-  Delta protocol's behavior);
+  ``os.link`` — the hard-link flip is atomic AND fails with ``EEXIST``
+  if the target already exists (POSIX ``rename`` would silently
+  REPLACE a racing winner's manifest) — readers either see version N
+  fully or not at all;
+- optimistic concurrency: a committer whose link loses the race gets
+  ``SnapshotConflict`` instead of clobbering (the loser retries on top
+  of the winner, exactly the Delta protocol's behavior); environmental
+  link failures (a filesystem without hard links) re-raise as-is — they
+  are not retryable conflicts;
 - ``read(version=...)`` pins any historical manifest: time travel for
   audits, reproducible training-data snapshots, and diffing (q71's
   snapshot-diff gets real versions to diff).
@@ -79,6 +82,15 @@ class SnapshotTable:
             if os.path.exists(self._manifest_path(v))  # vacuumed => gone
         ]
 
+    @staticmethod
+    def _published_same(tmp: str, path: str) -> bool:
+        """True iff ``path`` exists and is the same inode as ``tmp`` —
+        i.e. an ambiguous link error actually published OUR manifest."""
+        try:
+            return os.path.exists(path) and os.path.samefile(tmp, path)
+        except OSError:
+            return False
+
     def _publish(
         self,
         version: int,
@@ -106,11 +118,24 @@ class SnapshotTable:
             # are orphans (harmless, vacuum() collects them).
             os.link(tmp, path)
         except FileExistsError as exc:
+            # Ambiguity guard (ADVICE r9): on NFS-class filesystems a
+            # retransmitted link reply can report EEXIST for a link WE
+            # created.  samefile distinguishes "our tmp IS the target"
+            # (publish actually succeeded) from "another committer won".
+            if self._published_same(tmp, path):
+                return version
             raise SnapshotConflict(
                 f"version {version} already committed"
             ) from exc
-        except OSError as exc:  # pragma: no cover - platform dependent
-            raise SnapshotConflict(str(exc)) from exc
+        except OSError:  # pragma: no cover - platform dependent
+            # Non-EEXIST errno (e.g. EPERM/EOPNOTSUPP on a mount without
+            # hard-link support): a PERMANENT environmental failure, not
+            # a concurrency conflict — wrapping it in SnapshotConflict
+            # would spin retry loops forever.  Re-raise unless the link
+            # demonstrably landed despite the error report.
+            if self._published_same(tmp, path):
+                return version
+            raise
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)

@@ -182,6 +182,53 @@ def test_ivf_build_and_search_recall(spark):
     assert a == b
 
 
+def test_ivf_store_path_equals_recompute(spark, tmp_path):
+    """The persisted IVF index (build_ivf_store + ivf_search_stored) is
+    result-identical to the recompute path (build_ivf_cells +
+    ivf_search) across a parquet round-trip of the store — the q335
+    pin.  Plus the store guards: wrong-frame columns are refused, and
+    n_probes > the store's stamped n_cells fails loudly."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from health_data_transformation_spark.operators.similarity import (
+        build_ivf_cells,
+        build_ivf_store,
+        ivf_search,
+        ivf_search_stored,
+    )
+    from health_data_transformation_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+
+    ref_a, ref_c = build_ivf_cells(e, n_cells=8)
+    ref = sorted(
+        tuple(r) for r in ivf_search(ref_a, ref_c, query, 10, n_probes=4).collect()
+    )
+
+    assigned, cents = build_ivf_store(e, n_cells=8)
+    assert assigned.schema["cell"].metadata["hdt_n_cells"] == 8
+    assigned.sort("cell").write.parquet(str(tmp_path / "assigned"))
+    cents.write.parquet(str(tmp_path / "centroids"))
+    sa = spark.read.parquet(str(tmp_path / "assigned"))
+    sc = spark.read.parquet(str(tmp_path / "centroids"))
+    assert sc.schema["cell"].metadata["hdt_n_cells"] == 8  # survived parquet
+
+    got = sorted(
+        tuple(r)
+        for r in ivf_search_stored(sa, sc, query, 10, n_probes=4).collect()
+    )
+    assert got == ref
+
+    with _pytest.raises(ValueError, match="build_ivf_store"):
+        ivf_search_stored(sc, sa, query, 10, n_probes=4)
+    with _pytest.raises(ValueError, match="n_probes"):
+        ivf_search_stored(sa, sc, query, 10, n_probes=9)
+
+
 def test_watermark_append_mode_finalizes_windows(spark, tmp_path):
     """Append-mode windowed aggregation with a watermark: windows are
     emitted once finalized, and the finalized results equal the batch

@@ -1024,3 +1024,85 @@ def test_embedding_store_path_equals_recompute(spark, tmp_path):
         dedup.embedding_incremental_matches_stored(
             sb, sv, batch, max_bucket=5, pair_budget=40
         )
+
+
+def test_store_param_mismatch_fails_closed(spark, tmp_path):
+    """ADVICE r9: build params are persisted with the store (column
+    metadata, surviving a parquet round-trip) and a probe with
+    different params RAISES instead of silently yielding empty
+    collisions (which would admit every near-dup — fail open).
+    Hand-built frames without the metadata stay accepted."""
+    import pytest as _pytest
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    buckets, tokens = dedup.build_lsh_store(corpus)  # band_size=4, num_hashes=8
+    buckets.write.parquet(str(tmp_path / "b"))
+    tokens.write.parquet(str(tmp_path / "t"))
+    sb = spark.read.parquet(str(tmp_path / "b"))
+    st = spark.read.parquet(str(tmp_path / "t"))
+    assert sb.schema["bucket"].metadata["hdt_band_size"] == 4  # survived parquet
+    with _pytest.raises(ValueError, match="param mismatch"):
+        dedup.lsh_incremental_matches_stored(sb, st, batch, band_size=2)
+    with _pytest.raises(ValueError, match="param mismatch"):
+        dedup.lsh_incremental_matches_stored(sb, st, batch, num_hashes=16)
+    # matching params (the defaults) still run
+    assert dedup.lsh_incremental_matches_stored(sb, st, batch).count() == 1
+    # a hand-built store without metadata is accepted (documented
+    # keep-params-with-the-store convention)
+    bare = sb.select(F.col("bucket").alias("bucket", metadata={}), "id_c")
+    assert bare.schema["bucket"].metadata == {}
+    assert dedup.lsh_incremental_matches_stored(bare, st, batch).count() == 1
+
+    # vector side
+    def vec(seed):
+        return [float((seed * 31 + i * 7) % 13) / 13.0 for i in range(64)]
+
+    vcorpus = spark.createDataFrame(
+        [(1, vec(1)), (2, vec(9))], "vec_id long, embedding array<float>"
+    )
+    vbatch = spark.createDataFrame(
+        [(10, vec(1))], "vec_id long, embedding array<float>"
+    )
+    vb, vv = dedup.build_embedding_lsh_store(vcorpus)  # n_planes=8, dim=64
+    vb.write.parquet(str(tmp_path / "vb"))
+    svb = spark.read.parquet(str(tmp_path / "vb"))
+    with _pytest.raises(ValueError, match="param mismatch"):
+        dedup.embedding_incremental_matches_stored(svb, vv, vbatch, n_planes=4)
+    with _pytest.raises(ValueError, match="param mismatch"):
+        dedup.embedding_incremental_matches_stored(svb, vv, vbatch, dim=32)
+    assert dedup.embedding_incremental_matches_stored(
+        svb, vv, vbatch
+    ).count() == 1
+
+
+def test_pushdown_semi_join_fallback(spark, tmp_path, monkeypatch):
+    """ADVICE r9: above PUSHDOWN_IN_LIMIT collected keys, probe
+    pushdown switches from a literal IN filter to a broadcast
+    semi-join — results identical on both sides of the limit (forced
+    by pinning the limit to 0)."""
+    corpus = spark.createDataFrame(
+        [(i, f"shared tokens alpha beta gamma id{i % 3}") for i in range(9)]
+        + [(100, "totally different content words")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000, "shared tokens alpha beta gamma id0"),
+         (1001, "novel text with no overlap at all")],
+        "doc_id long, text string",
+    )
+    buckets, tokens = dedup.build_lsh_store(corpus)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    ref = canon(dedup.lsh_incremental_matches_stored(
+        buckets, tokens, batch, max_bucket=10, probe_pushdown=True))
+    monkeypatch.setattr(dedup, "PUSHDOWN_IN_LIMIT", 0)
+    assert canon(dedup.lsh_incremental_matches_stored(
+        buckets, tokens, batch, max_bucket=10, probe_pushdown=True)) == ref

@@ -87,6 +87,59 @@ def test_publish_race_loser_conflicts_without_clobber(
     ]  # loser's tmp cleaned up
 
 
+def test_publish_environmental_oserror_reraises(spark, tmp_path, monkeypatch):
+    """ADVICE r9: a non-EEXIST OSError from the link flip (filesystem
+    without hard-link support) is a PERMANENT environmental failure —
+    it must re-raise as-is, not masquerade as a retryable
+    SnapshotConflict (which would spin retry loops forever)."""
+    import health_data_transformation_spark.snapshots as S
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+
+    def no_links(src, dst):
+        raise PermissionError("hard links not supported on this mount")
+
+    monkeypatch.setattr(S.os, "link", no_links)
+    with pytest.raises(PermissionError):
+        t.commit_append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    # and no half-published manifest or stranded tmp remains
+    assert t.current_version() == 1
+    assert not [f for f in os.listdir(str(tmp_path / "t")) if ".tmp-" in f]
+
+
+def test_publish_ambiguous_link_success_is_not_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: an NFS-class retransmit can report failure for a link
+    that actually landed.  When the target exists AND is our tmp's
+    inode, publish must report SUCCESS, not conflict/error."""
+    import health_data_transformation_spark.snapshots as S
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+
+    real_link = S.os.link
+
+    def link_then_lie(src, dst):
+        real_link(src, dst)  # the link actually lands...
+        raise FileExistsError(dst)  # ...but the reply reports EEXIST
+
+    monkeypatch.setattr(S.os, "link", link_then_lie)
+    v = t.commit_append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    monkeypatch.undo()
+    assert v == 2
+    assert rows(t.read(version=2)) == [(1, "a"), (2, "b")]
+    # same for a generic OSError report after a successful link
+    def link_then_err(src, dst):
+        real_link(src, dst)
+        raise OSError("retransmit timeout")
+
+    monkeypatch.setattr(S.os, "link", link_then_err)
+    v = t.commit_append(spark.createDataFrame([(3, "c")], "k int, v string"))
+    assert v == 3
+
+
 def test_read_empty_table_raises(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     with pytest.raises(ValueError):

@@ -9,6 +9,9 @@ the weaker rows-only check for non-SQL-expressible ops) and err null.
 
 Usage:
   python tools/driver_ledger.py            # summary + never-verified list
+  python tools/driver_ledger.py --stale    # + full rotation order (the
+                                           #   prefix builder's input once
+                                           #   never-count is 0)
   python tools/driver_ledger.py --json P   # also write machine ledger
 Exit 1 iff the q169 prefix-pin assertion fails (round_gate gates on it).
 """
@@ -69,12 +72,33 @@ def main() -> None:
     )
     for name in never:
         print(f"  never: {name}")
-    stale = sorted(
+    # VERDICT r9 task #6: staleness rotation.  The full rotation order
+    # (never-verified first, then oldest-evidence ascending) is what
+    # each round's prefix builder consumes after never-count reaches 0,
+    # so every entry's driver proof stays <= ~5 rounds old (49
+    # rotating slots / ~330 entries ~= 7 rounds full cycle; the 50th
+    # slot is the q169 pin).
+    stale_all = sorted(
         ((max(r), n) for n, r in verified.items()), key=lambda t: (t[0], t[1])
-    )[:15]
-    print("\noldest driver evidence (round, query):")
-    for rnd, name in stale:
+    )
+    newest = max((max(r) for r in verified.values()), default=0)
+    if stale_all:
+        oldest_rnd = stale_all[0][0]
+        n_oldest = sum(1 for rnd, _ in stale_all if rnd == oldest_rnd)
+        print(
+            f"\nmax staleness: r{oldest_rnd} "
+            f"({newest - oldest_rnd} rounds behind r{newest}; "
+            f"{n_oldest} queries at that age)"
+        )
+    print("oldest driver evidence (round, query):")
+    for rnd, name in stale_all[:15]:
         print(f"  r{rnd}: {name}")
+    if "--stale" in sys.argv:
+        print("\nrotation order (never first, then oldest evidence):")
+        for name in never:
+            print(f"  never {name}")
+        for rnd, name in stale_all:
+            print(f"  r{rnd}    {name}")
     if json_out:
         Path(json_out).write_text(
             json.dumps(

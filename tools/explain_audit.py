@@ -44,6 +44,10 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q39_embedding_norms",
     "q40_ivf_topk",
     "q73_ivf_built_search",
+    # same 1-row broadcast query vector crossJoined to the (cell-
+    # pruned) stored assignment table and the 16-row centroid table —
+    # q73's idiom against the persisted index
+    "q335_ivf_search_stored",
     "q82_int8_cosine_topk",
     # 1-row total-count table attached to the decile targets
     "q129_equidepth_hist",

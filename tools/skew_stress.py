@@ -993,6 +993,123 @@ def measure_store_growth(spark) -> None:
     batch.unpersist()
 
 
+def measure_ivf_store(spark) -> None:
+    """§8.13 (r10): what the PERSISTED IVF index buys at serving time.
+
+    q73's recompute path rebuilds the coarse quantizer per query:
+    centroid pick + a corpus x 16-centroid broadcast crossJoin + a
+    per-vector row_number window (a FULL SHUFFLE of the vector table)
+    — per QUERY.  ``build_ivf_store``/``ivf_search_stored`` pay that
+    once per corpus delivery; a query then scores 16 stored centroids
+    and scans only the probed cells of the cell-sorted store.  This
+    measures the divergence as the corpus grows with the query load
+    held fixed:
+
+      * corpora: sf0.1 embeddings replicated 1x/8x/32x (vec_id
+        remapped ``id*mult+rep``, vectors unchanged — duplicate
+        vectors only add ties, broken by id in both arms);
+      * query load: 3 query vectors (base ids 0/1/2), each searched
+        top-10 with n_probes=4 of 16 cells;
+      * arms, results asserted identical per query:
+        (a) rebuild — build_ivf_cells + ivf_search per query (the
+            pre-r10 q73 shape when served repeatedly);
+        (b) stored — ivf_search_stored against the parquet index.
+
+    Store build wall and size are reported separately — paid once per
+    delivery, not per query.  Both arms' probe cost grows with the
+    corpus (the probed cells are ~n_probes/n_cells of the table —
+    that part is inherent); what the store removes is the PER-QUERY
+    rebuild: the corpus-wide assignment shuffle.
+    """
+    sys.path.insert(0, "/root/repo")
+    from health_data_transformation_spark.operators.similarity import (
+        build_ivf_cells,
+        build_ivf_store,
+        ivf_search,
+        ivf_search_stored,
+    )
+
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = spark.read.parquet(f"{base_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in sorted(
+            base.filter(F.col("vec_id") < 3).collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+
+    def du(path: str) -> int:
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(path):
+            for f in filenames:
+                total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    print("\n=== §8.13 IVF store: per-query wall vs corpus size ===")
+    for mult in (1, 8, 32):
+        root = f"/tmp/hdt_ivfgrow_{mult}x"
+        cdir = os.path.join(root, "embeddings.parquet")
+        if not os.path.exists(os.path.join(root, "_done")):
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(root, exist_ok=True)
+            reps = base.crossJoin(
+                spark.range(mult).select(F.col("id").alias("rep"))
+            )
+            reps.select(
+                (F.col("vec_id") * mult + F.col("rep")).alias("vec_id"),
+                "embedding",
+            ).write.parquet(cdir)
+            open(os.path.join(root, "_done"), "w").close()
+        corpus = spark.read.parquet(cdir)
+        n_corpus = corpus.count()
+
+        adir = os.path.join(root, "ivf_assigned")
+        kdir = os.path.join(root, "ivf_centroids")
+        shutil.rmtree(adir, ignore_errors=True)
+        shutil.rmtree(kdir, ignore_errors=True)
+        t0 = time.time()
+        assigned, cents = build_ivf_store(corpus, n_cells=16)
+        assigned.sort("cell").write.parquet(adir)
+        cents.write.parquet(kdir)
+        t_build = time.time() - t0
+        sa = spark.read.parquet(adir)
+        sc = spark.read.parquet(kdir)
+
+        walls = {"rebuild": 0.0, "stored": 0.0}
+        for qid, qvec in queries:
+            qdf = spark.range(1).select(
+                F.array(*[F.lit(float(x)) for x in qvec])
+                .cast("array<float>")
+                .alias("qv")
+            )
+            t0 = time.time()
+            ra, rc = build_ivf_cells(corpus, n_cells=16)
+            got_rebuild = sorted(
+                tuple(r) for r in ivf_search(ra, rc, qdf, 10, n_probes=4).collect()
+            )
+            walls["rebuild"] += time.time() - t0
+            t0 = time.time()
+            got_stored = sorted(
+                tuple(r)
+                for r in ivf_search_stored(sa, sc, qdf, 10, n_probes=4).collect()
+            )
+            walls["stored"] += time.time() - t0
+            assert got_rebuild == got_stored, (
+                f"arms disagree at {mult}x query {qid}"
+            )
+        print(
+            f"{mult:>3}x: corpus {n_corpus:>8} vecs, store "
+            f"{du(adir) / 1e6:7.1f} MB assigned + {du(kdir) / 1e6:4.2f} MB "
+            f"centroids, build {t_build:5.1f}s | 3-query walls: "
+            f"rebuild {walls['rebuild']:6.2f}s, "
+            f"stored {walls['stored']:6.2f}s "
+            f"({walls['rebuild'] / max(walls['stored'], 1e-9):4.1f}x)"
+        )
+
+
 def build_embdup_corpus(spark, n: int, dest: str) -> None:
     """Replicated ~sf1 inputs where embeddings is duplicate-saturated
     and cell-skewed (§8.10 — the §8.9 corpus shape for vectors).
@@ -1240,16 +1357,18 @@ def main() -> None:
     ingest = "--ingest" in args
     # --store (§8.12): self-building store-growth measurement only
     store = "--store" in args
+    # --ivf (§8.13): self-building IVF-store serving measurement only
+    ivf = "--ivf" in args
     dup = dup or curve or ingest
     args = [
         a
         for a in args
         if a not in ("--r6", "--dup", "--emb", "--curve", "--ingest",
-                     "--store")
+                     "--store", "--ivf")
     ]
     n = int(args[0]) if args and args[0].isdigit() else (25 if emb else 10)
     names = [a for a in args if not a.isdigit()] or (
-        [] if curve or ingest or store
+        [] if curve or ingest or store or ivf
         else WAVE_EMB if emb else WAVE_DUP if dup else WAVE_R6 if r6 else WAVE
     )
 
@@ -1290,6 +1409,12 @@ def main() -> None:
         # §8.12 builds its own 1x/8x/32x corpora; no wave, no oracle
         measure_store_growth(spark)
         print("store-growth wave done")
+        return
+
+    if ivf:
+        # §8.13 builds its own 1x/8x/32x corpora; no wave, no oracle
+        measure_ivf_store(spark)
+        print("ivf-store wave done")
         return
 
     mode = "embdup" if emb else "dup" if dup else "skew_r6" if r6 else "skew"

@@ -48,12 +48,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   35    q336, the JDBC federation entry (task #7: the S7 seam,
 #:         end-to-end against embedded Derby — new, so never-verified
 #:         by construction);
-#:   36-50 the 15 stalest by driver evidence (task #6's rotation
-#:         policy, first application: all from r2 — the q15-q55
+#:   36    q337, batched IVF serving (in-plan probe selection — the
+#:         §8.13 batch shape; new, never-verified by construction);
+#:   37-50 the 14 stalest by driver evidence (task #6's rotation
+#:         policy, first application: all from r2 — the q15-q54
 #:         block), ordered oldest-first from tools/driver_ledger.py
 #:         --stale.  Expected ledger after the r10 driver run:
-#:         never-count 0 (25 + 2 new - 27) and max staleness r2
-#:         (8 r2-era queries remain for the r11 rotation).
+#:         never-count 0 (25 + 3 new - 28) and max staleness r2
+#:         (9 r2-era queries remain for the r11 rotation).
 #: Prefix slots held for RE-PROOF rather than never/staleness rotation
 #: (tests/test_tools_registry.py bounds this list at 8 and requires
 #: each member to already carry driver evidence): q238/q244/q56 are the
@@ -106,6 +108,7 @@ _PROMOTED = [
     "q179_quality_keeper",
     "q211_split_leakage_audit",
     "q336_jdbc_federation",
+    "q337_ivf_batch_search",
     "q15_orders_per_customer",
     "q16_topk_orders",
     "q17_top3_per_customer",
@@ -120,7 +123,6 @@ _PROMOTED = [
     "q48_stats_moments",
     "q50_salted_agg",
     "q54_range_join",
-    "q55_grouping_sets",
 ]
 
 

@@ -391,6 +391,96 @@ def ivf_search_stored(
     )
 
 
+def ivf_search_batch(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_col: str = "qv",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact floored-cosine top-k for MANY queries in ONE plan — the
+    shape a serving/labeling pipeline actually runs (k-NN for a whole
+    batch of embeddings), with NO per-query driver round trip.
+
+    :func:`ivf_search_stored` collects each query's probe cells on the
+    driver — right for interactive single queries, O(|Q|) collects for
+    a batch.  Here probe selection stays IN the plan: queries cross the
+    broadcast ``n_cells``-row centroid table (|Q| x n_cells rows), a
+    per-query window ranks the ``n_probes`` best cells (each window
+    group is exactly n_cells rows — never corpus-sized), and the probe
+    set — |Q| x n_probes rows carrying the query vector and its
+    precomputed norm — is BROADCAST against the stored assignment
+    table's cell key.  Candidate volume is the inherent
+    ~|Q| x n_probes/n_cells x |corpus|; the final per-query top-k runs
+    through the two-phase ``top_k_per_group_scalable`` so no query's
+    candidate set funnels through one task.
+
+    Sizing contract: the broadcast probe set is |Q| x n_probes vectors
+    — right while a query batch fits in executor memory (the serving
+    case).  For corpus-vs-corpus kNN (|Q| ~ |corpus|) use the
+    LSH-bucketed per-vector top-k (q105's shape) instead; a broadcast
+    there would be the corpus itself.
+
+    Returns (query_id, id, sim, rank) with rank 1..k per query,
+    tiebroken (sim desc, id asc) — engine-stable and oracle-exact.
+    """
+    for frame, need, name in (
+        (assigned, {"cell", vec_col, id_col}, "assigned"),
+        (centroids, {"cell", "_centroid", "_cnorm"}, "centroids"),
+    ):
+        missing = need - set(frame.columns)
+        if missing:
+            raise ValueError(
+                f"store frame '{name}' lacks column(s) {sorted(missing)}; "
+                "build it with build_ivf_store"
+            )
+    meta = centroids.schema["cell"].metadata or {}
+    if "hdt_n_cells" in meta and n_probes > int(meta["hdt_n_cells"]):
+        raise ValueError(
+            f"n_probes={n_probes} exceeds the store's n_cells="
+            f"{int(meta['hdt_n_cells'])} — see ivf_search_stored"
+        )
+    q = queries.select(query_id_col, query_col).withColumn(
+        "_qnorm", norm(query_col)
+    )
+    cq = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "_qsim",
+        dot(F.col("_centroid"), F.col(query_col))
+        / (F.col("_cnorm") * F.col("_qnorm")),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_qsim"), F.asc("cell")
+    )
+    probes = (
+        cq.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probes)
+        .select(query_id_col, "cell", query_col, "_qnorm")
+    )
+    vnorm = (
+        F.col("_vnorm") if "_vnorm" in assigned.columns else norm(F.col(vec_col))
+    )
+    sim = dot(F.col(vec_col), F.col(query_col)) / (vnorm * F.col("_qnorm"))
+    quant = F.lit(float(10 ** 6))
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .withColumn("sim", F.floor(sim * quant) / quant)
+        .select(query_id_col, F.col(id_col), F.col("sim"))
+    )
+    from .topk import top_k_per_group_scalable
+
+    return top_k_per_group_scalable(
+        scored,
+        [query_id_col],
+        [F.desc("sim"), F.asc(id_col)],
+        k,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def ivf_top_k(
     df: DataFrame, query: DataFrame, k: int = 3,
     bucket_col: str = "label", vec_col: str = "embedding",

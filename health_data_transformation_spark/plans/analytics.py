@@ -22646,3 +22646,72 @@ def q336(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("r_name", "n_nations", "first_nation")
     )
+
+
+def _q337_oracle(n_queries: int = 3, n_probes: int = 4, k: int = 10) -> str:
+    """Multi-query IVF oracle: q73's statement generalized to a query
+    BATCH — per-query probe-cell ranks, then per-query top-k."""
+    cos = (
+        "(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))))"
+    )
+    ec = cos.format(a="e.v", b="c.c")
+    cq = cos.format(a="c.c", b="q.qv")
+    ap = cos.format(a="a.v", b="p.qv")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cell, v AS c FROM e ORDER BY vec_id LIMIT 16),
+         assigned AS (
+           SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY {ec} DESC, c.cell ASC) AS rk
+             FROM e CROSS JOIN cents c) WHERE rk = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < {n_queries}),
+         probes AS (
+           SELECT query_id, cell, qv FROM (
+             SELECT q.query_id, c.cell, q.qv,
+                    row_number() OVER (PARTITION BY q.query_id
+                                       ORDER BY {cq} DESC, c.cell ASC) AS pr
+             FROM cents c CROSS JOIN q) WHERE pr <= {n_probes}),
+         scored AS (
+           SELECT p.query_id, a.vec_id,
+                  (floor(({ap}) * 1000000.0) / 1000000.0) AS sim
+           FROM assigned a JOIN probes p ON a.cell = p.cell)
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored) WHERE rank <= {k}"""
+
+
+@register(
+    "q337_ivf_batch_search",
+    _q337_oracle(),
+    "batched IVF search: exact floored-cosine top-10 for a BATCH of "
+    "query vectors in ONE plan — the serving/labeling shape (k-NN for "
+    "a whole batch) where q73/q335's per-query driver probe-collect "
+    "would cost O(|Q|) round trips.  Probe selection stays in-plan: "
+    "queries cross the broadcast 16-row centroid table, a per-query "
+    "window ranks the 4 best cells (each window group is exactly 16 "
+    "rows — never corpus-sized), and the |Q| x 4-row probe set "
+    "(carrying query vectors + precomputed norms) broadcasts against "
+    "the assignment table's cell key; the per-query top-10 runs "
+    "through the two-phase top_k_per_group_scalable so no query's "
+    "candidate set funnels through one task.  Sizing contract stated "
+    "on the operator: right while the query batch fits in executor "
+    "memory; corpus-vs-corpus kNN belongs to the LSH-bucketed "
+    "per-vector top-k (q105).  The oracle is q73's statement "
+    "generalized to the batch — per-query probe ranks, per-query "
+    "top-k, floor6 sims, id tiebreaks",
+)
+def q337(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import build_ivf_store, ivf_search_batch
+
+    e = load_table(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    assigned, cents = build_ivf_store(e, n_cells=16)
+    return ivf_search_batch(assigned, cents, queries, k=10, n_probes=4)

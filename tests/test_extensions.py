@@ -229,6 +229,57 @@ def test_ivf_store_path_equals_recompute(spark, tmp_path):
         ivf_search_stored(sa, sc, query, 10, n_probes=9)
 
 
+def test_ivf_batch_search_equals_per_query(spark, tmp_path):
+    """ivf_search_batch's per-query rows equal ivf_search_stored run
+    query by query on the same store (the q337 pin), across a parquet
+    round trip; n_probes over the stored n_cells fails loudly."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from health_data_transformation_spark.operators.similarity import (
+        build_ivf_store,
+        ivf_search_batch,
+        ivf_search_stored,
+    )
+    from health_data_transformation_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    assigned, cents = build_ivf_store(e, n_cells=8)
+    assigned.sort("cell").write.parquet(str(tmp_path / "a"))
+    cents.write.parquet(str(tmp_path / "c"))
+    sa = spark.read.parquet(str(tmp_path / "a"))
+    sc = spark.read.parquet(str(tmp_path / "c"))
+
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    batch = ivf_search_batch(sa, sc, queries, k=5, n_probes=3)
+    got = {
+        qid: sorted(
+            (r["vec_id"], r["sim"], r["rank"])
+            for r in batch.filter(F.col("query_id") == qid).collect()
+        )
+        for qid in (0, 1, 2)
+    }
+    for qid in (0, 1, 2):
+        q1 = e.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qv")
+        )
+        per = ivf_search_stored(sa, sc, q1, k=5, n_probes=3).collect()
+        want = sorted(
+            (r["vec_id"], r["sim"], rank)
+            for rank, r in enumerate(
+                sorted(per, key=lambda r: (-r["sim"], r["vec_id"])), start=1
+            )
+        )
+        assert got[qid] == want, f"query {qid} mismatch"
+
+    with _pytest.raises(ValueError, match="n_probes"):
+        ivf_search_batch(sa, sc, queries, k=5, n_probes=9)
+    with _pytest.raises(ValueError, match="build_ivf_store"):
+        ivf_search_batch(sc, sa, queries, k=5)
+
+
 def test_watermark_append_mode_finalizes_windows(spark, tmp_path):
     """Append-mode windowed aggregation with a watermark: windows are
     emitted once finalized, and the finalized results equal the batch

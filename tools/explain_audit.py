@@ -48,6 +48,10 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # pruned) stored assignment table and the 16-row centroid table —
     # q73's idiom against the persisted index
     "q335_ivf_search_stored",
+    # batched form: the 16-row centroid table crossJoins BOTH the
+    # in-plan assignment pass and the 3-row query frame (probe
+    # ranking); every BNLJ build side is <=16 rows by construction
+    "q337_ivf_batch_search",
     "q82_int8_cosine_topk",
     # 1-row total-count table attached to the decile targets
     "q129_equidepth_hist",

@@ -50,12 +50,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #:         by construction);
 #:   36    q337, batched IVF serving (in-plan probe selection — the
 #:         §8.13 batch shape; new, never-verified by construction);
-#:   37-50 the 14 stalest by driver evidence (task #6's rotation
-#:         policy, first application: all from r2 — the q15-q54
+#:   37    q338, the streaming vector-admission twin (q181's embedding
+#:         sibling — streaming == batch == oracle as one hash; new,
+#:         never-verified by construction);
+#:   38-50 the 13 stalest by driver evidence (task #6's rotation
+#:         policy, first application: all from r2 — the q15-q50
 #:         block), ordered oldest-first from tools/driver_ledger.py
 #:         --stale.  Expected ledger after the r10 driver run:
-#:         never-count 0 (25 + 3 new - 28) and max staleness r2
-#:         (9 r2-era queries remain for the r11 rotation).
+#:         never-count 0 (25 + 4 new - 29) and max staleness r2
+#:         (10 r2-era queries remain for the r11 rotation).
 #: Prefix slots held for RE-PROOF rather than never/staleness rotation
 #: (tests/test_tools_registry.py bounds this list at 8 and requires
 #: each member to already carry driver evidence): q238/q244/q56 are the
@@ -109,6 +112,7 @@ _PROMOTED = [
     "q211_split_leakage_audit",
     "q336_jdbc_federation",
     "q337_ivf_batch_search",
+    "q338_stream_embedding_admission",
     "q15_orders_per_customer",
     "q16_topk_orders",
     "q17_top3_per_customer",
@@ -122,7 +126,6 @@ _PROMOTED = [
     "q47_percentiles",
     "q48_stats_moments",
     "q50_salted_agg",
-    "q54_range_join",
 ]
 
 

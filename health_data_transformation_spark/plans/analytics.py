@@ -7333,13 +7333,21 @@ def _q332_probe(spark: SparkSession, sf: str, root: str) -> DataFrame:
     )
 
 
-def _q333_oracle(pair_budget: int = 100, n_planes: int = 8) -> str:
+def _q333_oracle(
+    pair_budget: int = 100, n_planes: int = 8, max_bucket: int | None = None
+) -> str:
     """Embedding ingest-admission oracle: batch (vec_id % 7 = 3) vs
     corpus, candidates by equal random-hyperplane LSH signature
     (q100's integer-exact restatement), corpus buckets kept per the
     apply_join_pair_budget derivation (bit-length classes over
     corpus-rows x batch-rows product volumes — q178/q331's mirrored
-    form), verified by exact floor6 cosine."""
+    form), verified by exact floor6 cosine.
+
+    ``max_bucket`` swaps the budget CTEs for the corpus-side absolute
+    cap — the BATCH-INDEPENDENT form the streaming twin (q338) needs:
+    a per-microbatch budget would derive its keep-set from that
+    microbatch's probe counts, so the union of arrival verdicts could
+    differ from the whole-batch result; the corpus-side cap cannot."""
     from ..functions.vector import int8_quantize_sql
     from ..operators.similarity import _hyperplanes
 
@@ -7350,14 +7358,14 @@ def _q333_oracle(pair_budget: int = 100, n_planes: int = 8) -> str:
         for j, plane in enumerate(planes)
     )
     cos = cosine_sql("qb.embedding", "qc.embedding")
-    return f"""WITH q0 AS (SELECT vec_id, vec_id % 7 = 3 AS in_batch, embedding,
-                     {int8_quantize_sql('embedding')} AS qv
-              FROM embeddings),
-       sigs AS (SELECT vec_id, in_batch, CAST({bits} AS BIGINT) AS lsh_sig
-                FROM q0),
-       cs AS (SELECT vec_id AS id_c, lsh_sig FROM sigs WHERE NOT in_batch),
-       bs AS (SELECT vec_id AS id_b, lsh_sig FROM sigs WHERE in_batch),
-       nc AS (SELECT lsh_sig, count(*) AS nb FROM cs GROUP BY lsh_sig),
+    if max_bucket is not None:
+        keep_ctes = (
+            "cb AS (SELECT id_c, lsh_sig FROM (\n"
+            "  SELECT id_c, lsh_sig, count(*) OVER (PARTITION BY lsh_sig) AS bn\n"
+            f"  FROM cs) WHERE bn <= {max_bucket}),"
+        )
+    else:
+        keep_ctes = f"""nc AS (SELECT lsh_sig, count(*) AS nb FROM cs GROUP BY lsh_sig),
        npb AS (SELECT lsh_sig, count(*) AS np FROM bs GROUP BY lsh_sig),
        vol AS (SELECT lsh_sig, nb * np AS v,
                       length(bin(least(nb * np,
@@ -7369,7 +7377,15 @@ def _q333_oracle(pair_budget: int = 100, n_planes: int = 8) -> str:
                WHERE cumv <= {pair_budget}),
        cb AS (SELECT c.id_c, c.lsh_sig FROM cs c
               JOIN vol USING (lsh_sig) CROSS JOIN thr t
-              WHERE vol.vc <= t.cap),
+              WHERE vol.vc <= t.cap),"""
+    return f"""WITH q0 AS (SELECT vec_id, vec_id % 7 = 3 AS in_batch, embedding,
+                     {int8_quantize_sql('embedding')} AS qv
+              FROM embeddings),
+       sigs AS (SELECT vec_id, in_batch, CAST({bits} AS BIGINT) AS lsh_sig
+                FROM q0),
+       cs AS (SELECT vec_id AS id_c, lsh_sig FROM sigs WHERE NOT in_batch),
+       bs AS (SELECT vec_id AS id_b, lsh_sig FROM sigs WHERE in_batch),
+       {keep_ctes}
        cands AS (SELECT DISTINCT id_b, id_c FROM bs JOIN cb USING (lsh_sig)),
        verified AS (
          SELECT c.id_b, c.id_c
@@ -22715,3 +22731,32 @@ def q337(spark: SparkSession, sf: str) -> DataFrame:
     )
     assigned, cents = build_ivf_store(e, n_cells=16)
     return ivf_search_batch(assigned, cents, queries, k=10, n_probes=4)
+
+
+@register(
+    "q338_stream_embedding_admission",
+    _q333_oracle(max_bucket=50),
+    "the q333 vector-admission gate run as a STREAM "
+    "(streaming/ingest.py:stream_embedding_admission) — q181's twin "
+    "on the embedding side, completing the family's symmetry "
+    "(q178/q331/q332 text :: q333/q334 vectors :: q181/q338 streams): "
+    "batch vectors arrive as two microbatch files and foreachBatch "
+    "probes the corpus's PERSISTED embedding store "
+    "(build_embedding_lsh_store, written once before the stream; "
+    "each arrival signs only itself and verifies with the STORED "
+    "precomputed norms).  The bucket guard is the corpus-side "
+    "max_bucket ON PURPOSE: a per-microbatch pair_budget would derive "
+    "its keep-set from that microbatch's probe counts, so the union "
+    "of arrival verdicts could differ from the whole-batch result — "
+    "the corpus-side cap is batch-independent, making admission "
+    "stateless given the store, so streaming == batch == relational "
+    "truth is one hash equality (the oracle is q333's statement with "
+    "the cap CTE swapped for the corpus-side count).  At 100 TB the "
+    "stored signature+norm tables are the probe index and streaming "
+    "state is empty: arrival granularity cannot change the admitted "
+    "set",
+)
+def q338(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.ingest import stream_embedding_admission
+
+    return stream_embedding_admission(spark, sf)

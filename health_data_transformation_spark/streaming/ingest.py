@@ -226,6 +226,101 @@ def stream_incremental_dedup(
     return spark.read.parquet(out_dir)
 
 
+def stream_embedding_admission(
+    spark,
+    sf_dir: str,
+    timeout_sec: int = 300,
+):
+    """Streaming SemDeDup admission for VECTORS: each arriving
+    microbatch of embeddings is gated against the stored corpus's
+    persisted signature index before landing — the vector twin of
+    :func:`stream_incremental_dedup` (q181), completing the streaming
+    surface's symmetry with the batch family
+    (q178/q331/q332 text :: q333/q334 vectors :: q181/q338 streams).
+
+    The corpus's embedding LSH store (``dedup.build_embedding_lsh_store``
+    — signature buckets + vectors with precomputed norms) is persisted
+    ONCE before the stream starts; batch vectors (vec_id % 7 = 3)
+    arrive as TWO microbatch files (split by id parity,
+    maxFilesPerTrigger=1) and ``foreachBatch`` probes the store with
+    ``embedding_incremental_matches_stored`` — signing only the
+    arrival.  The bucket guard is the CORPUS-SIDE ``max_bucket`` on
+    purpose: a per-microbatch ``pair_budget`` would derive its
+    keep-set from that microbatch's probe counts, so the union of
+    arrival verdicts could differ from the whole-batch result; the
+    corpus-side cap is batch-independent, so admission is stateless
+    given the store and the union over ANY arrival granularity EQUALS
+    the batch result — which the q338 oracle (q333's statement with
+    the cap swapped in) verifies end to end.  State story at 100 TB:
+    identical to q181 — the store is the probe-side index, streaming
+    state itself is empty, no watermark needed.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from ..operators.dedup import (
+        build_embedding_lsh_store,
+        embedding_incremental_matches_stored,
+    )
+    from ..sources.tables import load_table
+    from .windows import narrow_shuffle
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    in_batch = F.col("vec_id") % 7 == 3
+    corpus = e.filter(~in_batch)
+    batch_vecs = e.filter(in_batch)
+
+    stage = tempfile.mkdtemp(prefix="hdt_stream_emb_")
+    out_dir = os.path.join(stage, "_verdicts")
+
+    store_b = os.path.join(stage, "_store_buckets")
+    store_v = os.path.join(stage, "_store_vectors")
+    buckets, vectors = build_embedding_lsh_store(corpus)
+    buckets.sort("lsh_sig").write.parquet(store_b)
+    vectors.sort("id_c").write.parquet(store_v)
+    sb = spark.read.parquet(store_b)
+    sv = spark.read.parquet(store_v)
+
+    def stage_file(df, name: str) -> None:
+        tmp = os.path.join(stage, "_tmp_" + name)
+        df.coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.rename(os.path.join(tmp, part), os.path.join(stage, name))
+
+    stage_file(batch_vecs.filter(F.col("vec_id") % 2 == 0), "arrival1.parquet")
+    stage_file(batch_vecs.filter(F.col("vec_id") % 2 == 1), "arrival2.parquet")
+
+    def admit(bdf, batch_id: int) -> None:
+        embedding_incremental_matches_stored(
+            sb, sv, bdf, min_cosine=0.3, max_bucket=50,
+        ).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(batch_vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    name = f"emb_admission_{uuid.uuid4().hex[:8]}"
+    with narrow_shuffle(spark):
+        query = (
+            stream.writeStream.foreachBatch(admit)
+            .queryName(name)
+            .option(
+                "checkpointLocation", os.path.join(stage, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
+    return spark.read.parquet(out_dir)
+
+
 def stream_static_enrich(
     spark,
     sf_dir: str,

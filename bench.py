@@ -17,6 +17,17 @@ is high in both reps.  Queries under the threshold keep a single
 measurement: they cannot trip the gate's 1s absolute floor.  Both raw
 reps land in bench_detail.json under "reps" so the spread is auditable.
 Set SPARK_GRAFT_BENCH_REPS=1 to force the old single-pass behavior.
+
+r10 instrument fix: the confirmation rep used to run IMMEDIATELY after
+the first — but the observed spike windows on this box span several
+seconds, so BOTH back-to-back reps landed inside the same bad window
+and min() confirmed the spike (measured: three r10 runs each tripped
+the 2x+1s gate on a DIFFERENT untouched query — q54 reps [2.98, 3.49]
+in one run vs [1.10, 0.87] the next; q269 [4.99, 5.03] vs [1.86,
+1.53]).  The confirmation reps now run as a SECOND PASS after the
+full first pass, so the two measurements of a query are separated by
+minutes, not seconds — uncorrelated windows, same measurement count,
+same min estimator.
 """
 
 from __future__ import annotations
@@ -152,7 +163,6 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
-    total = 0.0
     for name, spec in REGISTRY.items():
         try:
             dt = timed(spec)
@@ -160,23 +170,33 @@ def main() -> None:
             print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
             continue
-        runs = [dt]
-        if not single_pass and dt >= REP_THRESHOLD:
-            # the confirmation rep is guarded separately: a transient
-            # failure (executor GC, page-cache eviction) must not
-            # discard the successful first measurement
+        timings[name] = round(dt, 3)
+        reps[name] = [round(dt, 3)]
+
+    # SECOND PASS (r10): confirmation reps for every query at or above
+    # the gate-trippable threshold, minutes after its first measurement
+    # — decorrelated noise windows, so min() is the robust estimate the
+    # docstring claims (back-to-back reps both landed inside the same
+    # multi-second spike window; see module docstring).  The rep is
+    # guarded separately: a transient failure must not discard the
+    # successful first measurement.
+    if not single_pass:
+        for name, spec in REGISTRY.items():
+            if timings.get(name, -1.0) < REP_THRESHOLD or timings[name] < 0:
+                continue
             try:
-                runs.append(timed(spec))
-                dt = min(runs)
+                dt = timed(spec)
             except Exception as e:
                 print(
                     f"bench rep2 error in {name} (keeping rep1): "
                     f"{type(e).__name__}: {e}",
                     file=sys.stderr,
                 )
-        timings[name] = round(dt, 3)
-        reps[name] = [round(r, 3) for r in runs]
-        total += dt
+                continue
+            reps[name].append(round(dt, 3))
+            timings[name] = round(min(timings[name], dt), 3)
+
+    total = sum(t for t in timings.values() if t > 0)
 
     # VERDICT r9 task #5: the persisted-store queries pay a one-time
     # store build + write inside the registered query (honest for the

@@ -116,6 +116,49 @@ def test_bench_diff_gate(tmp_path):
     assert proc2.returncode == 0
 
 
+def test_bench_diff_adjudication(tmp_path):
+    """A formal 2x+1s trip is downgraded to 'adjudicated' ONLY with
+    >=2 distinct fresh-session measurements whose MIN lands under the
+    gate line (the q56/q303 procedure made mechanical); one session,
+    or a min that reproduces the regression, stays a failing trip."""
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({"queries": {"a": 1.0, "b": 1.0}}))
+    new.write_text(json.dumps({"queries": {"a": 3.0, "b": 3.0}}))
+
+    def sess_line(pid, uptime, queries):
+        return json.dumps(
+            {"fingerprint": {"pid": pid, "jvm_uptime_ms": uptime},
+             "queries": queries}
+        )
+
+    # a: two fresh sessions, min 1.1s (clean floor) -> adjudicated
+    # b: two fresh sessions, both >= 2x (floor moved) -> REAL
+    sessions = tmp_path / "sessions.jsonl"
+    sessions.write_text("\n".join([
+        sess_line(1, 10, {"a": [1.1, 3.0], "b": [2.9, 3.1]}),
+        sess_line(2, 20, {"a": [2.8], "b": [3.0]}),
+    ]) + "\n")
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/tools/bench_diff.py", str(old),
+         str(new), "--sessions", str(sessions)],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 1
+    assert "ADJUDICATED a:" in proc.stdout
+    assert "REGRESSION b:" in proc.stdout
+
+    # only ONE session for a -> no adjudication, trip stands
+    sessions.write_text(sess_line(1, 10, {"a": [1.1]}) + "\n")
+    proc2 = subprocess.run(
+        [sys.executable, "/root/repo/tools/bench_diff.py", str(old),
+         str(new), "--sessions", str(sessions)],
+        capture_output=True, text=True,
+    )
+    assert proc2.returncode == 1
+    assert "REGRESSION a:" in proc2.stdout
+
+
 def test_explain_audit_names_exist_in_registry():
     """The audit tool indexes queries() by name at runtime; a renamed
     query must fail here, not as a KeyError mid-audit."""

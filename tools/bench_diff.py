@@ -88,6 +88,71 @@ def canary_factor(old_data, new_data) -> float | None:
     return prod ** (1.0 / len(shared))
 
 
+def fresh_session_mins(sessions_path: str) -> dict[str, list[float]]:
+    """Per-query min wall from each distinct fresh-JVM session recorded
+    in bench_sessions.jsonl (written by tools/ab_measure.py)."""
+    import os
+
+    by_query: dict[str, dict[tuple, float]] = {}
+    if not os.path.exists(sessions_path):
+        return {}
+    with open(sessions_path) as fh:
+        for line in fh:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            fp = rec.get("fingerprint", {})
+            sig = (fp.get("pid"), fp.get("jvm_uptime_ms"))
+            for q, runs in (rec.get("queries") or {}).items():
+                if isinstance(runs, (int, float)):
+                    runs = [runs]
+                if not runs:
+                    continue
+                lo = min(float(r) for r in runs)
+                cur = by_query.setdefault(q, {})
+                cur[sig] = min(cur.get(sig, lo), lo)
+    return {q: sorted(v.values()) for q, v in by_query.items()}
+
+
+def adjudicate(
+    regressions, sessions_path: str, factor: float, floor: float
+):
+    """Split formal trips into (real, adjudicated) using fresh-session
+    evidence — the q56 procedure (VERDICT r9) made mechanical.
+
+    This box's spike windows span several seconds and a 336-query run
+    is a lottery: r10 measured four consecutive full runs each tripping
+    the 2x+1s gate on a DIFFERENT untouched query (q54 2.98s -> 0.87s
+    the next run; q269 4.99 -> 1.86; q303 2.96 -> 1.77 fresh).  A trip
+    is downgraded ONLY when bench_sessions.jsonl holds measurements
+    from >= 2 DISTINCT fresh JVM sessions and the MIN over those
+    sessions lands under the same gate line the diff uses
+    ((min/old) < factor OR (min - old) < floor, raw — fresh sessions
+    carry no canary).  Min, not all: bench.py's own doctrine is that
+    noise on this box is strictly ADDITIVE (GC, page-cache, scheduler),
+    so min estimates the plan's true cost floor — a REAL plan
+    regression raises that floor, which no draw can undercut, while a
+    bimodal-noise query (q303: fresh sessions 1.77s and 3.24s) still
+    shows its true floor in at least one clean draw.  The evidence is
+    cited in the JSON artifact, never discarded: the trip stays
+    listed, marked adjudicated.
+    """
+    mins = fresh_session_mins(sessions_path)
+    real, adjudicated = [], []
+    for name, o, n, ratio in regressions:
+        sess = mins.get(name, [])
+        lo = min(sess) if sess else None
+        ok = len(sess) >= 2 and (
+            (o > 0 and lo / o < factor) or (lo - o) < floor
+        )
+        if ok:
+            adjudicated.append((name, o, n, ratio, sess))
+        else:
+            real.append((name, o, n, ratio))
+    return real, adjudicated
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("old")
@@ -100,6 +165,9 @@ def main() -> int:
     ap.add_argument("--json", dest="json_out", default=None,
                     help="write the diff summary (factor, counts, "
                          "regression list, totals) to this path")
+    ap.add_argument("--sessions", dest="sessions", default=None,
+                    help="bench_sessions.jsonl path for trip "
+                         "adjudication (default: repo root's)")
     args = ap.parse_args()
 
     old_data, new_data = load_detail(args.old), load_detail(args.new)
@@ -135,10 +203,28 @@ def main() -> int:
               + (" ..." if len(added) > 10 else ""))
     if removed:
         print(f"removed queries ({len(removed)}): {', '.join(removed)}")
+    import os
+
+    sessions_path = args.sessions or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "bench_sessions.jsonl",
+    )
+    regressions, adjudicated = adjudicate(
+        regressions, sessions_path, args.factor, args.floor
+    )
+
     print(f"compared {len(set(old) & set(new))} queries; "
           f"{improved} improved (normalized); {len(regressions)} regressed "
-          f">= {args.factor}x normalized (+{args.floor}s raw floor)")
+          f">= {args.factor}x normalized (+{args.floor}s raw floor); "
+          f"{len(adjudicated)} formal trip(s) adjudicated by fresh-session "
+          f"evidence")
 
+    for name, o, n, ratio, sess in adjudicated:
+        print(
+            f"ADJUDICATED {name}: {o:.2f}s -> {n:.2f}s ({ratio:.1f}x "
+            f"normalized) — {len(sess)} fresh-session mins "
+            f"{[round(m, 2) for m in sess]}, min under the gate line"
+        )
     for name, o, n, ratio in sorted(regressions, key=lambda r: -r[3]):
         print(f"REGRESSION {name}: {o:.2f}s -> {n:.2f}s "
               f"({ratio:.1f}x normalized)")
@@ -160,6 +246,12 @@ def main() -> int:
                 for name, o, n, ratio in sorted(
                     regressions, key=lambda r: -r[3]
                 )
+            ],
+            "adjudicated": [
+                {"query": name, "old_s": o, "new_s": n,
+                 "ratio_normalized": ratio,
+                 "fresh_session_mins_s": [round(m, 3) for m in sess]}
+                for name, o, n, ratio, sess in adjudicated
             ],
             "total_old_s": round(sum(old[n] for n in shared), 2),
             "total_new_s": round(sum(new[n] for n in shared), 2),

@@ -53,12 +53,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   37    q338, the streaming vector-admission twin (q181's embedding
 #:         sibling — streaming == batch == oracle as one hash; new,
 #:         never-verified by construction);
-#:   38-50 the 13 stalest by driver evidence (task #6's rotation
-#:         policy, first application: all from r2 — the q15-q50
+#:   38    q339, snapshot DELETE WHERE (the right-to-be-forgotten
+#:         primitive + its time-travel isolation proof; new, so
+#:         never-verified by construction);
+#:   39-50 the 12 stalest by driver evidence (task #6's rotation
+#:         policy, first application: all from r2 — the q15-q48
 #:         block), ordered oldest-first from tools/driver_ledger.py
 #:         --stale.  Expected ledger after the r10 driver run:
-#:         never-count 0 (25 + 4 new - 29) and max staleness r2
-#:         (10 r2-era queries remain for the r11 rotation).
+#:         never-count 0 (25 + 5 new - 30) and max staleness r2
+#:         (11 r2-era queries remain for the r11 rotation).
 #: Prefix slots held for RE-PROOF rather than never/staleness rotation
 #: (tests/test_tools_registry.py bounds this list at 8 and requires
 #: each member to already carry driver evidence): q238/q244/q56 are the
@@ -113,6 +116,7 @@ _PROMOTED = [
     "q336_jdbc_federation",
     "q337_ivf_batch_search",
     "q338_stream_embedding_admission",
+    "q339_snapshot_delete",
     "q15_orders_per_customer",
     "q16_topk_orders",
     "q17_top3_per_customer",
@@ -125,7 +129,6 @@ _PROMOTED = [
     "q29_pivot",
     "q47_percentiles",
     "q48_stats_moments",
-    "q50_salted_agg",
 ]
 
 

@@ -22760,3 +22760,95 @@ def q338(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.ingest import stream_embedding_admission
 
     return stream_embedding_admission(spark, sf)
+
+
+def _q339_state_sql(version: int) -> str:
+    """Relational restatement of snapshot version N of the q339 table:
+    v1 = orders with o_orderkey % 5 = 0; v2 = v1 DELETE WHERE
+    o_orderstatus = 'F'."""
+    base = (
+        "SELECT o_orderkey AS k, o_orderstatus AS st,"
+        " CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents"
+        " FROM orders WHERE o_orderkey % 5 = 0"
+    )
+    if version == 1:
+        return base
+    return f"SELECT * FROM ({base}) v1 WHERE NOT (st = 'F')"
+
+
+@register(
+    "q339_snapshot_delete",
+    "WITH h1 AS (SELECT "
+    + hex_hash64_sql("CAST(k AS VARCHAR) || '|' || st || '|' || CAST(cents AS VARCHAR)")
+    + f""" AS h FROM ({_q339_state_sql(1)}) s1),
+       h2 AS (SELECT """
+    + hex_hash64_sql("CAST(k AS VARCHAR) || '|' || st || '|' || CAST(cents AS VARCHAR)")
+    + f""" AS h FROM ({_q339_state_sql(2)}) s2)
+       SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+              CAST(sum(h % 1000000007) AS BIGINT) AS sum_mod
+       FROM h1
+       UNION ALL
+       SELECT 2, CAST(count(*) AS BIGINT), CAST(bit_xor(h) AS BIGINT),
+              CAST(sum(h % 1000000007) AS BIGINT)
+       FROM h2""",
+    "snapshot DELETE WHERE — the right-to-be-forgotten / takedown "
+    "primitive a 100 TB training-corpus store runs on every legal "
+    "request: version 1 commits an orders subset, version 2 is "
+    "commit_delete(o_orderstatus = 'F') (survivors rewritten, prior "
+    "files untouched), and BOTH versions are read back BY VERSION "
+    "NUMBER and content-fingerprinted — so the differential gates "
+    "delete semantics AND snapshot isolation (the deleted rows must "
+    "still time-travel in v1, and must be gone from v2, as one hash "
+    "equality per state).  Physical erasure is the documented "
+    "two-step: commit_delete makes rows invisible now, vacuum() past "
+    "the retention horizon removes the bytes (Delta's DELETE + "
+    "VACUUM contract, pinned by test_commit_delete_and_time_travel). "
+    "At 100 TB a partitioned table rewrites only partitions "
+    "containing matches (snapshots.py module docstring)",
+)
+def q339(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotTable
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    state = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_q339_%s_%d"
+        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(spark, root)
+    t.commit_overwrite(state)
+    t.commit_delete("st = 'F'")
+
+    h = T.hex_hash64(
+        F.concat(
+            F.col("k").cast("string"), F.lit("|"), F.col("st"),
+            F.lit("|"), F.col("cents").cast("string"),
+        )
+    )
+
+    def fp(v: int) -> DataFrame:
+        return (
+            t.read(version=v)
+            .select(h.alias("h"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+                F.sum(F.col("h") % 1000000007).cast("long").alias("sum_mod"),
+            )
+            .select(F.lit(v).cast("int").alias("version"), "*")
+        )
+
+    return fp(1).unionByName(fp(2))

@@ -238,6 +238,40 @@ class SnapshotTable:
         new_dir = self._write_data(merged, v, "upsert")
         return self._publish(v, [new_dir], "upsert", schema)
 
+    def commit_delete(self, predicate) -> int:
+        """DELETE WHERE: version N+1 = current rows NOT matching
+        ``predicate`` (a SQL string or a Column).
+
+        Survivors are rewritten as the new snapshot — the
+        unpartitioned-table case; a partitioned table rewrites only
+        partitions containing matches (see module docstring).  The
+        contract worth stating for a training-corpus store: a delete
+        makes rows INVISIBLE from version N+1 on, but time travel
+        still reads them in older versions until :meth:`vacuum`
+        passes the retention horizon — so a right-to-be-forgotten /
+        takedown erasure is the two-step ``commit_delete`` +
+        ``vacuum`` (logical now, physical at retention), exactly
+        Delta's DELETE + VACUUM semantics.
+        """
+        from pyspark.sql import Column
+        import pyspark.sql.functions as _F
+
+        v = self.current_version() + 1
+        if v == 1:
+            raise ValueError(f"no snapshots in {self.root} to delete from")
+        schema = self._table_schema(v - 1)
+        current = self.read()
+        cond = (
+            _F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+        if not isinstance(cond, Column):
+            raise TypeError("predicate must be a SQL string or a Column")
+        survivors = current.filter(~cond)
+        new_dir = self._write_data(survivors, v, "delete")
+        return self._publish(
+            v, [new_dir], "delete", schema if schema else current.schema
+        )
+
     # -- maintenance ---------------------------------------------------------
 
     def compact(self) -> int:

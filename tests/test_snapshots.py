@@ -140,6 +140,42 @@ def test_publish_ambiguous_link_success_is_not_conflict(
     assert v == 3
 
 
+def test_commit_delete_and_time_travel(spark, tmp_path):
+    """DELETE WHERE: the new version hides matching rows, older
+    versions still time-travel to them, vacuum() past retention
+    physically erases (the right-to-be-forgotten two-step)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, v string"
+        )
+    )
+    v = t.commit_delete("k % 2 = 0")
+    assert v == 2
+    assert rows(t.read()) == [(1, "a"), (3, "c")]
+    assert rows(t.read(version=1)) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    assert [m["op"] for m in t.history()] == ["overwrite", "delete"]
+
+    # Column predicate form
+    import pyspark.sql.functions as F
+
+    t.commit_delete(F.col("k") == 3)
+    assert rows(t.read()) == [(1, "a")]
+
+    # physical erasure: vacuum to retention 1 removes v1's files and
+    # its manifest — the deleted rows are now unreachable
+    t.vacuum(retain_last=1)
+    with pytest.raises(ValueError, match="retention"):
+        t.read(version=1)
+
+    # guards: empty table, non-predicate types
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    with pytest.raises(ValueError, match="no snapshots"):
+        t2.commit_delete("1 = 1")
+    with pytest.raises(TypeError, match="predicate"):
+        t.commit_delete(42)
+
+
 def test_read_empty_table_raises(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     with pytest.raises(ValueError):

@@ -41,6 +41,46 @@ def green(row: dict) -> bool:
     return hm is not False  # None => rows-only check, still a pass
 
 
+def slot_justified(name: str, ledger: dict[str, list[int]]) -> bool:
+    """Prefix-slot justification, POST-ROUND STABLE (VERDICT r10 wrong #1).
+
+    A rotation slot is legitimate iff, under EITHER ledger view, it is
+    never-verified, first-verified-by-the-newest-round, or stale-tier
+    (latest evidence within one round of the global oldest tier):
+
+      view 1: the full committed ledger — this is the as-built state
+              MID-ROUND (the prefix for round R is constructed against
+              CORRECTNESS_{<=R-1}, which is all that exists then);
+      view 2: the ledger EXCLUDING the newest committed round — this is
+              the as-built state POST-ROUND, after the round-R driver
+              artifact lands on top of the round-R prefix.
+
+    The r10 failure mode: q15 was rotated in as r2-stale, the driver
+    verified it in r10, and the single-view derivation then saw
+    evidence [2, 10] — neither first-verified-here nor stale.  View 2
+    strips the r10 row and recovers the state the rotation was chosen
+    against.  A genuinely unjustified slot (e.g. mid-tier evidence
+    [5, 10] when the oldest tier is r2) fails BOTH views.
+    """
+
+    def _view_ok(view: dict[str, list[int]], latest: int) -> bool:
+        mine = view.get(name) or []
+        if not mine:
+            return True  # never-verified as of this view
+        oldest = min((min(rs) for rs in view.values() if rs), default=0)
+        return min(mine) == latest or max(mine) <= oldest + 1
+
+    newest = max((r for rs in ledger.values() for r in rs), default=0)
+    stripped = {
+        n: [r for r in rs if r != newest] for n, rs in ledger.items()
+    }
+    # View 2's first-verified anchor is newest-1 (the committed round the
+    # prefix was built against), NOT the stripped view's own max — using
+    # the max would retro-justify any slot first verified in some old
+    # round as soon as newer evidence is stripped.
+    return _view_ok(ledger, newest) or _view_ok(stripped, newest - 1)
+
+
 def build_ledger() -> dict[str, list[int]]:
     sys.path.insert(0, str(ROOT))
     import __spark_entry__ as e

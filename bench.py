@@ -96,13 +96,42 @@ def derive_round(here: str, env_round: str | None) -> int:
     return max(driver_max + 1, detail_max)
 
 
+def git_code() -> str | None:
+    """Short HEAD hash of the code under measurement (ADVICE r10 #1:
+    adjudication evidence must be tied to the code version it was
+    measured on, else historic fast sessions from BEFORE a plan
+    regression can waive the trip).  Best-effort: None outside a git
+    checkout, and a dirty tree is marked so evidence from uncommitted
+    states never matches a committed one."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "-C", here, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        )
+        if head.returncode != 0:
+            return None
+        code = head.stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", here, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+        )
+        if dirty.returncode == 0 and dirty.stdout.strip():
+            code += "-dirty"
+        return code
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
 def session_fingerprint(spark) -> dict:
     """JVM-session provenance recorded per bench run (VERDICT r6 task
     #2): lets a later reader distinguish fresh-JVM cold measurements
     from warm ones and see whether GC pressure differed between two
     runs being diffed.  Best-effort — any probe failure yields a
     partial fingerprint, never a bench failure."""
-    fp: dict = {"pid": os.getpid()}
+    fp: dict = {"pid": os.getpid(), "code": git_code()}
     try:
         jvm = spark._jvm
         mf = jvm.java.lang.management.ManagementFactory
@@ -262,6 +291,7 @@ def main() -> None:
             drift = None
         payload = {
             "sf": sf_val,
+            "code": git_code(),
             "total_sec": round(total, 3),
             "queries": timings,
             "reps": reps,

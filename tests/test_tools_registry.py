@@ -138,45 +138,71 @@ def test_bench_diff_gate(tmp_path):
 
 def test_bench_diff_adjudication(tmp_path):
     """A formal 2x+1s trip is downgraded to 'adjudicated' ONLY with
-    >=2 distinct fresh-session measurements whose MIN lands under the
-    gate line (the q56/q303 procedure made mechanical); one session,
-    or a min that reproduces the regression, stays a failing trip."""
+    >=2 distinct fresh-session measurements — ON THE SAME CODE VERSION
+    as the new detail (ADVICE r10 #1) — whose MIN lands under the gate
+    line (the q56/q303 procedure made mechanical); one session, a min
+    that reproduces the regression, evidence from another code
+    version, or an unstamped new detail each leave the trip standing."""
     old = tmp_path / "old.json"
     new = tmp_path / "new.json"
     old.write_text(json.dumps({"queries": {"a": 1.0, "b": 1.0}}))
-    new.write_text(json.dumps({"queries": {"a": 3.0, "b": 3.0}}))
+    new.write_text(
+        json.dumps({"code": "cafe123", "queries": {"a": 3.0, "b": 3.0}})
+    )
 
-    def sess_line(pid, uptime, queries):
+    def sess_line(pid, uptime, queries, code="cafe123"):
         return json.dumps(
-            {"fingerprint": {"pid": pid, "jvm_uptime_ms": uptime},
+            {"fingerprint": {"pid": pid, "jvm_uptime_ms": uptime,
+                             "code": code},
              "queries": queries}
         )
 
-    # a: two fresh sessions, min 1.1s (clean floor) -> adjudicated
+    def run(sessions):
+        return subprocess.run(
+            [sys.executable, "/root/repo/tools/bench_diff.py", str(old),
+             str(new), "--sessions", str(sessions)],
+            capture_output=True, text=True,
+        )
+
+    # a: two fresh same-code sessions, min 1.1s (clean floor) -> adjudicated
     # b: two fresh sessions, both >= 2x (floor moved) -> REAL
     sessions = tmp_path / "sessions.jsonl"
     sessions.write_text("\n".join([
         sess_line(1, 10, {"a": [1.1, 3.0], "b": [2.9, 3.1]}),
         sess_line(2, 20, {"a": [2.8], "b": [3.0]}),
     ]) + "\n")
-    proc = subprocess.run(
-        [sys.executable, "/root/repo/tools/bench_diff.py", str(old),
-         str(new), "--sessions", str(sessions)],
-        capture_output=True, text=True,
-    )
+    proc = run(sessions)
     assert proc.returncode == 1
     assert "ADJUDICATED a:" in proc.stdout
     assert "REGRESSION b:" in proc.stdout
 
     # only ONE session for a -> no adjudication, trip stands
     sessions.write_text(sess_line(1, 10, {"a": [1.1]}) + "\n")
-    proc2 = subprocess.run(
-        [sys.executable, "/root/repo/tools/bench_diff.py", str(old),
-         str(new), "--sessions", str(sessions)],
-        capture_output=True, text=True,
-    )
+    proc2 = run(sessions)
     assert proc2.returncode == 1
     assert "REGRESSION a:" in proc2.stdout
+
+    # two fresh sessions but measured on OLDER code (pre-regression
+    # floor) -> inadmissible, trip stands (the ADVICE r10 #1 hole)
+    sessions.write_text("\n".join([
+        sess_line(1, 10, {"a": [1.1]}, code="beef456"),
+        sess_line(2, 20, {"a": [1.2]}, code="beef456"),
+    ]) + "\n")
+    proc3 = run(sessions)
+    assert proc3.returncode == 1
+    assert "REGRESSION a:" in proc3.stdout
+
+    # unstamped new detail -> adjudication disabled even with matching
+    # unstamped sessions
+    new.write_text(json.dumps({"queries": {"a": 3.0, "b": 3.0}}))
+    sessions.write_text("\n".join([
+        sess_line(1, 10, {"a": [1.1]}, code=None),
+        sess_line(2, 20, {"a": [1.2]}, code=None),
+    ]) + "\n")
+    proc4 = run(sessions)
+    assert proc4.returncode == 1
+    assert "REGRESSION a:" in proc4.stdout
+    assert "adjudication disabled" in proc4.stdout
 
 
 def test_explain_audit_names_exist_in_registry():

@@ -88,9 +88,16 @@ def canary_factor(old_data, new_data) -> float | None:
     return prod ** (1.0 / len(shared))
 
 
-def fresh_session_mins(sessions_path: str) -> dict[str, list[float]]:
+def fresh_session_mins(
+    sessions_path: str, require_code: str | None = None
+) -> dict[str, list[float]]:
     """Per-query min wall from each distinct fresh-JVM session recorded
-    in bench_sessions.jsonl (written by tools/ab_measure.py)."""
+    in bench_sessions.jsonl (written by tools/ab_measure.py).
+
+    ``require_code``: when set, only sessions whose fingerprint carries
+    the same code hash are admissible (ADVICE r10 #1 — a session
+    measured on PRE-regression code proves nothing about the new
+    plan's cost floor)."""
     import os
 
     by_query: dict[str, dict[tuple, float]] = {}
@@ -103,6 +110,8 @@ def fresh_session_mins(sessions_path: str) -> dict[str, list[float]]:
             except json.JSONDecodeError:
                 continue
             fp = rec.get("fingerprint", {})
+            if require_code is not None and fp.get("code") != require_code:
+                continue
             sig = (fp.get("pid"), fp.get("jvm_uptime_ms"))
             for q, runs in (rec.get("queries") or {}).items():
                 if isinstance(runs, (int, float)):
@@ -116,7 +125,8 @@ def fresh_session_mins(sessions_path: str) -> dict[str, list[float]]:
 
 
 def adjudicate(
-    regressions, sessions_path: str, factor: float, floor: float
+    regressions, sessions_path: str, factor: float, floor: float,
+    new_code: str | None = None,
 ):
     """Split formal trips into (real, adjudicated) using fresh-session
     evidence — the q56 procedure (VERDICT r9) made mechanical.
@@ -137,8 +147,19 @@ def adjudicate(
     shows its true floor in at least one clean draw.  The evidence is
     cited in the JSON artifact, never discarded: the trip stays
     listed, marked adjudicated.
+
+    ADVICE r10 #1: the min-floor argument only holds when the evidence
+    was measured ON THE NEW PLAN — a fast session recorded before the
+    regressing commit measured the OLD plan's floor and cannot waive
+    the trip.  So evidence is admissible only from sessions whose
+    fingerprint ``code`` equals the new detail's ``code`` stamp
+    (bench.py writes both from git HEAD, dirty-marked).  A new detail
+    with no code stamp disables adjudication entirely: every formal
+    trip then requires a freshly stamped confirmation run.
     """
-    mins = fresh_session_mins(sessions_path)
+    if new_code is None:
+        return list(regressions), []
+    mins = fresh_session_mins(sessions_path, require_code=new_code)
     real, adjudicated = [], []
     for name, o, n, ratio in regressions:
         sess = mins.get(name, [])
@@ -209,9 +230,14 @@ def main() -> int:
         os.path.dirname(os.path.abspath(__file__)), "..",
         "bench_sessions.jsonl",
     )
+    new_code = new_data.get("code") if isinstance(new_data, dict) else None
     regressions, adjudicated = adjudicate(
-        regressions, sessions_path, args.factor, args.floor
+        regressions, sessions_path, args.factor, args.floor,
+        new_code=new_code,
     )
+    if regressions or adjudicated:
+        scope = new_code or "<unstamped: adjudication disabled>"
+        print(f"adjudication evidence scope: code={scope}")
 
     print(f"compared {len(set(old) & set(new))} queries; "
           f"{improved} improved (normalized); {len(regressions)} regressed "

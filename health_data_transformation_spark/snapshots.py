@@ -266,7 +266,12 @@ class SnapshotTable:
         )
         if not isinstance(cond, Column):
             raise TypeError("predicate must be a SQL string or a Column")
-        survivors = current.filter(~cond)
+        # ADVICE r10 #2: under three-valued logic ``~cond`` is NULL for
+        # rows where the predicate is NULL, and filter() drops them —
+        # silently DELETING rows the predicate never matched.  SQL /
+        # Delta DELETE WHERE removes only rows where the predicate is
+        # TRUE; NULL-predicate rows survive.  coalesce pins that.
+        survivors = current.filter(~_F.coalesce(cond, _F.lit(False)))
         new_dir = self._write_data(survivors, v, "delete")
         return self._publish(
             v, [new_dir], "delete", schema if schema else current.schema

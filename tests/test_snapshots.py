@@ -176,6 +176,28 @@ def test_commit_delete_and_time_travel(spark, tmp_path):
         t.commit_delete(42)
 
 
+def test_commit_delete_null_predicate_rows_survive(spark, tmp_path):
+    """ADVICE r10 #2: DELETE WHERE removes only predicate-TRUE rows —
+    rows where the predicate evaluates to NULL (nullable column) must
+    SURVIVE, matching SQL/Delta semantics, not be dropped by
+    three-valued ~cond."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(
+        spark.createDataFrame(
+            [(1, "bad"), (2, None), (3, "ok")], "k int, tag string"
+        )
+    )
+    t.commit_delete("tag = 'bad'")
+    # row 2's predicate is NULL = 'bad' -> NULL: it must survive
+    assert rows(t.read()) == [(2, None), (3, "ok")]
+
+    # same through the Column form
+    import pyspark.sql.functions as F
+
+    t.commit_delete(F.col("tag") == "ok")
+    assert rows(t.read()) == [(2, None)]
+
+
 def test_read_empty_table_raises(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     with pytest.raises(ValueError):

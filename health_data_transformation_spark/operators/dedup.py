@@ -886,16 +886,26 @@ PUSHDOWN_IN_LIMIT = 10_000
 
 
 def _pushdown_filter(
-    store: DataFrame, key: str, values: list, probe: DataFrame
+    store: DataFrame, key: str, probe: DataFrame
 ) -> DataFrame:
-    """Filter ``store`` to rows whose ``key`` appears in ``values``
-    (identically present as ``probe[key]``) — literal IN below
-    :data:`PUSHDOWN_IN_LIMIT`, broadcast semi-join above it."""
-    if len(values) <= PUSHDOWN_IN_LIMIT:
-        return store.filter(F.col(key).isin(values))
-    return store.join(
-        F.broadcast(probe.select(key).distinct()), key, "semi"
-    )
+    """Filter ``store`` to rows whose ``key`` appears in ``probe[key]``
+    — literal IN below :data:`PUSHDOWN_IN_LIMIT`, broadcast semi-join
+    above it.
+
+    The path is decided BEFORE materializing the key list (ADVICE r10
+    #3): the probing ``limit(LIMIT+1).collect()`` is bounded by the
+    limit regardless of probe size — when it comes back with <= LIMIT
+    rows it IS the complete distinct key set (the limit was not
+    reached) and becomes the literal IN; when it hits LIMIT+1 the full
+    list is never pulled to the driver and the semi-join branch runs.
+    Callers pass an already-localCheckpointed probe, so the probing
+    scan re-reads checkpointed blocks, not the signature stage.
+    """
+    distinct_keys = probe.select(key).distinct()
+    head = distinct_keys.limit(PUSHDOWN_IN_LIMIT + 1).collect()
+    if len(head) <= PUSHDOWN_IN_LIMIT:
+        return store.filter(F.col(key).isin([r[key] for r in head]))
+    return store.join(F.broadcast(distinct_keys), key, "semi")
 
 
 def _check_store_params(
@@ -1033,10 +1043,7 @@ def embedding_incremental_matches_stored(
         # one bounded materialization feeds both the driver IN-list and
         # the bucket join (the q315 double-execution lesson, §8.8)
         bs = bs.localCheckpoint()
-        probe_sigs = [
-            r["lsh_sig"] for r in bs.select("lsh_sig").distinct().collect()
-        ]
-        buckets = _pushdown_filter(buckets, "lsh_sig", probe_sigs, bs)
+        buckets = _pushdown_filter(buckets, "lsh_sig", bs)
     cb = buckets
     if max_bucket is not None:
         sizes = Window.partitionBy("lsh_sig")
@@ -1052,10 +1059,7 @@ def embedding_incremental_matches_stored(
     cands = bs.join(cb, "lsh_sig").select("id_b", "id_c").distinct()
     if probe_pushdown:
         cands = cands.localCheckpoint()
-        cand_ids = [
-            r["id_c"] for r in cands.select("id_c").distinct().collect()
-        ]
-        vectors = _pushdown_filter(vectors, "id_c", cand_ids, cands)
+        vectors = _pushdown_filter(vectors, "id_c", cands)
 
     vb = batch.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
@@ -1283,10 +1287,7 @@ def lsh_incremental_matches_stored(
         # driver IN-list and the bucket join — never two executions of
         # the signature stage (the q315 checkpoint lesson, §8.8)
         bb = bb.localCheckpoint()
-        probe_buckets = [
-            r["bucket"] for r in bb.select("bucket").distinct().collect()
-        ]
-        buckets = _pushdown_filter(buckets, "bucket", probe_buckets, bb)
+        buckets = _pushdown_filter(buckets, "bucket", bb)
     cb = _cap_buckets(buckets, max_bucket)
     if pair_budget is not None:
         from .similarity import apply_join_pair_budget
@@ -1295,10 +1296,7 @@ def lsh_incremental_matches_stored(
     cands = bb.join(cb, "bucket").select("id_b", "id_c").distinct()
     if probe_pushdown:
         cands = cands.localCheckpoint()
-        cand_ids = [
-            r["id_c"] for r in cands.select("id_c").distinct().collect()
-        ]
-        tokens = _pushdown_filter(tokens, "id_c", cand_ids, cands)
+        tokens = _pushdown_filter(tokens, "id_c", cands)
 
     toks_b = batch.select(
         F.col(id_col).alias("id_b"), distinct_tokens(text_col).alias("toks_b")

@@ -22624,21 +22624,30 @@ def q336(spark: SparkSession, sf: str) -> DataFrame:
     import os
     import tempfile
 
-    from ..sources.jdbc import derby_url, read_jdbc_table, write_jdbc_table
+    from ..sources.jdbc import (
+        derby_url,
+        read_jdbc_table,
+        register_derby_cleanup,
+        write_jdbc_table,
+    )
 
     nation = load_table(spark, sf, "nation")
     region = load_table(spark, sf, "region")
 
-    # pid-suffixed db path, NO rmtree: Derby keeps a database booted
-    # for the JVM's lifetime, so deleting the directory under it
+    # pid-suffixed db path, no EAGER rmtree: Derby keeps a database
+    # booted for the JVM's lifetime, so deleting the directory under it
     # corrupts re-use within one process; ;create=true boots an
-    # existing db and mode=overwrite recreates the table
+    # existing db and mode=overwrite recreates the table.  Erasure is
+    # deferred to interpreter exit (shutdown=true then rmtree) so bench
+    # reps / store-split reruns stop orphaning one database per process
+    # per sf (ADVICE r10 #4).
     root = os.path.join(
         tempfile.gettempdir(),
         "hdt_q336_%s_%d"
         % (os.path.basename(os.path.normpath(sf)), os.getpid()),
     )
     url = derby_url(os.path.join(root, "db"))
+    register_derby_cleanup(root, url)
     write_jdbc_table(
         nation, url, "nation", column_types="n_name VARCHAR(25)"
     )

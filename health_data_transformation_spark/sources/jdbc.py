@@ -51,6 +51,53 @@ def derby_url(path: str, create: bool = True) -> str:
     return f"jdbc:derby:{path}" + (";create=true" if create else "")
 
 
+def _default_driver(url: str, driver: str | None) -> str | None:
+    """Derby URLs get :data:`DERBY_DRIVER` unless the caller overrides
+    — the explicit driver option keeps the read/write path identical
+    to a production call (which always names its driver class)."""
+    if driver is None and url.startswith("jdbc:derby:"):
+        return DERBY_DRIVER
+    return driver
+
+
+_DERBY_CLEANUPS: set[str] = set()
+
+
+def register_derby_cleanup(root: str, url: str) -> None:
+    """Best-effort atexit erasure of an embedded-Derby scratch database
+    (ADVICE r10 #4: the pid-suffixed q336 databases were deliberately
+    never removed — Derby keeps a database booted for the JVM's
+    lifetime, so an eager rmtree corrupts same-process reuse; at
+    interpreter exit nothing will reuse it).  Shutdown-then-rmtree:
+    Derby signals a SUCCESSFUL single-db shutdown by raising
+    SQLException 08006, so the exception is expected; the rmtree runs
+    regardless.  Idempotent per root."""
+    if root in _DERBY_CLEANUPS:
+        return
+    _DERBY_CLEANUPS.add(root)
+    import atexit
+    import shutil
+
+    def _cleanup() -> None:
+        try:
+            from pyspark.sql import SparkSession
+
+            s = SparkSession.getActiveSession()
+            if s is not None:
+                base = url.split(";", 1)[0]
+                try:
+                    s._jvm.java.sql.DriverManager.getConnection(
+                        base + ";shutdown=true"
+                    )
+                except Exception:
+                    pass  # 08006 = clean shutdown; gateway-down = moot
+        except Exception:
+            pass
+        shutil.rmtree(root, ignore_errors=True)
+
+    atexit.register(_cleanup)
+
+
 def write_jdbc_table(
     df: DataFrame,
     url: str,
@@ -69,6 +116,7 @@ def write_jdbc_table(
     be GROUP BYed server-side, so callers pass e.g.
     ``"n_name VARCHAR(25)"`` for string keys.
     """
+    driver = _default_driver(url, driver)
     w = df.write.format("jdbc").option("url", url).option("dbtable", table)
     if driver:
         w = w.option("driver", driver)
@@ -106,6 +154,7 @@ def read_jdbc_table(
     """
     if partition_column is not None and predicates is not None:
         raise ValueError("pass partition_column bounds or predicates, not both")
+    driver = _default_driver(url, driver)
     props = {"driver": driver} if driver else {}
     if predicates is not None:
         return spark.read.jdbc(url, table, predicates=predicates, properties=props)

@@ -7117,7 +7117,10 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
     return fp(1).unionByName(fp(2)).unionByName(fp(3))
 
 
-def _q178_oracle(pair_budget: int | None = None) -> str:
+def _q178_oracle(
+    pair_budget: int | None = None,
+    derived_cap_budget: int | None = None,
+) -> str:
     """Incremental LSH dedup oracle: batch (doc_id % 7 = 3) vs corpus.
 
     With ``pair_budget`` the corpus-side absolute cap (bn <= 50) is
@@ -7126,7 +7129,15 @@ def _q178_oracle(pair_budget: int | None = None) -> str:
     candidate volume is corpus-rows x batch-rows, volumes compress to
     bit-length classes (DuckDB ``length(bin(v))`` == Spark's — no
     leading zeros), and a class is kept iff the running volume total
-    through it (classes ascending) fits the budget."""
+    through it (classes ascending) fits the budget.
+
+    With ``derived_cap_budget`` the cap is instead the STORE-DERIVED
+    admission cap (``dedup.derive_admission_cap``, VERDICT r10 wrong
+    #3): ``LEAST(budget // n_bands, MAX corpus bucket size)`` —
+    batch-independent (corpus-side only, the streaming requirement)
+    and never failing open on a corpus whose largest bucket fits the
+    budget.  The oracle's banding is hard-coded to 8 hashes / 2 bands,
+    so ``n_bands = 2`` here."""
     sig_exprs = ",\n".join(
         f"         list_min(list_transform(t, x -> {hex_hash64_sql('x', f'mh{i}')})) AS sig{i}"
         for i in range(8)
@@ -7165,6 +7176,20 @@ def _q178_oracle(pair_budget: int | None = None) -> str:
             "       JOIN vol USING (bucket) CROSS JOIN thr t\n"
             "       WHERE vol.vc <= t.cap),\n"
             if pair_budget is not None
+            else
+            "cbands AS (SELECT b.doc_id AS id_c, b.bucket\n"
+            "           FROM bands b JOIN toks tk ON b.doc_id = tk.doc_id\n"
+            "           WHERE NOT tk.in_batch),\n"
+            "nc AS (SELECT bucket, count(*) AS nb FROM cbands GROUP BY bucket),\n"
+            f"thr AS (SELECT LEAST({(derived_cap_budget or 0) // 2}, MAX(nb))"
+            " AS cap FROM nc),\n"
+            "cb AS (SELECT c.id_c, c.bucket FROM cbands c\n"
+            "       JOIN nc USING (bucket) CROSS JOIN thr t\n"
+            "       WHERE nc.nb <= t.cap),\n"
+            "bb AS (SELECT b.doc_id AS id_b, b.bucket\n"
+            "       FROM bands b JOIN toks tk ON b.doc_id = tk.doc_id\n"
+            "       WHERE tk.in_batch),\n"
+            if derived_cap_budget is not None
             else "cb AS (SELECT doc_id AS id_c, bucket FROM (\n"
             "    SELECT b.doc_id, b.bucket,\n"
             "           count(*) OVER (PARTITION BY b.bucket) AS bn\n"
@@ -7334,7 +7359,10 @@ def _q332_probe(spark: SparkSession, sf: str, root: str) -> DataFrame:
 
 
 def _q333_oracle(
-    pair_budget: int = 100, n_planes: int = 8, max_bucket: int | None = None
+    pair_budget: int = 100,
+    n_planes: int = 8,
+    max_bucket: int | None = None,
+    derived_cap_budget: int | None = None,
 ) -> str:
     """Embedding ingest-admission oracle: batch (vec_id % 7 = 3) vs
     corpus, candidates by equal random-hyperplane LSH signature
@@ -7347,7 +7375,14 @@ def _q333_oracle(
     cap — the BATCH-INDEPENDENT form the streaming twin (q338) needs:
     a per-microbatch budget would derive its keep-set from that
     microbatch's probe counts, so the union of arrival verdicts could
-    differ from the whole-batch result; the corpus-side cap cannot."""
+    differ from the whole-batch result; the corpus-side cap cannot.
+
+    ``derived_cap_budget`` swaps in the STORE-DERIVED admission cap
+    (``dedup.derive_admission_cap``, VERDICT r10 wrong #3):
+    ``LEAST(budget, MAX corpus bucket size)`` — still batch-
+    independent, but sized by the corpus distribution under a stated
+    budget instead of a constant that §8.11b showed fails open.  One
+    signature per vector => ``n_bands = 1``."""
     from ..functions.vector import int8_quantize_sql
     from ..operators.similarity import _hyperplanes
 
@@ -7363,6 +7398,15 @@ def _q333_oracle(
             "cb AS (SELECT id_c, lsh_sig FROM (\n"
             "  SELECT id_c, lsh_sig, count(*) OVER (PARTITION BY lsh_sig) AS bn\n"
             f"  FROM cs) WHERE bn <= {max_bucket}),"
+        )
+    elif derived_cap_budget is not None:
+        keep_ctes = (
+            "nc AS (SELECT lsh_sig, count(*) AS nb FROM cs GROUP BY lsh_sig),\n"
+            f"thr AS (SELECT LEAST({derived_cap_budget}, MAX(nb)) AS cap"
+            " FROM nc),\n"
+            "cb AS (SELECT c.id_c, c.lsh_sig FROM cs c\n"
+            "       JOIN nc USING (lsh_sig) CROSS JOIN thr t\n"
+            "       WHERE nc.nb <= t.cap),"
         )
     else:
         keep_ctes = f"""nc AS (SELECT lsh_sig, count(*) AS nb FROM cs GROUP BY lsh_sig),
@@ -7645,7 +7689,7 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q181_stream_incremental_dedup",
-    _q178_oracle(),
+    _q178_oracle(derived_cap_budget=D.ADMISSION_CAP_BUDGET),
     "the q178 ingest-time near-dup gate run as a STREAM "
     "(streaming/ingest.py:stream_incremental_dedup): the batch "
     "documents arrive as two microbatch files and foreachBatch runs "
@@ -7655,12 +7699,18 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
     "lsh_incremental_matches_stored, signing only the arrival — the "
     "pre-r9 shape re-signed the full corpus inside every microbatch, "
     "the §8.12-measured O(history) cost at the highest-frequency "
-    "ingest path).  Admission is stateless given the store (each doc "
-    "consults only corpus signatures, never other arrivals), so the "
-    "union of per-microbatch verdicts provably equals the one-shot "
-    "batch result — and the oracle IS q178's relational statement, "
-    "making this a true streaming-equals-batch differential, not a "
-    "rows-only check.  At 100 TB the stored signature table is the "
+    "ingest path).  The bucket guard is the admission cap DERIVED "
+    "corpus-side at build time and stamped in the store's footer "
+    "metadata (min(cap_budget/n_bands, max corpus bucket size) — "
+    "dedup.derive_admission_cap; r10's hard-coded max_bucket=50 is "
+    "the §8.11b/§8.11c-measured fail-OPEN constant), which the probe "
+    "reads by default.  Admission is stateless given the store (each "
+    "doc consults only corpus signatures, never other arrivals), so "
+    "the union of per-microbatch verdicts provably equals the "
+    "one-shot batch result — and the oracle IS q178's relational "
+    "statement with the derived-cap CTEs mirrored, making this a "
+    "true streaming-equals-batch differential, not a rows-only "
+    "check.  At 100 TB the stored signature table is the "
     "probe index and streaming state is empty: arrival granularity "
     "(2 files here, thousands of deliveries in production) cannot "
     "change the admitted set",
@@ -22744,7 +22794,7 @@ def q337(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q338_stream_embedding_admission",
-    _q333_oracle(max_bucket=50),
+    _q333_oracle(derived_cap_budget=D.ADMISSION_CAP_BUDGET),
     "the q333 vector-admission gate run as a STREAM "
     "(streaming/ingest.py:stream_embedding_admission) — q181's twin "
     "on the embedding side, completing the family's symmetry "
@@ -22753,14 +22803,18 @@ def q337(spark: SparkSession, sf: str) -> DataFrame:
     "probes the corpus's PERSISTED embedding store "
     "(build_embedding_lsh_store, written once before the stream; "
     "each arrival signs only itself and verifies with the STORED "
-    "precomputed norms).  The bucket guard is the corpus-side "
-    "max_bucket ON PURPOSE: a per-microbatch pair_budget would derive "
-    "its keep-set from that microbatch's probe counts, so the union "
-    "of arrival verdicts could differ from the whole-batch result — "
-    "the corpus-side cap is batch-independent, making admission "
-    "stateless given the store, so streaming == batch == relational "
-    "truth is one hash equality (the oracle is q333's statement with "
-    "the cap CTE swapped for the corpus-side count).  At 100 TB the "
+    "precomputed norms).  The bucket guard is corpus-side ON PURPOSE "
+    "(a per-microbatch pair_budget would derive its keep-set from "
+    "that microbatch's probe counts, so the union of arrival "
+    "verdicts could differ from the whole-batch result) — and since "
+    "r11 it is the admission cap DERIVED from the corpus at build "
+    "time (min(cap_budget, max bucket size) for the 1-band vector "
+    "store — dedup.derive_admission_cap) and stamped in the store's "
+    "footer metadata, not the hard-coded constant §8.11b measured "
+    "failing open; the probe reads the stamp by default.  Admission "
+    "stays stateless given the store, so streaming == batch == "
+    "relational truth is one hash equality (the oracle is q333's "
+    "statement with the derived-cap CTEs swapped in).  At 100 TB the "
     "stored signature+norm tables are the probe index and streaming "
     "state is empty: arrival granularity cannot change the admitted "
     "set",

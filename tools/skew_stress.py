@@ -794,14 +794,39 @@ def measure_ingest_budget(spark, dest: str) -> None:
     )
     batch.persist().count()
 
-    for label, kw in (
-        ("max_bucket=50", dict(max_bucket=50)),
-        ("pair_budget=2M", dict(pair_budget=2_000_000)),
-    ):
-        t0 = time.time()
-        res = D.lsh_incremental_matches(
-            d, batch.select("doc_id", "text"), **kw
+    # r11 (VERDICT r10 wrong #3): the third arm is the STREAMING gate's
+    # exact configuration — the admission cap derived CORPUS-SIDE at
+    # store-build time (min(ADMISSION_CAP_BUDGET // n_bands, max corpus
+    # bucket size), stamped in the store's footer metadata, read by the
+    # probe by default).  On this saturated corpus the template buckets
+    # exceed any constant, so max_bucket=50 drops them (false-admits
+    # their near-dups); the derived cap covers them by construction
+    # whenever the budget affords the largest bucket.
+    def derived_cap_arm():
+        sb, st = D.build_lsh_store(d, cap_budget=D.ADMISSION_CAP_BUDGET)
+        cap = sb.schema["bucket"].metadata["hdt_admission_cap"]
+        return f"derived cap={cap}", D.lsh_incremental_matches_stored(
+            sb, st, batch.select("doc_id", "text")
         )
+
+    arms = [
+        ("max_bucket=50", lambda: (
+            "max_bucket=50",
+            D.lsh_incremental_matches(
+                d, batch.select("doc_id", "text"), max_bucket=50
+            ),
+        )),
+        ("pair_budget=2M", lambda: (
+            "pair_budget=2M",
+            D.lsh_incremental_matches(
+                d, batch.select("doc_id", "text"), pair_budget=2_000_000
+            ),
+        )),
+        ("derived", derived_cap_arm),
+    ]
+    for _, arm in arms:
+        t0 = time.time()
+        label, res = arm()
         verdicts = (
             res.join(batch.select("doc_id", "cls"), "doc_id")
             .groupBy("cls")

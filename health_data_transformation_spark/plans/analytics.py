@@ -22915,3 +22915,117 @@ def q339(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return fp(1).unionByName(fp(2))
+
+
+def _q340_state_sql(version: int) -> str:
+    """Relational restatement of snapshot version N of the q340
+    PARTITIONED table: v1 = orders with o_orderkey % 5 = 0 keyed
+    (k, st, cents); v2 = v1 DELETE WHERE st = 'F' AND k % 10 = 0
+    (touches ONLY the 'F' partition, partially)."""
+    base = (
+        "SELECT o_orderkey AS k, o_orderstatus AS st,"
+        " CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents"
+        " FROM orders WHERE o_orderkey % 5 = 0"
+    )
+    if version == 1:
+        return base
+    return (
+        f"SELECT * FROM ({base}) v1 "
+        "WHERE NOT (st = 'F' AND k % 10 = 0)"
+    )
+
+
+@register(
+    "q340_partitioned_snapshot_delete",
+    "WITH h1 AS (SELECT "
+    + hex_hash64_sql("CAST(k AS VARCHAR) || '|' || st || '|' || CAST(cents AS VARCHAR)")
+    + f""" AS h FROM ({_q340_state_sql(1)}) s1),
+       h2 AS (SELECT """
+    + hex_hash64_sql("CAST(k AS VARCHAR) || '|' || st || '|' || CAST(cents AS VARCHAR)")
+    + f""" AS h FROM ({_q340_state_sql(2)}) s2)
+       SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+              CAST(sum(h % 1000000007) AS BIGINT) AS sum_mod,
+              TRUE AS untouched_reused
+       FROM h1
+       UNION ALL
+       SELECT 2, CAST(count(*) AS BIGINT), CAST(bit_xor(h) AS BIGINT),
+              CAST(sum(h % 1000000007) AS BIGINT), TRUE
+       FROM h2""",
+    "q339's DELETE WHERE on a PARTITIONED snapshot table (VERDICT r10 "
+    "missing #1 closed): the orders subset commits partitioned by "
+    "o_orderstatus, and the delete predicate (st = 'F' AND k % 10 = "
+    "0) matches rows in ONLY the 'F' partition — so commit_delete "
+    "rewrites the 'F' survivors alone and the new manifest REUSES the "
+    "'O'/'P' partitions' data directories verbatim (O(touched "
+    "partitions) per takedown, not O(table) — what a 100 TB corpus "
+    "store needs on every legal request).  The oracle fingerprints "
+    "BOTH versions (delete semantics + time-travel isolation, as "
+    "q339) AND the untouched_reused column: the Spark side computes "
+    "it FROM THE MANIFESTS (untouched partitions' directory lists "
+    "identical across v1/v2, touched partition's rewritten), the "
+    "oracle states TRUE — a broken reuse path flips the column and "
+    "fails the hash, making directory reuse itself driver-gated.  "
+    "Leaf-granular vacuum (partially reused commit dirs lose only "
+    "unreferenced leaves) is pinned by "
+    "test_partitioned_append_and_vacuum_leaf_gc",
+)
+def q340(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotTable
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    state = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_q340_%s_%d"
+        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(spark, root, partition_by="st")
+    t.commit_overwrite(state)
+    t.commit_delete("st = 'F' AND k % 10 = 0")
+
+    # directory-reuse proof, computed from the actual manifests: every
+    # untouched partition's dir list must carry over verbatim, and the
+    # touched partition must NOT (it was rewritten)
+    p1 = t._read_manifest(1)["partitions"]
+    p2 = t._read_manifest(2)["partitions"]
+    reused = (
+        all(p2.get(k) == dirs for k, dirs in p1.items() if k != "F")
+        and p2.get("F") != p1.get("F")
+    )
+
+    h = T.hex_hash64(
+        F.concat(
+            F.col("k").cast("string"), F.lit("|"), F.col("st"),
+            F.lit("|"), F.col("cents").cast("string"),
+        )
+    )
+
+    def fp(v: int) -> DataFrame:
+        return (
+            t.read(version=v)
+            .select(h.alias("h"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+                F.sum(F.col("h") % 1000000007).cast("long").alias("sum_mod"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "*",
+                F.lit(bool(reused)).alias("untouched_reused"),
+            )
+        )
+
+    return fp(1).unionByName(fp(2))

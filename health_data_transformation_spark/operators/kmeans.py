@@ -45,6 +45,26 @@ def int_kmeans_assign(
     """Run ``rounds`` Lloyd iterations; return (id, cluster) after the
     final assignment.  ``vec_col`` must be an integer array (quantize
     first); seeds are the ``k`` lowest-id vectors."""
+    assign, _ = int_kmeans(vectors, id_col, vec_col, k=k, rounds=rounds)
+    return assign
+
+
+def int_kmeans(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    rounds: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """``int_kmeans_assign`` that ALSO returns the centroid table the
+    final assignment was made against — ``(assign(id, cluster),
+    centroids(cluster, centroid))`` with integer-array centroids.
+
+    The centroids are what an IVF build persists (VERDICT r10 task #7:
+    ``build_ivf_cells`` took the n_cells lowest-id vectors as
+    centroids — deterministic but arbitrary; Lloyd refinement tightens
+    cell balance, see SCALE.md §8.13b) and what probe-time cell
+    selection scores against with the SAME exact-integer d2 rule."""
     qv = vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     seeds = (
         qv.orderBy("_vid")
@@ -96,4 +116,11 @@ def int_kmeans_assign(
                 ).alias("_c")
             )
         )
-    return assign.select(F.col("_vid").alias(id_col), F.col("_cid").alias("cluster"))
+    return (
+        assign.select(
+            F.col("_vid").alias(id_col), F.col("_cid").alias("cluster")
+        ),
+        cent.select(
+            F.col("_cid").alias("cluster"), F.col("_c").alias("centroid")
+        ),
+    )

@@ -481,6 +481,126 @@ def ivf_search_batch(
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def build_ivf_store_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    rounds: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd-REFINED persistable IVF index (VERDICT r10 task #7:
+    ``build_ivf_cells`` takes the n_cells lowest-id vectors as
+    centroids — deterministic but arbitrary, and cell balance suffers;
+    §8.13b measures the refinement tightening max-cell skew).
+
+    Vectors int8-quantize and run ``rounds`` deterministic integer
+    Lloyd iterations (``kmeans.int_kmeans``: exact integer L2, floor-
+    mean updates, lowest-id tie-breaks — the q158 machinery, so the
+    refinement itself is oracle-checkable, which fp k-means never is).
+    Returns the two frames the caller persists once per delivery:
+
+      * ``assigned``: the input + its Lloyd ``cell`` + precomputed
+        ``_vnorm`` — write sorted/partitioned by ``cell``;
+      * ``centroids``: ``(cell, _centroid_int array<long>)`` — tiny,
+        scored at probe time with the SAME exact-integer d2 rule the
+        assignment used (metric consistency: a vector lives in the
+        cell a probe ranks first for it).
+
+    ``n_cells``/``rounds`` are stamped as column metadata on ``cell``
+    (the params-with-the-store contract; over-probing fails loudly).
+    """
+    from ..functions.vector import int8_quantize
+    from .kmeans import int_kmeans
+
+    qv = df.select(F.col(id_col), int8_quantize(vec_col).alias("_q"))
+    assign, cents = int_kmeans(qv, id_col, "_q", k=n_cells, rounds=rounds)
+    meta = {"hdt_n_cells": n_cells, "hdt_rounds": rounds}
+    assigned = (
+        df.join(assign.withColumnRenamed("cluster", "cell"), id_col)
+        .withColumn("_vnorm", norm(vec_col))
+        .withMetadata("cell", meta)
+    )
+    centroids = cents.select(
+        F.col("cluster").alias("cell"), F.col("centroid").alias("_centroid_int")
+    ).withMetadata("cell", meta)
+    return assigned, centroids
+
+
+def ivf_lloyd_search_batch(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_col: str = "qv",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch k-NN against the Lloyd-refined store — the
+    :func:`ivf_search_batch` shape (probe selection IN the plan, no
+    per-query driver round trip) with probe ranking by the store's own
+    exact-integer d2 rule: each query int8-quantizes, crosses the
+    broadcast integer-centroid table, and a per-query window keeps the
+    ``n_probes`` NEAREST cells (d2 asc, cell asc — every window group
+    is exactly n_cells rows).  Verification inside probed cells is the
+    exact floored cosine on the RAW vectors with stored norms, same as
+    every other serving path.  Returns (query_id, id, sim, rank).
+    """
+    from ..functions.vector import int8_quantize
+    from .kmeans import _d2
+
+    for frame, need, name in (
+        (assigned, {"cell", vec_col, id_col}, "assigned"),
+        (centroids, {"cell", "_centroid_int"}, "centroids"),
+    ):
+        missing = need - set(frame.columns)
+        if missing:
+            raise ValueError(
+                f"store frame '{name}' lacks column(s) {sorted(missing)}; "
+                "build it with build_ivf_store_lloyd"
+            )
+    meta = centroids.schema["cell"].metadata or {}
+    if "hdt_n_cells" in meta and n_probes > int(meta["hdt_n_cells"]):
+        raise ValueError(
+            f"n_probes={n_probes} exceeds the store's n_cells="
+            f"{int(meta['hdt_n_cells'])} — see ivf_search_stored"
+        )
+    q = queries.select(query_id_col, query_col).withColumn(
+        "_qnorm", norm(query_col)
+    ).withColumn("_qq", int8_quantize(query_col))
+    cq = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "_qd2", _d2(F.col("_qq"), F.col("_centroid_int"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.asc("_qd2"), F.asc("cell")
+    )
+    probes = (
+        cq.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probes)
+        .select(query_id_col, "cell", query_col, "_qnorm")
+    )
+    vnorm = (
+        F.col("_vnorm") if "_vnorm" in assigned.columns else norm(F.col(vec_col))
+    )
+    sim = dot(F.col(vec_col), F.col(query_col)) / (vnorm * F.col("_qnorm"))
+    quant = F.lit(float(10 ** 6))
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .withColumn("sim", F.floor(sim * quant) / quant)
+        .select(query_id_col, F.col(id_col), F.col("sim"))
+    )
+    from .topk import top_k_per_group_scalable
+
+    return top_k_per_group_scalable(
+        scored,
+        [query_id_col],
+        [F.desc("sim"), F.asc(id_col)],
+        k,
+        rank_col="rank",
+    )
+
+
 def ivf_top_k(
     df: DataFrame, query: DataFrame, k: int = 3,
     bucket_col: str = "label", vec_col: str = "embedding",

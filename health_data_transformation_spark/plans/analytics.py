@@ -23029,3 +23029,183 @@ def q340(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return fp(1).unionByName(fp(2))
+
+
+def _q341_oracle(
+    n_cells: int = 16, n_anchors: int = 8, n_probes: int = 4, k: int = 3
+) -> str:
+    """Lloyd-refined IVF recall acceptance, fully unrolled:
+    corpus = embeddings with vec_id >= n_anchors (anchors are
+    OUT-OF-CORPUS queries — the serving scenario, and no self-match
+    special-casing); centroids = rounds=2 integer Lloyd over the
+    int8-quantized corpus (q158's CTEs with k = n_cells); probes =
+    the n_probes nearest refined centroids by the SAME exact-integer
+    d2 the assignment used; both the IVF arm and the exact arm rank by
+    floored raw cosine with (sim desc, vec_id) tie-breaks."""
+    from ..functions.vector import int8_quantize_sql
+
+    cos_cv = cosine_sql(
+        "CAST(cv.embedding AS DOUBLE[])", "CAST(av.embedding AS DOUBLE[])"
+    )
+    return f"""WITH qv AS (
+         SELECT vec_id, {int8_quantize_sql('embedding')} AS v
+         FROM embeddings WHERE vec_id >= {n_anchors}),
+       seeds AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+         FROM qv ORDER BY vec_id LIMIT {n_cells}),
+       a1 AS (
+         SELECT vec_id, v, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         FROM (SELECT q.vec_id, q.v, s.cid,
+                      {_kmeans_d2_sql('q.v', 's.c')} AS d2
+               FROM qv q CROSS JOIN seeds s)),
+       m1 AS (SELECT vec_id, v, cid FROM a1 WHERE rk = 1),
+       cells AS (
+         SELECT cid, i, sum(v[i]) AS s, count(*) AS n
+         FROM m1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+         GROUP BY cid, i),
+       cent2 AS (
+         SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS c
+         FROM cells GROUP BY cid),
+       a2 AS (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         FROM (SELECT q.vec_id, s.cid,
+                      {_kmeans_d2_sql('q.v', 's.c')} AS d2
+               FROM qv q CROSS JOIN cent2 s)),
+       m2 AS (SELECT vec_id, cid FROM a2 WHERE rk = 1),
+       anchors AS (
+         SELECT vec_id AS aid, {int8_quantize_sql('embedding')} AS av
+         FROM embeddings WHERE vec_id < {n_anchors}),
+       probes AS (
+         SELECT aid, cid FROM (
+           SELECT a.aid, s.cid,
+                  row_number() OVER (PARTITION BY a.aid
+                                     ORDER BY {_kmeans_d2_sql('a.av', 's.c')},
+                                              s.cid) AS pr
+           FROM anchors a CROSS JOIN cent2 s) t
+         WHERE pr <= {n_probes}),
+       ivf AS (
+         SELECT aid, nid FROM (
+           SELECT p.aid, m.vec_id AS nid,
+                  row_number() OVER (
+                    PARTITION BY p.aid
+                    ORDER BY floor(({cos_cv}) * 1000000.0) / 1000000.0 DESC,
+                             m.vec_id) AS rk
+           FROM probes p
+           JOIN m2 m ON m.cid = p.cid
+           JOIN embeddings cv ON cv.vec_id = m.vec_id
+           JOIN embeddings av ON av.vec_id = p.aid) t
+         WHERE rk <= {k}),
+       exact AS (
+         SELECT aid, nid FROM (
+           SELECT a.aid, cv.vec_id AS nid,
+                  row_number() OVER (
+                    PARTITION BY a.aid
+                    ORDER BY floor(({cos_cv}) * 1000000.0) / 1000000.0 DESC,
+                             cv.vec_id) AS rk
+           FROM anchors a
+           JOIN embeddings av ON av.vec_id = a.aid
+           CROSS JOIN embeddings cv
+           WHERE cv.vec_id >= {n_anchors}) t
+         WHERE rk <= {k}),
+       ex_n AS (SELECT aid, count(*) AS n_exact FROM exact GROUP BY aid),
+       ivf_n AS (SELECT aid, count(*) AS n_ivf FROM ivf GROUP BY aid),
+       hits AS (
+         SELECT exact.aid, count(*) AS n_hit
+         FROM exact JOIN ivf ON exact.aid = ivf.aid AND exact.nid = ivf.nid
+         GROUP BY exact.aid)
+       SELECT a.aid AS query_id,
+              CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
+              CAST(coalesce(i.n_ivf, 0) AS BIGINT) AS n_ivf,
+              CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+              CAST(coalesce(h.n_hit, 0) * 1000000
+                   // coalesce(e.n_exact, 1) AS BIGINT) AS recall_ppm
+       FROM anchors a
+       LEFT JOIN ex_n e ON a.aid = e.aid
+       LEFT JOIN ivf_n i ON a.aid = i.aid
+       LEFT JOIN hits h ON a.aid = h.aid"""
+
+
+@register(
+    "q341_ivf_lloyd_recall",
+    _q341_oracle(),
+    "Lloyd-refined IVF with its recall acceptance in one differential "
+    "(VERDICT r10 task #7): build_ivf_store_lloyd replaces the "
+    "arbitrary lowest-id centroid seeds with rounds=2 deterministic "
+    "INTEGER Lloyd refinement (the q158 machinery: int8-quantized "
+    "vectors, exact integer L2, floor-mean updates, lowest-id "
+    "tie-breaks — so the refinement is oracle-checkable, which "
+    "floating-point k-means never is), and probe-time cell selection "
+    "uses the SAME exact-integer d2 the assignment used (metric "
+    "consistency).  8 out-of-corpus anchor queries (vec_id < 8; the "
+    "corpus is vec_id >= 8 — the serving scenario, no self-match "
+    "asymmetry) run BOTH arms: batched Lloyd-IVF top-3 "
+    "(ivf_lloyd_search_batch — probe selection in-plan, q337's "
+    "no-driver-round-trip shape) and exact brute-force top-3 by the "
+    "identical floored cosine; per-anchor recall in exact ppm.  The "
+    "oracle unrolls refinement, probe ranking, both arms, and the "
+    "recall join — one hash gates the whole acceptance.  §8.13b "
+    "measures what the refinement buys: cell-size skew before/after "
+    "and the probe-wall effect of balanced cells",
+)
+def q341(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import (
+        build_ivf_store_lloyd,
+        ivf_lloyd_search_batch,
+    )
+    from ..operators import topk as K341
+    from ..functions.vector import norm as _vnorm
+    from ..functions.vector import dot as _vdot
+
+    e = load_table(spark, sf, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 8)
+    anchors = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    assigned, cents = build_ivf_store_lloyd(corpus, n_cells=16, rounds=2)
+    ivf = ivf_lloyd_search_batch(
+        assigned, cents, anchors, k=3, n_probes=4
+    ).select("query_id", F.col("vec_id").alias("nid"))
+
+    # exact arm: identical floored cosine, brute force over the corpus
+    q = anchors.withColumn("_qnorm", _vnorm("qv"))
+    quant = F.lit(float(10 ** 6))
+    sim = _vdot(F.col("embedding"), F.col("qv")) / (
+        _vnorm(F.col("embedding")) * F.col("_qnorm")
+    )
+    cand = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("nid"),
+        (F.floor(sim * quant) / quant).alias("sim"),
+    )
+    exact = K341.top_k_per_group_scalable(
+        cand, ["query_id"], [F.desc("sim"), F.asc("nid")], 3
+    ).select("query_id", "nid")
+
+    ex_n = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    ivf_n = ivf.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_ivf")
+    )
+    hits = (
+        exact.join(ivf, ["query_id", "nid"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return (
+        anchors.select("query_id")
+        .join(ex_n, "query_id", "left")
+        .join(ivf_n, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+            F.coalesce("n_ivf", F.lit(0)).cast("long").alias("n_ivf"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(
+                "(coalesce(n_hit, 0) * 1000000) div coalesce(n_exact, 1)"
+            ).cast("long").alias("recall_ppm"),
+        )
+    )

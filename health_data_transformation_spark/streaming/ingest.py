@@ -115,10 +115,61 @@ def stream_load_quality(
     return reports
 
 
+def build_text_store(spark, sf_dir: str, dest: str) -> str:
+    """q181's one-time store build: the stored corpus (doc_id % 7 != 3)
+    -> LSH band-bucket + token-set parquet stores under ``dest``,
+    sorted on the probe keys, admission cap derived corpus-side and
+    stamped (see stream_incremental_dedup).  Split out so bench.py's
+    store_split can time build and stream separately (VERDICT r10
+    task #5)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ..operators.dedup import ADMISSION_CAP_BUDGET, build_lsh_store
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(~(F.col("doc_id") % 7 == 3))
+    buckets, tokens = build_lsh_store(
+        corpus, band_size=4, num_hashes=8, cap_budget=ADMISSION_CAP_BUDGET
+    )
+    buckets.sort("bucket").write.parquet(os.path.join(dest, "_store_buckets"))
+    tokens.sort("id_c").write.parquet(os.path.join(dest, "_store_tokens"))
+    return dest
+
+
+def build_vector_store(spark, sf_dir: str, dest: str) -> str:
+    """q338's one-time store build — the vector twin of
+    :func:`build_text_store` (signature buckets + vectors with
+    precomputed norms, derived admission cap stamped)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ..operators.dedup import (
+        ADMISSION_CAP_BUDGET,
+        build_embedding_lsh_store,
+    )
+    from ..sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(~(F.col("vec_id") % 7 == 3))
+    buckets, vectors = build_embedding_lsh_store(
+        corpus, cap_budget=ADMISSION_CAP_BUDGET
+    )
+    buckets.sort("lsh_sig").write.parquet(
+        os.path.join(dest, "_store_buckets")
+    )
+    vectors.sort("id_c").write.parquet(os.path.join(dest, "_store_vectors"))
+    return dest
+
+
 def stream_incremental_dedup(
     spark,
     sf_dir: str,
     timeout_sec: int = 300,
+    store_dir: str | None = None,
 ):
     """Streaming near-dup admission: each arriving microbatch of new
     documents is gated against the STORED corpus before landing.
@@ -154,11 +205,7 @@ def stream_incremental_dedup(
 
     import pyspark.sql.functions as F
 
-    from ..operators.dedup import (
-        ADMISSION_CAP_BUDGET,
-        build_lsh_store,
-        lsh_incremental_matches_stored,
-    )
+    from ..operators.dedup import lsh_incremental_matches_stored
     from ..sources.tables import load_table
     from .windows import narrow_shuffle
 
@@ -174,8 +221,6 @@ def stream_incremental_dedup(
     # (at 100 TB this is the stored corpus's own ingest-time signature
     # pass, not per-stream work); bucket-/id-sorted so probe IN filters
     # can prune row groups
-    store_b = os.path.join(stage, "_store_buckets")
-    store_t = os.path.join(stage, "_store_tokens")
     # cap_budget derives the admission cap CORPUS-SIDE at build time
     # and stamps it in the store's footer metadata (VERDICT r10 wrong
     # #3: the previous hard-coded max_bucket=50 fails OPEN — §8.11b /
@@ -183,13 +228,15 @@ def stream_incremental_dedup(
     # pair_budget would make admission batch-dependent).  The probe
     # below reads the stamp by default, so admission stays
     # batch-independent with no constant in this file.
-    buckets, tokens = build_lsh_store(
-        corpus, band_size=4, num_hashes=8, cap_budget=ADMISSION_CAP_BUDGET
-    )
-    buckets.sort("bucket").write.parquet(store_b)
-    tokens.sort("id_c").write.parquet(store_t)
-    sb = spark.read.parquet(store_b)
-    st = spark.read.parquet(store_t)
+    # ``store_dir`` reuses a store persisted by build_text_store
+    # (bench.py's store_split times the build separately — VERDICT r10
+    # task #5); default builds it inline, the delivery-cycle shape the
+    # q181 differential gates end to end.
+    if store_dir is None:
+        store_dir = stage
+        build_text_store(spark, sf_dir, store_dir)
+    sb = spark.read.parquet(os.path.join(store_dir, "_store_buckets"))
+    st = spark.read.parquet(os.path.join(store_dir, "_store_tokens"))
 
     def stage_file(df, name: str) -> None:
         # the file stream source lists plain files, not nested dirs:
@@ -240,6 +287,7 @@ def stream_embedding_admission(
     spark,
     sf_dir: str,
     timeout_sec: int = 300,
+    store_dir: str | None = None,
 ):
     """Streaming SemDeDup admission for VECTORS: each arriving
     microbatch of embeddings is gated against the stored corpus's
@@ -276,11 +324,7 @@ def stream_embedding_admission(
 
     import pyspark.sql.functions as F
 
-    from ..operators.dedup import (
-        ADMISSION_CAP_BUDGET,
-        build_embedding_lsh_store,
-        embedding_incremental_matches_stored,
-    )
+    from ..operators.dedup import embedding_incremental_matches_stored
     from ..sources.tables import load_table
     from .windows import narrow_shuffle
 
@@ -292,17 +336,14 @@ def stream_embedding_admission(
     stage = tempfile.mkdtemp(prefix="hdt_stream_emb_")
     out_dir = os.path.join(stage, "_verdicts")
 
-    store_b = os.path.join(stage, "_store_buckets")
-    store_v = os.path.join(stage, "_store_vectors")
     # derived corpus-side admission cap, stamped at build time — see
-    # stream_incremental_dedup (VERDICT r10 wrong #3)
-    buckets, vectors = build_embedding_lsh_store(
-        corpus, cap_budget=ADMISSION_CAP_BUDGET
-    )
-    buckets.sort("lsh_sig").write.parquet(store_b)
-    vectors.sort("id_c").write.parquet(store_v)
-    sb = spark.read.parquet(store_b)
-    sv = spark.read.parquet(store_v)
+    # stream_incremental_dedup (VERDICT r10 wrong #3); ``store_dir``
+    # reuses a build_vector_store persist (bench store_split)
+    if store_dir is None:
+        store_dir = stage
+        build_vector_store(spark, sf_dir, store_dir)
+    sb = spark.read.parquet(os.path.join(store_dir, "_store_buckets"))
+    sv = spark.read.parquet(os.path.join(store_dir, "_store_vectors"))
 
     def stage_file(df, name: str) -> None:
         tmp = os.path.join(stage, "_tmp_" + name)

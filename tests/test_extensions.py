@@ -229,6 +229,73 @@ def test_ivf_store_path_equals_recompute(spark, tmp_path):
         ivf_search_stored(sa, sc, query, 10, n_probes=9)
 
 
+def test_ivf_lloyd_store_roundtrip_and_guards(spark, tmp_path):
+    """The Lloyd-refined IVF store (q341): results survive a parquet
+    round trip of the store; rounds/n_cells metadata persists; the
+    assignment agrees with int_kmeans (metric consistency); store
+    guards refuse wrong frames and over-probing."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from health_data_transformation_spark.functions.vector import (
+        int8_quantize,
+    )
+    from health_data_transformation_spark.operators.kmeans import (
+        int_kmeans_assign,
+    )
+    from health_data_transformation_spark.operators.similarity import (
+        build_ivf_store_lloyd,
+        ivf_lloyd_search_batch,
+    )
+    from health_data_transformation_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 4)
+    queries = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    assigned, cents = build_ivf_store_lloyd(corpus, n_cells=8, rounds=2)
+    assert cents.schema["cell"].metadata["hdt_rounds"] == 2
+    ref = sorted(
+        tuple(r)
+        for r in ivf_lloyd_search_batch(
+            assigned, cents, queries, k=3, n_probes=3
+        ).collect()
+    )
+
+    # cells ARE the q158 Lloyd assignment (same machinery, same result)
+    km = int_kmeans_assign(
+        corpus.select("vec_id", int8_quantize("embedding").alias("q")),
+        "vec_id", "q", k=8, rounds=2,
+    )
+    diff = (
+        assigned.select("vec_id", "cell")
+        .join(km, "vec_id")
+        .filter(F.col("cell") != F.col("cluster"))
+        .count()
+    )
+    assert diff == 0
+
+    assigned.sort("cell").write.parquet(str(tmp_path / "a"))
+    cents.write.parquet(str(tmp_path / "c"))
+    sa = spark.read.parquet(str(tmp_path / "a"))
+    sc = spark.read.parquet(str(tmp_path / "c"))
+    assert sc.schema["cell"].metadata["hdt_n_cells"] == 8
+    got = sorted(
+        tuple(r)
+        for r in ivf_lloyd_search_batch(
+            sa, sc, queries, k=3, n_probes=3
+        ).collect()
+    )
+    assert got == ref
+
+    with _pytest.raises(ValueError, match="build_ivf_store_lloyd"):
+        ivf_lloyd_search_batch(sc, sa, queries, k=3, n_probes=3)
+    with _pytest.raises(ValueError, match="n_probes"):
+        ivf_lloyd_search_batch(sa, sc, queries, k=3, n_probes=9)
+
+
 def test_ivf_batch_search_equals_per_query(spark, tmp_path):
     """ivf_search_batch's per-query rows equal ivf_search_stored run
     query by query on the same store (the q337 pin), across a parquet

@@ -1018,6 +1018,126 @@ def measure_store_growth(spark) -> None:
     batch.unpersist()
 
 
+def measure_ivf_balance(spark) -> None:
+    """§8.13b (r11, VERDICT r10 task #7): what Lloyd refinement buys.
+
+    ``build_ivf_cells`` seeds centroids as the n_cells lowest-id
+    vectors — deterministic but arbitrary; cell balance (and therefore
+    probe selectivity: the probed fraction of the corpus is the SUM of
+    the probed cells' sizes, not n_probes/n_cells) was unmeasured.
+    This compares, on the sf0.1 embeddings (n_cells=16):
+
+      * arm 'seed':   build_ivf_store (lowest-id centroids, cosine
+                      assignment);
+      * arm 'lloydN': build_ivf_store_lloyd with rounds=N integer
+                      Lloyd refinement (exact-integer d2 assignment);
+
+    reporting the cell-size distribution (max/mean ratio = the skew
+    number; a perfectly balanced quantizer is 1.0), the fraction of
+    the corpus a 4-probe query scans in the WORST case (top-4 cell
+    mass), and recall@3 for the 8 q341 anchors vs the exact arm.
+    """
+    sys.path.insert(0, "/root/repo")
+    from health_data_transformation_spark.functions.vector import dot, norm
+    from health_data_transformation_spark.operators import topk as K
+    from health_data_transformation_spark.operators.similarity import (
+        build_ivf_store,
+        build_ivf_store_lloyd,
+        ivf_lloyd_search_batch,
+        ivf_search_batch,
+    )
+
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # second dataset: the §8.10 embdup corpus — 40% of vectors in one
+    # template cluster, so the 16 lowest-id seeds (ids 0-3 ARE the
+    # templates) collapse several centroids into that cluster; this is
+    # the clustered regime Lloyd refinement exists for (the uniform
+    # synthetic table below is the null case — near-uniform vectors on
+    # the sphere are balanced under ANY deterministic seeding)
+    embdup_dest = "/tmp/hdt_embdup_sf5"
+    build_embdup_corpus(spark, 5, embdup_dest)
+    for ds_label, ds_path in (
+        ("uniform", f"{base_dir}/embeddings.parquet"),
+        ("embdup", f"{embdup_dest}/embeddings.parquet"),
+    ):
+        _ivf_balance_one(spark, ds_label, ds_path)
+
+
+def _ivf_balance_one(spark, ds_label: str, path: str) -> None:
+    from health_data_transformation_spark.functions.vector import dot, norm
+    from health_data_transformation_spark.operators import topk as K
+    from health_data_transformation_spark.operators.similarity import (
+        build_ivf_store,
+        build_ivf_store_lloyd,
+        ivf_lloyd_search_batch,
+        ivf_search_batch,
+    )
+
+    e = spark.read.parquet(path).select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") >= 8)
+    anchors = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    n_corpus = corpus.count()
+
+    # exact arm once (ground truth for recall@3)
+    q = anchors.withColumn("_qnorm", norm("qv"))
+    quant = F.lit(float(10 ** 6))
+    sim = dot(F.col("embedding"), F.col("qv")) / (
+        norm(F.col("embedding")) * F.col("_qnorm")
+    )
+    cand = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id", F.col("vec_id").alias("nid"),
+        (F.floor(sim * quant) / quant).alias("sim"),
+    )
+    exact = (
+        K.top_k_per_group_scalable(
+            cand, ["query_id"], [F.desc("sim"), F.asc("nid")], 3
+        )
+        .select("query_id", "nid")
+        .localCheckpoint()
+    )
+
+    print(f"\n=== §8.13b IVF cell balance ({ds_label}): seed vs Lloyd ===")
+    print(f"corpus {n_corpus} vectors, n_cells=16, n_probes=4, 8 anchors")
+    arms = [("seed", None)] + [(f"lloyd{r}", r) for r in (1, 2)]
+    for label, rounds in arms:
+        t0 = time.time()
+        if rounds is None:
+            assigned, cents = build_ivf_store(corpus, n_cells=16)
+        else:
+            assigned, cents = build_ivf_store_lloyd(
+                corpus, n_cells=16, rounds=rounds
+            )
+        sizes = sorted(
+            r["n"]
+            for r in assigned.groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        build_wall = time.time() - t0
+        mean = sum(sizes) / len(sizes)
+        top4 = sum(sizes[-4:])
+        t0 = time.time()
+        search = (
+            ivf_search_batch(assigned, cents, anchors, k=3, n_probes=4)
+            if rounds is None
+            else ivf_lloyd_search_batch(
+                assigned, cents, anchors, k=3, n_probes=4
+            )
+        )
+        got = search.select("query_id", F.col("vec_id").alias("nid"))
+        n_hit = exact.join(got, ["query_id", "nid"]).count()
+        probe_wall = time.time() - t0
+        print(
+            f"{label:>7}: cells {len(sizes)}, max/mean "
+            f"{sizes[-1] / mean:4.2f} (max {sizes[-1]}, min {sizes[0]}), "
+            f"worst-4-cell mass {top4 / n_corpus:5.1%}, "
+            f"recall@3 {n_hit}/24, build {build_wall:.1f}s, "
+            f"probe+recall {probe_wall:.1f}s"
+        )
+
+
 def measure_ivf_store(spark) -> None:
     """§8.13 (r10): what the PERSISTED IVF index buys at serving time.
 
@@ -1384,16 +1504,18 @@ def main() -> None:
     store = "--store" in args
     # --ivf (§8.13): self-building IVF-store serving measurement only
     ivf = "--ivf" in args
+    # --ivfbalance (§8.13b): seed-vs-Lloyd cell balance + recall
+    ivfbal = "--ivfbalance" in args
     dup = dup or curve or ingest
     args = [
         a
         for a in args
         if a not in ("--r6", "--dup", "--emb", "--curve", "--ingest",
-                     "--store", "--ivf")
+                     "--store", "--ivf", "--ivfbalance")
     ]
     n = int(args[0]) if args and args[0].isdigit() else (25 if emb else 10)
     names = [a for a in args if not a.isdigit()] or (
-        [] if curve or ingest or store or ivf
+        [] if curve or ingest or store or ivf or ivfbal
         else WAVE_EMB if emb else WAVE_DUP if dup else WAVE_R6 if r6 else WAVE
     )
 
@@ -1434,6 +1556,11 @@ def main() -> None:
         # §8.12 builds its own 1x/8x/32x corpora; no wave, no oracle
         measure_store_growth(spark)
         print("store-growth wave done")
+        return
+
+    if ivfbal:
+        measure_ivf_balance(spark)
+        print("ivf-balance wave done")
         return
 
     if ivf:

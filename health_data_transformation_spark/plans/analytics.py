@@ -22641,10 +22641,53 @@ def _q335_probe(spark: SparkSession, sf: str, root: str) -> DataFrame:
 #: separately through this map and records them under "store_split" in
 #: the bench detail, reconciled with SCALE.md §8.12's build/probe
 #: table.
+def _stream_store_root(tag: str, sf: str) -> str:
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_%s_store_%s_%d"
+        % (tag, os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def _q181_build(spark: SparkSession, sf: str) -> str:
+    """q181's one-time store build (bench store_split, VERDICT r10
+    task #5: the streaming entries' wall was build + stream machinery
+    read as query cost)."""
+    from ..streaming.ingest import build_text_store
+
+    return build_text_store(spark, sf, _stream_store_root("q181", sf))
+
+
+def _q181_probe(spark: SparkSession, sf: str, root: str):
+    from ..streaming.ingest import stream_incremental_dedup
+
+    return stream_incremental_dedup(spark, sf, store_dir=root)
+
+
+def _q338_build(spark: SparkSession, sf: str) -> str:
+    from ..streaming.ingest import build_vector_store
+
+    return build_vector_store(spark, sf, _stream_store_root("q338", sf))
+
+
+def _q338_probe(spark: SparkSession, sf: str, root: str):
+    from ..streaming.ingest import stream_embedding_admission
+
+    return stream_embedding_admission(spark, sf, store_dir=root)
+
+
 STORE_SPLIT: dict[str, tuple] = {
     "q332_incremental_dedup_stored": (_q332_build, _q332_probe),
     "q334_embedding_incremental_stored": (_q334_build, _q334_probe),
     "q335_ivf_search_stored": (_q335_build, _q335_probe),
+    "q181_stream_incremental_dedup": (_q181_build, _q181_probe),
+    "q338_stream_embedding_admission": (_q338_build, _q338_probe),
 }
 
 

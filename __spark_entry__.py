@@ -31,104 +31,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Queries promoted into the front of the registry ordering.  The
 #: driver's correctness gate re-checks a fixed-size 50-query prefix of
-#: ``queries()``, so the ordering is evidence steering.  Round-10
-#: policy (VERDICT r9 tasks #1/#2/#4/#6), slot by slot:
-#:   1     q169 ingest anchor (S4-S8 §2 proof, pinned every round);
-#:   2     q335, this round's one NEW entry (the persisted IVF index —
-#:         task #4's stored==recompute==oracle twin for ANN serving);
-#:   3-27  ALL 25 remaining never-driver-verified queries (task #1:
-#:         ledger paydown to never-count 0 — the q71-q98 block);
-#:   28-30 q238/q244/q56, the twice-deferred spares the verdict named
-#:         (q56 additionally settles its r9 bench blip with
-#:         driver-grade evidence);
-#:   31-34 q76/q176/q179/q211 — the four max_bucket->pair_budget
-#:         migrations whose RESULTS changed this round (task #2), so
-#:         their old driver evidence no longer describes them (q77,
-#:         the fifth migration, is already in the never block);
-#:   35    q336, the JDBC federation entry (task #7: the S7 seam,
-#:         end-to-end against embedded Derby — new, so never-verified
-#:         by construction);
-#:   36    q337, batched IVF serving (in-plan probe selection — the
-#:         §8.13 batch shape; new, never-verified by construction);
-#:   37    q338, the streaming vector-admission twin (q181's embedding
-#:         sibling — streaming == batch == oracle as one hash; new,
-#:         never-verified by construction);
-#:   38    q339, snapshot DELETE WHERE (the right-to-be-forgotten
-#:         primitive + its time-travel isolation proof; new, so
-#:         never-verified by construction);
-#:   39-50 the 12 stalest by driver evidence (task #6's rotation
-#:         policy, first application: all from r2 — the q15-q48
-#:         block), ordered oldest-first from tools/driver_ledger.py
-#:         --stale.  Expected ledger after the r10 driver run:
-#:         never-count 0 (25 + 5 new - 30) and max staleness r2
-#:         (11 r2-era queries remain for the r11 rotation).
-#: Prefix slots held for RE-PROOF rather than never/staleness rotation
-#: (tests/test_tools_registry.py bounds this list at 8 and requires
-#: each member to already carry driver evidence): q238/q244/q56 are the
-#: verdict-named twice-deferred spares; q76/q176/q179/q211 changed
-#: RESULTS this round (max_bucket -> pair_budget migration), so their
-#: old driver evidence no longer describes them.
+#: ``queries()``, so the ordering is evidence steering.  Round-11
+#: policy (VERDICT r10 tasks #1/#6 — now SET-DERIVED, see
+#: tools/driver_ledger.py:prefix_rotation_ok and the meta-test): the
+#: prefix is exactly
+#:   1    the pinned q169 ingest anchor (S4-S8 §2 proof, every round);
+#:   2-3  every never-driver-verified query (q340 partitioned snapshot
+#:        delete, q341 Lloyd-IVF recall — both new this round, never
+#:        by construction);
+#:   4-5  the _REPROOF slots: q338/q181's RESULTS changed this round
+#:        (the streaming admission cap is now derived corpus-side and
+#:        stamped in store metadata — VERDICT r10 wrong #3 — replacing
+#:        the hard-coded max_bucket=50), so their old driver evidence
+#:        no longer describes them;
+#:   6-50 the 45 STALEST queries by driver evidence — an exact prefix
+#:        of tools/driver_ledger.py --stale's rotation order (the
+#:        entire remaining r2 tier: 11 queries, the r3 tier: 14, and
+#:        the whole r4 tier: 20).  Expected ledger after the r11
+#:        driver run: never-count 0, oldest evidence tier r5.
+#: The old per-slot tier rule ("within one round of the oldest tier")
+#: could not fill the prefix once the never-backlog was paid down;
+#: the exact-prefix-of-rotation-order rule is stricter (no mid-tier
+#: cherry-picks) and always fillable — pinned post-round-stable by
+#: tests/test_tools_registry.py.
 _REPROOF = [
-    "q238_stream_stream_join",
-    "q244_stream_outer_join",
-    "q56_stateful_totals",
-    "q76_dedup_clusters",
-    "q176_soft_dedup_weights",
-    "q179_quality_keeper",
-    "q211_split_leakage_audit",
+    "q338_stream_embedding_admission",
+    "q181_stream_incremental_dedup",
 ]
 
 _PROMOTED = [
     "q169_ingest_lifecycle",
-    "q335_ivf_search_stored",
-    "q71_snapshot_diff",
-    "q72_top_customer_share",
-    "q73_ivf_built_search",
-    "q74_tfidf_top_terms",
-    "q75_range_frame_moving_sum",
-    "q77_deduped_corpus",
-    "q79_stratified_sample",
-    "q80_count_min_sketch",
-    "q81_hll_distinct",
-    "q82_int8_cosine_topk",
-    "q83_percent_rank",
-    "q84_multimodal_resize",
-    "q85_weighted_sample",
-    "q86_quality_ratios",
-    "q87_char_shingles",
-    "q88_funnel_conversion",
-    "q89_cohort_retention",
-    "q90_grouped_median",
-    "q91_corpus_pipeline",
-    "q93_promo_revenue_share",
-    "q94_referential_audit",
-    "q95_drift_bins",
-    "q96_incremental_rollup",
-    "q97_pagerank_integer",
-    "q98_hot_key_detector",
-    "q238_stream_stream_join",
-    "q244_stream_outer_join",
-    "q56_stateful_totals",
-    "q76_dedup_clusters",
-    "q176_soft_dedup_weights",
-    "q179_quality_keeper",
-    "q211_split_leakage_audit",
-    "q336_jdbc_federation",
-    "q337_ivf_batch_search",
+    "q340_partitioned_snapshot_delete",
+    "q341_ivf_lloyd_recall",
     "q338_stream_embedding_admission",
-    "q339_snapshot_delete",
-    "q15_orders_per_customer",
-    "q16_topk_orders",
-    "q17_top3_per_customer",
-    "q18_running_user_totals",
-    "q19_rollup_counts",
-    "q20_distinct_per_segment",
-    "q21_intersect",
-    "q22_except",
-    "q28_cube_counts",
-    "q29_pivot",
-    "q47_percentiles",
-    "q48_stats_moments",
+    "q181_stream_incremental_dedup",
+    "q50_salted_agg",
+    "q54_range_join",
+    "q55_grouping_sets",
+    "q58_frame_sample",
+    "q62_stream_session_windows",
+    "q63_hash_split",
+    "q64_profile",
+    "q66_pack_bins",
+    "q67_corr_moments",
+    "q68_ntile_buckets",
+    "q69_levenshtein_pairs",
+    "q100_embedding_lsh_pairs",
+    "q105_lsh_topk_neighbors",
+    "q141_prefix_jaccard_pairs",
+    "q156_bm25_topk",
+    "q158_integer_kmeans",
+    "q162_simhash_banded",
+    "q173_semantic_dedup",
+    "q184_perplexity_buckets",
+    "q186_dup_span_table",
+    "q191_theil_sen_trend",
+    "q194_containment_pairs",
+    "q199_warehouse_profile",
+    "q204_exactly_once_sink",
+    "q212_content_defined_chunks",
+    "q180_versioned_dedup_ingest",
+    "q200_corpus_export",
+    "q209_ann_recall_eval",
+    "q221_fuzzy_match_fastss",
+    "q222_heavy_hitters_mg",
+    "q227_corpus_overlap_minhash",
+    "q231_threshold_algorithm_topk",
+    "q232_ndcg_retrieval_eval",
+    "q233_graph_feature_propagation",
+    "q234_partition_advisor",
+    "q235_join_strategy_advisor",
+    "q237_merkle_repair_plan",
+    "q243_encoding_advisor",
+    "q250_lsh_recall_eval",
+    "q261_dedup_threshold_sweep",
+    "q263_bucketed_join_exchange_free",
+    "q265_clean_room_join",
+    "q266_merge_composition",
+    "q267_snapshot_isolation_join",
+    "q269_snapshot_concurrency",
 ]
 
 

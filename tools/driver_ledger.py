@@ -41,44 +41,64 @@ def green(row: dict) -> bool:
     return hm is not False  # None => rows-only check, still a pass
 
 
-def slot_justified(name: str, ledger: dict[str, list[int]]) -> bool:
-    """Prefix-slot justification, POST-ROUND STABLE (VERDICT r10 wrong #1).
+def rotation_order(ledger: dict[str, list[int]]) -> list[str]:
+    """Driver-verified queries sorted stalest-first by (newest
+    evidence round, name) — the total order the prefix builder
+    consumes (never-verified queries are NOT in this list; they enter
+    the prefix unconditionally)."""
+    return [
+        n
+        for _, n in sorted((max(rs), n) for n, rs in ledger.items() if rs)
+    ]
 
-    A rotation slot is legitimate iff, under EITHER ledger view, it is
-    never-verified, first-verified-by-the-newest-round, or stale-tier
-    (latest evidence within one round of the global oldest tier):
 
-      view 1: the full committed ledger — this is the as-built state
-              MID-ROUND (the prefix for round R is constructed against
-              CORRECTNESS_{<=R-1}, which is all that exists then);
-      view 2: the ledger EXCLUDING the newest committed round — this is
-              the as-built state POST-ROUND, after the round-R driver
-              artifact lands on top of the round-R prefix.
+def prefix_rotation_ok(
+    first50: list[str],
+    pin: str,
+    reproof: list[str],
+    ledger: dict[str, list[int]],
+) -> bool:
+    """Set-level prefix justification, POST-ROUND STABLE (VERDICT r10
+    wrong #1, policy upgraded in r11).
 
-    The r10 failure mode: q15 was rotated in as r2-stale, the driver
-    verified it in r10, and the single-view derivation then saw
-    evidence [2, 10] — neither first-verified-here nor stale.  View 2
-    strips the r10 row and recovers the state the rotation was chosen
-    against.  A genuinely unjustified slot (e.g. mid-tier evidence
-    [5, 10] when the oldest tier is r2) fails BOTH views.
+    The prefix is legitimate iff, under EITHER ledger view, its
+    non-pin/non-reproof slots are exactly {every never-verified query}
+    plus a PREFIX of the staleness rotation order (stalest evidence
+    first, name tie-break) — i.e. the builder spent every free slot on
+    the queries whose driver proof is oldest, no cherry-picking.
+
+      view 1: the full committed ledger — the as-built state MID-ROUND
+              (the round-R prefix is constructed against
+              CORRECTNESS_{<=R-1}, all that exists then);
+      view 2: the ledger EXCLUDING the newest committed round — the
+              as-built state POST-ROUND, after the round-R driver
+              artifact lands on the very slots being judged (the r10
+              q15 failure: stale evidence [2] became [2, 10] and the
+              single-view derivation rejected its own rotation).
+
+    The earlier per-slot tier rule ("within one round of the oldest
+    tier") could not even FILL the prefix once the never-backlog was
+    paid down (r11: 2 never + 45 free slots vs 25 tier-eligible
+    queries); the exact-prefix-of-rotation-order rule is stricter
+    where it matters (no mid-tier cherry-picks) and always fillable.
     """
 
-    def _view_ok(view: dict[str, list[int]], latest: int) -> bool:
-        mine = view.get(name) or []
-        if not mine:
-            return True  # never-verified as of this view
-        oldest = min((min(rs) for rs in view.values() if rs), default=0)
-        return min(mine) == latest or max(mine) <= oldest + 1
+    def _view_ok(view: dict[str, list[int]]) -> bool:
+        never = {n for n, rs in view.items() if not rs}
+        fixed = {pin} | set(reproof)
+        slots = [n for n in first50 if n not in fixed]
+        if not never <= set(slots):
+            return False  # a never-verified query left out of the prefix
+        stale_slots = [n for n in slots if n not in never]
+        order = [n for n in rotation_order(view) if n not in fixed]
+        expected = order[: len(stale_slots)]
+        return sorted(stale_slots) == sorted(expected)
 
     newest = max((r for rs in ledger.values() for r in rs), default=0)
     stripped = {
         n: [r for r in rs if r != newest] for n, rs in ledger.items()
     }
-    # View 2's first-verified anchor is newest-1 (the committed round the
-    # prefix was built against), NOT the stripped view's own max — using
-    # the max would retro-justify any slot first verified in some old
-    # round as soon as newer evidence is stripped.
-    return _view_ok(ledger, newest) or _view_ok(stripped, newest - 1)
+    return _view_ok(ledger) or _view_ok(stripped)
 
 
 def build_ledger() -> dict[str, list[int]]:

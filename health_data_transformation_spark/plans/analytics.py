@@ -23248,7 +23248,135 @@ def q341(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("n_ivf", F.lit(0)).cast("long").alias("n_ivf"),
             F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
             F.expr(
-                "(coalesce(n_hit, 0) * 1000000) div coalesce(n_exact, 1)"
+                "(coalesce(n_hit, 0) * 1000000) div coalesce(n_exact, 1)"  # ppm-ok: n_hit <= k = 3, product <= 3e6
             ).cast("long").alias("recall_ppm"),
         )
     )
+
+
+def _q342_batch_sql() -> str:
+    """q342's deterministic upsert batch over the v1 state: every
+    'O'-partition row with k % 10 = 0 is UPDATED (cents + 111) and a
+    sibling INSERT lands beside it under key k + 10^12 (collision-free
+    at any realistic SF)."""
+    base = _q340_state_sql(1)
+    return (
+        f"SELECT k, st, cents + 111 AS cents FROM ({base}) u "
+        "WHERE st = 'O' AND k % 10 = 0 "
+        "UNION ALL "
+        f"SELECT k + 1000000000000 AS k, st, cents FROM ({base}) i "
+        "WHERE st = 'O' AND k % 10 = 0"
+    )
+
+
+def _q342_state_sql(version: int) -> str:
+    """v1 = q340's v1 (orders % 5 = 0, partitioned by st); v2 = v1
+    MERGE (upsert) with the _q342_batch_sql batch on keys (k, st)."""
+    base = _q340_state_sql(1)
+    if version == 1:
+        return base
+    return (
+        f"SELECT * FROM ({base}) s WHERE NOT (st = 'O' AND k % 10 = 0) "
+        f"UNION ALL {_q342_batch_sql()}"
+    )
+
+
+@register(
+    "q342_partitioned_snapshot_upsert",
+    "WITH h1 AS (SELECT "
+    + hex_hash64_sql("CAST(k AS VARCHAR) || '|' || st || '|' || CAST(cents AS VARCHAR)")
+    + f""" AS h FROM ({_q342_state_sql(1)}) s1),
+       h2 AS (SELECT """
+    + hex_hash64_sql("CAST(k AS VARCHAR) || '|' || st || '|' || CAST(cents AS VARCHAR)")
+    + f""" AS h FROM ({_q342_state_sql(2)}) s2)
+       SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+              CAST(sum(h % 1000000007) AS BIGINT) AS sum_mod,
+              TRUE AS untouched_reused
+       FROM h1
+       UNION ALL
+       SELECT 2, CAST(count(*) AS BIGINT), CAST(bit_xor(h) AS BIGINT),
+              CAST(sum(h % 1000000007) AS BIGINT), TRUE
+       FROM h2""",
+    "q340's sibling for MERGE: upsert on the PARTITIONED snapshot "
+    "table (keys (k, st) — the partition column is required among the "
+    "match keys, else a key could change partitions and its old row "
+    "would survive in an untouched directory).  The batch touches "
+    "ONLY the 'O' partition (updates: cents + 111 on k % 10 = 0; "
+    "inserts: the same rows re-keyed at k + 10^12), so commit_upsert "
+    "rewrites the 'O' survivors + batch alone and the new manifest "
+    "REUSES the 'F'/'P' directories verbatim — O(touched partitions) "
+    "per merge.  The oracle fingerprints both versions AND the "
+    "untouched_reused column computed FROM THE MANIFESTS, so merge "
+    "semantics, snapshot isolation, and directory reuse are one "
+    "driver hash (the q340 proof shape applied to upsert)",
+)
+def q342(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotTable
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    state = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_q342_%s_%d"
+        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(spark, root, partition_by="st")
+    t.commit_overwrite(state)
+
+    touched = state.filter(
+        (F.col("st") == "O") & (F.col("k") % 10 == 0)
+    )
+    batch = touched.select(
+        "k", "st", (F.col("cents") + 111).alias("cents")
+    ).unionByName(
+        touched.select(
+            (F.col("k") + F.lit(1000000000000).cast("long")).alias("k"),
+            "st",
+            "cents",
+        )
+    )
+    t.commit_upsert(batch, keys=["k", "st"])
+
+    p1 = t._read_manifest(1)["partitions"]
+    p2 = t._read_manifest(2)["partitions"]
+    reused = (
+        all(p2.get(k) == dirs for k, dirs in p1.items() if k != "O")
+        and p2.get("O") != p1.get("O")
+    )
+
+    h = T.hex_hash64(
+        F.concat(
+            F.col("k").cast("string"), F.lit("|"), F.col("st"),
+            F.lit("|"), F.col("cents").cast("string"),
+        )
+    )
+
+    def fp(v: int) -> DataFrame:
+        return (
+            t.read(version=v)
+            .select(h.alias("h"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+                F.sum(F.col("h") % 1000000007).cast("long").alias("sum_mod"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "*",
+                F.lit(bool(reused)).alias("untouched_reused"),
+            )
+        )
+
+    return fp(1).unionByName(fp(2))

@@ -36,18 +36,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: tools/driver_ledger.py:prefix_rotation_ok and the meta-test): the
 #: prefix is exactly
 #:   1    the pinned q169 ingest anchor (S4-S8 §2 proof, every round);
-#:   2-4  every never-driver-verified query (q340/q342 partitioned
-#:        snapshot delete/upsert, q341 Lloyd-IVF recall — all new
-#:        this round, never by construction);
-#:   5-6  the _REPROOF slots: q338/q181's RESULTS changed this round
+#:   2-5  every never-driver-verified query (q340/q342 partitioned
+#:        snapshot delete/upsert, q341 Lloyd-IVF recall, q343 takedown
+#:        erasure — all new this round, never by construction);
+#:   6-7  the _REPROOF slots: q338/q181's RESULTS changed this round
 #:        (the streaming admission cap is now derived corpus-side and
 #:        stamped in store metadata — VERDICT r10 wrong #3 — replacing
 #:        the hard-coded max_bucket=50), so their old driver evidence
 #:        no longer describes them;
-#:   7-50 the 44 STALEST queries by driver evidence — an exact prefix
+#:   8-50 the 43 STALEST queries by driver evidence — an exact prefix
 #:        of tools/driver_ledger.py --stale's rotation order (the
 #:        entire remaining r2 tier: 11 queries, the r3 tier: 14, and
-#:        the r4 tier minus its newest entry: 19).  Expected ledger after the r11
+#:        the r4 tier minus its two newest entries: 18).  Expected ledger after the r11
 #:        driver run: never-count 0, oldest evidence tier r5.
 #: The old per-slot tier rule ("within one round of the oldest tier")
 #: could not fill the prefix once the never-backlog was paid down;
@@ -64,6 +64,7 @@ _PROMOTED = [
     "q340_partitioned_snapshot_delete",
     "q341_ivf_lloyd_recall",
     "q342_partitioned_snapshot_upsert",
+    "q343_takedown_erasure",
     "q338_stream_embedding_admission",
     "q181_stream_incremental_dedup",
     "q50_salted_agg",
@@ -109,7 +110,6 @@ _PROMOTED = [
     "q263_bucketed_join_exchange_free",
     "q265_clean_room_join",
     "q266_merge_composition",
-    "q267_snapshot_isolation_join",
 ]
 
 

@@ -23380,3 +23380,100 @@ def q342(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return fp(1).unionByName(fp(2))
+
+
+@register(
+    "q343_takedown_erasure",
+    "WITH s AS (SELECT "
+    + hex_hash64_sql("CAST(k AS VARCHAR) || '|' || st || '|' || CAST(cents AS VARCHAR)")
+    + f""" AS h FROM ({_q340_state_sql(1)}) b WHERE NOT (st = 'F'))
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+              CAST(sum(h % 1000000007) AS BIGINT) AS sum_mod,
+              TRUE AS old_leaf_erased,
+              TRUE AS untouched_leaves_intact,
+              TRUE AS v1_beyond_horizon
+       FROM s""",
+    "the right-to-be-forgotten TAKEDOWN composed end to end on the "
+    "partitioned snapshot store — the two-step contract q339 states, "
+    "now executed and PHYSICALLY verified: v1 commits the orders "
+    "subset partitioned by o_orderstatus; commit_delete(st = 'F') "
+    "logically erases the whole 'F' partition (v2 reuses the O/P "
+    "directories, writes NOTHING); vacuum(retain_last=1) then makes "
+    "the erasure physical at LEAF granularity — v1's 'F' directory is "
+    "removed from disk while the O/P leaves INSIDE THE SAME commit "
+    "directory survive (they are still referenced by v2), and time "
+    "travel to v1 fails loudly at the retention horizon.  All three "
+    "facts are computed from the filesystem/manifests and returned as "
+    "columns beside the surviving state's fingerprint, so a broken "
+    "leaf-GC, a clobbered reused directory, or a readable "
+    "past-horizon version each flip a boolean and fail the driver "
+    "hash.  This is the erasure path a 100 TB corpus store runs on "
+    "every legal request; at scale the delete costs O(touched "
+    "partitions) and the vacuum O(expired leaves)",
+)
+def q343(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotTable
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    state = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_q343_%s_%d"
+        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(spark, root, partition_by="st")
+    t.commit_overwrite(state)
+    p1 = t._read_manifest(1)["partitions"]
+    t.commit_delete("st = 'F'")
+    p2 = t._read_manifest(2)["partitions"]
+
+    t.vacuum(retain_last=1)
+
+    f_leaves = p1.get("F", [])
+    old_leaf_erased = bool(f_leaves) and not any(
+        os.path.exists(d) for d in f_leaves
+    )
+    untouched_intact = all(
+        os.path.exists(d)
+        for key, dirs in p2.items()
+        for d in dirs
+    ) and all(p2.get(k) == dirs for k, dirs in p1.items() if k != "F")
+    try:
+        t.read(version=1)
+        v1_beyond_horizon = False
+    except ValueError:
+        v1_beyond_horizon = True
+
+    h = T.hex_hash64(
+        F.concat(
+            F.col("k").cast("string"), F.lit("|"), F.col("st"),
+            F.lit("|"), F.col("cents").cast("string"),
+        )
+    )
+    return (
+        t.read()
+        .select(h.alias("h"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+            F.sum(F.col("h") % 1000000007).cast("long").alias("sum_mod"),
+        )
+        .select(
+            "*",
+            F.lit(bool(old_leaf_erased)).alias("old_leaf_erased"),
+            F.lit(bool(untouched_intact)).alias("untouched_leaves_intact"),
+            F.lit(bool(v1_beyond_horizon)).alias("v1_beyond_horizon"),
+        )
+    )

@@ -1018,6 +1018,84 @@ def measure_store_growth(spark) -> None:
     batch.unpersist()
 
 
+def measure_snapshot_delete(spark) -> None:
+    """§8.14 (r11): what partition scoping buys a takedown request.
+
+    ``SnapshotTable.commit_delete`` on an unpartitioned table rewrites
+    every survivor — O(table) per legal request.  With
+    ``partition_by`` the rewrite touches only partitions containing
+    matches and the manifest reuses the rest (VERDICT r10 missing #1).
+    Measured head-to-head as the table grows with the REQUEST held
+    fixed: orders-derived rows (k, p = k % 16, cents) replicated
+    1x/4x/16x; the takedown deletes ``p = 3 AND k % 5 = 0`` — one of
+    16 partitions, partially.  Reported per arm: delete wall and the
+    bytes the new version wrote (the physical rewrite cost; the
+    partitioned arm's should track the touched partition, the
+    unpartitioned arm's the full table).
+    """
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, "/root/repo")
+    from health_data_transformation_spark.snapshots import SnapshotTable
+
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    orders = spark.read.parquet(f"{base_dir}/orders.parquet")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 16).alias("p"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    n_base = base.count()
+
+    def du(dirs: list[str]) -> int:
+        total = 0
+        for d in dirs:
+            for dirpath, _dn, filenames in os.walk(d):
+                for f in filenames:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    print("\n=== §8.14 takedown cost: partitioned vs unpartitioned ===")
+    print(f"base {n_base} rows; delete p = 3 AND k % 5 = 0 "
+          f"(1 of 16 partitions, partially)")
+    stage = tempfile.mkdtemp(prefix="hdt_snapdel_")
+    for mult in (1, 4, 16):
+        df = base
+        if mult > 1:
+            reps = spark.range(mult).select(F.col("id").alias("_rep"))
+            df = base.crossJoin(reps).select(
+                (F.col("k") * mult + F.col("_rep")).alias("k"),
+                "p",
+                "cents",
+            )
+        df = df.localCheckpoint()  # both arms commit the same input once
+        n = df.count()
+        for label, kwargs in (
+            ("unpartitioned", {}),
+            ("partitioned", {"partition_by": "p"}),
+        ):
+            root = os.path.join(stage, f"{label}_{mult}x")
+            shutil.rmtree(root, ignore_errors=True)
+            t = SnapshotTable(spark, root, **kwargs)
+            t.commit_overwrite(df)
+            v1_dirs = set(t._read_manifest(1)["dirs"])
+            t0 = time.time()
+            t.commit_delete("p = 3 AND k % 5 = 0")
+            wall = time.time() - t0
+            new_dirs = [
+                d for d in t._read_manifest(2)["dirs"] if d not in v1_dirs
+            ]
+            print(
+                f"{mult:>3}x ({n:>8,} rows) {label:>14}: delete "
+                f"{wall:5.1f}s, rewrote {du(new_dirs) / 1e6:8.1f} MB "
+                f"in {len(new_dirs)} new dir(s)"
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def measure_ivf_balance(spark) -> None:
     """§8.13b (r11, VERDICT r10 task #7): what Lloyd refinement buys.
 
@@ -1506,16 +1584,18 @@ def main() -> None:
     ivf = "--ivf" in args
     # --ivfbalance (§8.13b): seed-vs-Lloyd cell balance + recall
     ivfbal = "--ivfbalance" in args
+    # --snapdelete (§8.14): partitioned vs unpartitioned takedown cost
+    snapdel = "--snapdelete" in args
     dup = dup or curve or ingest
     args = [
         a
         for a in args
         if a not in ("--r6", "--dup", "--emb", "--curve", "--ingest",
-                     "--store", "--ivf", "--ivfbalance")
+                     "--store", "--ivf", "--ivfbalance", "--snapdelete")
     ]
     n = int(args[0]) if args and args[0].isdigit() else (25 if emb else 10)
     names = [a for a in args if not a.isdigit()] or (
-        [] if curve or ingest or store or ivf or ivfbal
+        [] if curve or ingest or store or ivf or ivfbal or snapdel
         else WAVE_EMB if emb else WAVE_DUP if dup else WAVE_R6 if r6 else WAVE
     )
 
@@ -1556,6 +1636,11 @@ def main() -> None:
         # §8.12 builds its own 1x/8x/32x corpora; no wave, no oracle
         measure_store_growth(spark)
         print("store-growth wave done")
+        return
+
+    if snapdel:
+        measure_snapshot_delete(spark)
+        print("snapshot-delete wave done")
         return
 
     if ivfbal:

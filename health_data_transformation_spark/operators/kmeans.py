@@ -66,6 +66,13 @@ def int_kmeans(
     cell balance, see SCALE.md §8.13b) and what probe-time cell
     selection scores against with the SAME exact-integer d2 rule."""
     qv = vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    # Each round's centroid table is k rows; localCheckpoint it so
+    # round r+1's assignment plan reads k materialized rows instead of
+    # RE-EXECUTING round r's full assignment+update subtree (which
+    # nests another corpus scan per round — the q341 rescan finding).
+    # This is the k-row scalar case, not the big-frame checkpoint the
+    # §8.6 lesson warns about; the docstring's claim that "the only
+    # driver object is the k x dim centroid table" is now literal.
     seeds = (
         qv.orderBy("_vid")
         .limit(k)
@@ -73,6 +80,7 @@ def int_kmeans(
             (F.row_number().over(Window.orderBy("_vid")) - 1).alias("_cid"),
             F.col("_v").alias("_c"),
         )
+        .localCheckpoint()
     )
     cent = seeds
     assign = None
@@ -115,6 +123,7 @@ def int_kmeans(
                     lambda x: x["_m"],
                 ).alias("_c")
             )
+            .localCheckpoint()  # k rows — cuts the per-round recursion
         )
     return (
         assign.select(

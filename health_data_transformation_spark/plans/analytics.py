@@ -23193,10 +23193,35 @@ def _q341_oracle(
     "and the probe-wall effect of balanced cells",
 )
 def q341(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.similarity import (
-        build_ivf_store_lloyd,
-        ivf_lloyd_search_batch,
-    )
+    # build + probe in one call; bench.py separates the phases via
+    # STORE_SPLIT — see q332.  The parquet round trip is also the
+    # rescan-audit shape: the probe plan reads the PERSISTED store,
+    # never the Lloyd build lineage (which inherently scans the corpus
+    # once per round — a one-time delivery cost, not a query cost).
+    return _q341_probe(spark, sf, _q341_build(spark, sf))
+
+
+def _q341_build(spark: SparkSession, sf: str) -> str:
+    """q341's one-time Lloyd-IVF store build: refined assignment +
+    integer centroids written sorted by cell."""
+    import os
+
+    from ..operators.similarity import build_ivf_store_lloyd
+
+    e = load_table(spark, sf, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 8)
+    root = _stream_store_root("q341", sf)
+    assigned, cents = build_ivf_store_lloyd(corpus, n_cells=16, rounds=2)
+    assigned.sort("cell").write.parquet(os.path.join(root, "assigned"))
+    cents.write.parquet(os.path.join(root, "centroids"))
+    return root
+
+
+def _q341_probe(spark: SparkSession, sf: str, root: str) -> DataFrame:
+    """q341's serving + acceptance pass against the persisted store."""
+    import os
+
+    from ..operators.similarity import ivf_lloyd_search_batch
     from ..operators import topk as K341
     from ..functions.vector import norm as _vnorm
     from ..functions.vector import dot as _vdot
@@ -23206,7 +23231,8 @@ def q341(spark: SparkSession, sf: str) -> DataFrame:
     anchors = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    assigned, cents = build_ivf_store_lloyd(corpus, n_cells=16, rounds=2)
+    assigned = spark.read.parquet(os.path.join(root, "assigned"))
+    cents = spark.read.parquet(os.path.join(root, "centroids"))
     ivf = ivf_lloyd_search_batch(
         assigned, cents, anchors, k=3, n_probes=4
     ).select("query_id", F.col("vec_id").alias("nid"))
@@ -23252,6 +23278,11 @@ def q341(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("long").alias("recall_ppm"),
         )
     )
+
+
+# q341 composes a one-time store build with the serving/acceptance
+# probe; registered late because the helpers live beside the query
+STORE_SPLIT["q341_ivf_lloyd_recall"] = (_q341_build, _q341_probe)
 
 
 def _q342_batch_sql() -> str:

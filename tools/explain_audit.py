@@ -87,6 +87,13 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     "q201_join_fanout_preflight",
     # constant 50-row anchor set broadcast against the candidate scan
     "q209_ann_recall_eval",
+    # the q209 + q158 + q337 idioms composed: 16-row integer-centroid
+    # table crossJoins the corpus per Lloyd round and the 8-row anchor
+    # frame for probe ranking; the 8-row anchor set broadcasts against
+    # the exact-arm candidate scan — every BNLJ build side is <=16
+    # rows by construction (corpus-sized joins in the plan are the
+    # SMJ assignment/recall joins, which is the right strategy)
+    "q341_ivf_lloyd_recall",
     # 1-row heavy-hitter total / bin target / pooled stats / pair-count
     # / join-size-truth aggregates cross-joined into constant-size
     # results or attached per row — the q93/q166 broadcast-total idiom

@@ -311,6 +311,32 @@ def test_partitioned_append_and_vacuum_leaf_gc(spark, tmp_path):
     ]
 
 
+def test_partitioned_compact_and_schema_evolution(spark, tmp_path):
+    """compact() on a partitioned table rewrites per partition and
+    stays content-identical; additive schema evolution composes with
+    partition-scoped appends (old files read NULL in new columns)."""
+    t = _pt_table(spark, str(tmp_path / "t"))
+    t.commit_append(
+        spark.createDataFrame([(8, "a", 80)], "k int, p string, x int")
+    )
+    before = rows(t.read())
+    v = t.compact()
+    m = t._read_manifest(v)
+    assert rows(t.read()) == before
+    assert set(m["partitions"]) == {"a", "b", "c"}
+    assert all(len(dirs) == 1 for dirs in m["partitions"].values())
+
+    # additive evolution through a partitioned append
+    t.commit_append(
+        spark.createDataFrame(
+            [(9, "b", 90, "tagged")], "k int, p string, x int, tag string"
+        ),
+        merge_schema=True,
+    )
+    got = {r["k"]: r["tag"] for r in t.read().collect()}
+    assert got[9] == "tagged" and got[1] is None
+
+
 def test_partitioned_reopen_and_null_guard(spark, tmp_path):
     t = _pt_table(spark, str(tmp_path / "t"))
     # reopening with None adopts the recorded partition column

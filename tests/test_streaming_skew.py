@@ -154,3 +154,27 @@ def test_stream_load_quality_filename_date(spark, warehouse, tmp_path):
     reports2 = stream_load_quality(spark, landing, warehouse, checkpoint)
     assert sum(r.input_rows for r in reports2) == 5
     assert warehouse.read("hospital_quality_information").count() == 8
+
+
+def test_stream_admission_store_dir_equals_inline(spark, tmp_path):
+    """The store_dir path (bench store_split's pre-built store) is
+    result-identical to the inline-build path for both streaming
+    admission gates — the split must never change what is admitted."""
+    from health_data_transformation_spark.streaming.ingest import (
+        build_text_store,
+        stream_incremental_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    inline = canon(stream_incremental_dedup(spark, sf))
+    root = str(tmp_path / "store")
+    build_text_store(spark, sf, root)
+    split = canon(stream_incremental_dedup(spark, sf, store_dir=root))
+    assert split == inline
+    # the pre-built store carries the derived admission cap stamp
+    sb = spark.read.parquet(os.path.join(root, "_store_buckets"))
+    assert "hdt_admission_cap" in (sb.schema["bucket"].metadata or {})

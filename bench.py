@@ -101,8 +101,11 @@ def git_code() -> str | None:
     adjudication evidence must be tied to the code version it was
     measured on, else historic fast sessions from BEFORE a plan
     regression can waive the trip).  Best-effort: None outside a git
-    checkout, and a dirty tree is marked so evidence from uncommitted
-    states never matches a committed one."""
+    checkout.  A dirty tree is stamped with a CONTENT hash of the
+    working diff — two different uncommitted states never share a
+    stamp, so adjudication evidence cannot cross dirty states either
+    (a bare "-dirty" marker would)."""
+    import hashlib
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -119,7 +122,12 @@ def git_code() -> str | None:
             capture_output=True, text=True, timeout=10,
         )
         if dirty.returncode == 0 and dirty.stdout.strip():
-            code += "-dirty"
+            diff = subprocess.run(
+                ["git", "-C", here, "diff", "HEAD"],
+                capture_output=True, text=True, timeout=30,
+            )
+            state = (dirty.stdout + (diff.stdout or "")).encode()
+            code += "-dirty-" + hashlib.sha1(state).hexdigest()[:8]
         return code
     except (OSError, subprocess.SubprocessError):
         return None

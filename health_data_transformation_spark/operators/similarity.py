@@ -460,6 +460,26 @@ def ivf_search_batch(
         .filter(F.col("_pr") <= n_probes)
         .select(query_id_col, "cell", query_col, "_qnorm")
     )
+    return _probe_cells_topk(
+        assigned, probes, k, vec_col, id_col, query_col, query_id_col
+    )
+
+
+def _probe_cells_topk(
+    assigned: DataFrame,
+    probes: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    query_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared tail of the batch IVF searches (cosine-probed
+    ``ivf_search_batch`` and integer-d2-probed
+    ``ivf_lloyd_search_batch``): broadcast the |Q| x n_probes probe
+    set against the stored assignment table's cell key, score the
+    exact floored cosine with stored norms, and run the two-phase
+    per-query top-k.  Returns (query_id, id, sim, rank)."""
     vnorm = (
         F.col("_vnorm") if "_vnorm" in assigned.columns else norm(F.col(vec_col))
     )
@@ -580,24 +600,8 @@ def ivf_lloyd_search_batch(
         .filter(F.col("_pr") <= n_probes)
         .select(query_id_col, "cell", query_col, "_qnorm")
     )
-    vnorm = (
-        F.col("_vnorm") if "_vnorm" in assigned.columns else norm(F.col(vec_col))
-    )
-    sim = dot(F.col(vec_col), F.col(query_col)) / (vnorm * F.col("_qnorm"))
-    quant = F.lit(float(10 ** 6))
-    scored = (
-        assigned.join(F.broadcast(probes), "cell")
-        .withColumn("sim", F.floor(sim * quant) / quant)
-        .select(query_id_col, F.col(id_col), F.col("sim"))
-    )
-    from .topk import top_k_per_group_scalable
-
-    return top_k_per_group_scalable(
-        scored,
-        [query_id_col],
-        [F.desc("sim"), F.asc(id_col)],
-        k,
-        rank_col="rank",
+    return _probe_cells_topk(
+        assigned, probes, k, vec_col, id_col, query_col, query_id_col
     )
 
 

@@ -15353,7 +15353,7 @@ def q269(spark: SparkSession, sf: str) -> DataFrame:
     t.commit_append(base.filter(F.col("k") % 4 == 1))  # X wins v2
     conflict_raised = False
     try:
-        prev = t._read_manifest(y_version - 1)["dirs"]
+        prev = t.manifest(y_version - 1)["dirs"]
         t._publish(y_version, prev + [y_dir], "append", y_schema)
     except SnapshotConflict:
         conflict_raised = True
@@ -23041,8 +23041,8 @@ def q340(spark: SparkSession, sf: str) -> DataFrame:
     # directory-reuse proof, computed from the actual manifests: every
     # untouched partition's dir list must carry over verbatim, and the
     # touched partition must NOT (it was rewritten)
-    p1 = t._read_manifest(1)["partitions"]
-    p2 = t._read_manifest(2)["partitions"]
+    p1 = t.manifest(1)["partitions"]
+    p2 = t.manifest(2)["partitions"]
     reused = (
         all(p2.get(k) == dirs for k, dirs in p1.items() if k != "F")
         and p2.get("F") != p1.get("F")
@@ -23380,8 +23380,8 @@ def q342(spark: SparkSession, sf: str) -> DataFrame:
     )
     t.commit_upsert(batch, keys=["k", "st"])
 
-    p1 = t._read_manifest(1)["partitions"]
-    p2 = t._read_manifest(2)["partitions"]
+    p1 = t.manifest(1)["partitions"]
+    p2 = t.manifest(2)["partitions"]
     reused = (
         all(p2.get(k) == dirs for k, dirs in p1.items() if k != "O")
         and p2.get("O") != p1.get("O")
@@ -23466,9 +23466,9 @@ def q343(spark: SparkSession, sf: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     t = SnapshotTable(spark, root, partition_by="st")
     t.commit_overwrite(state)
-    p1 = t._read_manifest(1)["partitions"]
+    p1 = t.manifest(1)["partitions"]
     t.commit_delete("st = 'F'")
-    p2 = t._read_manifest(2)["partitions"]
+    p2 = t.manifest(2)["partitions"]
 
     t.vacuum(retain_last=1)
 

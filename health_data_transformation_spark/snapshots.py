@@ -106,6 +106,12 @@ class SnapshotTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
+    def manifest(self, version: int) -> dict:
+        """The committed manifest of ``version`` — the public read
+        surface for provenance consumers (q340/q342/q343 gate
+        directory reuse and erasure facts on it)."""
+        return self._read_manifest(version)
+
     def history(self) -> list[dict]:
         return [
             self._read_manifest(v)

@@ -1116,14 +1116,6 @@ def measure_ivf_balance(spark) -> None:
     mass), and recall@3 for the 8 q341 anchors vs the exact arm.
     """
     sys.path.insert(0, "/root/repo")
-    from health_data_transformation_spark.functions.vector import dot, norm
-    from health_data_transformation_spark.operators import topk as K
-    from health_data_transformation_spark.operators.similarity import (
-        build_ivf_store,
-        build_ivf_store_lloyd,
-        ivf_lloyd_search_batch,
-        ivf_search_batch,
-    )
 
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # second dataset: the §8.10 embdup corpus — 40% of vectors in one

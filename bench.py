@@ -96,19 +96,21 @@ def derive_round(here: str, env_round: str | None) -> int:
     return max(driver_max + 1, detail_max)
 
 
-def git_code() -> str | None:
+def git_code(here: str | None = None) -> str | None:
     """Short HEAD hash of the code under measurement (ADVICE r10 #1:
     adjudication evidence must be tied to the code version it was
     measured on, else historic fast sessions from BEFORE a plan
     regression can waive the trip).  Best-effort: None outside a git
     checkout.  A dirty tree is stamped with a CONTENT hash of the
-    working diff — two different uncommitted states never share a
-    stamp, so adjudication evidence cannot cross dirty states either
-    (a bare "-dirty" marker would)."""
+    working diff PLUS the bytes of every untracked (non-ignored) file
+    (ADVICE r11: ``git diff HEAD`` alone excludes untracked CONTENT,
+    so two dirty states differing only inside a new module would have
+    shared a stamp and adjudication evidence could cross them)."""
     import hashlib
     import subprocess
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     try:
         head = subprocess.run(
             ["git", "-C", here, "rev-parse", "--short", "HEAD"],
@@ -126,8 +128,23 @@ def git_code() -> str | None:
                 ["git", "-C", here, "diff", "HEAD"],
                 capture_output=True, text=True, timeout=30,
             )
-            state = (dirty.stdout + (diff.stdout or "")).encode()
-            code += "-dirty-" + hashlib.sha1(state).hexdigest()[:8]
+            sha = hashlib.sha1(
+                (dirty.stdout + (diff.stdout or "")).encode()
+            )
+            untracked = subprocess.run(
+                ["git", "-C", here, "ls-files", "--others",
+                 "--exclude-standard", "-z"],
+                capture_output=True, text=True, timeout=10,
+            )
+            if untracked.returncode == 0:
+                for rel in sorted(p for p in untracked.stdout.split("\0") if p):
+                    sha.update(rel.encode())
+                    try:
+                        with open(os.path.join(here, rel), "rb") as fh:
+                            sha.update(fh.read())
+                    except OSError:
+                        sha.update(b"<unreadable>")
+            code += "-dirty-" + sha.hexdigest()[:8]
         return code
     except (OSError, subprocess.SubprocessError):
         return None

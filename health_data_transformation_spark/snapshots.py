@@ -29,9 +29,13 @@ On an UNPARTITIONED table ``commit_upsert``/``commit_delete`` rewrite
 the full table.  With ``partition_by`` (VERDICT r10 missing #1) the
 manifest additionally maps partition value -> data directories, and
 upsert/delete rewrite ONLY partitions containing matches — untouched
-partitions' directories are REUSED verbatim in the new manifest, so a
-takedown request against a 100 TB corpus costs O(touched partitions),
-not O(table).  Partitioned commits duplicate the partition column into
+partitions' directories are REUSED verbatim in the new manifest.  Cost
+shape, stated precisely (ADVICE r11): the REWRITE — new bytes written
+and survivor re-land — is O(touched partitions); match DISCOVERY for
+``commit_delete`` is still one predicate scan over the full table
+(same as Delta without data-skipping stats), though since every leaf
+holds a single partition value, partition-pruned predicates and the
+survivor rewrite scan do prune at file level.  Partitioned commits duplicate the partition column into
 the path key (``_pt``) so every data file keeps the full row schema:
 manifests can then list LEAF directories from different commits side
 by side and readers take the explicit manifest schema with no
@@ -217,6 +221,26 @@ class SnapshotTable:
 
         from pyspark.sql import functions as _F
 
+        # ADVICE r11 #2: validate partition keys BEFORE the distributed
+        # write — the old post-hoc directory check burned a full write
+        # (plus an orphan dir until vacuum) before raising, and Spark
+        # writes EMPTY-STRING keys as __HIVE_DEFAULT_PARTITION__ too,
+        # which the old message misreported as "NULL values".  limit(1)
+        # bounds the probe (early-exit on the first bad row).
+        pc = _F.col(self.partition_by)
+        bad = (
+            df.filter(pc.isNull() | (pc.cast("string") == ""))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"NULL or empty-string values in partition column "
+                f"{self.partition_by!r} — partition-scoped commits "
+                "require non-null, non-empty partition keys (both are "
+                "written as Hive's default partition and cannot round-"
+                "trip through a path segment)"
+            )
         d = os.path.join(
             self.root, "data", f"c{version:06d}-{tag}-{uuid.uuid4().hex[:8]}"
         )
@@ -231,12 +255,6 @@ class SnapshotTable:
             if not name.startswith("_pt="):
                 continue
             key = unquote(name[len("_pt="):])
-            if key == "__HIVE_DEFAULT_PARTITION__":
-                raise ValueError(
-                    f"NULL values in partition column "
-                    f"{self.partition_by!r} — partition-scoped commits "
-                    "require non-null partition keys"
-                )
             out[key] = os.path.join(d, name)
         return out
 
@@ -334,10 +352,11 @@ class SnapshotTable:
             r[0]
             for r in frame.select(self.partition_by).distinct().collect()
         ]
-        if any(val is None for val in vals):
+        if any(val is None or str(val) == "" for val in vals):
             raise ValueError(
-                f"NULL values in partition column {self.partition_by!r} "
-                "— partition-scoped commits require non-null keys"
+                f"NULL or empty-string values in partition column "
+                f"{self.partition_by!r} — partition-scoped commits "
+                "require non-null, non-empty keys"
             )
         return vals
 
@@ -353,17 +372,21 @@ class SnapshotTable:
         key could change partitions and its old row, living in an
         untouched partition, would silently survive as a duplicate).
         """
+        # ADVICE r11 #3: the partition-column-in-keys contract must hold
+        # on the FIRST commit too — the old v==1 short-circuit skipped
+        # it, so an initial upsert with bad keys succeeded silently and
+        # the identical second call raised.
+        if self.partition_by is not None and self.partition_by not in keys:
+            raise ValueError(
+                f"partitioned upsert requires the partition column "
+                f"{self.partition_by!r} among the match keys"
+            )
         v = self.current_version() + 1
         if v == 1:
             return self.commit_overwrite(df)
         schema = self._evolve_schema(self._table_schema(v - 1), df.schema)
         current = self.read()
         if self.partition_by is not None:
-            if self.partition_by not in keys:
-                raise ValueError(
-                    f"partitioned upsert requires the partition column "
-                    f"{self.partition_by!r} among the match keys"
-                )
             from pyspark.sql import functions as _F
 
             touched = self._touched_partitions(df)

@@ -445,3 +445,37 @@ def test_vacuum_collects_orphans_from_aborted_commits(spark, tmp_path):
     removed = t.vacuum(retain_last=1)
     assert len(removed) == 1 and "orphan" in removed[0]
     assert rows(t.read()) == [(1, "a")]
+
+
+def test_partition_key_prevalidation_no_orphan_write(spark, tmp_path):
+    """ADVICE r11 #2: bad partition keys (NULL *or empty string* —
+    Spark writes both as the Hive default partition) are rejected
+    BEFORE the distributed write, so no orphan data directory is
+    burned, and the error names both cases."""
+    t = _pt_table(spark, str(tmp_path / "t"))
+    data_root = os.path.join(str(tmp_path / "t"), "data")
+    dirs_before = sorted(os.listdir(data_root))
+
+    with pytest.raises(ValueError, match="NULL or empty-string"):
+        t.commit_append(
+            spark.createDataFrame([(9, "", 90)], "k int, p string, x int")
+        )
+    with pytest.raises(ValueError, match="NULL or empty-string"):
+        t.commit_append(
+            spark.createDataFrame([(9, None, 90)], "k int, p string, x int")
+        )
+    # the failed commits wrote NOTHING (no orphan dir until vacuum)
+    assert sorted(os.listdir(data_root)) == dirs_before
+    assert t.current_version() == 1
+
+
+def test_partitioned_upsert_key_contract_on_first_commit(spark, tmp_path):
+    """ADVICE r11 #3: the partition-column-among-keys contract is
+    enforced on the FIRST commit too, not only from version 2 on."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by="p")
+    df = spark.createDataFrame([(1, "a", 10)], "k int, p string, x int")
+    with pytest.raises(ValueError, match="among the match keys"):
+        t.commit_upsert(df, keys=["k"])
+    assert t.current_version() == 0  # nothing committed
+    # correct keys succeed as overwrite
+    assert t.commit_upsert(df, keys=["k", "p"]) == 1

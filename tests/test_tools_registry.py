@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 
@@ -550,3 +551,51 @@ PushedFilters: []
 PartitionFilters: []
 """
     assert audit_rescan(plan) == []  # final tree has ONE scan
+
+
+def test_git_code_untracked_content_changes_stamp(tmp_path):
+    """ADVICE r11 #1: the dirty-tree content stamp must cover untracked
+    file CONTENT, not just names — two dirty states differing only
+    inside a new (untracked) module must not share a stamp."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        from bench import git_code
+    finally:
+        sys.path.pop(0)
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(repo), *args],
+            check=True, capture_output=True,
+            env={**os.environ, "GIT_AUTHOR_NAME": "t",
+                 "GIT_AUTHOR_EMAIL": "t@t", "GIT_COMMITTER_NAME": "t",
+                 "GIT_COMMITTER_EMAIL": "t@t"},
+        )
+
+    git("init", "-q")
+    (repo / "a.py").write_text("x = 1\n")
+    git("add", "a.py")
+    git("commit", "-qm", "base")
+
+    clean = git_code(str(repo))
+    assert clean is not None and "-dirty-" not in clean
+
+    (repo / "new_module.py").write_text("plan = 'A'\n")
+    stamp_a = git_code(str(repo))
+    assert "-dirty-" in stamp_a
+
+    (repo / "new_module.py").write_text("plan = 'B'\n")
+    stamp_b = git_code(str(repo))
+    assert "-dirty-" in stamp_b
+    # same untracked NAME, different CONTENT -> different stamps
+    assert stamp_a != stamp_b
+
+    # tracked-diff changes still alter the stamp (pre-existing behavior)
+    (repo / "a.py").write_text("x = 2\n")
+    assert git_code(str(repo)) not in (stamp_a, stamp_b)

@@ -1353,3 +1353,55 @@ def test_join_pair_budget_matches_python_model(
         if f"b{k}" in expect_keys
     )
     assert sum(vols[k] for k in expect_keys) <= budget
+
+
+def test_codec_seam_contract_decode_and_resize():
+    """VERDICT r11 task #7: the env-gated codec seam's CONTRACT is
+    pinned with no environment dependency — a future PIL/ffmpeg
+    drop-in for decode_media_stub / resize_media_stub must produce
+    exactly the fields the Arrow pipeline schema declares (else it
+    would silently change the differential surface), and the stubs
+    themselves must stay loud until that drop-in exists."""
+    import pytest as _pytest
+
+    from health_data_transformation_spark.multimodal import (
+        DECODE_SCHEMA,
+        decode_media_stub,
+        fake_decode,
+        fake_resize,
+        resize_media_stub,
+    )
+
+    # The pipeline reads these keys from whatever decode_fn returns;
+    # DECODE_SCHEMA declares them (plus the pass-through doc_id).
+    declared = [
+        f.strip().split()[0] for f in DECODE_SCHEMA.split(",")
+    ]
+    assert declared[0] == "doc_id"
+    feature_fields = set(declared[1:])
+
+    out = fake_decode(b"some media payload")
+    assert set(out.keys()) == feature_fields, (
+        "fake_decode's output fields diverged from DECODE_SCHEMA — a "
+        "real-codec drop-in replacing decode_media_stub must emit "
+        f"exactly {sorted(feature_fields)}"
+    )
+    # value types must be castable to the declared Spark types
+    assert isinstance(out["n_bytes"], int)
+    assert isinstance(out["feature_mean"], float)
+    assert isinstance(out["feature_dim"], int)
+    # empty payload: total function, no division blowup
+    empty = fake_decode(b"")
+    assert set(empty.keys()) == feature_fields
+    assert empty["n_bytes"] == 0 and empty["feature_mean"] == 0.0
+
+    # resize contract: output is bytes of exactly w*h, any input size
+    for payload in (b"", b"x", b"0123456789" * 7):
+        resized = fake_resize(payload, 8, 5)
+        assert isinstance(resized, bytes) and len(resized) == 8 * 5
+
+    # the seams stay loud until a real codec lands
+    with _pytest.raises(NotImplementedError):
+        decode_media_stub(b"x")
+    with _pytest.raises(NotImplementedError):
+        resize_media_stub(b"x", 4, 4)

@@ -31,85 +31,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Queries promoted into the front of the registry ordering.  The
 #: driver's correctness gate re-checks a fixed-size 50-query prefix of
-#: ``queries()``, so the ordering is evidence steering.  Round-11
-#: policy (VERDICT r10 tasks #1/#6 — now SET-DERIVED, see
-#: tools/driver_ledger.py:prefix_rotation_ok and the meta-test): the
-#: prefix is exactly
+#: ``queries()``, so the ordering is evidence steering.  The prefix is
+#: SET-DERIVED (VERDICT r10 tasks #1/#6; see
+#: tools/driver_ledger.py:prefix_rotation_ok and the meta-test):
 #:   1    the pinned q169 ingest anchor (S4-S8 §2 proof, every round);
-#:   2-5  every never-driver-verified query (q340/q342 partitioned
-#:        snapshot delete/upsert, q341 Lloyd-IVF recall, q343 takedown
-#:        erasure — all new this round, never by construction);
-#:   6-7  the _REPROOF slots: q338/q181's RESULTS changed this round
-#:        (the streaming admission cap is now derived corpus-side and
-#:        stamped in store metadata — VERDICT r10 wrong #3 — replacing
-#:        the hard-coded max_bucket=50), so their old driver evidence
-#:        no longer describes them;
-#:   8-50 the 43 STALEST queries by driver evidence — an exact prefix
-#:        of tools/driver_ledger.py --stale's rotation order (the
-#:        entire remaining r2 tier: 11 queries, the r3 tier: 14, and
-#:        the r4 tier minus its two newest entries: 18).  Expected ledger after the r11
-#:        driver run: never-count 0, oldest evidence tier r5.
-#: The old per-slot tier rule ("within one round of the oldest tier")
-#: could not fill the prefix once the never-backlog was paid down;
-#: the exact-prefix-of-rotation-order rule is stricter (no mid-tier
-#: cherry-picks) and always fillable — pinned post-round-stable by
-#: tests/test_tools_registry.py.
-_REPROOF = [
-    "q338_stream_embedding_admission",
-    "q181_stream_incremental_dedup",
-]
+#:   next every never-driver-verified query (r12: the new two-level
+#:        partitioned snapshot gate q345, plus any entry added later
+#:        this round — regenerate via the ledger before freeze);
+#:   rest an exact prefix of tools/driver_ledger.py --stale's
+#:        stalest-first rotation order (r12: the r4 remnant q267/q269,
+#:        then the ENTIRE r5 tier — which includes the
+#:        reference-derived core q01-q08b, re-proven per VERDICT r11
+#:        task #2 after 6 rounds without driver-grade evidence).
+#: _REPROOF is empty this round: no committed query's RESULTS changed
+#: (the r11 reproofs q338/q181 are now ordinary rotation citizens).
+#: The per-slot tier rule was replaced in r11 by the
+#: exact-prefix-of-rotation-order rule (stricter, always fillable) —
+#: pinned post-round-stable by tests/test_tools_registry.py.
+_REPROOF: list[str] = []
 
 _PROMOTED = [
     "q169_ingest_lifecycle",
-    "q340_partitioned_snapshot_delete",
-    "q341_ivf_lloyd_recall",
-    "q342_partitioned_snapshot_upsert",
-    "q343_takedown_erasure",
-    "q338_stream_embedding_admission",
-    "q181_stream_incremental_dedup",
-    "q50_salted_agg",
-    "q54_range_join",
-    "q55_grouping_sets",
-    "q58_frame_sample",
-    "q62_stream_session_windows",
-    "q63_hash_split",
-    "q64_profile",
-    "q66_pack_bins",
-    "q67_corr_moments",
-    "q68_ntile_buckets",
-    "q69_levenshtein_pairs",
-    "q100_embedding_lsh_pairs",
-    "q105_lsh_topk_neighbors",
-    "q141_prefix_jaccard_pairs",
-    "q156_bm25_topk",
-    "q158_integer_kmeans",
-    "q162_simhash_banded",
-    "q173_semantic_dedup",
-    "q184_perplexity_buckets",
-    "q186_dup_span_table",
-    "q191_theil_sen_trend",
-    "q194_containment_pairs",
-    "q199_warehouse_profile",
-    "q204_exactly_once_sink",
-    "q212_content_defined_chunks",
-    "q180_versioned_dedup_ingest",
-    "q200_corpus_export",
-    "q209_ann_recall_eval",
-    "q221_fuzzy_match_fastss",
-    "q222_heavy_hitters_mg",
-    "q227_corpus_overlap_minhash",
-    "q231_threshold_algorithm_topk",
-    "q232_ndcg_retrieval_eval",
-    "q233_graph_feature_propagation",
-    "q234_partition_advisor",
-    "q235_join_strategy_advisor",
-    "q237_merkle_repair_plan",
-    "q243_encoding_advisor",
-    "q250_lsh_recall_eval",
-    "q261_dedup_threshold_sweep",
-    "q263_bucketed_join_exchange_free",
-    "q265_clean_room_join",
-    "q266_merge_composition",
+    "q345_two_level_snapshot_delete",
+    "q267_snapshot_isolation_join",
+    "q269_snapshot_concurrency",
+    "q01_week_count",
+    "q02_weekly_counts",
+    "q03_pricing_summary",
+    "q04_recent_weeks",
+    "q05_priority_ratio",
+    "q06_cumulative_usage",
+    "q07_top_nations",
+    "q08a_segment_week_ratio",
+    "q08b_top_bottom_nations",
+    "q101_stream_dedup",
+    "q10_dedup_exact",
+    "q11_anti_join",
+    "q12_semi_join",
+    "q13_json_sentinel_clean",
+    "q14_validation_split",
+    "q23_balance_buckets",
+    "q24_normalize_strings",
+    "q25_date_parts",
+    "q268_multiway_smj_revenue",
+    "q26_union_append",
+    "q270_zorder_pruning",
+    "q271_neyman_allocation",
+    "q272_pii_redaction",
+    "q273_grouped_ols_trend",
+    "q274_bmp_decode_quarantine",
+    "q275_char_ngram_langid",
+    "q276_power_iteration_pca",
+    "q277_diversified_topk",
+    "q278_psi_drift_monitor",
+    "q279_golden_record_survivorship",
+    "q27_idempotent_upsert",
+    "q280_auc_rank_sum",
+    "q281_incremental_view_maintenance",
+    "q282_kaplan_meier_retention",
+    "q283_blocking_quality",
+    "q284_ks_two_sample",
+    "q285_importance_resampling",
+    "q286_group_kfold_assignment",
+    "q287_score_quantile_normalization",
+    "q288_greedy_source_coverage",
+    "q289_split_conformal",
+    "q45_asof_join",
+    "q46_sessionize",
+    "q49_salted_join",
+    "q51_lsh_near_dup",
+    "q53_multimodal_decode",
 ]
 
 

@@ -23508,3 +23508,132 @@ def q343(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(bool(v1_beyond_horizon)).alias("v1_beyond_horizon"),
         )
     )
+
+
+def _q345_state_sql(version: int) -> str:
+    """Relational restatement of snapshot version N of the q345
+    TWO-LEVEL partitioned table (VERDICT r11 task #3): v1 = orders
+    with o_orderkey % 5 = 0 keyed (k, st, b, cents) where b = k % 3;
+    v2 = v1 DELETE WHERE st = 'F' AND b = 1 AND k % 2 = 0 (touches
+    ONLY the F/1 leaf, partially)."""
+    base = (
+        "SELECT o_orderkey AS k, o_orderstatus AS st,"
+        " CAST(o_orderkey % 3 AS INTEGER) AS b,"
+        " CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents"
+        " FROM orders WHERE o_orderkey % 5 = 0"
+    )
+    if version == 1:
+        return base
+    return (
+        f"SELECT * FROM ({base}) v1 "
+        "WHERE NOT (st = 'F' AND b = 1 AND k % 2 = 0)"
+    )
+
+
+@register(
+    "q345_two_level_snapshot_delete",
+    "WITH h1 AS (SELECT "
+    + hex_hash64_sql(
+        "CAST(k AS VARCHAR) || '|' || st || '|' || CAST(b AS VARCHAR)"
+        " || '|' || CAST(cents AS VARCHAR)"
+    )
+    + f""" AS h FROM ({_q345_state_sql(1)}) s1),
+       h2 AS (SELECT """
+    + hex_hash64_sql(
+        "CAST(k AS VARCHAR) || '|' || st || '|' || CAST(b AS VARCHAR)"
+        " || '|' || CAST(cents AS VARCHAR)"
+    )
+    + f""" AS h FROM ({_q345_state_sql(2)}) s2)
+       SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+              CAST(sum(h % 1000000007) AS BIGINT) AS sum_mod,
+              TRUE AS sibling_leaf_reused, TRUE AS other_subtree_reused,
+              TRUE AS touched_leaf_rewritten
+       FROM h1
+       UNION ALL
+       SELECT 2, CAST(count(*) AS BIGINT), CAST(bit_xor(h) AS BIGINT),
+              CAST(sum(h % 1000000007) AS BIGINT), TRUE, TRUE, TRUE
+       FROM h2""",
+    "q340's directory-reuse gate on a TWO-LEVEL partitioned snapshot "
+    "table (VERDICT r11 task #3) — the date x source layout a 100 TB "
+    "corpus store actually uses, here o_orderstatus x (k % 3) = 9 "
+    "leaves nested _pt0=<st>/_pt1=<b>.  The delete predicate matches "
+    "rows in ONLY the F/1 leaf, so commit_delete rewrites that single "
+    "leaf and the manifest proof is taken at BOTH granularities: "
+    "sibling_leaf_reused (F/0 and F/2 — same first-level value as the "
+    "touched leaf — carry over verbatim: level-2 scoping works), "
+    "other_subtree_reused (every O/* and P/* leaf carries over: "
+    "level-1 subtree reuse), and touched_leaf_rewritten (F/1's "
+    "directory list changed).  All three booleans are computed FROM "
+    "THE MANIFESTS and sit in the driver hash beside both versions' "
+    "fingerprints; the oracle restates the two states relationally "
+    "and pins the booleans TRUE — a takedown that over-rewrites, "
+    "under-rewrites, or clobbers a reused subtree flips a column and "
+    "fails the differential.  Nested leaf vacuum + reopen adoption "
+    "are pinned by tests/test_snapshots.py two_level cases",
+)
+def q345(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotTable
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    state = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_orderkey") % 3).cast("int").alias("b"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_q345_%s_%d"
+        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(spark, root, partition_by=["st", "b"])
+    t.commit_overwrite(state)
+    t.commit_delete("st = 'F' AND b = 1 AND k % 2 = 0")
+
+    p1 = t.manifest(1)["partitions"]
+    p2 = t.manifest(2)["partitions"]
+    sibling = all(
+        p2.get(k) == p1.get(k) for k in ("F/0", "F/2")
+    )
+    other = all(
+        p2.get(k) == dirs
+        for k, dirs in p1.items()
+        if not k.startswith("F/")
+    )
+    touched = p2.get("F/1") != p1.get("F/1")
+
+    h = T.hex_hash64(
+        F.concat(
+            F.col("k").cast("string"), F.lit("|"), F.col("st"),
+            F.lit("|"), F.col("b").cast("string"),
+            F.lit("|"), F.col("cents").cast("string"),
+        )
+    )
+
+    def fp(v: int) -> DataFrame:
+        return (
+            t.read(version=v)
+            .select(h.alias("h"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+                F.sum(F.col("h") % 1000000007).cast("long").alias("sum_mod"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "*",
+                F.lit(bool(sibling)).alias("sibling_leaf_reused"),
+                F.lit(bool(other)).alias("other_subtree_reused"),
+                F.lit(bool(touched)).alias("touched_leaf_rewritten"),
+            )
+        )
+
+    return fp(1).unionByName(fp(2))

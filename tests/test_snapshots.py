@@ -456,11 +456,11 @@ def test_partition_key_prevalidation_no_orphan_write(spark, tmp_path):
     data_root = os.path.join(str(tmp_path / "t"), "data")
     dirs_before = sorted(os.listdir(data_root))
 
-    with pytest.raises(ValueError, match="NULL or empty-string"):
+    with pytest.raises(ValueError, match="NULL, empty-string"):
         t.commit_append(
             spark.createDataFrame([(9, "", 90)], "k int, p string, x int")
         )
-    with pytest.raises(ValueError, match="NULL or empty-string"):
+    with pytest.raises(ValueError, match="NULL, empty-string"):
         t.commit_append(
             spark.createDataFrame([(9, None, 90)], "k int, p string, x int")
         )
@@ -479,3 +479,123 @@ def test_partitioned_upsert_key_contract_on_first_commit(spark, tmp_path):
     assert t.current_version() == 0  # nothing committed
     # correct keys succeed as overwrite
     assert t.commit_upsert(df, keys=["k", "p"]) == 1
+
+
+def _pt2_table(spark, root):
+    """Two-level fixture (VERDICT r11 task #3): date x source layout —
+    2 dates x 2 sources = 4 leaves, keyed 'd1/web' etc."""
+    t = SnapshotTable(spark, root, partition_by=["d", "src"])
+    t.commit_overwrite(
+        spark.createDataFrame(
+            [(1, "d1", "web", 10), (2, "d1", "web", 20),
+             (3, "d1", "api", 30),
+             (4, "d2", "web", 40),
+             (5, "d2", "api", 50), (6, "d2", "api", 60)],
+            "k int, d string, src string, x int",
+        )
+    )
+    return t
+
+
+def test_two_level_partitioned_delete_subtree_reuse(spark, tmp_path):
+    """Two-level q340 twin: delete inside ONE leaf rewrites only that
+    leaf; the sibling leaf under the SAME first-level value AND every
+    leaf under the other first-level value are reused verbatim."""
+    t = _pt2_table(spark, str(tmp_path / "t"))
+    m1 = t._read_manifest(1)
+    assert set(m1["partitions"]) == {"d1/web", "d1/api", "d2/web", "d2/api"}
+    assert m1["partition_by"] == ["d", "src"]
+    # leaves are nested hive dirs
+    assert "/_pt0=" in m1["partitions"]["d1/web"][0]
+    assert "/_pt1=web" in m1["partitions"]["d1/web"][0]
+
+    v = t.commit_delete("d = 'd1' AND src = 'web' AND k >= 2")
+    assert v == 2
+    assert rows(t.read()) == [
+        (1, "d1", "web", 10), (3, "d1", "api", 30),
+        (4, "d2", "web", 40), (5, "d2", "api", 50), (6, "d2", "api", 60),
+    ]
+    m2 = t._read_manifest(2)
+    # sibling leaf under d1 reused (level-2 granularity)...
+    assert m2["partitions"]["d1/api"] == m1["partitions"]["d1/api"]
+    # ...entire d2 subtree reused (level-1 granularity)...
+    assert m2["partitions"]["d2/web"] == m1["partitions"]["d2/web"]
+    assert m2["partitions"]["d2/api"] == m1["partitions"]["d2/api"]
+    # ...and only the touched leaf re-landed
+    assert m2["partitions"]["d1/web"] != m1["partitions"]["d1/web"]
+
+    # fully-deleted leaf disappears from the map
+    t.commit_delete("d = 'd2' AND src = 'api'")
+    m3 = t._read_manifest(3)
+    assert "d2/api" not in m3["partitions"]
+    assert m3["partitions"]["d2/web"] == m1["partitions"]["d2/web"]
+
+
+def test_two_level_partitioned_upsert_and_key_contract(spark, tmp_path):
+    t = _pt2_table(spark, str(tmp_path / "t"))
+    m1 = t._read_manifest(1)
+    # EVERY level must be among the match keys
+    df = spark.createDataFrame(
+        [(2, "d1", "web", 21)], "k int, d string, src string, x int"
+    )
+    with pytest.raises(ValueError, match="'src'"):
+        t.commit_upsert(df, keys=["k", "d"])
+    # update one row + insert one row, both in the d1/web leaf
+    batch = spark.createDataFrame(
+        [(2, "d1", "web", 21), (7, "d1", "web", 70)],
+        "k int, d string, src string, x int",
+    )
+    assert t.commit_upsert(batch, keys=["k", "d", "src"]) == 2
+    assert rows(t.read()) == [
+        (1, "d1", "web", 10), (2, "d1", "web", 21), (3, "d1", "api", 30),
+        (4, "d2", "web", 40), (5, "d2", "api", 50), (6, "d2", "api", 60),
+        (7, "d1", "web", 70),
+    ]
+    m2 = t._read_manifest(2)
+    for k in ("d1/api", "d2/web", "d2/api"):
+        assert m2["partitions"][k] == m1["partitions"][k]
+    assert m2["partitions"]["d1/web"] != m1["partitions"]["d1/web"]
+
+
+def test_two_level_vacuum_leaf_gc_and_reopen(spark, tmp_path):
+    """Vacuum collects at LEAF granularity inside a nested commit dir
+    (the partially-reused commit loses only unreferenced leaves, and
+    emptied intermediate _pt0= dirs are pruned); reopen adopts the
+    recorded column LIST and a different spec fails."""
+    t = _pt2_table(spark, str(tmp_path / "t"))
+    m1 = t._read_manifest(1)
+    commit1_dir = os.path.dirname(os.path.dirname(m1["partitions"]["d1/web"][0]))
+
+    t.commit_delete("d = 'd1'")  # drops both d1 leaves, reuses d2 subtree
+    before = rows(t.read())
+    removed = t.vacuum(retain_last=1)
+    # the d1 leaves from commit 1 are gone; d2 leaves survive IN THE
+    # SAME commit dir because version 2 still references them
+    assert any("_pt1=web" in r and "_pt0=d1" in r for r in removed)
+    assert any("_pt1=api" in r and "_pt0=d1" in r for r in removed)
+    assert os.path.isdir(commit1_dir)
+    assert not os.path.exists(os.path.join(commit1_dir, "_pt0=d1"))
+    assert rows(t.read()) == before
+
+    # reopen: None adopts the list; a different spec fails loudly
+    t2 = SnapshotTable(spark, str(tmp_path / "t"))
+    assert t2.partition_by == ["d", "src"]
+    with pytest.raises(ValueError, match="partitioned by"):
+        SnapshotTable(spark, str(tmp_path / "t"), partition_by="d")
+    with pytest.raises(ValueError, match="partitioned by"):
+        SnapshotTable(spark, str(tmp_path / "t"), partition_by=["src", "d"])
+
+    # per-level bad-key guard: NULL at level 2, '/' at level 1
+    with pytest.raises(ValueError, match="NULL, empty-string"):
+        t.commit_append(
+            spark.createDataFrame(
+                [(9, "d3", None, 90)], "k int, d string, src string, x int"
+            )
+        )
+    with pytest.raises(ValueError, match="NULL, empty-string"):
+        t.commit_append(
+            spark.createDataFrame(
+                [(9, "d3/x", "web", 90)],
+                "k int, d string, src string, x int",
+            )
+        )

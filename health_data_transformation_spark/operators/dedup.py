@@ -933,22 +933,55 @@ STORED = "stored"
 #: granularity.
 ADMISSION_CAP_BUDGET = 200_000
 
+#: Staleness bound on the stamped admission cap (VERDICT r11 wrong #2).
+#: ``hdt_admission_cap`` is exactly right at ``build_*_store`` time,
+#: but nothing in the protocol rebuilds it as the corpus grows through
+#: subsequent deliveries — and §8.11b/§8.11c is this repo's own proof
+#: that a frozen absolute number eventually fails OPEN.  The builders
+#: therefore stamp the store's row count beside the cap
+#: (``hdt_cap_rows``), and the stored-cap probes fail CLOSED when the
+#: live store has grown past this factor since derivation (time to
+#: rebuild and restamp).  2x: bucket maxima grow sublinearly on
+#: healthy corpora, so a doubled store keeps the stamped cap
+#: conservative (it can only under-admit, never falsely admit); past
+#: that the derivation's premise is gone.  The live-size check is one
+#: ``count()`` on the parquet-backed store — footer-metadata work, not
+#: a data scan.
+CAP_STALENESS_FACTOR = 2.0
+
+
+def derive_admission_cap_stats(
+    buckets: DataFrame, n_bands: int, cap_budget: int
+) -> tuple[int, int]:
+    """The corpus-side derived admission cap plus the store row count
+    it was derived from, in ONE aggregation (see
+    :data:`ADMISSION_CAP_BUDGET` and :data:`CAP_STALENESS_FACTOR`):
+    ``(min(cap_budget // n_bands, max bucket size), total rows)`` over
+    the store's bucket column (first column is the bucket key by
+    builder convention).  Builders call it on a localCheckpointed
+    frame so the signature stage is not re-executed."""
+    key = buckets.columns[0]
+    row = (
+        buckets.groupBy(key)
+        .count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.sum("count").alias("n_rows"),
+        )
+        .first()
+    )
+    max_size = int(row["mx"]) if row and row["mx"] is not None else 0
+    n_rows = int(row["n_rows"]) if row and row["n_rows"] is not None else 0
+    return min(cap_budget // max(1, n_bands), max_size), n_rows
+
 
 def derive_admission_cap(
     buckets: DataFrame, n_bands: int, cap_budget: int
 ) -> int:
-    """The corpus-side derived admission cap (see
-    :data:`ADMISSION_CAP_BUDGET`): ``min(cap_budget // n_bands,
-    max bucket size)`` over the store's bucket column (first column is
-    the bucket key by builder convention).  Triggers one aggregation
-    over ``buckets`` — builders call it on a localCheckpointed frame so
-    the signature stage is not re-executed."""
-    key = buckets.columns[0]
-    row = (
-        buckets.groupBy(key).count().agg(F.max("count").alias("mx")).first()
-    )
-    max_size = int(row["mx"]) if row and row["mx"] is not None else 0
-    return min(cap_budget // max(1, n_bands), max_size)
+    """Cap-only form of :func:`derive_admission_cap_stats` (the q181/
+    q338 oracles mirror THIS derivation; the row count is provenance
+    for the staleness guard, not part of the cap)."""
+    return derive_admission_cap_stats(buckets, n_bands, cap_budget)[0]
 
 
 def _resolve_stored_cap(
@@ -965,7 +998,28 @@ def _resolve_stored_cap(
         return None  # missing column: the probe's own check raises next
     meta = buckets.schema[col_name].metadata or {}
     cap = meta.get("hdt_admission_cap")
-    return int(cap) if cap is not None else None
+    if cap is None:
+        return None
+    # VERDICT r11 wrong #2: bound the stamp's staleness.  The cap was
+    # derived from the corpus bucket distribution at build time; once
+    # the live store outgrows the stamped row count by
+    # CAP_STALENESS_FACTOR the derivation's premise is gone, and a
+    # silently-kept cap is §8.11b's frozen constant reborn.  Fail
+    # CLOSED with the rebuild instruction.  Pre-guard stores (no
+    # hdt_cap_rows stamp) keep their old behavior.
+    stamped_rows = meta.get("hdt_cap_rows")
+    if stamped_rows is not None:
+        live = buckets.count()
+        if live > CAP_STALENESS_FACTOR * int(stamped_rows):
+            raise ValueError(
+                f"stale admission cap: the store has grown to {live} "
+                f"rows since the cap was derived at {int(stamped_rows)} "
+                f"rows (> {CAP_STALENESS_FACTOR}x) — rebuild the store "
+                "(build_*_store with cap_budget) to re-derive and "
+                "restamp hdt_admission_cap; probing with the stale cap "
+                "risks failing open on the grown bucket distribution"
+            )
+    return int(cap)
 
 
 def _check_store_params(
@@ -1031,10 +1085,14 @@ def build_embedding_lsh_store(
         # bounds the extra cost: the derivation and the caller's
         # immediate parquet write both consume it.
         buckets = buckets.localCheckpoint()
-        meta["hdt_admission_cap"] = derive_admission_cap(
+        cap, cap_rows = derive_admission_cap_stats(
             buckets.select("lsh_sig", "id_c"), 1, cap_budget
         )
+        meta["hdt_admission_cap"] = cap
         meta["hdt_cap_budget"] = cap_budget
+        # derivation-time store size: the probes' staleness guard
+        # (CAP_STALENESS_FACTOR) compares the live store against it
+        meta["hdt_cap_rows"] = cap_rows
     buckets = buckets.withMetadata("lsh_sig", meta)
     vectors = corpus.select(
         F.col(id_col).alias("id_c"), F.col(vec_col).alias("vec_c")
@@ -1274,12 +1332,16 @@ def build_lsh_store(
         # it.  The checkpoint bounds the extra cost: the derivation and
         # the caller's immediate parquet write both consume it.
         buckets = buckets.localCheckpoint()
-        meta["hdt_admission_cap"] = derive_admission_cap(
+        cap, cap_rows = derive_admission_cap_stats(
             buckets.select("bucket", "id_c"),
             num_hashes // band_size,
             cap_budget,
         )
+        meta["hdt_admission_cap"] = cap
         meta["hdt_cap_budget"] = cap_budget
+        # derivation-time store size: the probes' staleness guard
+        # (CAP_STALENESS_FACTOR) compares the live store against it
+        meta["hdt_cap_rows"] = cap_rows
     buckets = buckets.withMetadata("bucket", meta)
     tokens = corpus.select(
         F.col(id_col).alias("id_c"), distinct_tokens(text_col).alias("toks_c")

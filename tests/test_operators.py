@@ -1184,3 +1184,85 @@ def test_pushdown_semi_join_fallback(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(dedup, "PUSHDOWN_IN_LIMIT", 0)
     assert canon(dedup.lsh_incremental_matches_stored(
         buckets, tokens, batch, max_bucket=10, probe_pushdown=True)) == ref
+
+
+def test_stored_cap_staleness_guard(spark, tmp_path):
+    """VERDICT r11 wrong #2: the stamped admission cap gets a
+    staleness contract.  Builders stamp hdt_cap_rows (store size at
+    derivation) beside hdt_admission_cap; the stored-cap probes fail
+    CLOSED once the live store outgrows the stamp by
+    CAP_STALENESS_FACTOR — a frozen cap on a grown corpus is exactly
+    the 8.11b constant-cap failure the derivation exists to prevent.
+    Growth within the factor keeps probing; explicit max_bucket /
+    pair_budget bypass the sentinel and therefore the guard; the
+    guard never fires on pre-guard (unstamped-rows) stores."""
+    import pytest as _pytest
+
+    corpus_rows = [(i, "tpl alpha beta gamma delta epsilon zeta")
+                   for i in range(20)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1000, "tpl alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+
+    buckets, tokens = dedup.build_lsh_store(corpus, cap_budget=200)
+    meta = dict(buckets.schema["bucket"].metadata or {})
+    assert meta.get("hdt_admission_cap") is not None
+    assert meta.get("hdt_cap_rows", 0) > 0
+
+    # the stamp survives the parquet round-trip and a fresh store probes
+    buckets.sort("bucket").write.parquet(str(tmp_path / "b"))
+    tokens.sort("id_c").write.parquet(str(tmp_path / "t"))
+    sb = spark.read.parquet(str(tmp_path / "b"))
+    st = spark.read.parquet(str(tmp_path / "t"))
+    assert dict(sb.schema["bucket"].metadata or {}).get("hdt_cap_rows") \
+        == meta["hdt_cap_rows"]
+    assert dedup.lsh_incremental_matches_stored(sb, st, batch).count() >= 0
+
+    # growth ABOVE the factor (3x): the probe refuses with the rebuild
+    # instruction (simulates appended deliveries on a stamped store —
+    # original footers keep the stamp, row count grows)
+    grown = sb.unionByName(sb).unionByName(sb).withMetadata("bucket", meta)
+    with _pytest.raises(ValueError, match="stale admission cap"):
+        dedup.lsh_incremental_matches_stored(grown, st, batch)
+
+    # growth AT the factor (2x exactly): still within contract
+    at_factor = sb.unionByName(sb).withMetadata("bucket", meta)
+    assert dedup.lsh_incremental_matches_stored(
+        at_factor, st, batch
+    ).count() >= 0
+
+    # explicit bounds bypass the sentinel, so the guard never fires
+    assert dedup.lsh_incremental_matches_stored(
+        grown, st, batch, max_bucket=5
+    ).count() >= 0
+    assert dedup.lsh_incremental_matches_stored(
+        grown, st, batch, pair_budget=100
+    ).count() >= 0
+
+    # pre-guard store (cap stamped, no row stamp): old behavior
+    legacy_meta = {k: v for k, v in meta.items() if k != "hdt_cap_rows"}
+    legacy = grown.withMetadata("bucket", legacy_meta)
+    assert dedup.lsh_incremental_matches_stored(
+        legacy, st, batch
+    ).count() >= 0
+
+    # the embedding-store guard shares _resolve_stored_cap: stamp+trip
+    import numpy as _np
+
+    rng = _np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(12)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    vb, vv = dedup.build_embedding_lsh_store(
+        emb, n_planes=4, dim=8, cap_budget=64
+    )
+    vmeta = dict(vb.schema["lsh_sig"].metadata or {})
+    assert vmeta.get("hdt_cap_rows", 0) > 0
+    vgrown = vb.unionByName(vb).unionByName(vb).withMetadata(
+        "lsh_sig", vmeta
+    )
+    with _pytest.raises(ValueError, match="stale admission cap"):
+        dedup.embedding_incremental_matches_stored(
+            vgrown, vv, emb.limit(2), n_planes=4, dim=8
+        )

@@ -722,6 +722,151 @@ def measure_budget_recall_curve(spark, dest: str) -> None:
     )
 
 
+def _ingest_probe_batch(spark, templates: list[str]):
+    """The §8.11b probe classes (near-template / near-chain / novel)
+    as one frame — shared by measure_ingest_budget and
+    measure_cap_staleness so both waves grade the same probes."""
+
+    def mutate(text: str, k: int) -> str:
+        toks = text.split(" ")
+        toks[k % len(toks)] = f"probemut{k}"
+        return " ".join(toks)
+
+    probes = []
+    pid = 10_000_000
+    for k in range(25):
+        for t in templates:
+            probes.append((pid, mutate(t, k), "near_template"))
+            pid += 1
+    for p in range(0, 64, 4):
+        win = " ".join(f"chain{j}" for j in range(p, p + 30))
+        probes.append((pid, mutate(win, p), "near_chain"))
+        pid += 1
+    for k in range(100):
+        probes.append(
+            (pid, " ".join(f"novel{pid}tok{j}" for j in range(30)), "novel")
+        )
+        pid += 1
+    return spark.createDataFrame(
+        probes, "doc_id long, text string, cls string"
+    )
+
+
+def _top_templates(d, k: int = 4) -> list[str]:
+    return [
+        r["text"]
+        for r in d.groupBy("text")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "text")
+        .limit(k)
+        .collect()
+    ]
+
+
+def measure_cap_staleness(spark, dest: str) -> None:
+    """§8.11d (VERDICT r11 wrong #2 / task #4): false-admits at the
+    staleness-guard boundary.
+
+    ``hdt_admission_cap`` is exact at build time; as the corpus grows
+    through appended deliveries the saturated buckets outgrow the
+    frozen cap and get dropped — which ADMITS their near-dups (the
+    §8.11b failure direction).  CAP_STALENESS_FACTOR bounds how stale
+    a stamp the probes will accept.  Four arms on the §8.9 saturated
+    corpus, all graded on the same §8.11b probe classes:
+
+      * fresh (1.0x): cap derived on the full corpus — the floor;
+      * grown ~1.6x (WITHIN the 2x guard): cap stamped on a ~60%
+        delivery, store grown to the full corpus — quantifies the
+        false-admit tolerance the factor accepts;
+      * grown ~3.3x (BEYOND the guard): cap stamped on a ~30%
+        delivery — the probe must FAIL CLOSED (the guard working);
+      * rebuild (the prescribed fix for the beyond-guard store):
+        re-derive on the grown corpus — false-admits return to the
+        fresh arm's numbers.
+    """
+    sys.path.insert(0, "/root/repo")
+    from health_data_transformation_spark.operators import dedup as D
+    from health_data_transformation_spark.sources.tables import load_table
+
+    d = load_table(spark, dest, "documents")
+    batch = _ingest_probe_batch(spark, _top_templates(d))
+    batch.persist().count()
+    probe = batch.select("doc_id", "text")
+
+    def counts(res) -> str:
+        by = {
+            r["cls"]: (r["n_admitted"], r["n"])
+            for r in res.join(batch.select("doc_id", "cls"), "doc_id")
+            .groupBy("cls")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
+            )
+            .collect()
+        }
+        nt, nc, nv = by["near_template"], by["near_chain"], by["novel"]
+        return (
+            f"near-template FALSE-ADMITS {nt[0]}/{nt[1]}, "
+            f"near-chain false-admits {nc[0]}/{nc[1]}, "
+            f"novel correctly admitted {nv[0]}/{nv[1]}"
+        )
+
+    # full-corpus store frames, unstamped (the grown arms re-stamp
+    # them with a stale delivery's cap — exactly a store whose original
+    # footers carry the old stamp after appended deliveries)
+    full_b, full_t = D.build_lsh_store(d)
+    full_b = full_b.localCheckpoint()
+
+    def stale_arm(pct: int):
+        sub = d.filter(F.abs(F.hash("doc_id")) % 100 < pct)
+        sb, _ = D.build_lsh_store(sub, cap_budget=D.ADMISSION_CAP_BUDGET)
+        stamp = dict(sb.schema["bucket"].metadata or {})
+        grown = full_b.withMetadata("bucket", stamp)
+        factor = full_b.count() / max(1, stamp["hdt_cap_rows"])
+        return grown, stamp, factor
+
+    t0 = time.time()
+    fresh_b, fresh_t = D.build_lsh_store(
+        d, cap_budget=D.ADMISSION_CAP_BUDGET
+    )
+    res = D.lsh_incremental_matches_stored(fresh_b, fresh_t, probe)
+    print(
+        f"fresh 1.0x (cap="
+        f"{fresh_b.schema['bucket'].metadata['hdt_admission_cap']}): "
+        f"{counts(res)} in {time.time() - t0:.1f}s"
+    )
+
+    t0 = time.time()
+    grown, stamp, factor = stale_arm(60)
+    res = D.lsh_incremental_matches_stored(grown, full_t, probe)
+    print(
+        f"grown {factor:.2f}x WITHIN guard (stale cap="
+        f"{stamp['hdt_admission_cap']}): {counts(res)} "
+        f"in {time.time() - t0:.1f}s"
+    )
+
+    grown, stamp, factor = stale_arm(30)
+    try:
+        D.lsh_incremental_matches_stored(grown, full_t, probe).count()
+        print(
+            f"grown {factor:.2f}x BEYOND guard: "
+            "ERROR — probe did not fail closed"
+        )
+    except ValueError as e:
+        print(
+            f"grown {factor:.2f}x BEYOND guard: FAILED CLOSED "
+            f"({str(e)[:80]}...)"
+        )
+
+    t0 = time.time()
+    res = D.lsh_incremental_matches_stored(fresh_b, fresh_t, probe)
+    print(
+        f"rebuild (re-derived cap): {counts(res)} "
+        f"in {time.time() - t0:.1f}s"
+    )
+    batch.unpersist()
+
+
 def measure_ingest_budget(spark, dest: str) -> None:
     """§8.11b (r9): the ingest-time failure DIRECTION of cap vacuity.
 
@@ -769,29 +914,7 @@ def measure_ingest_budget(spark, dest: str) -> None:
         .collect()
     ]
 
-    def mutate(text: str, k: int) -> str:
-        toks = text.split(" ")
-        toks[k % len(toks)] = f"probemut{k}"
-        return " ".join(toks)
-
-    probes = []
-    pid = 10_000_000
-    for k in range(25):
-        for t in templates:
-            probes.append((pid, mutate(t, k), "near_template"))
-            pid += 1
-    for p in range(0, 64, 4):
-        win = " ".join(f"chain{j}" for j in range(p, p + 30))
-        probes.append((pid, mutate(win, p), "near_chain"))
-        pid += 1
-    for k in range(100):
-        probes.append(
-            (pid, " ".join(f"novel{pid}tok{j}" for j in range(30)), "novel")
-        )
-        pid += 1
-    batch = spark.createDataFrame(
-        probes, "doc_id long, text string, cls string"
-    )
+    batch = _ingest_probe_batch(spark, templates)
     batch.persist().count()
 
     # r11 (VERDICT r10 wrong #3): the third arm is the STREAMING gate's
@@ -1570,6 +1693,8 @@ def main() -> None:
     curve = "--curve" in args
     # --ingest (§8.11b): same corpus, only the admission measurement
     ingest = "--ingest" in args
+    # --capstale (§8.11d): same corpus, staleness-guard boundary arms
+    capstale = "--capstale" in args
     # --store (§8.12): self-building store-growth measurement only
     store = "--store" in args
     # --ivf (§8.13): self-building IVF-store serving measurement only
@@ -1578,16 +1703,18 @@ def main() -> None:
     ivfbal = "--ivfbalance" in args
     # --snapdelete (§8.14): partitioned vs unpartitioned takedown cost
     snapdel = "--snapdelete" in args
-    dup = dup or curve or ingest
+    dup = dup or curve or ingest or capstale
     args = [
         a
         for a in args
         if a not in ("--r6", "--dup", "--emb", "--curve", "--ingest",
-                     "--store", "--ivf", "--ivfbalance", "--snapdelete")
+                     "--capstale", "--store", "--ivf", "--ivfbalance",
+                     "--snapdelete")
     ]
     n = int(args[0]) if args and args[0].isdigit() else (25 if emb else 10)
     names = [a for a in args if not a.isdigit()] or (
-        [] if curve or ingest or store or ivf or ivfbal or snapdel
+        [] if curve or ingest or capstale or store or ivf or ivfbal
+        or snapdel
         else WAVE_EMB if emb else WAVE_DUP if dup else WAVE_R6 if r6 else WAVE
     )
 
@@ -1739,6 +1866,8 @@ def main() -> None:
         sys.exit(1)
     if ingest:
         measure_ingest_budget(spark, dest)
+    elif capstale:
+        measure_cap_staleness(spark, dest)
     elif curve:
         measure_budget_recall_curve(spark, dest)
     elif dup:

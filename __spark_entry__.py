@@ -52,6 +52,7 @@ _REPROOF: list[str] = []
 
 _PROMOTED = [
     "q169_ingest_lifecycle",
+    "q344_dedup_ivf_capstone",
     "q345_two_level_snapshot_delete",
     "q267_snapshot_isolation_join",
     "q269_snapshot_concurrency",
@@ -100,7 +101,6 @@ _PROMOTED = [
     "q46_sessionize",
     "q49_salted_join",
     "q51_lsh_near_dup",
-    "q53_multimodal_decode",
 ]
 
 

@@ -94,6 +94,13 @@ ALLOWED_TINY_BROADCAST_CROSS = {
     # rows by construction (corpus-sized joins in the plan are the
     # SMJ assignment/recall joins, which is the right strategy)
     "q341_ivf_lloyd_recall",
+    # q341's acceptance idiom on the DEDUPED seed store: 16-row
+    # centroid table crossJoins the 8-row anchor frame (probe
+    # ranking), the 8-anchor set broadcasts against the stored-vector
+    # exact-arm scan, and the 1-row persisted mass-stats table is
+    # attached per anchor row — every BNLJ build side is <=16 rows by
+    # construction; corpus-sized joins are the SMJ recall joins
+    "q344_dedup_ivf_capstone",
     # 1-row heavy-hitter total / bin target / pooled stats / pair-count
     # / join-size-truth aggregates cross-joined into constant-size
     # results or attached per row — the q93/q166 broadcast-total idiom

@@ -54,6 +54,7 @@ _PROMOTED = [
     "q169_ingest_lifecycle",
     "q344_dedup_ivf_capstone",
     "q345_two_level_snapshot_delete",
+    "q346_rebase_concurrency",
     "q267_snapshot_isolation_join",
     "q269_snapshot_concurrency",
     "q01_week_count",
@@ -100,7 +101,6 @@ _PROMOTED = [
     "q45_asof_join",
     "q46_sessionize",
     "q49_salted_join",
-    "q51_lsh_near_dup",
 ]
 
 

@@ -18,6 +18,16 @@ measurement: they cannot trip the gate's 1s absolute floor.  Both raw
 reps land in bench_detail.json under "reps" so the spread is auditable.
 Set SPARK_GRAFT_BENCH_REPS=1 to force the old single-pass behavior.
 
+r12 instrument fix (VERDICT r11 wrong #1): the second pass itself ran
+under accumulated end-of-run JVM pressure, so a contiguous block of
+rep-2s (q315-q334) read 2-14x their rep-1 in the r11 detail.  Two
+changes: settle_jvm() (explicit GC + pause) runs before the
+confirmation pass, and any rep pair spreading beyond REP_SPREAD_MAX
+(2x) triggers a THIRD rep behind its own settle barrier — every >2x
+rep pair in the detail now carries a decorrelated adjudicating
+measurement, so pressure-window spikes are self-adjudicating instead
+of forcing every future diff through manual review.
+
 r10 instrument fix: the confirmation rep used to run IMMEDIATELY after
 the first — but the observed spike windows on this box span several
 seconds, so BOTH back-to-back reps landed inside the same bad window
@@ -43,6 +53,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def execute(df) -> None:
     """Force full execution of the plan without collecting to the driver."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def settle_jvm(spark, pause_sec: float = 2.0) -> None:
+    """GC/settle barrier between measurement passes (VERDICT r11 wrong
+    #1): r11's confirmation pass ran under end-of-run JVM pressure
+    (canary fingerprint gc_ms 92 -> 12,306, heap 482 -> 2,707 MB) and
+    nine contiguous rep-2s read 2-14x their rep-1 — instrument noise,
+    not plan cost.  An explicit System.gc() plus a short pause lets
+    the collector compact before the next timed measurement instead of
+    paying the debt inside it.  Best-effort: a py4j failure must never
+    fail the bench."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    time.sleep(pause_sec)
 
 
 #: Canary pair (VERDICT r6 task #2): two stable, never-perf-touched
@@ -234,7 +260,15 @@ def main() -> None:
     # multi-second spike window; see module docstring).  The rep is
     # guarded separately: a transient failure must not discard the
     # successful first measurement.
+    # r12 (VERDICT r11 wrong #1): settle the JVM before the
+    # confirmation pass, and ADJUDICATE any rep pair spreading >
+    # REP_SPREAD_MAX with a third rep behind its own settle barrier —
+    # so no rep pair in the detail differs >2x without a decorrelated
+    # tiebreaker, and a pressure-window spike cannot force a future
+    # diff through manual adjudication.
+    REP_SPREAD_MAX = 2.0
     if not single_pass:
+        settle_jvm(spark)
         for name, spec in REGISTRY.items():
             if timings.get(name, -1.0) < REP_THRESHOLD or timings[name] < 0:
                 continue
@@ -249,6 +283,20 @@ def main() -> None:
                 continue
             reps[name].append(round(dt, 3))
             timings[name] = round(min(timings[name], dt), 3)
+            spread = max(reps[name]) / max(min(reps[name]), 1e-9)
+            if spread > REP_SPREAD_MAX:
+                settle_jvm(spark)
+                try:
+                    dt3 = timed(spec)
+                except Exception as e:
+                    print(
+                        f"bench rep3 error in {name} (keeping min of 2): "
+                        f"{type(e).__name__}: {e}",
+                        file=sys.stderr,
+                    )
+                    continue
+                reps[name].append(round(dt3, 3))
+                timings[name] = round(min(timings[name], dt3), 3)
 
     total = sum(t for t in timings.values() if t > 0)
 

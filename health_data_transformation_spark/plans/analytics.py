@@ -23952,3 +23952,179 @@ def _q344_probe(spark: SparkSession, sf: str, root: str) -> DataFrame:
 
 
 STORE_SPLIT["q344_dedup_ivf_capstone"] = (_q344_build, _q344_probe)
+
+
+def _q346_state_sql() -> str:
+    """Relational restatement of q346's FINAL state (version 3): the
+    q340 base table (orders, o_orderkey % 5 = 0, partitioned by st)
+    with BOTH racing upserts applied — the winner's 'O'-partition
+    update (k % 10 = 0 -> cents + 111) and the rebased loser's
+    'F'-partition update (k % 10 = 5 -> cents + 222)."""
+    return (
+        "SELECT k, st, CASE"
+        " WHEN st = 'O' AND k % 10 = 0 THEN cents + 111"
+        " WHEN st = 'F' AND k % 10 = 5 THEN cents + 222"
+        " ELSE cents END AS cents"
+        f" FROM ({_q340_state_sql(1)}) b"
+    )
+
+
+@register(
+    "q346_rebase_concurrency",
+    "WITH fin AS (" + _q346_state_sql() + "), h AS (SELECT "
+    + hex_hash64_sql(
+        "CAST(k AS VARCHAR) || '|' || st || '|' || CAST(cents AS VARCHAR)"
+    )
+    + """ AS h FROM fin)
+       SELECT TRUE AS rebase_committed,
+              TRUE AS loser_single_rewrite,
+              TRUE AS winner_leaf_kept,
+              TRUE AS untouched_leaf_reused,
+              TRUE AS overlap_conflicts,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+              CAST(sum(h % 1000000007) AS BIGINT) AS sum_mod
+       FROM h""",
+    "the disjoint-partition commit REBASE driver-gated (VERDICT r11 "
+    "wrong #3 closed): q269 gates the conflict-and-retry protocol on "
+    "an unpartitioned table, where the loser's retry re-runs its "
+    "whole rewrite; at 100 TB with frequent takedowns that retry is a "
+    "full partition rewrite for nothing when the winner touched "
+    "DISJOINT partitions.  This stages the exact race two ingest "
+    "jobs run: the loser's scoped rewrite ('F'-partition upsert) is "
+    "FULLY WRITTEN before the winner publishes its own "
+    "('O'-partition upsert) at the same version; the loser's CAS "
+    "then loses and _publish_scoped rebases — Delta's conflict "
+    "check: winner-touched manifest keys (directory lists changed "
+    "since the loser's base) are disjoint from the loser's, so the "
+    "loser grafts its already-written 'F' leaf onto the winner's "
+    "manifest and commits v3 with ZERO new data written.  Gated "
+    "facts, all computed from manifests/filesystem: the rebase "
+    "committed as v3; exactly TWO upsert commit directories exist "
+    "(one rewrite per committer — a re-run loser would have left an "
+    "orphaned third); v3 keeps the winner's rewritten 'O' leaf "
+    "verbatim; the untouched 'P' partition's v1 directory flows "
+    "through both commits; and a staged OVERLAPPING upsert (touching "
+    "the winner-rewritten 'O' partition from the same stale base) "
+    "still raises SnapshotConflict — correctness first where the "
+    "rewrite is actually stale.  The oracle restates the final "
+    "merged state relationally and pins every boolean TRUE — a lost "
+    "update, a clobbered winner leaf, a double rewrite, or a "
+    "rebase-through-overlap each flips a column or the fingerprint",
+)
+def q346(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotConflict, SnapshotTable
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).localCheckpoint()
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hdt_q346_%s_%d"
+        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(spark, root, partition_by="st")
+    t.commit_overwrite(base)  # v1
+    m1 = t.manifest(1)["partitions"]
+
+    # stage the race exactly as two jobs run commit_upsert: the LOSER
+    # computes its target version and FINISHES its scoped rewrite
+    # ('F' survivors + batch) before the winner publishes
+    loser_batch = base.filter(
+        (F.col("st") == "F") & (F.col("k") % 10 == 5)
+    ).withColumn("cents", F.col("cents") + 222)
+    lv = t.current_version() + 1  # 2
+    l_schema = t._evolve_schema(t._table_schema(lv - 1), loser_batch.schema)
+    l_touched = t._touched_partitions(loser_batch)
+    l_survivors = (
+        t.read()
+        .filter(t._touched_filter(l_touched))
+        .join(loser_batch.select("k", "st"), ["k", "st"], "left_anti")
+    )
+    l_merged = l_survivors.unionByName(loser_batch).localCheckpoint()
+    l_map = t._write_data_partitioned(l_merged, lv, "upsert")
+
+    # winner publishes v2 first (upsert touching only 'O')
+    winner_batch = base.filter(
+        (F.col("st") == "O") & (F.col("k") % 10 == 0)
+    ).withColumn("cents", F.col("cents") + 111)
+    t.commit_upsert(winner_batch, keys=["k", "st"])  # v2
+    m2 = t.manifest(2)["partitions"]
+
+    # loser's CAS loses at v2 and rebases onto the winner -> v3 with
+    # zero new data written
+    v3 = t._publish_scoped(
+        lv, "upsert", l_schema, l_map,
+        {t._key_of(tp) for tp in l_touched}, loser_batch.schema,
+        blind=False,
+    )
+    m3 = t.manifest(3)["partitions"]
+
+    rebase_committed = v3 == 3
+    data_root = os.path.join(root, "data")
+    loser_single_rewrite = (
+        sum(1 for d in os.listdir(data_root) if "-upsert-" in d) == 2
+    )
+    winner_leaf_kept = m3.get("O") == m2.get("O")
+    untouched_leaf_reused = (
+        m3.get("P") == m1.get("P") and m2.get("P") == m1.get("P")
+    )
+
+    # an OVERLAPPING stale rewrite must still conflict: stage a second
+    # loser whose batch touches the winner-rewritten 'O' partition
+    # from the same stale base (version 1)
+    o_batch = (
+        base.filter((F.col("st") == "O") & (F.col("k") % 10 == 0))
+        .limit(5)
+        .withColumn("cents", F.col("cents") + 999)
+    )
+    o_touched = t._touched_partitions(o_batch)
+    o_map = t._write_data_partitioned(o_batch, 2, "upsert")
+    overlap_conflicts = False
+    try:
+        t._publish_scoped(
+            2, "upsert", l_schema, o_map,
+            {t._key_of(tp) for tp in o_touched}, o_batch.schema,
+            blind=False,
+        )
+    except SnapshotConflict:
+        overlap_conflicts = True
+
+    h = T.hex_hash64(
+        F.concat(
+            F.col("k").cast("string"), F.lit("|"), F.col("st"),
+            F.lit("|"), F.col("cents").cast("string"),
+        )
+    )
+    return (
+        t.read(version=3)
+        .select(h.alias("h"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+            F.sum(F.col("h") % 1000000007).cast("long").alias("sum_mod"),
+        )
+        .select(
+            F.lit(bool(rebase_committed)).alias("rebase_committed"),
+            F.lit(bool(loser_single_rewrite)).alias("loser_single_rewrite"),
+            F.lit(bool(winner_leaf_kept)).alias("winner_leaf_kept"),
+            F.lit(bool(untouched_leaf_reused)).alias(
+                "untouched_leaf_reused"
+            ),
+            F.lit(bool(overlap_conflicts)).alias("overlap_conflicts"),
+            "n_rows",
+            "xor_hash",
+            "sum_mod",
+        )
+    )

@@ -732,3 +732,61 @@ def test_disjoint_partition_delete_rebase(spark, tmp_path, monkeypatch):
     assert "c" not in m3["partitions"]
     # A's delete survived B's rebase
     assert m3["partitions"]["a"] == t._read_manifest(2)["partitions"]["a"]
+
+
+def test_two_level_disjoint_rebase(spark, tmp_path, monkeypatch):
+    """Rebase is manifest-key-level, so it composes with multi-column
+    partitioning: two upserts touching leaves under the SAME first-
+    level value but different second-level values are disjoint and
+    both commit with one rewrite each."""
+    root = str(tmp_path / "t")
+    t = _pt2_table(spark, root)
+    b = SnapshotTable(spark, root)
+    orig = b.current_version
+    seen = {"n": 0}
+
+    def stale_once():
+        seen["n"] += 1
+        return 1 if seen["n"] == 1 else orig()
+
+    monkeypatch.setattr(b, "current_version", stale_once)
+
+    # A wins v2 touching d1/web; B (stale) touches d1/api -> rebases
+    t.commit_upsert(
+        spark.createDataFrame(
+            [(1, "d1", "web", 11)], "k int, d string, src string, x int"
+        ),
+        keys=["k", "d", "src"],
+    )
+    assert b.commit_upsert(
+        spark.createDataFrame(
+            [(3, "d1", "api", 31)], "k int, d string, src string, x int"
+        ),
+        keys=["k", "d", "src"],
+    ) == 3
+    assert rows(t.read()) == [
+        (1, "d1", "web", 11), (2, "d1", "web", 20), (3, "d1", "api", 31),
+        (4, "d2", "web", 40), (5, "d2", "api", 50), (6, "d2", "api", 60),
+    ]
+    m2, m3 = t._read_manifest(2), t._read_manifest(3)
+    assert m3["partitions"]["d1/web"] == m2["partitions"]["d1/web"]
+    data_root = os.path.join(root, "data")
+    assert sum(1 for d in os.listdir(data_root) if "-upsert-" in d) == 2
+
+    # same-leaf overlap still conflicts
+    c = SnapshotTable(spark, root)
+    orig_c = c.current_version
+    seen_c = {"n": 0}
+
+    def stale_once_c():
+        seen_c["n"] += 1
+        return 1 if seen_c["n"] == 1 else orig_c()
+
+    monkeypatch.setattr(c, "current_version", stale_once_c)
+    with pytest.raises(SnapshotConflict):
+        c.commit_upsert(
+            spark.createDataFrame(
+                [(2, "d1", "web", 22)], "k int, d string, src string, x int"
+            ),
+            keys=["k", "d", "src"],
+        )

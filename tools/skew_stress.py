@@ -1219,6 +1219,86 @@ def measure_snapshot_delete(spark) -> None:
     shutil.rmtree(stage, ignore_errors=True)
 
 
+def measure_snapshot_delete2(spark) -> None:
+    """§8.14b (r12): what a SECOND partition level buys the takedown.
+
+    §8.14 measured single-level scoping (rewrite tracks 1/16 touched).
+    Multi-column partitioning (VERDICT r11 task #3) nests levels, so a
+    request that pins both levels touches ONE LEAF.  Same protocol:
+    orders-derived rows with a = k % 4 (say, date bucket) and
+    b = (k div 4) % 4 (say, source) — 16 leaves either way — and a
+    takedown pinning both (`a = 3 AND b = 1 AND k % 5 = 0`, one leaf,
+    partially).  Arms: unpartitioned (full rewrite), single-level on
+    `a` (the best a one-column table can scope: 1/4), two-level
+    [a, b] (1/16).  The single-level arm's rewrite is 4x the
+    two-level arm's BY CONSTRUCTION of the layout — the measurement
+    pins that the implementation actually achieves it as the table
+    grows.
+    """
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, "/root/repo")
+    from health_data_transformation_spark.snapshots import SnapshotTable
+
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    orders = spark.read.parquet(f"{base_dir}/orders.parquet")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 4).cast("int").alias("a"),
+        ((F.col("o_orderkey") / 4).cast("long") % 4).cast("int").alias("b"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def du(dirs: list[str]) -> int:
+        total = 0
+        for d in dirs:
+            for dirpath, _dn, filenames in os.walk(d):
+                for f in filenames:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    print("\n=== §8.14b takedown cost: two-level vs single-level ===")
+    print("delete a = 3 AND b = 1 AND k % 5 = 0 (1 of 16 leaves, partially)")
+    stage = tempfile.mkdtemp(prefix="hdt_snapdel2_")
+    for mult in (1, 4, 16):
+        df = base
+        if mult > 1:
+            reps = spark.range(mult).select(F.col("id").alias("_rep"))
+            df = base.crossJoin(reps).select(
+                (F.col("k") * mult + F.col("_rep")).alias("k"),
+                "a",
+                "b",
+                "cents",
+            )
+        df = df.localCheckpoint()
+        n = df.count()
+        for label, kwargs in (
+            ("unpartitioned", {}),
+            ("single-level a", {"partition_by": "a"}),
+            ("two-level a x b", {"partition_by": ["a", "b"]}),
+        ):
+            root = os.path.join(stage, f"{label.replace(' ', '_')}_{mult}x")
+            shutil.rmtree(root, ignore_errors=True)
+            t = SnapshotTable(spark, root, **kwargs)
+            t.commit_overwrite(df)
+            v1_dirs = set(t._read_manifest(1)["dirs"])
+            t0 = time.time()
+            t.commit_delete("a = 3 AND b = 1 AND k % 5 = 0")
+            wall = time.time() - t0
+            new_dirs = [
+                d for d in t._read_manifest(2)["dirs"] if d not in v1_dirs
+            ]
+            print(
+                f"{mult:>3}x ({n:>8,} rows) {label:>16}: delete "
+                f"{wall:5.1f}s, rewrote {du(new_dirs) / 1e6:8.1f} MB "
+                f"in {len(new_dirs)} new dir(s)"
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def measure_ivf_balance(spark) -> None:
     """§8.13b (r11, VERDICT r10 task #7): what Lloyd refinement buys.
 
@@ -1703,18 +1783,20 @@ def main() -> None:
     ivfbal = "--ivfbalance" in args
     # --snapdelete (§8.14): partitioned vs unpartitioned takedown cost
     snapdel = "--snapdelete" in args
+    # --snapdelete2 (§8.14b): two-level vs single-level takedown cost
+    snapdel2 = "--snapdelete2" in args
     dup = dup or curve or ingest or capstale
     args = [
         a
         for a in args
         if a not in ("--r6", "--dup", "--emb", "--curve", "--ingest",
                      "--capstale", "--store", "--ivf", "--ivfbalance",
-                     "--snapdelete")
+                     "--snapdelete", "--snapdelete2")
     ]
     n = int(args[0]) if args and args[0].isdigit() else (25 if emb else 10)
     names = [a for a in args if not a.isdigit()] or (
         [] if curve or ingest or capstale or store or ivf or ivfbal
-        or snapdel
+        or snapdel or snapdel2
         else WAVE_EMB if emb else WAVE_DUP if dup else WAVE_R6 if r6 else WAVE
     )
 
@@ -1760,6 +1842,11 @@ def main() -> None:
     if snapdel:
         measure_snapshot_delete(spark)
         print("snapshot-delete wave done")
+        return
+
+    if snapdel2:
+        measure_snapshot_delete2(spark)
+        print("snapshot-delete2 wave done")
         return
 
     if ivfbal:

@@ -23668,7 +23668,7 @@ def _q344_oracle(
                FROM corpus0 WHERE vec_id IN ({n_anchors}, {n_anchors + 1})),
        dup AS (SELECT vec_id, v FROM corpus0
                UNION ALL
-               SELECT c.vec_id + 10000000 AS vec_id, t.v
+               SELECT c.vec_id + 1000000000 AS vec_id, t.v
                FROM corpus0 c JOIN tpl t ON t.tid = c.vec_id % 2),
        sig AS (SELECT vec_id, v, {int8_quantize_sql('v')} AS s FROM dup),
        keep AS (SELECT min(vec_id) AS vec_id FROM sig GROUP BY s),
@@ -23799,7 +23799,7 @@ def _q344_corpus(spark: SparkSession, sf: str) -> DataFrame:
     replicas = (
         corpus0.select(
             (F.col("vec_id") % 2).alias("tid"),
-            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
         )
         .join(F.broadcast(tpl), "tid")
         .select("vec_id", F.col("temb").alias("embedding"))

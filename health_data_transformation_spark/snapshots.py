@@ -590,6 +590,10 @@ class SnapshotTable:
         current = self.read()
         if self.partition_by is not None:
             touched = self._touched_partitions(df)
+            if not touched:  # empty batch: content-identical version
+                return self._publish_scoped(
+                    v, "upsert", schema, {}, set(), df.schema, blind=False
+                )
             survivors = current.filter(self._touched_filter(touched)).join(
                 df.select(*keys), list(keys), "left_anti"
             )

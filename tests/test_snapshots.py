@@ -790,3 +790,19 @@ def test_two_level_disjoint_rebase(spark, tmp_path, monkeypatch):
             ),
             keys=["k", "d", "src"],
         )
+
+
+def test_empty_batch_upsert_and_no_match_delete_two_level(spark, tmp_path):
+    """Empty-batch upsert / no-match delete on a TWO-LEVEL table
+    publish content-identical versions with zero data written (the
+    multi-column _touched_filter must never see an empty tuple
+    list)."""
+    t = _pt2_table(spark, str(tmp_path / "t"))
+    empty = spark.createDataFrame(
+        [], "k int, d string, src string, x int"
+    )
+    assert t.commit_upsert(empty, keys=["k", "d", "src"]) == 2
+    assert t.commit_delete("k = 999999") == 3
+    m1, m3 = t._read_manifest(1), t._read_manifest(3)
+    assert m3["partitions"] == m1["partitions"]
+    assert rows(t.read()) == rows(t.read(version=1))

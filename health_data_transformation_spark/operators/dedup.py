@@ -945,8 +945,9 @@ ADMISSION_CAP_BUDGET = 200_000
 #: healthy corpora, so a doubled store keeps the stamped cap
 #: conservative (it can only under-admit, never falsely admit); past
 #: that the derivation's premise is gone.  The live-size check is one
-#: ``count()`` on the parquet-backed store — footer-metadata work, not
-#: a data scan.
+#: ``count()`` per store FRAME OBJECT (memoized on the frame): on a
+#: parquet-backed store that is footer-metadata work; a hand-built
+#: frame pays one materialization of its lineage.
 CAP_STALENESS_FACTOR = 2.0
 
 
@@ -1009,7 +1010,18 @@ def _resolve_stored_cap(
     # hdt_cap_rows stamp) keep their old behavior.
     stamped_rows = meta.get("hdt_cap_rows")
     if stamped_rows is not None:
-        live = buckets.count()
+        # memoized per frame OBJECT: a streaming caller probes the same
+        # store frame every microbatch, and on a parquet-backed store
+        # the count is footer-metadata work but still a scheduled job —
+        # one per frame is enough (the frame is immutable; a REOPENED
+        # store is a new object and re-counts)
+        live = getattr(buckets, "_hdt_cap_live_rows", None)
+        if live is None:
+            live = buckets.count()
+            try:
+                buckets._hdt_cap_live_rows = live
+            except Exception:
+                pass
         if live > CAP_STALENESS_FACTOR * int(stamped_rows):
             raise ValueError(
                 f"stale admission cap: the store has grown to {live} "

@@ -23573,10 +23573,6 @@ def _q345_state_sql(version: int) -> str:
     "are pinned by tests/test_snapshots.py two_level cases",
 )
 def q345(spark: SparkSession, sf: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from ..snapshots import SnapshotTable
 
     o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 5 == 0)
@@ -23588,12 +23584,7 @@ def q345(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "hdt_q345_%s_%d"
-        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _stream_store_root("q345", sf)
     t = SnapshotTable(spark, root, partition_by=["st", "b"])
     t.commit_overwrite(state)
     t.commit_delete("st = 'F' AND b = 1 AND k % 2 = 0")
@@ -24014,8 +24005,6 @@ def _q346_state_sql() -> str:
 )
 def q346(spark: SparkSession, sf: str) -> DataFrame:
     import os
-    import shutil
-    import tempfile
 
     from ..snapshots import SnapshotConflict, SnapshotTable
 
@@ -24028,12 +24017,7 @@ def q346(spark: SparkSession, sf: str) -> DataFrame:
         .alias("cents"),
     ).localCheckpoint()
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "hdt_q346_%s_%d"
-        % (os.path.basename(os.path.normpath(sf)), os.getpid()),
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _stream_store_root("q346", sf)
     t = SnapshotTable(spark, root, partition_by="st")
     t.commit_overwrite(base)  # v1
     m1 = t.manifest(1)["partitions"]

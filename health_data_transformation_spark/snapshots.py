@@ -221,6 +221,7 @@ class SnapshotTable:
         batch_schema: StructType | None,
         blind: bool,
         merge_schema: bool = True,
+        read_scope_matches=None,
     ) -> int:
         """Publish a partition-scoped commit, REBASING onto a racing
         winner when safe (VERDICT r11 wrong #3).
@@ -236,14 +237,27 @@ class SnapshotTable:
           the commit ALWAYS rebases — blind appends never conflict
           (Delta's AppendOnly rule); only the schema contract is
           re-validated against the winner.
-        - upsert/delete: the winner's touched set = every manifest key
-          whose directory list changed between the loser's base
-          (v-1) and the winner's version.  Disjoint from ours -> our
-          survivors are still exactly what a re-run would compute, so
-          we graft our leaves onto the winner's map and re-publish
-          with ZERO new data written.  Overlap -> SnapshotConflict
-          propagates and the caller re-runs the rewrite (correctness
-          first).
+        - upsert: the winner's touched set = every manifest key whose
+          directory list changed between the loser's base (v-1) and
+          the winner's version.  Disjoint from ours -> our survivors
+          are still exactly what a re-run would compute (an upsert's
+          read scope IS its touched partitions: the partition column
+          is among the match keys, so a same-key winner row lives in
+          the same partition and trips the overlap check), and we
+          graft our leaves onto the winner's map with ZERO new data
+          written.  Overlap -> SnapshotConflict propagates and the
+          caller re-runs the rewrite (correctness first).
+        - delete: partition disjointness is NOT sufficient — a delete
+          READS the whole table (its predicate can match anywhere),
+          so a winner that added matching rows to a partition the
+          loser never touched would survive a naive rebase (the
+          r12-review catch; Delta raises ConcurrentAppendException
+          for exactly this delete-vs-append shape).  The rebase
+          therefore re-checks the predicate (``read_scope_matches``,
+          a bounded limit(1) probe) against ONLY the winner's changed
+          directories: no matches -> safe graft; any match ->
+          SnapshotConflict and the caller re-runs with fresh
+          discovery.
 
         Schema is re-derived against the winner on every rebase; an
         incompatible evolution surfaces as SchemaEvolutionError, never
@@ -277,6 +291,16 @@ class SnapshotTable:
                     }
                     if winner_touched & touched_keys:
                         raise  # overlapping partitions: re-run rewrite
+                    if read_scope_matches is not None and winner_touched:
+                        changed_dirs = [
+                            d
+                            for k in winner_touched
+                            for d in winner.get(k, [])
+                        ]
+                        if changed_dirs and read_scope_matches(
+                            changed_dirs, self._table_schema(cur)
+                        ):
+                            raise  # winner's new rows match our predicate
                 w_schema = self._table_schema(cur)
                 if batch_schema is not None:
                     if (
@@ -333,23 +357,24 @@ class SnapshotTable:
         from pyspark.sql import functions as _F
 
         pcols = self._pcols
+        self._check_partition_types(df.schema)
         # ADVICE r11 #2: validate partition keys BEFORE the distributed
         # write — the old post-hoc directory check burned a full write
         # (plus an orphan dir until vacuum) before raising, and Spark
         # writes EMPTY-STRING keys as __HIVE_DEFAULT_PARTITION__ too,
-        # which the old message misreported as "NULL values".  Values
-        # containing ``/`` are rejected too: it is the manifest key
-        # separator on multi-column tables.  limit(1) bounds the probe
-        # (early-exit on the first bad row).
-        bad_cond = functools.reduce(
-            operator.or_,
-            (
-                _F.col(c).isNull()
-                | (_F.col(c).cast("string") == "")
-                | _F.col(c).cast("string").contains("/")
-                for c in pcols
-            ),
-        )
+        # which the old message misreported as "NULL values".  On
+        # multi-column tables values containing ``/`` are rejected
+        # too: it is the manifest key separator (a single-level key is
+        # never split, and the hive path escapes '/' as %2F, so legacy
+        # single-column stores with such values stay writable).
+        # limit(1) bounds the probe (early-exit on the first bad row).
+        def bad(c):
+            cond = _F.col(c).isNull() | (_F.col(c).cast("string") == "")
+            if len(pcols) > 1:
+                cond = cond | _F.col(c).cast("string").contains("/")
+            return cond
+
+        bad_cond = functools.reduce(operator.or_, (bad(c) for c in pcols))
         if df.filter(bad_cond).limit(1).count():
             raise ValueError(
                 f"NULL, empty-string, or '/'-containing values in "
@@ -504,24 +529,58 @@ class SnapshotTable:
         new_dir = self._write_data(df, v, "overwrite")
         return self._publish(v, [new_dir], "overwrite", df.schema)
 
+    def _check_partition_types(self, schema: StructType) -> None:
+        """Enforce the documented 'ints and plain strings' contract
+        (r12 review catch): manifest keys come from Python ``str()``
+        while directory keys come from Spark's hive path segment, and
+        for types where the two renderings diverge (boolean:
+        str(True)='True' vs hive 'true'; similar for dates/floats/
+        decimals) the touched-set and rebase comparisons would
+        silently corrupt — with the rebase, divergence means a LOST
+        winner update, not just a missed reuse.  Fail loudly at the
+        type level instead."""
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+        )
+
+        ok = (StringType, ByteType, ShortType, IntegerType, LongType)
+        for c in self._pcols:
+            dt = schema[c].dataType
+            if not isinstance(dt, ok):
+                raise TypeError(
+                    f"partition column {c!r} has type "
+                    f"{dt.simpleString()}; partition-scoped commits "
+                    "require string or integral partition columns — "
+                    "other types do not render identically via Python "
+                    "str() (manifest keys) and the hive path segment "
+                    "(directory keys), which would corrupt the "
+                    "touched-set/rebase comparison"
+                )
+
     def _touched_partitions(self, frame: DataFrame) -> list[tuple]:
         """Distinct partition-value TUPLES in ``frame`` — the bounded
         driver-side list (O(partitions touched), never O(rows)) that
         scopes a rewrite."""
         pcols = self._pcols
+        self._check_partition_types(frame.schema)
+        multi = len(pcols) > 1
         tuples = [
             tuple(r) for r in frame.select(*pcols).distinct().collect()
         ]
         if any(
-            v is None or str(v) == "" or "/" in str(v)
+            v is None or str(v) == "" or (multi and "/" in str(v))
             for t in tuples
             for v in t
         ):
             raise ValueError(
-                f"NULL, empty-string, or '/'-containing values in "
-                f"partition columns {pcols!r} — partition-scoped "
-                "commits require non-null, non-empty, separator-free "
-                "keys"
+                f"NULL, empty-string, or (multi-column) '/'-containing "
+                f"values in partition columns {pcols!r} — "
+                "partition-scoped commits require non-null, non-empty "
+                "keys (separator-free on multi-column tables)"
             )
         return tuples
 
@@ -661,9 +720,27 @@ class SnapshotTable:
                     self._touched_filter(touched)
                 ).filter(~matches)
                 new_map = self._write_data_partitioned(survivors, v, "delete")
+
+            def _matches_in(dirs: list[str], tbl_schema) -> bool:
+                # bounded read-scope probe for the delete rebase: scan
+                # ONLY the winner's changed directories for predicate
+                # matches (pushdown + limit(1) — early exit on the
+                # first hit)
+                reader = self.spark.read
+                if tbl_schema is not None:
+                    reader = reader.schema(tbl_schema)
+                return (
+                    reader.parquet(*dirs)
+                    .filter(matches)
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+
             return self._publish_scoped(
                 v, "delete", schema if schema else current.schema,
                 new_map, touched_keys, None, blind=False,
+                read_scope_matches=_matches_in,
             )
         survivors = current.filter(~matches)
         new_dir = self._write_data(survivors, v, "delete")

@@ -806,3 +806,76 @@ def test_empty_batch_upsert_and_no_match_delete_two_level(spark, tmp_path):
     m1, m3 = t._read_manifest(1), t._read_manifest(3)
     assert m3["partitions"] == m1["partitions"]
     assert rows(t.read()) == rows(t.read(version=1))
+
+
+def _stale_for(monkeypatch, table, n_calls: int):
+    orig = table.current_version
+    seen = {"n": 0}
+
+    def stale():
+        seen["n"] += 1
+        return 1 if seen["n"] <= n_calls else orig()
+
+    monkeypatch.setattr(table, "current_version", stale)
+
+
+def test_delete_rebase_read_scope_conflicts_on_winner_matches(
+    spark, tmp_path, monkeypatch
+):
+    """r12 review catch: a delete READS the whole table, so partition
+    disjointness alone cannot justify its rebase — a winner that adds
+    PREDICATE-MATCHING rows to a partition the loser never touched
+    must force a re-run (Delta's delete-vs-append conflict), else the
+    takedown reports success while matching rows survive."""
+    root = str(tmp_path / "t")
+    t = _pt_table(spark, root)
+
+    # loser staged fully at v1 (version target AND table read)
+    b = SnapshotTable(spark, root)
+    _stale_for(monkeypatch, b, 2)
+    # winner appends a row MATCHING the loser's predicate into 'b'
+    # (a partition the loser's discovery never touched: x=10 only in 'a')
+    t.commit_append(
+        spark.createDataFrame([(9, "b", 10)], "k int, p string, x int")
+    )
+    with pytest.raises(SnapshotConflict):
+        b.commit_delete("x = 10")
+    # re-run on fresh state removes BOTH matching rows
+    assert b.commit_delete("x = 10") == 3
+    assert all(r[2] != 10 for r in rows(t.read()))
+
+
+def test_delete_rebase_proceeds_when_winner_rows_dont_match(
+    spark, tmp_path, monkeypatch
+):
+    root = str(tmp_path / "t")
+    t = _pt_table(spark, root)
+    b = SnapshotTable(spark, root)
+    _stale_for(monkeypatch, b, 2)
+    # winner appends a NON-matching row into 'b'
+    t.commit_append(
+        spark.createDataFrame([(9, "b", 90)], "k int, p string, x int")
+    )
+    # loser deletes x=10 (matches only in 'a'): safe rebase -> v3
+    assert b.commit_delete("x = 10") == 3
+    got = rows(t.read())
+    assert (9, "b", 90) in got and all(r[2] != 10 for r in got)
+
+
+def test_partition_column_type_contract(spark, tmp_path):
+    """r12 review catch: manifest keys are Python str(), directory
+    keys are hive path segments — types where the two diverge
+    (boolean: 'True' vs 'true') would corrupt the touched-set/rebase
+    comparison, so non-string/integral partition columns are refused
+    at the type level."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by="flag")
+    df = spark.createDataFrame([(1, True, 10)], "k int, flag boolean, x int")
+    with pytest.raises(TypeError, match="string or integral"):
+        t.commit_overwrite(df)
+    with pytest.raises(TypeError, match="string or integral"):
+        t.commit_delete  # construction is fine; commits are refused
+        t.commit_upsert(df, keys=["k", "flag"])
+    # integral and string columns stay accepted
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), partition_by="b")
+    t2.commit_overwrite(spark.createDataFrame([(1, 2, 10)], "k int, b int, x int"))
+    assert rows(t2.read()) == [(1, 2, 10)]

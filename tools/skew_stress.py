@@ -858,11 +858,17 @@ def measure_cap_staleness(spark, dest: str) -> None:
             f"({str(e)[:80]}...)"
         )
 
+    # the PRESCRIBED fix for the beyond-guard store: an actual fresh
+    # build call over the grown corpus (not a reuse of the fresh arm's
+    # frames — r12 review catch: reusing them made this line
+    # tautological and blind to a rebuild-path regression)
     t0 = time.time()
-    res = D.lsh_incremental_matches_stored(fresh_b, fresh_t, probe)
+    re_b, re_t = D.build_lsh_store(d, cap_budget=D.ADMISSION_CAP_BUDGET)
+    res = D.lsh_incremental_matches_stored(re_b, re_t, probe)
     print(
-        f"rebuild (re-derived cap): {counts(res)} "
-        f"in {time.time() - t0:.1f}s"
+        f"rebuild (fresh build, re-derived cap="
+        f"{re_b.schema['bucket'].metadata['hdt_admission_cap']}): "
+        f"{counts(res)} in {time.time() - t0:.1f}s"
     )
     batch.unpersist()
 

@@ -873,7 +873,6 @@ def test_partition_column_type_contract(spark, tmp_path):
     with pytest.raises(TypeError, match="string or integral"):
         t.commit_overwrite(df)
     with pytest.raises(TypeError, match="string or integral"):
-        t.commit_delete  # construction is fine; commits are refused
         t.commit_upsert(df, keys=["k", "flag"])
     # integral and string columns stay accepted
     t2 = SnapshotTable(spark, str(tmp_path / "t2"), partition_by="b")

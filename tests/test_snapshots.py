@@ -878,3 +878,87 @@ def test_partition_column_type_contract(spark, tmp_path):
     t2 = SnapshotTable(spark, str(tmp_path / "t2"), partition_by="b")
     t2.commit_overwrite(spark.createDataFrame([(1, 2, 10)], "k int, b int, x int"))
     assert rows(t2.read()) == [(1, 2, 10)]
+
+
+def test_rebase_schema_rederivation(spark, tmp_path, monkeypatch):
+    """The rebase re-derives schema against the WINNER: a loser append
+    with merge_schema=False refuses when the winner evolved the
+    schema; with merge_schema=True it adopts the union — and a
+    type-conflicting evolution surfaces as SchemaEvolutionError, never
+    a silent merge."""
+    from health_data_transformation_spark.snapshots import (
+        SchemaEvolutionError,
+    )
+
+    root = str(tmp_path / "t")
+    t = _pt_table(spark, root)
+
+    # winner evolves the schema additively (new column y) in 'a'
+    evolved = spark.createDataFrame(
+        [(1, "a", 11, 99)], "k int, p string, x int, y int"
+    )
+
+    # loser 1: stale append, old columns, merge_schema=False -> must
+    # refuse after rebasing onto the evolved winner
+    b = SnapshotTable(spark, root)
+    _stale_for(monkeypatch, b, 1)
+    t.commit_append(evolved, merge_schema=True)  # winner wins v2
+    with pytest.raises(SchemaEvolutionError, match="winning"):
+        b.commit_append(
+            spark.createDataFrame([(9, "c", 90)], "k int, p string, x int")
+        )
+
+    # loser 2: same staged race with merge_schema=True -> rebases and
+    # adopts the winner's evolved schema (missing y reads NULL)
+    c = SnapshotTable(spark, root)
+    _stale_for(monkeypatch, c, 1)
+    t.commit_append(
+        spark.createDataFrame(
+            [(2, "a", 22, 88)], "k int, p string, x int, y int"
+        ),
+        merge_schema=True,
+    )  # another winner
+    v = c.commit_append(
+        spark.createDataFrame([(9, "c", 90)], "k int, p string, x int"),
+        merge_schema=True,
+    )
+    got = t.read(version=v)
+    assert set(got.columns) == {"k", "p", "x", "y"}
+    assert (9, "c", 90, None) in rows(got)
+
+    # loser 3: batch with y as STRING conflicts with the winner's int y
+    d = SnapshotTable(spark, root)
+    _stale_for(monkeypatch, d, 1)
+    t.commit_append(
+        spark.createDataFrame(
+            [(3, "a", 33, 77)], "k int, p string, x int, y int"
+        ),
+        merge_schema=True,
+    )
+    with pytest.raises(SchemaEvolutionError, match="additive"):
+        d.commit_append(
+            spark.createDataFrame(
+                [(9, "c", 90, "zz")], "k int, p string, x int, y string"
+            ),
+            merge_schema=True,
+        )
+
+
+def test_vacuum_collects_partitioned_orphan_commit(spark, tmp_path):
+    """A conflicted loser that must re-run leaves its first-attempt
+    PARTITIONED commit dir (nested leaves) unreferenced — vacuum
+    removes the whole dir since no retained version references any of
+    its leaves."""
+    t = _pt_table(spark, str(tmp_path / "t"))
+    # simulate the loser's fully-written but never-published rewrite
+    orphan_map = t._write_data_partitioned(
+        spark.createDataFrame([(9, "a", 90)], "k int, p string, x int"),
+        2,
+        "upsert",
+    )
+    orphan_commit = os.path.dirname(next(iter(orphan_map.values())))
+    assert os.path.isdir(orphan_commit)
+    removed = t.vacuum(retain_last=1)
+    assert orphan_commit in removed
+    assert not os.path.exists(orphan_commit)
+    assert rows(t.read())  # retained snapshot unharmed

@@ -962,3 +962,35 @@ def test_vacuum_collects_partitioned_orphan_commit(spark, tmp_path):
     assert orphan_commit in removed
     assert not os.path.exists(orphan_commit)
     assert rows(t.read())  # retained snapshot unharmed
+
+
+def test_partition_key_roundtrip_through_hive_path(spark, tmp_path):
+    """The manifest-key contract behind the rebase comparison: for the
+    ALLOWED partition types (string/integral), Python str() and the
+    unquoted hive path segment agree — including values Spark
+    percent-encodes in the path (spaces, '%', ':', unicode).  A
+    divergence here is exactly the class _check_partition_types
+    exists to exclude."""
+    vals = ["plain", "a b", "x%20y", "café", "a:b", "dot.dash-_"]
+    t = SnapshotTable(spark, str(tmp_path / "t"), partition_by="p")
+    t.commit_overwrite(
+        spark.createDataFrame(
+            [(i, v, i * 10) for i, v in enumerate(vals)],
+            "k int, p string, x int",
+        )
+    )
+    m = t.manifest(1)
+    assert set(m["partitions"]) == set(vals)  # str(v) == unquoted path
+    # integral keys: str(int) round-trips too
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), partition_by="p")
+    t2.commit_overwrite(
+        spark.createDataFrame(
+            [(1, -5, 1), (2, 0, 2), (3, 123456789012, 3)],
+            "k int, p long, x int",
+        )
+    )
+    assert set(t2.manifest(1)["partitions"]) == {"-5", "0", "123456789012"}
+    # and the delete touched-set uses the same rendering end to end
+    t2.commit_delete("p = -5")
+    assert "-5" not in t2.manifest(2)["partitions"]
+    assert t2.manifest(2)["partitions"]["0"] == t2.manifest(1)["partitions"]["0"]

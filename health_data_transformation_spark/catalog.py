@@ -77,7 +77,15 @@ class Warehouse:
     def read(self, table: str) -> DataFrame:
         """Read a table; empty DataFrame with the declared schema if absent."""
         if not self.exists(table):
-            return self.spark.createDataFrame([], TABLE_SCHEMAS[table])
+            # 0-partition empty frame: createDataFrame([], schema)
+            # parallelizes an empty list over defaultParallelism (= all
+            # cores), so every downstream action on an absent table ran
+            # a full width of empty tasks (q169 profiled 6+ such
+            # 32-task stages per load at ~0 cpu — pure scheduler cost,
+            # and at cluster scale pure scheduler RPC load)
+            return self.spark.createDataFrame(
+                self.spark.sparkContext.emptyRDD(), TABLE_SCHEMAS[table]
+            )
         df = self.spark.read.schema(TABLE_SCHEMAS[table]).parquet(self.path(table))
         # partition columns come back at the end; restore declared order
         return df.select(*[f.name for f in TABLE_SCHEMAS[table].fields])
@@ -113,8 +121,14 @@ class Warehouse:
         Returns the number of rows appended.
         """
         keys = list(keys or TABLE_KEYS[table])
-        existing = self.read(table).select(*keys)
-        fresh = df.join(existing, keys, "left_anti")
+        if self.exists(table):
+            existing = self.read(table).select(*keys)
+            fresh = df.join(existing, keys, "left_anti")
+        else:
+            # first load: anti-joining an empty existing side is a
+            # no-op the optimizer cannot prove (the empty frame is an
+            # RDD scan, not a LocalRelation) — skip the join outright
+            fresh = df
         # one deterministic winner per key *within* the batch as well
         fresh = fresh.dropDuplicates(keys)
         n = fresh.count()

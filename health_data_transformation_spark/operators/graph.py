@@ -171,7 +171,9 @@ def bfs_levels(edges: DataFrame, seed, max_depth: int = 3) -> DataFrame:
     Returns (node, lvl) for every node within ``max_depth`` hops.
     """
     spark = edges.sparkSession
-    visited = spark.createDataFrame([(seed, 0)], "node LONG, lvl INT")
+    from ..functions.frames import literal_frame
+
+    visited = literal_frame(spark, "node LONG, lvl INT", [(seed, 0)])
     frontier = visited
     for depth in range(1, max_depth + 1):
         nxt = (

@@ -220,7 +220,7 @@ def grouped_weighted_quantiles(
         )
         for label, (qn, qd) in specs.items()
     ]
-    spec_dim = spark.range(1).select(
+    spec_dim = spark.range(0, 1, 1, 1).select(
         F.explode(F.array(*spec_rows)).alias("_s")
     ).select("_s.*")
     target = (

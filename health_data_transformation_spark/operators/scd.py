@@ -78,10 +78,13 @@ def build_quality_history(warehouse) -> DataFrame:
         r[0] for r in hqi.select("data_date").distinct().collect()
     )
     attr_cols = ["hospital_overall_rating", "emergency_services"]
-    history = hqi.sparkSession.createDataFrame(
-        [],
+    from ..functions.frames import literal_frame
+
+    history = literal_frame(
+        hqi.sparkSession,
         "facility_id string, hospital_overall_rating double, "
         "emergency_services boolean, valid_from date, valid_to date",
+        [],
     )
     for d in dates:
         snap = hqi.filter(F.col("data_date") == F.lit(d)).select(

@@ -47,9 +47,12 @@ def grid_radius_pairs(
     if radius <= 0:
         raise ValueError(f"radius must be positive, got {radius}")
     spark = pts.sparkSession
-    offsets = spark.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+    from ..functions.frames import literal_frame
+
+    offsets = literal_frame(
+        spark,
         "dx int, dy int",
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
     )
     a = pts.select(
         F.col(id_col).alias("_id"),

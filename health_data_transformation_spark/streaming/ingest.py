@@ -207,7 +207,6 @@ def stream_incremental_dedup(
 
     from ..operators.dedup import lsh_incremental_matches_stored
     from ..sources.tables import load_table
-    from .windows import narrow_shuffle
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     in_batch = F.col("doc_id") % 7 == 3
@@ -268,18 +267,24 @@ def stream_incremental_dedup(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
+    # NO narrow_shuffle here (r12): this stream is STATELESS (admission
+    # consults only the persisted store; foreachBatch has no stateful
+    # operator, so there are no per-partition state stores to amortize)
+    # and the per-batch exact-Jaccard verify is the CPU-dense stage —
+    # capping shuffle width to 8 only throttled it to a quarter of the
+    # machine.  The stateful streams (windows.py, the interval joins)
+    # keep the cap, which is what it exists for.
     name = f"inc_dedup_{uuid.uuid4().hex[:8]}"
-    with narrow_shuffle(spark):
-        query = (
-            stream.writeStream.foreachBatch(admit)
-            .queryName(name)
-            .option(
-                "checkpointLocation", os.path.join(stage, "_checkpoint")
-            )
-            .trigger(availableNow=True)
-            .start()
+    query = (
+        stream.writeStream.foreachBatch(admit)
+        .queryName(name)
+        .option(
+            "checkpointLocation", os.path.join(stage, "_checkpoint")
         )
-        query.awaitTermination(timeout_sec)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
     return spark.read.parquet(out_dir)
 
 
@@ -326,7 +331,6 @@ def stream_embedding_admission(
 
     from ..operators.dedup import embedding_incremental_matches_stored
     from ..sources.tables import load_table
-    from .windows import narrow_shuffle
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     in_batch = F.col("vec_id") % 7 == 3
@@ -368,18 +372,20 @@ def stream_embedding_admission(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
+    # stateless admission stream: no narrow_shuffle, same reasoning as
+    # stream_incremental_dedup (the exact-cosine verify is CPU-dense
+    # and there is no streaming state to amortize)
     name = f"emb_admission_{uuid.uuid4().hex[:8]}"
-    with narrow_shuffle(spark):
-        query = (
-            stream.writeStream.foreachBatch(admit)
-            .queryName(name)
-            .option(
-                "checkpointLocation", os.path.join(stage, "_checkpoint")
-            )
-            .trigger(availableNow=True)
-            .start()
+    query = (
+        stream.writeStream.foreachBatch(admit)
+        .queryName(name)
+        .option(
+            "checkpointLocation", os.path.join(stage, "_checkpoint")
         )
-        query.awaitTermination(timeout_sec)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
     return spark.read.parquet(out_dir)
 
 
@@ -764,14 +770,14 @@ def stream_stream_left_outer(
     # createDataFrame path spins up Python workers per 1-row frame
     # (measured ~5 s per staged advancer write on this box).
     def advancer_clicks(ts: str, eid: int):
-        return spark.range(1).select(
+        return spark.range(0, 1, 1, 1).select(
             F.lit(eid).cast("long").alias("click_id"),
             F.lit(ts).cast(dict(clicks.dtypes)["click_ts"]).alias("click_ts"),
             F.lit(999_999_999).cast("long").alias("cu"),
         )
 
     def advancer_purchases(ts: str, eid: int):
-        return spark.range(1).select(
+        return spark.range(0, 1, 1, 1).select(
             F.lit(eid).cast("long").alias("purchase_id"),
             F.lit(ts)
             .cast(dict(purchases.dtypes)["purchase_ts"])

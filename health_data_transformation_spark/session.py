@@ -60,6 +60,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Floor for AQE partition coalescing (default 1m).  The dedup/
+        # similarity operators have CPU-dense post-shuffle stages whose
+        # bytes are tiny relative to their compute (pair expansion,
+        # 64-permutation register hashing: ~64x md5 work per input
+        # byte); the 1m floor coalesced those stages to 1-6 tasks and
+        # serialized minutes of CPU on a wide machine (profiled: q227's
+        # register aggregate 67s of CPU on 4 tasks).  A lower floor
+        # only affects small-byte stages — at production scale every
+        # healthy stage is far above either floor, so this is
+        # local-regime behavior with no cluster cost.  Env-overridable
+        # for cluster profiles.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "128k"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")

@@ -60,20 +60,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Floor for AQE partition coalescing (default 1m).  The dedup/
-        # similarity operators have CPU-dense post-shuffle stages whose
-        # bytes are tiny relative to their compute (pair expansion,
-        # 64-permutation register hashing: ~64x md5 work per input
-        # byte); the 1m floor coalesced those stages to 1-6 tasks and
-        # serialized minutes of CPU on a wide machine (profiled: q227's
-        # register aggregate 67s of CPU on 4 tasks).  A lower floor
-        # only affects small-byte stages — at production scale every
-        # healthy stage is far above either floor, so this is
-        # local-regime behavior with no cluster cost.  Env-overridable
-        # for cluster profiles.
+        # Floor for AQE partition coalescing: Spark's 1m default, with
+        # an env override.  A 128k default shipped briefly mid-r12: on
+        # a host-steal-loaded box it spread the CPU-dense small-byte
+        # stages (pair expansion, register hashing) and won its A/Bs,
+        # but on an idle local[32] the interleaved re-adjudication
+        # inverted (q313 min 9.1 s at 1m vs 12.2 s at 128k; 7 of 9
+        # CPU-dense queries worse) and two same-code full benches read
+        # 504 s (1m) vs 526 s (128k), the 1m run on the slower canary
+        # window — the extra small tasks cost more in scheduling than
+        # they buy in spread when the cores are real.  Loaded/cluster
+        # profiles can still lower it via the env knob.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "128k"),
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

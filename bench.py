@@ -220,12 +220,78 @@ def run_canaries(spark, sf_dir: str) -> dict:
     return out
 
 
+class _StageMeter:
+    """Per-query executor-time attribution (VERDICT r12 task #5): after
+    each first-pass measurement, stages submitted since the previous
+    watermark are summed (executorRunTime) via the UI REST API, so the
+    detail carries ``parallel_eff = executor_sec / (wall * cores)`` —
+    the direct driver-bound-vs-CPU-bound signal the r12 judge had to
+    re-derive from an 8-core rerun.  Purely additive instrumentation:
+    the fetch happens OUTSIDE every timed region, the one-line stdout
+    contract is untouched, and any failure disables the meter rather
+    than the bench."""
+
+    def __init__(self, spark):
+        import urllib.request
+
+        self._urllib = urllib.request
+        self.ok = False
+        self.watermark = -1
+        try:
+            web = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            if not web:
+                return
+            self.base = f"{web}/api/v1/applications/{app}/stages"
+            self._advance()  # consume warm-up/canary stages
+            self.ok = True
+        except Exception:
+            self.ok = False
+
+    def _fetch(self):
+        with self._urllib.urlopen(self.base, timeout=15) as resp:
+            return json.loads(resp.read())
+
+    def _advance(self) -> float:
+        """Sum executorRunTime (ms) of stages newer than the watermark,
+        then advance it."""
+        ms = 0
+        top = self.watermark
+        for s in self._fetch():
+            sid = s.get("stageId", -1)
+            if sid > self.watermark and s.get("status") != "SKIPPED":
+                ms += s.get("executorRunTime", 0)
+                top = max(top, sid)
+        self.watermark = top
+        return ms
+
+    def executor_sec_since(self) -> float | None:
+        if not self.ok:
+            return None
+        try:
+            return round(self._advance() / 1e3, 3)
+        except Exception:
+            self.ok = False
+            return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from health_data_transformation_spark.plans.analytics import REGISTRY
     from health_data_transformation_spark.session import get_spark
 
-    spark = get_spark(app_name="hdt-bench")
+    # UI enabled on an ephemeral port purely for the REST stage metrics
+    # (_StageMeter): the AppStatusStore that backs the API is populated
+    # whether or not the UI is on, so the only addition is the jetty
+    # server outside the timed regions.
+    spark = get_spark(
+        app_name="hdt-bench",
+        extra_confs={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+            "spark.ui.retainedStages": "2000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/codegen path so per-query times measure the plan, not startup
@@ -241,8 +307,10 @@ def main() -> None:
         execute(spec.fn(spark, sf_dir))
         return time.time() - t0
 
+    meter = _StageMeter(spark)
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
+    exec_sec: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         try:
             dt = timed(spec)
@@ -252,6 +320,9 @@ def main() -> None:
             continue
         timings[name] = round(dt, 3)
         reps[name] = [round(dt, 3)]
+        es = meter.executor_sec_since()
+        if es is not None:
+            exec_sec[name] = es
 
     # SECOND PASS (r10): confirmation reps for every query at or above
     # the gate-trippable threshold, minutes after its first measurement
@@ -312,22 +383,42 @@ def main() -> None:
             STORE_SPLIT,
         )
 
-        for name, (build, probe) in STORE_SPLIT.items():
-            if name not in REGISTRY:
-                continue
+        def split_one(item) -> tuple[str, dict]:
+            # r13 (VERDICT r12 task #4): the store rebuilds are
+            # independent per query (separate roots), so they overlap
+            # via a small thread pool (guide §2.6) — the next build's
+            # tasks back-fill the tail of the current one.  ONLY this
+            # informational block changed: the timed per-query region
+            # above is untouched, so round-over-round per-query diffs
+            # stay valid; build/probe seconds here are now measured
+            # under 2-way overlap (disclosed in OPTIMIZATION_r13.md).
+            name, (build, probe) = item
             try:
+                spark.sparkContext.setJobDescription(f"store_split {name}")
                 t0 = time.time()
                 root = build(spark, sf_dir)
                 b = time.time() - t0
                 t0 = time.time()
                 execute(probe(spark, sf_dir, root))
                 p = time.time() - t0
-                store_split[name] = {
+                return name, {
                     "build_sec": round(b, 3),
                     "probe_sec": round(p, 3),
                 }
             except Exception as e:  # phase-split is informational only
-                store_split[name] = {"err": f"{type(e).__name__}: {e}"}
+                return name, {"err": f"{type(e).__name__}: {e}"}
+            finally:
+                spark.sparkContext.setJobDescription(None)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = [
+            (name, fns)
+            for name, fns in STORE_SPLIT.items()
+            if name in REGISTRY
+        ]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            store_split = dict(pool.map(split_one, items))
     except ImportError:
         pass
 
@@ -368,6 +459,15 @@ def main() -> None:
             "total_sec": round(total, 3),
             "queries": timings,
             "reps": reps,
+            # VERDICT r12 task #5: executor-time attribution per query
+            # (first pass): parallel_eff = executor_sec / wall — cores
+            # kept busy; ~0 means driver-bound, ~cpus means CPU-bound.
+            "exec_sec": exec_sec,
+            "parallel_eff": {
+                n: round(exec_sec[n] / timings[n], 3)
+                for n in exec_sec
+                if timings.get(n, 0) > 0
+            },
             "store_split": store_split,
             "canary": {
                 "queries": list(CANARIES),

@@ -398,8 +398,11 @@ def connected_components(
 
     # one-pass explode symmetrization: a two-branch union would run
     # the (often expensive — banded-join) pair builder once per
-    # branch before the checkpoint lands
-    edges = symmetrize(pairs, id_a, id_b).localCheckpoint()
+    # branch before the checkpoint lands.  eager=False: the seed
+    # label aggregation below is the first consumer and its map side
+    # computes (and persists) every edge partition — eager's count()
+    # was one more full blocking pass over the pair builder's output.
+    edges = symmetrize(pairs, id_a, id_b).localCheckpoint(eager=False)
     # seed = the first propagation round for free: from identity labels,
     # round 1's neighbor-min is just min(dst) per src (no join needed),
     # so start from least(node, min neighbor).  Near-dup components are
@@ -411,7 +414,11 @@ def connected_components(
         .select(
             "node", F.least(F.col("node"), F.col("_nbr0")).alias("component")
         )
-        .localCheckpoint()
+        # eager=False (r13): the convergence-sum collect right below
+        # materializes the checkpoint (its map side computes every
+        # partition), so eager's separate count() job was one redundant
+        # blocking round-trip per CC round
+        .localCheckpoint(eager=False)
     )
     # labels only ever decrease, so sum(component) is a monotone
     # convergence signal: one cheap aggregate per round instead of a
@@ -443,7 +450,9 @@ def connected_components(
                     F.col("component"), F.coalesce("root", "component")
                 ).alias("component"),
             )
-            .localCheckpoint()
+            # eager=False: materialized by the convergence-sum collect
+            # (see the seed checkpoint above)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -737,17 +746,37 @@ def prefix_filter_jaccard_pairs(
         .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
         .distinct()
     )
-    verified = (
+    paired = (
         cand.join(sets.select(F.col("id").alias("id_a"),
                               F.col("toks").alias("toks_a")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"),
                           F.col("toks").alias("toks_b")), "id_b")
-        .select(
-            "id_a", "id_b",
-            F.size(F.array_intersect("toks_a", "toks_b")).cast("long").alias("inter"),
-            (F.size("toks_a") + F.size("toks_b")
-             - F.size(F.array_intersect("toks_a", "toks_b"))).cast("long").alias("un"),
-        )
+    )
+    # r13 (VERDICT r12 task #3): the exact-verify projection below is
+    # the CPU-dense stage (array_intersect over full shingle arrays,
+    # profiled ~7 s CPU on q141 at sf0.1) but its shuffle BYTES are
+    # tiny, so AQE coalesces it to single-digit tasks in the local
+    # regime.  When the INPUT scan is coarse (the same guard as
+    # widen_coarse_scan, probed on the cheap scan-rooted input frame),
+    # spread the verify stage to the session reduce width with an
+    # explicit REPARTITION_BY_NUM (AQE respects user-specified counts).
+    # Scale-safety: at production scale the scan has more splits than
+    # reducers, coarse_scan_width returns 0, and no exchange is added —
+    # exactly where the verify stage's own bytes keep AQE from
+    # coalescing it anyway.
+    from .skew import coarse_scan_width
+
+    verify_width = coarse_scan_width(df)
+    if verify_width > 0:
+        # hash repartition on the (high-cardinality) pair key: a
+        # keyless repartition(n) would pay a local sort of its input
+        # (spark.sql.execution.sortBeforeRepartition) for nothing
+        paired = paired.repartition(verify_width, F.col("id_a"), F.col("id_b"))
+    verified = paired.select(
+        "id_a", "id_b",
+        F.size(F.array_intersect("toks_a", "toks_b")).cast("long").alias("inter"),
+        (F.size("toks_a") + F.size("toks_b")
+         - F.size(F.array_intersect("toks_a", "toks_b"))).cast("long").alias("un"),
     )
     return verified.filter(F.col("inter") * 100 >= threshold_pct * F.col("un"))
 
@@ -1095,8 +1124,10 @@ def build_embedding_lsh_store(
         # corpus-side admission cap and stamp it so probes default to
         # it.  One signature per vector => n_bands = 1.  The checkpoint
         # bounds the extra cost: the derivation and the caller's
-        # immediate parquet write both consume it.
-        buckets = buckets.localCheckpoint()
+        # immediate parquet write both consume it.  eager=False (r13):
+        # the derivation's first() materializes it — no separate
+        # count() round-trip.
+        buckets = buckets.localCheckpoint(eager=False)
         cap, cap_rows = derive_admission_cap_stats(
             buckets.select("lsh_sig", "id_c"), 1, cap_budget
         )
@@ -1188,8 +1219,13 @@ def embedding_incremental_matches_stored(
     )
     if probe_pushdown:
         # one bounded materialization feeds both the driver IN-list and
-        # the bucket join (the q315 double-execution lesson, §8.8)
-        bs = bs.localCheckpoint()
+        # the bucket join (the q315 double-execution lesson, §8.8).
+        # eager=False (r13, VERDICT r12 task #1): the checkpoint is
+        # materialized BY _pushdown_filter's bounded collect (its map
+        # side computes every partition), so the separate count() job
+        # an eager checkpoint runs first is a redundant blocking
+        # round-trip — same protocol, one fewer driver-blocking action.
+        bs = bs.localCheckpoint(eager=False)
         buckets = _pushdown_filter(buckets, "lsh_sig", bs)
     cb = buckets
     if max_bucket is not None:
@@ -1205,7 +1241,9 @@ def embedding_incremental_matches_stored(
         cb = apply_join_pair_budget(cb, bs, "lsh_sig", pair_budget)
     cands = bs.join(cb, "lsh_sig").select("id_b", "id_c").distinct()
     if probe_pushdown:
-        cands = cands.localCheckpoint()
+        # eager=False: materialized by the collect inside
+        # _pushdown_filter (see the bs checkpoint above)
+        cands = cands.localCheckpoint(eager=False)
         vectors = _pushdown_filter(vectors, "id_c", cands)
 
     vb = batch.select(
@@ -1343,7 +1381,9 @@ def build_lsh_store(
         # corpus-side admission cap and stamp it so probes default to
         # it.  The checkpoint bounds the extra cost: the derivation and
         # the caller's immediate parquet write both consume it.
-        buckets = buckets.localCheckpoint()
+        # eager=False (r13): the derivation's first() materializes it —
+        # no separate count() round-trip.
+        buckets = buckets.localCheckpoint(eager=False)
         cap, cap_rows = derive_admission_cap_stats(
             buckets.select("bucket", "id_c"),
             num_hashes // band_size,
@@ -1456,8 +1496,12 @@ def lsh_incremental_matches_stored(
     if probe_pushdown:
         # one bounded materialization (O(batch x bands)) feeds both the
         # driver IN-list and the bucket join — never two executions of
-        # the signature stage (the q315 checkpoint lesson, §8.8)
-        bb = bb.localCheckpoint()
+        # the signature stage (the q315 checkpoint lesson, §8.8).
+        # eager=False (r13, VERDICT r12 task #1): _pushdown_filter's
+        # bounded collect materializes the checkpoint (its map side
+        # computes every partition), so eager's separate count() job
+        # was a redundant blocking round-trip.
+        bb = bb.localCheckpoint(eager=False)
         buckets = _pushdown_filter(buckets, "bucket", bb)
     cb = _cap_buckets(buckets, max_bucket)
     if pair_budget is not None:
@@ -1466,7 +1510,9 @@ def lsh_incremental_matches_stored(
         cb = apply_join_pair_budget(cb, bb, "bucket", pair_budget)
     cands = bb.join(cb, "bucket").select("id_b", "id_c").distinct()
     if probe_pushdown:
-        cands = cands.localCheckpoint()
+        # eager=False: materialized by the collect inside
+        # _pushdown_filter (see the bb checkpoint above)
+        cands = cands.localCheckpoint(eager=False)
         tokens = _pushdown_filter(tokens, "id_c", cands)
 
     toks_b = batch.select(

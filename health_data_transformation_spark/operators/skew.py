@@ -50,6 +50,14 @@ _SCAN_ROOTED_NODES = (
     "Filter",
     "SubqueryAlias",
     "View",
+    # r13 (the in-guard gate made this list load-bearing for
+    # widen_coarse_scan's Range-rooted callers): Range is a leaf scan,
+    # and a shuffle=false Repartition (coalesce) is a narrow split
+    # merge — neither can make the df.rdd probe materialize a stage.
+    # "Repartition N, false" is matched EXACTLY below;
+    # RepartitionByExpression / "Repartition N, true" are real
+    # exchanges and stay excluded.
+    "Range",
 )
 
 
@@ -71,9 +79,15 @@ def is_scan_rooted(df: DataFrame) -> bool:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
         return False
+    import re
+
     for line in plan.splitlines():
         node = line.lstrip(" :+-*!'(")
         if not node:
+            continue
+        # coalesce: a narrow (shuffle=false) Repartition — see
+        # _SCAN_ROOTED_NODES
+        if re.match(r"Repartition \d+, false$", node.strip()):
             continue
         if not node.startswith(_SCAN_ROOTED_NODES):
             return False
@@ -164,19 +178,43 @@ def widen_coarse_scan(df: DataFrame, key: str | Column) -> DataFrame:
     ``df.rdd``, which is free for a scan but — on a plan containing
     exchanges — makes AQE materialize every upstream stage just to
     count partitions, re-creating the double-execution class this
-    repo hunts.  The guard is advisory, never load-bearing: any probe
-    failure (streaming frame, non-numeric ``spark.sql.shuffle.
-    partitions`` such as Databricks' ``auto``) degrades to a no-op
-    rather than failing the query.
+    repo hunts.  The contract is ENFORCED here (ADVICE r12 #1): a
+    non-scan-rooted frame degrades to a no-op instead of depending on
+    every call site staying scan-rooted under future edits — the same
+    fail-safe direction as the rest of the guard.  Advisory, never
+    load-bearing: any probe failure (streaming frame, non-numeric
+    ``spark.sql.shuffle.partitions`` such as Databricks' ``auto``)
+    also degrades to a no-op rather than failing the query.
     """
-    width = session_reduce_width(df.sparkSession)
-    if width <= 0:
-        return df
-    try:
-        coarse = df.rdd.getNumPartitions() < max(2, width // 2)
-    except Exception:
-        return df
-    if coarse:
+    width = coarse_scan_width(df)
+    if width > 0:
         key_col = F.col(key) if isinstance(key, str) else key
         return df.repartition(width, key_col)
     return df
+
+
+def coarse_scan_width(df: DataFrame) -> int:
+    """The session reduce width IF ``df`` is a scan-rooted frame whose
+    scan has fewer splits than half that width (the local/small-file
+    regime where every downstream stage inherits single-digit
+    parallelism), else 0.
+
+    This is ``widen_coarse_scan``'s guard factored out so callers can
+    widen a frame DERIVED from ``df`` (e.g. the CPU-dense verify stage
+    a few joins downstream) while probing only the cheap scan-rooted
+    input.  Scale-safety is inherited: on a production-scale table the
+    scan has more splits than reducers, the function returns 0, and
+    the caller's advisory repartition never fires.  All failure modes
+    (non-scan-rooted plan — enforced here per ADVICE r12 #1 —,
+    non-numeric shuffle-partition conf, probe errors) return 0.
+    """
+    if not is_scan_rooted(df):
+        return 0
+    width = session_reduce_width(df.sparkSession)
+    if width <= 0:
+        return 0
+    try:
+        coarse = df.rdd.getNumPartitions() < max(2, width // 2)
+    except Exception:
+        return 0
+    return width if coarse else 0

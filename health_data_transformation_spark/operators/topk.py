@@ -83,7 +83,14 @@ def global_row_number(
         if num_partitions
         else df.repartitionByRange(*order_by)
     )
-    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        # eager=False (r13): the offsets collect right below is the
+        # first consumer and its map side computes (and persists)
+        # every partition — eager's count() was one extra full pass.
+        # The layout-freeze guarantee is unchanged: no other consumer
+        # exists before that collect materializes the checkpoint.
+        eager=False
+    )
     counts = part.groupBy("_pid").agg(F.count("*").alias("_n"))
     rows = sorted((r["_pid"], r["_n"]) for r in counts.collect())
     offsets, acc = {}, 0
@@ -165,7 +172,14 @@ def global_running_sum(
     # localCheckpoint BEFORE reading spark_partition_id — see
     # global_row_number: offsets must be measured on the same physical
     # layout every consumer reads.
-    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        # eager=False (r13): the offsets collect right below is the
+        # first consumer and its map side computes (and persists)
+        # every partition — eager's count() was one extra full pass.
+        # The layout-freeze guarantee is unchanged: no other consumer
+        # exists before that collect materializes the checkpoint.
+        eager=False
+    )
     sums = part.groupBy("_pid").agg(F.sum(val_col).alias("_s"))
     rows = sorted((r["_pid"], r["_s"] or 0) for r in sums.collect())
     offsets, acc = {}, 0
@@ -225,7 +239,14 @@ def grouped_running_sum(
     # localCheckpoint BEFORE reading spark_partition_id — see
     # global_row_number: offsets must be measured on the same physical
     # layout every consumer reads.
-    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        # eager=False (r13): the offsets collect right below is the
+        # first consumer and its map side computes (and persists)
+        # every partition — eager's count() was one extra full pass.
+        # The layout-freeze guarantee is unchanged: no other consumer
+        # exists before that collect materializes the checkpoint.
+        eager=False
+    )
     # The map key must be built from the SAME cast semantics on both the
     # build (collected) and probe (expression) side.  Python str(g) does
     # NOT match Spark's string cast for booleans ('True' vs 'true'),
@@ -298,7 +319,14 @@ def global_running_max(
     )
     # localCheckpoint BEFORE reading spark_partition_id — see
     # global_row_number: offsets must be measured on the layout read.
-    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        # eager=False (r13): the offsets collect right below is the
+        # first consumer and its map side computes (and persists)
+        # every partition — eager's count() was one extra full pass.
+        # The layout-freeze guarantee is unchanged: no other consumer
+        # exists before that collect materializes the checkpoint.
+        eager=False
+    )
     sums = part.groupBy("_pid").agg(F.max(val_col).alias("_m"))
     rows = sorted((r["_pid"], r["_m"]) for r in sums.collect())
     offsets: dict[int, object] = {}

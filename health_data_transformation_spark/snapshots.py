@@ -337,7 +337,8 @@ class SnapshotTable:
         return d
 
     def _write_data_partitioned(
-        self, df: DataFrame, version: int, tag: str
+        self, df: DataFrame, version: int, tag: str,
+        values_prevalidated: bool = False,
     ) -> dict[str, str]:
         """One distributed write of ``df`` split into hive-style leaf
         directories keyed by the partition column, returned as
@@ -374,8 +375,21 @@ class SnapshotTable:
                 cond = cond | _F.col(c).cast("string").contains("/")
             return cond
 
+        # r13 (VERDICT r12 task #2 — the q340 regression): the probe is
+        # one full Spark job over ``df``'s lineage, and on the
+        # upsert/delete paths it is provably redundant — their frames
+        # are filtered to partition tuples ALREADY validated by
+        # _touched_partitions (same None/''/'/' domain checks, same
+        # error), plus (for upsert) the batch whose tuples ARE that
+        # touched set.  Those callers pass values_prevalidated=True;
+        # append/overwrite (arbitrary caller frames) keep the pre-write
+        # probe and its no-orphan-dir guarantee.
+        # column-pruned probe (r13): only the partition columns are
+        # inspected, so the scan reads just those columns
         bad_cond = functools.reduce(operator.or_, (bad(c) for c in pcols))
-        if df.filter(bad_cond).limit(1).count():
+        if not values_prevalidated and (
+            df.select(*pcols).filter(bad_cond).limit(1).count()
+        ):
             raise ValueError(
                 f"NULL, empty-string, or '/'-containing values in "
                 f"partition columns {pcols!r} — partition-scoped "
@@ -656,19 +670,27 @@ class SnapshotTable:
             survivors = current.filter(self._touched_filter(touched)).join(
                 df.select(*keys), list(keys), "left_anti"
             )
+            # eager=False (r13): the partitioned write below is the only
+            # consumer (the bad-key probe is skipped — survivors are
+            # filtered to the touched tuples _touched_partitions already
+            # validated) and materializes the checkpoint itself; eager's
+            # count() was one extra full pass over the merge lineage.
             merged = survivors.unionByName(
                 df, allowMissingColumns=True
-            ).localCheckpoint()
-            new_map = self._write_data_partitioned(merged, v, "upsert")
+            ).localCheckpoint(eager=False)
+            new_map = self._write_data_partitioned(
+                merged, v, "upsert", values_prevalidated=True
+            )
             touched_keys = {self._key_of(t) for t in touched}
             return self._publish_scoped(
                 v, "upsert", schema, new_map, touched_keys, df.schema,
                 blind=False,
             )
         survivors = current.join(df.select(*keys), list(keys), "left_anti")
+        # eager=False: the write is the only consumer (see above)
         merged = survivors.unionByName(
             df, allowMissingColumns=True
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         new_dir = self._write_data(merged, v, "upsert")
         return self._publish(v, [new_dir], "upsert", schema)
 
@@ -719,7 +741,11 @@ class SnapshotTable:
                 survivors = current.filter(
                     self._touched_filter(touched)
                 ).filter(~matches)
-                new_map = self._write_data_partitioned(survivors, v, "delete")
+                # values_prevalidated: survivors are filtered to the
+                # touched tuples _touched_partitions just validated
+                new_map = self._write_data_partitioned(
+                    survivors, v, "delete", values_prevalidated=True
+                )
 
             def _matches_in(dirs: list[str], tbl_schema) -> bool:
                 # bounded read-scope probe for the delete rebase: scan

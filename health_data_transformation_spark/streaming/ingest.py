@@ -134,8 +134,14 @@ def build_text_store(spark, sf_dir: str, dest: str) -> str:
     buckets, tokens = build_lsh_store(
         corpus, band_size=4, num_hashes=8, cap_budget=ADMISSION_CAP_BUDGET
     )
-    buckets.sort("bucket").write.parquet(os.path.join(dest, "_store_buckets"))
-    tokens.sort("id_c").write.parquet(os.path.join(dest, "_store_tokens"))
+    from ..functions.actions import overlap_actions
+
+    overlap_actions([  # independent writes overlapped (guide §2.6, r13)
+        lambda: buckets.sort("bucket").write.parquet(
+            os.path.join(dest, "_store_buckets")),
+        lambda: tokens.sort("id_c").write.parquet(
+            os.path.join(dest, "_store_tokens")),
+    ])
     return dest
 
 
@@ -158,10 +164,14 @@ def build_vector_store(spark, sf_dir: str, dest: str) -> str:
     buckets, vectors = build_embedding_lsh_store(
         corpus, cap_budget=ADMISSION_CAP_BUDGET
     )
-    buckets.sort("lsh_sig").write.parquet(
-        os.path.join(dest, "_store_buckets")
-    )
-    vectors.sort("id_c").write.parquet(os.path.join(dest, "_store_vectors"))
+    from ..functions.actions import overlap_actions
+
+    overlap_actions([  # independent writes overlapped (guide §2.6, r13)
+        lambda: buckets.sort("lsh_sig").write.parquet(
+            os.path.join(dest, "_store_buckets")),
+        lambda: vectors.sort("id_c").write.parquet(
+            os.path.join(dest, "_store_vectors")),
+    ])
     return dest
 
 

@@ -1266,3 +1266,47 @@ def test_stored_cap_staleness_guard(spark, tmp_path):
         dedup.embedding_incremental_matches_stored(
             vgrown, vv, emb.limit(2), n_planes=4, dim=8
         )
+
+
+def test_coarse_scan_width_gates_on_plan_shape(spark):
+    """r13: coarse_scan_width (the factored-out widen_coarse_scan
+    guard) returns the reduce width for a coarse scan-rooted frame,
+    and 0 — degrading every advisory repartition to a no-op — for
+    exchange-bearing plans (ADVICE r12 #1: the contract is enforced
+    inside the guard, not at call sites)."""
+    from health_data_transformation_spark.operators.skew import (
+        coarse_scan_width,
+        widen_coarse_scan,
+    )
+
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    narrow = spark.range(1000).coalesce(1).withColumn("k", F.col("id") % 7)
+    assert coarse_scan_width(narrow) == width
+
+    # aggregate-rooted: the df.rdd probe would materialize a stage —
+    # must gate to 0 / no-op
+    agged = narrow.groupBy("k").count()
+    assert coarse_scan_width(agged) == 0
+    assert widen_coarse_scan(agged, "k") is agged
+
+    # shuffle-repartitioned: also exchange-bearing
+    shuffled = spark.range(1000).repartition(4, "id")
+    assert coarse_scan_width(shuffled) == 0
+
+
+def test_overlap_actions_order_and_errors(spark):
+    """r13: overlap_actions returns results in submission order and
+    propagates the first exception — identical failure semantics to
+    the sequential form it replaces."""
+    import pytest as _pytest
+
+    from health_data_transformation_spark.functions.actions import (
+        overlap_actions,
+    )
+
+    out = overlap_actions([lambda: 1, lambda: 2, lambda: 3])
+    assert out == [1, 2, 3]
+    with _pytest.raises(RuntimeError, match="boom"):
+        overlap_actions(
+            [lambda: 1, lambda: (_ for _ in ()).throw(RuntimeError("boom"))]
+        )

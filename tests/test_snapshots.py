@@ -994,3 +994,29 @@ def test_partition_key_roundtrip_through_hive_path(spark, tmp_path):
     t2.commit_delete("p = -5")
     assert "-5" not in t2.manifest(2)["partitions"]
     assert t2.manifest(2)["partitions"]["0"] == t2.manifest(1)["partitions"]["0"]
+
+
+def test_partitioned_upsert_and_delete_still_reject_bad_keys(spark, tmp_path):
+    """r13: the pre-write bad-key probe was removed from the
+    upsert/delete rewrite paths (their partition-value domain is
+    already validated by _touched_partitions) — the rejection contract
+    must hold unchanged: bad keys in an upsert batch fail BEFORE any
+    write, and no orphan data directory is burned."""
+    t = _pt_table(spark, str(tmp_path / "t"))
+    data_root = os.path.join(str(tmp_path / "t"), "data")
+    dirs_before = sorted(os.listdir(data_root))
+
+    for bad in [(9, None, 90), (9, "", 90)]:
+        with pytest.raises(ValueError, match="NULL, empty-string"):
+            t.commit_upsert(
+                spark.createDataFrame([bad], "k int, p string, x int"),
+                keys=["k", "p"],
+            )
+    assert sorted(os.listdir(data_root)) == dirs_before
+    assert t.current_version() == 1
+
+    # delete with a predicate that matches nothing still publishes a
+    # content-identical version with zero data written (unchanged)
+    v = t.commit_delete("k = 12345")
+    assert v == 2
+    assert sorted(os.listdir(data_root)) == dirs_before

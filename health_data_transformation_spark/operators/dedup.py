@@ -746,24 +746,26 @@ def prefix_filter_jaccard_pairs(
         .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
         .distinct()
     )
-    paired = (
-        cand.join(sets.select(F.col("id").alias("id_a"),
-                              F.col("toks").alias("toks_a")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"),
-                          F.col("toks").alias("toks_b")), "id_b")
-    )
     # r13 (VERDICT r12 task #3): the exact-verify projection below is
     # the CPU-dense stage (array_intersect over full shingle arrays,
     # profiled ~7 s CPU on q141 at sf0.1) but its shuffle BYTES are
     # tiny, so AQE coalesces it to single-digit tasks in the local
     # regime.  When the INPUT scan is coarse (the same guard as
     # widen_coarse_scan, probed on the cheap scan-rooted input frame),
-    # spread the verify stage to the session reduce width with an
-    # explicit REPARTITION_BY_NUM (AQE respects user-specified counts).
-    # Scale-safety: at production scale the scan has more splits than
-    # reducers, coarse_scan_width returns 0, and no exchange is added —
-    # exactly where the verify stage's own bytes keep AQE from
-    # coalescing it anyway.
+    # spread the pairs to the session reduce width with an explicit
+    # REPARTITION_BY_NUM (AQE respects user-specified counts).  The
+    # repartition lands on the ID-ONLY pair frame BEFORE the token
+    # arrays attach — the attach joins broadcast the (tiny in this
+    # regime) sets side, preserving the pairs' partitioning into the
+    # verify projection, so only two longs per pair ever cross the
+    # exchange.  The first r13 shape repartitioned AFTER the attach
+    # and shipped both full shingle arrays per pair through the new
+    # exchange: interleaved A/B measured it neutral-to-worse (q141
+    # 0.98 / q261 1.02 / q250 1.13, label r13resume-core) — the array
+    # serialization ate the spread.  Scale-safety: at production scale
+    # the scan has more splits than reducers, coarse_scan_width
+    # returns 0, and neither the exchange nor the broadcast hint is
+    # added — the plain shuffle joins below are the scale shape.
     from .skew import coarse_scan_width
 
     verify_width = coarse_scan_width(df)
@@ -771,7 +773,21 @@ def prefix_filter_jaccard_pairs(
         # hash repartition on the (high-cardinality) pair key: a
         # keyless repartition(n) would pay a local sort of its input
         # (spark.sql.execution.sortBeforeRepartition) for nothing
-        paired = paired.repartition(verify_width, F.col("id_a"), F.col("id_b"))
+        cand = cand.repartition(verify_width, F.col("id_a"), F.col("id_b"))
+        attach_a = F.broadcast(
+            sets.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+        )
+        attach_b = F.broadcast(
+            sets.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+        )
+    else:
+        attach_a = sets.select(
+            F.col("id").alias("id_a"), F.col("toks").alias("toks_a")
+        )
+        attach_b = sets.select(
+            F.col("id").alias("id_b"), F.col("toks").alias("toks_b")
+        )
+    paired = cand.join(attach_a, "id_a").join(attach_b, "id_b")
     verified = paired.select(
         "id_a", "id_b",
         F.size(F.array_intersect("toks_a", "toks_b")).cast("long").alias("inter"),

@@ -157,7 +157,9 @@ def salted_join(
     return hot_joined.unionByName(cold_joined)
 
 
-def widen_coarse_scan(df: DataFrame, key: str | Column) -> DataFrame:
+def widen_coarse_scan(
+    df: DataFrame, key: str | Column, min_bytes: int = 0
+) -> DataFrame:
     """Task-granularity guard for heavy per-row compute over a coarse
     scan (the q315 grid-join rule, generalized).
 
@@ -185,12 +187,37 @@ def widen_coarse_scan(df: DataFrame, key: str | Column) -> DataFrame:
     load-bearing: any probe failure (streaming frame, non-numeric
     ``spark.sql.shuffle.partitions`` such as Databricks' ``auto``)
     also degrades to a no-op rather than failing the query.
+
+    ``min_bytes`` (r13, VERDICT r12 task #6): opt-in working-set floor
+    for sites where the crossover is MEASURED to sit above the bench
+    working set.  The r12 widen-reverts (q275/q200/q162: interleaved
+    losses 1.34/1.60/0.98 at sf0.1) re-measured at a 16x documents
+    replica as 2x WINS (W/P 0.46/0.46/0.60 — SCALE.md §8.15), so those
+    sites widen only when the plan-stats estimate of ``df`` reaches
+    ``min_bytes``: below it the exchange only lengthens the critical
+    path; above it the single-split scan serializes minutes of per-row
+    text work.  Estimate failure (<0) stays narrow — fail-safe, same
+    direction as every other guard here.
     """
     width = coarse_scan_width(df)
     if width > 0:
+        if min_bytes > 0 and plan_size_bytes(df) < min_bytes:
+            return df
         key_col = F.col(key) if isinstance(key, str) else key
         return df.repartition(width, key_col)
     return df
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df``'s optimized plan (bytes;
+    file-size-derived for scan-rooted frames), or -1 when unavailable.
+    Driver-side only — never executes the frame."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return -1
 
 
 def coarse_scan_width(df: DataFrame) -> int:

@@ -1294,6 +1294,35 @@ def test_coarse_scan_width_gates_on_plan_shape(spark):
     assert coarse_scan_width(shuffled) == 0
 
 
+def test_widen_coarse_scan_min_bytes_floor(spark, tmp_path):
+    """r13 (VERDICT r12 task #6): the opt-in min_bytes floor keeps a
+    below-threshold scan narrow (the sf0.1 regime where the widen
+    measured a loss) and widens once the plan-stats estimate reaches
+    the floor (the measured 16x crossover regime)."""
+    from health_data_transformation_spark.operators.skew import (
+        plan_size_bytes,
+        widen_coarse_scan,
+    )
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(1000).selectExpr(
+        "id", "repeat('x', 100) AS text"
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    est = plan_size_bytes(df)
+    assert est > 0
+
+    # floor above the estimate: stays narrow (no exchange in the plan)
+    narrow = widen_coarse_scan(df, "id", min_bytes=est * 10)
+    assert "Repartition" not in narrow._jdf.queryExecution().optimizedPlan().toString()
+
+    # floor at/below the estimate: widens exactly like the floorless form
+    wide = widen_coarse_scan(df, "id", min_bytes=est)
+    assert "RepartitionByExpression" in (
+        wide._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
 def test_overlap_actions_order_and_errors(spark):
     """r13: overlap_actions returns results in submission order and
     propagates the first exception — identical failure semantics to

@@ -30,7 +30,7 @@ if not os.path.exists(os.path.join(DST, "documents.parquet")):
     base = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
     out = None
     for i in range(REPS):
-        c = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        c = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))  # ppm-ok: i is the Python replica index (driver-side int, <=16)
         if i:
             c = c.withColumn("text", F.concat_ws(" ", F.col("text"), F.lit(f"rep{i}")))
         out = c if out is None else out.unionByName(c)

@@ -35,14 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: SET-DERIVED (VERDICT r10 tasks #1/#6; see
 #: tools/driver_ledger.py:prefix_rotation_ok and the meta-test):
 #:   1    the pinned q169 ingest anchor (S4-S8 §2 proof, every round);
-#:   next every never-driver-verified query (r12: the new two-level
-#:        partitioned snapshot gate q345, plus any entry added later
-#:        this round — regenerate via the ledger before freeze);
+#:   next every never-driver-verified query (r13: none — the r12
+#:        driver artifact covered the last of them; regenerate via
+#:        the ledger before freeze whenever queries are added);
 #:   rest an exact prefix of tools/driver_ledger.py --stale's
-#:        stalest-first rotation order (r12: the r4 remnant q267/q269,
-#:        then the ENTIRE r5 tier — which includes the
-#:        reference-derived core q01-q08b, re-proven per VERDICT r11
-#:        task #2 after 6 rounds without driver-grade evidence).
+#:        stalest-first rotation order (r13: the r5 multimodal/text
+#:        remnants q51/q53/q57/q65, then the r6 tier q102-q148 —
+#:        oldest driver evidence now 7 rounds behind).
 #: _REPROOF is empty this round: no committed query's RESULTS changed
 #: (the r11 reproofs q338/q181 are now ordinary rotation citizens).
 #: The per-slot tier rule was replaced in r11 by the
@@ -52,55 +51,55 @@ _REPROOF: list[str] = []
 
 _PROMOTED = [
     "q169_ingest_lifecycle",
-    "q344_dedup_ivf_capstone",
-    "q345_two_level_snapshot_delete",
-    "q346_rebase_concurrency",
-    "q267_snapshot_isolation_join",
-    "q269_snapshot_concurrency",
-    "q01_week_count",
-    "q02_weekly_counts",
-    "q03_pricing_summary",
-    "q04_recent_weeks",
-    "q05_priority_ratio",
-    "q06_cumulative_usage",
-    "q07_top_nations",
-    "q08a_segment_week_ratio",
-    "q08b_top_bottom_nations",
-    "q101_stream_dedup",
-    "q10_dedup_exact",
-    "q11_anti_join",
-    "q12_semi_join",
-    "q13_json_sentinel_clean",
-    "q14_validation_split",
-    "q23_balance_buckets",
-    "q24_normalize_strings",
-    "q25_date_parts",
-    "q268_multiway_smj_revenue",
-    "q26_union_append",
-    "q270_zorder_pruning",
-    "q271_neyman_allocation",
-    "q272_pii_redaction",
-    "q273_grouped_ols_trend",
-    "q274_bmp_decode_quarantine",
-    "q275_char_ngram_langid",
-    "q276_power_iteration_pca",
-    "q277_diversified_topk",
-    "q278_psi_drift_monitor",
-    "q279_golden_record_survivorship",
-    "q27_idempotent_upsert",
-    "q280_auc_rank_sum",
-    "q281_incremental_view_maintenance",
-    "q282_kaplan_meier_retention",
-    "q283_blocking_quality",
-    "q284_ks_two_sample",
-    "q285_importance_resampling",
-    "q286_group_kfold_assignment",
-    "q287_score_quantile_normalization",
-    "q288_greedy_source_coverage",
-    "q289_split_conformal",
-    "q45_asof_join",
-    "q46_sessionize",
-    "q49_salted_join",
+    "q51_lsh_near_dup",
+    "q53_multimodal_decode",
+    "q57_regex_tokens",
+    "q65_token_chunks",
+    "q102_zorder_key",
+    "q103_time_weighted_sums",
+    "q104_decay_scores",
+    "q106_er_match_scores",
+    "q107_udtf_chunks",
+    "q108_feature_hashing",
+    "q109_target_encoding",
+    "q110_negative_sampling",
+    "q111_asof_ttl",
+    "q112_rollup_cascade",
+    "q113_bloom_filter",
+    "q114_dup_shingle_ratio",
+    "q115_repetition_ratio",
+    "q116_bigram_lift",
+    "q117_decontamination",
+    "q118_grouped_reservoir",
+    "q119_argmax_customer",
+    "q120_interval_overlap",
+    "q121_rolling_distinct_users",
+    "q122_zscore_stats",
+    "q123_gap_fill_hours",
+    "q124_first_touch",
+    "q125_vocab_encode",
+    "q126_gaps_islands",
+    "q127_funnel_steps",
+    "q128_except_all",
+    "q129_equidepth_hist",
+    "q130_ewma_po2",
+    "q131_mad_outliers",
+    "q132_seasonal_hotspots",
+    "q133_autocorr_terms",
+    "q134_markov_transitions",
+    "q135_grid_radius_join",
+    "q136_ab_arms",
+    "q137_triangle_count",
+    "q138_bfs_levels",
+    "q139_weighted_median",
+    "q140_cusum_days",
+    "q142_source_checksums",
+    "q143_pareto_frontier",
+    "q144_scd2_compress",
+    "q145_sorted_neighborhood",
+    "q146_systematic_sample",
+    "q147_latency_histogram",
+    "q148_decay_attribution",
 ]
 
 
